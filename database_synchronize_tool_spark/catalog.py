@@ -1,0 +1,71 @@
+"""Testdata catalog: the ten parquet tables the harness provides.
+
+The reference treats the source database as the schema authority (dynamic
+``information_schema`` discovery, ``/root/reference/db-sync-local/sync_utils.py:195-237``);
+here the parquet footer plays that role — ``spark.read.parquet`` derives the
+StructType, and Catalyst pushes projections/predicates into the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# Columns written as parquet TIMESTAMP(NANOS), which Spark's vectorized
+# reader rejects; with spark.sql.legacy.parquet.nanosAsLong they surface as
+# epoch-nanos longs and are converted to timestamp_ntz (micros) here. All
+# other timestamps infer as timestamp_ntz directly (isAdjustedToUTC=false).
+NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One table as a DataFrame. Plain parquet scan: vectorized reader,
+    predicate pushdown and column pruning all apply downstream."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for col in NANO_TS_COLS.get(name, ()):
+        if col in df.columns and df.schema[col].dataType.simpleString() == "bigint":
+            from pyspark.sql import functions as F
+
+            # integer `div` keeps full precision (double division would round
+            # epoch-nanos to ~256ns granularity)
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz")
+            )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register temp views so declared queries can be written in SQL when
+    that is the clearer form (same Catalyst plan either way)."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

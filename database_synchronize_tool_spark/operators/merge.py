@@ -1,0 +1,104 @@
+"""Keyed merge (upsert) as a relational operator.
+
+The reference performs upsert server-side via generated
+``INSERT ... ON CONFLICT (pk) DO UPDATE SET col = EXCLUDED.col``
+(``/root/reference/db-sync-local/sync_utils.py:174-193``; executor
+``utils.py:38-75``). Semantics: equi-join source batch against target on the
+primary-key columns; matched rows take the source's non-key values
+(last-writer-wins), unmatched source rows are inserted, unmatched target rows
+are kept. With no primary key, the conflict key degenerates to *all* columns,
+i.e. full-row dedup (``sync_utils.py:156-169``).
+
+Spark-first forms (no MERGE sink needed for the relational semantics):
+
+- ``merge_upsert``: anti-join + union — target rows whose key does NOT appear
+  in the source survive, then all source rows are appended. One shuffle on the
+  key (or none if the source delta is small enough to broadcast — pass
+  ``broadcast_source=True``). This is the same plan Delta's MERGE lowers to
+  for insert/update-all merges, minus the transactional file swap.
+- ``merge_full_outer``: the coalesce form — useful when both sides must be
+  projected through (SQL-oracle-friendly, used by the declared query).
+- ``dedup_merge``: the no-PK degenerate case — union + dropDuplicates over all
+  columns.
+
+Scale notes (100 TB): the join shuffles on the merge key; for a small delta
+against a huge target, broadcast the delta so the target is never shuffled.
+If the target is bucketed/partitioned by the key, Catalyst avoids re-shuffling
+the big side entirely. Duplicate keys *within* the source batch are collapsed
+first (keep-last via an explicit ordering column, else arbitrary-but-single),
+mirroring Postgres's one-conflict-per-statement-row behavior.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def collapse_source_dups(
+    source: DataFrame, keys: Sequence[str], order_col: str | None = None
+) -> DataFrame:
+    """Collapse duplicate keys inside one source batch (last-writer-wins).
+
+    With ``order_col``, keeps the row with the greatest value per key
+    (deterministic); otherwise ``dropDuplicates`` keeps an arbitrary single row
+    (the reference would raise ``CardinalityViolation`` — we collapse instead,
+    documented divergence, SURVEY §7.4).
+    """
+    if order_col is None:
+        return source.dropDuplicates(list(keys))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    return (
+        source.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    broadcast_source: bool = False,
+) -> DataFrame:
+    """Anti-join + union upsert: source wins on key collisions.
+
+    Equivalent to ``INSERT ... ON CONFLICT DO UPDATE`` over full rows.
+    """
+    src = F.broadcast(source) if broadcast_source else source
+    kept = target.join(src.select(*keys), on=list(keys), how="left_anti")
+    return kept.unionByName(source)
+
+
+def merge_full_outer(
+    target: DataFrame, source: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Full-outer + coalesce form of the same merge.
+
+    Produces one row per key present on either side; non-key columns prefer
+    the source (EXCLUDED) value, falling back to the target's.
+    """
+    t, s = target.alias("t"), source.alias("s")
+    cond: Column | None = None
+    for k in keys:
+        c = t[k].eqNullSafe(s[k])
+        cond = c if cond is None else (cond & c)
+    joined = t.join(s, on=cond, how="full_outer")
+    cols = [
+        F.coalesce(s[k], t[k]).alias(k) for k in keys
+    ] + [
+        F.when(s[keys[0]].isNotNull(), s[c]).otherwise(t[c]).alias(c)
+        for c in target.columns
+        if c not in keys
+    ]
+    return joined.select(*cols)
+
+
+def dedup_merge(target: DataFrame, source: DataFrame) -> DataFrame:
+    """No-PK degenerate merge: conflict key = all columns => full-row dedup
+    over the union (reference fallback, ``sync_utils.py:156-169``)."""
+    return target.unionByName(source).dropDuplicates()

@@ -1,0 +1,354 @@
+"""Declared queries: the reference's sync-pipeline operators re-expressed
+relationally over the harness testdata (SURVEY §2.1-2.3, §2.7, §2.9 ids in
+query names). Each has a DuckDB oracle unless noted.
+
+Reference citations (read-only at /root/reference):
+  S1/S2  db-sync-local/sync_utils.py:41-77   full + delta extract
+  S3     db-sync-local/sync_utils.py:195-237 information_schema discovery
+  P2     db-sync-local/sync_utils.py:210-217 ignore_columns pruning
+  P3/T3  db-sync-local/sync_utils.py:63-69   strict-> watermark predicate
+  A1/T2  db-sync-local/sync_utils.py:17-39   MAX watermark probe, id NULL→0
+  J1/J2  db-sync-gcp/gcs_sync.py:45-47       file-set anti/semi algebra
+  J3/J4  db-sync-local/sync_utils.py:156-193 ON CONFLICT merge / no-PK dedup
+  F1-F5  db-sync-local/sync_utils.py:79-139  prepare_record normalization
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_synchronize_tool_spark.catalog import load_table
+from database_synchronize_tool_spark.functions.normalize import (
+    int_compat,
+    null_to_empty_array,
+    str_compat,
+)
+from database_synchronize_tool_spark.operators.merge import merge_upsert
+from database_synchronize_tool_spark.plans.registry import declared
+
+# --- S1/S2: scans -----------------------------------------------------------
+
+
+@declared(
+    "s1_full_scan_projection",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    """,
+    doc="S1 full table scan with explicit projection (never SELECT *); "
+    "column pruning reaches the parquet scan.",
+)
+def s1_full_scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+
+
+@declared(
+    "s2_delta_scan_ts",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+    FROM lineitem WHERE l_shipdate > TIMESTAMP '1997-06-01'
+    """,
+    doc="S2 incremental extract, timestamp watermark: predicate pushed to the "
+    "scan (PushedFilters), mirroring WHERE check_col > :v.",
+)
+def s2_delta_scan_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_shipdate") > F.expr("timestamp'1997-06-01'")).select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
+    )
+
+
+@declared(
+    "s2_delta_scan_id",
+    oracle="SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey > 100",
+    doc="S2 incremental extract, id watermark.",
+)
+def s2_delta_scan_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") > 100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@declared(
+    "s3_schema_discovery",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1,'l_orderkey','bigint',true), (2,'l_partkey','bigint',true),
+      (3,'l_suppkey','bigint',true), (4,'l_linenumber','int',true),
+      (5,'l_quantity','double',true), (6,'l_extendedprice','double',true),
+      (7,'l_discount','double',true), (8,'l_tax','double',true),
+      (9,'l_returnflag','string',true), (10,'l_linestatus','string',true),
+      (11,'l_shipdate','timestamp_ntz',true)
+    ) AS t(ordinal, column_name, data_type, is_nullable)
+    """,
+    doc="S3 catalog scan: runtime schema discovery (the parquet footer is the "
+    "schema authority, like the reference's information_schema query); "
+    "checked against a golden column list.",
+)
+def s3_schema_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = [
+        (i + 1, f.name, f.dataType.simpleString(), bool(f.nullable))
+        for i, f in enumerate(li.schema.fields)
+    ]
+    return spark.createDataFrame(
+        rows, "ordinal int, column_name string, data_type string, is_nullable boolean"
+    )
+
+
+# --- P2/P3/P4: projections & predicates ------------------------------------
+
+
+@declared(
+    "p2_ignore_columns",
+    oracle="SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders",
+    doc="P2 config-driven column pruning: ignore_columns dropped iff nullable.",
+)
+def p2_ignore_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "orders")
+    ignore = ["o_orderdate", "o_orderpriority"]
+    droppable = [c for c in ignore if c in df.columns and df.schema[c].nullable]
+    return df.drop(*droppable)
+
+
+@declared(
+    "p3_watermark_tie_parity",
+    oracle="""
+    SELECT e.event_id, e.ts, e.event_type
+    FROM events e
+    WHERE e.ts > (SELECT MAX(ts) FROM events WHERE event_id % 7 = 0)
+    """,
+    doc="P3/T3 strict-> delta against a destination-derived watermark: rows "
+    "tying the max are excluded (reference parity). Watermark is a "
+    "broadcast scalar, not a driver collect.",
+)
+def p3_watermark_tie_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.filter(F.col("event_id") % 7 == 0).agg(F.max("ts").alias("__wm"))
+    return (
+        ev.crossJoin(F.broadcast(wm))
+        .filter(F.col("ts") > F.col("__wm"))
+        .select("event_id", "ts", "event_type")
+    )
+
+
+@declared(
+    "p4_empty_delta_guard",
+    oracle="SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey > 10000000000",
+    doc="P4 empty-result guard: a delta beyond the data returns an empty, "
+    "stable-schema result (the sink is skipped).",
+)
+def p4_empty_delta_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") > 10_000_000_000)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --- A1/A2: aggregates ------------------------------------------------------
+
+
+@declared(
+    "a1_watermark_probe_ts",
+    oracle="SELECT MAX(ts) AS watermark FROM events",
+    doc="A1 scalar MAX watermark probe (timestamp type): map-side partial max.",
+)
+def a1_watermark_probe_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").agg(F.max("ts").alias("watermark"))
+
+
+@declared(
+    "a1_watermark_probe_id",
+    oracle="""
+    SELECT COALESCE(MAX(event_id), 0) AS watermark
+    FROM events WHERE event_type = 'does_not_exist'
+    """,
+    doc="A1/T2 id-type watermark: NULL coalesces to 0 so an empty destination "
+    "still takes the delta path (> 0).",
+)
+def a1_watermark_probe_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "does_not_exist").agg(
+        F.coalesce(F.max("event_id"), F.lit(0).cast("bigint")).alias("watermark")
+    )
+
+
+@declared(
+    "a2_row_count",
+    oracle="SELECT COUNT(*) AS cnt FROM lineitem",
+    doc="A2 row count (progress denominator in the reference).",
+)
+def a2_row_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# --- J1-J4: join-like semantics --------------------------------------------
+
+
+@declared(
+    "j1_anti_join_missing",
+    oracle="""
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="J1 anti-join (files_to_copy = source - dest): left_anti, broadcast "
+    "when the right side is small.",
+)
+def j1_anti_join_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, on="c_custkey", how="left_anti").select("c_custkey", "c_name")
+
+
+@declared(
+    "j2_semi_join_existing",
+    oracle="""
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="J2 semi-join (source ∩ dest): left_semi.",
+)
+def j2_semi_join_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, on="c_custkey", how="left_semi").select("c_custkey", "c_name")
+
+
+@declared(
+    "j3_merge_upsert",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ), source AS (
+      SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    ), kept AS (
+      SELECT t.* FROM target t
+      WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+    )
+    SELECT * FROM kept UNION ALL SELECT * FROM source
+    """,
+    doc="J3 keyed merge (INSERT..ON CONFLICT DO UPDATE): anti-join + union, "
+    "source (EXCLUDED) wins; one shuffle on the key, or zero with a "
+    "broadcast delta.",
+)
+def j3_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    source = orders.filter(F.col("o_orderdate") >= F.expr("timestamp'1998-01-01'")).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    return merge_upsert(target, source, ["o_orderkey"], broadcast_source=True)
+
+
+@declared(
+    "j4_dedup_full_row",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    doc="J4 no-PK degenerate merge key: all columns form the key => full-row "
+    "dedup (map-side partial distinct, then shuffle on the row hash).",
+)
+def j4_dedup_full_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .dropDuplicates()
+    )
+
+
+# --- F1-F5: normalization expression set -----------------------------------
+
+
+@declared(
+    "f1_null_to_empty_array",
+    oracle="""
+    SELECT vec_id,
+           len(COALESCE(CASE WHEN label = 5 THEN NULL ELSE embedding END, [])) AS emb_len
+    FROM embeddings
+    """,
+    doc="F1 array normalize: NULL → [] (the reference's deliberate semantic "
+    "rewrite), observed through the array length.",
+)
+def f1_null_to_empty_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    nulled = F.when(F.col("label") == 5, F.lit(None)).otherwise(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.size(null_to_empty_array(nulled).cast("array<float>")).alias("emb_len"),
+    )
+
+
+@declared(
+    "f3_json_extract",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+    doc="F3 JSON path extraction over the jsonb-shaped props column "
+    "(validation path; the quote-repair heuristic is a pandas UDF, "
+    "unit-tested separately).",
+)
+def f3_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k_value")
+    )
+
+
+@declared(
+    "f4_int_coercion_compat",
+    oracle="""
+    SELECT event_id, CAST(TRUNC(value) AS BIGINT) AS value_int FROM events
+    """,
+    doc="F4 parity int coercion int(float(v)): double roundtrip truncating "
+    "toward zero (engine default is an exact cast; this is the compat set).",
+)
+def f4_int_coercion_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", int_compat(F.col("value")).alias("value_int"))
+
+
+@declared(
+    "f5_string_normalize_compat",
+    oracle="""
+    SELECT c_custkey, TRIM(CONCAT(' ', c_name, ' ')) AS c_name_norm FROM customer
+    """,
+    doc="F5 parity stringify+strip (str(v).strip()).",
+)
+def f5_string_normalize_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    padded = F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))
+    return c.select("c_custkey", str_compat(padded).alias("c_name_norm"))
+
+
+# --- O1: deterministic order / top-k ---------------------------------------
+
+
+@declared(
+    "o1_sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    doc="O1 deterministic ordering + LIMIT: Spark plans TakeOrderedAndProject "
+    "(per-partition top-k, no full sort); tiebreak on the key keeps the "
+    "selection stable.",
+)
+def o1_sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )

@@ -1,0 +1,111 @@
+"""Local differential harness: run every declared query on Spark AND its
+DuckDB oracle over the same parquet, compare row count, column names, and the
+order-insensitive multiset of values. Approximates the driver's t2 gate so
+failures surface before a round ends.
+
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import sys
+import traceback
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from database_synchronize_tool_spark.catalog import TABLES, table_path
+from database_synchronize_tool_spark.plans.registry import all_queries
+from database_synchronize_tool_spark.session import get_spark
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return float(v)
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    if hasattr(v, "__float__") and not isinstance(v, (int, bool)):  # Decimal
+        return float(v)
+    return v
+
+
+def rows_key(rows):
+    return sorted(repr(r) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+
+    qs = all_queries()
+    n_pass = n_fail = n_rows_only = 0
+    for name, q in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        try:
+            sdf = q.builder(spark, sf_dir)
+            s_cols = sorted(sdf.columns)
+            s_rows = [
+                tuple(canon(r[c]) for c in s_cols) for r in sdf.collect()
+            ]
+        except Exception:
+            print(f"FAIL  {name}: spark raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        if q.oracle is None:
+            print(f"ROWS  {name}: {len(s_rows)} rows (no oracle)")
+            n_rows_only += 1
+            continue
+        try:
+            cur = con.execute(q.oracle)
+            d_cols_raw = [d[0] for d in cur.description]
+            d_all = cur.fetchall()
+            order = sorted(range(len(d_cols_raw)), key=lambda i: d_cols_raw[i])
+            d_cols = sorted(d_cols_raw)
+            d_rows = [tuple(canon(r[i]) for i in order) for r in d_all]
+        except Exception:
+            print(f"FAIL  {name}: duckdb raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+
+        problems = []
+        if s_cols != d_cols:
+            problems.append(f"cols spark={s_cols} duck={d_cols}")
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if not problems:
+            sk, dk = rows_key(s_rows), rows_key(d_rows)
+            if sk != dk:
+                diff = [(a, b) for a, b in zip(sk, dk) if a != b][:3]
+                problems.append(f"values differ, first diffs: {diff}")
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS  {name} ({len(s_rows)} rows)")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only @ {sf_dir}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
