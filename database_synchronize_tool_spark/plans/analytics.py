@@ -493,7 +493,7 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(month(o_orderdate) AS INT) AS m,
            CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
            CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since,
-           round(o_totalprice / 1000, 2) AS price_k,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k,
            abs(o_totalprice - 100000) AS dist_100k
     FROM orders
     """,
@@ -517,7 +517,9 @@ def scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int")
         .alias("days_since"),
-        F.round(F.col("o_totalprice") / 1000, 2).alias("price_k"),
+        # floor, not round: round() of a double division differs across
+        # engines (Spark rounds the shortest decimal repr, DuckDB the binary)
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("price_k"),
         F.abs(F.col("o_totalprice") - 100000).alias("dist_100k"),
     )
 
