@@ -1,0 +1,110 @@
+"""Text-analysis expressions for the documents surface.
+
+Everything here is a Column expression (JVM-side, codegen) — language ID,
+quality scoring, token counting and fingerprinting are all expressible with
+built-in string/array/higher-order functions, so the 100 TB path never
+round-trips through Python. Each has an exact ANSI-SQL equivalent used by the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword indicator sets for the n-gram/stopword heuristic.
+# Deliberately small and fixed so the oracle can mirror them literally.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "a"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "es", "y"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization with empty strings dropped (split + filter —
+    stable across engines regardless of leading/trailing whitespace)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column, pattern_class: str) -> Column:
+    """Number of characters in ``pattern_class`` (a regex char class)."""
+    return F.length(text) - F.length(F.regexp_replace(text, pattern_class, ""))
+
+
+def punct_ratio(text: Column) -> Column:
+    return char_count(text, r"[.!?,;:]") / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_count(text: Column, words: tuple[str, ...]) -> Column:
+    """Occurrences of any marker word (word-boundary delimited)."""
+    toks = tokens(F.lower(text))
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def stopword_ratio(text: Column, words: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    return stopword_count(text, words) / F.greatest(token_count(text), F.lit(1))
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence −
+    punctuation excess. Integer/ratio arithmetic only (portable)."""
+    n_tok = token_count(text)
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 5000), 0.5).otherwise(0.0)
+    stop = F.least(stopword_ratio(text) * 5, F.lit(0.3))
+    punct_penalty = F.least(punct_ratio(text) * 2, F.lit(0.2))
+    return length_ok + stop - punct_penalty + 0.2
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-marker argmax language ID. Ties break by fixed language
+    order (en > de > fr > es > unknown) — mirrored exactly in the oracle."""
+    low = F.lower(text)
+    counts = {lang: stopword_count(low, words) for lang, words in LANG_MARKERS.items()}
+    best = F.greatest(*counts.values())
+    out = F.lit("unknown")
+    # reversed so earlier languages win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        out = F.when((counts[lang] > 0) & (counts[lang] == best), lang).otherwise(out)
+    return out
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (lower, collapse
+    whitespace, strip non-alphanumerics). Stable, portable, join-friendly."""
+    norm = F.regexp_replace(F.lower(text), r"[^a-z0-9 ]", "")
+    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    return F.md5(norm)
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct character k-shingles (the Jaccard/minhash unit)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))),
+            lambda i: text.substr(i, F.lit(k)),
+        )
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|A∩B| / |A∪B| over two (distinct-element) arrays — one integer
+    division, portable across engines."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter / F.greatest(union, F.lit(1))

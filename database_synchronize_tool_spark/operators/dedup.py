@@ -1,0 +1,221 @@
+"""Deduplication operators over document corpora.
+
+Five strategies, each the Spark-idiomatic shape for its scale regime:
+
+- exact:      hash groupBy on the raw text — one shuffle, map-side partial.
+- normalized: same, keyed on a canonical form (lower/strip/collapse).
+- minhash+LSH: shingle → K minhashes → band buckets → candidate pairs via a
+  bucket self-join → verify true Jaccard. Candidate generation touches only
+  same-bucket pairs, so cost is Σ bucket² instead of n² — at 100 TB the
+  band-bucket join is a plain shuffle join on the (band, key) pair, and hot
+  buckets (boilerplate docs) can be salted or capped.
+- simhash:    per-doc 16-bit signature via sign-summed token-hash bits;
+  near-dup pairs = signatures within Hamming distance d (bucket by signature,
+  or by signature bands for d>0 at scale).
+- n-gram Jaccard: the exact pairwise measure, blocked (here: by language) to
+  bound the candidate set; the verify stage of minhash reuses it.
+
+All arithmetic is integer/rational and implemented with built-in higher-order
+functions (transform/aggregate/filter) — no Python UDFs — so every strategy
+has a bit-exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from database_synchronize_tool_spark.functions.text import jaccard, shingles
+
+# Portable 31-base polynomial hash of a 3-char shingle (ascii inputs).
+MINHASH_PRIME = 2147483647
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+# Deterministic affine hash params (a_i, b_i), generated once; literal in the
+# SQL oracle too.
+MINHASH_AB = [
+    ((i * 2654435761 + 12345) % MINHASH_PRIME, (i * 40503 + 7) % MINHASH_PRIME)
+    for i in range(1, MINHASH_K + 1)
+]
+
+
+def shingle_hashes(text: Column, k: int = 3) -> Column:
+    """Every k-shingle occurrence → portable integer hash (poly base 31).
+    Non-distinct on purpose: SimHash weights by shingle frequency; MinHash
+    takes mins, where duplicates are a no-op."""
+    raw = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))),
+        lambda i: text.substr(i, F.lit(k)),
+    )
+    sh = F.filter(raw, lambda s: F.length(s) == k)
+    return F.transform(
+        sh,
+        lambda s: (
+            F.ascii(s.substr(F.lit(1), F.lit(1))) * 961
+            + F.ascii(s.substr(F.lit(2), F.lit(1))) * 31
+            + F.ascii(s.substr(F.lit(3), F.lit(1)))
+        ).cast("bigint"),
+    )
+
+
+def _affine(a: int, b: int):
+    # factory, not default-arg capture: PySpark derives higher-order-function
+    # arity from the lambda's parameter count
+    return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
+
+
+def minhash_signature(hashes: Column) -> list[Column]:
+    """K min-hashes over the shingle-hash array (empty array → prime = ∞)."""
+    sigs = []
+    for a, b in MINHASH_AB:
+        mapped = F.transform(hashes, _affine(a, b))
+        sigs.append(F.coalesce(F.array_min(mapped), F.lit(MINHASH_PRIME)))
+    return sigs
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: canonical (min id) representative + copy count per
+    distinct text. One hash-aggregate shuffle on the text."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("canonical_id", "n_copies")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding, verified by true
+    Jaccard ≥ threshold. Returns (doc_a, doc_b, jacc).
+
+    Plan shape: one pass computes shingles+signature per doc (narrow), an
+    explode to LSH_BANDS rows per doc, a self-join on (band, key) for
+    candidates (shuffle on the band key — the only quadratic-risk step,
+    bounded by bucket sizes), then a verify join back to the shingle arrays.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingle_hashes(F.col(text_col)).alias("hs"),
+        F.array_distinct(
+            F.filter(shingles(F.col(text_col)), lambda s: F.length(s) == 3)
+        ).alias("sh"),
+    )
+    sig_cols = minhash_signature(F.col("hs"))
+    sigs = sh.select(
+        "doc_id", "sh", *[c.alias(f"m{i+1}") for i, c in enumerate(sig_cols)]
+    )
+    band_structs = []
+    for b in range(LSH_BANDS):
+        key = F.concat_ws(
+            "-", *[F.col(f"m{b * LSH_ROWS + r + 1}").cast("string") for r in range(LSH_ROWS)]
+        )
+        band_structs.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a, b2 = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b2, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jacc", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jacc") >= threshold)
+        .select("doc_a", "doc_b", "jacc")
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(hashes: Column) -> Column:
+    """32-bit SimHash from token/shingle hashes: bit j set iff the sum of
+    ±1 contributions (per hash's bit j) is positive. (The shingle hash only
+    populates ~17 low bits; the affine spread below whitens it first.)"""
+    hashes = F.transform(hashes, _affine(1103515245, 12345))
+    def bit_contrib(j: int):
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(1 << j)) != 0, 1
+        ).otherwise(-1)
+
+    sig = F.lit(0).cast("bigint")
+    for j in range(SIMHASH_BITS):
+        contrib = F.aggregate(hashes, F.lit(0).cast("bigint"), bit_contrib(j))
+        sig = sig + F.when(contrib > 0, F.lit(1 << j)).otherwise(0)
+    return sig
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs whose SimHash signatures are within ``max_hamming``.
+
+    Blocked self-join (by ``block_col`` when given); at scale, band the
+    signature (pigeonhole: split into max_hamming+1 chunks, join on any
+    equal chunk) instead of a full cross-join.
+    """
+    sigs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+        simhash(shingle_hashes(F.col(text_col))).alias("sig"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    return (
+        a.join(b, cond)
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard within blocks (the brute-force measure;
+    minhash_lsh_pairs is the scale path for unblocked corpora)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(block_col).alias("blk"),
+        F.array_distinct(
+            F.filter(shingles(F.col(text_col)), lambda s: F.length(s) == 3)
+        ).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .withColumn("jacc", jaccard(F.col("a.sh"), F.col("b.sh")))
+        .filter(F.col("jacc") >= threshold)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("jacc"),
+        )
+    )

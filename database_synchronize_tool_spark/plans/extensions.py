@@ -1,1 +1,457 @@
-"""Placeholder — populated incrementally."""
+"""Declared queries: the training-data-pipeline extension surface —
+deduplication, similarity search, text analysis, multimodal metadata
+(BASELINE.json north star; none of this exists in the reference).
+
+Every operator is built from JVM-side higher-order functions with integer /
+single-op-double arithmetic, so even MinHash-LSH and LSH-bucketed ANN have
+bit-exact DuckDB oracles (generated below from the same constants the Spark
+operators use).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_synchronize_tool_spark.catalog import load_table
+from database_synchronize_tool_spark.functions import text as TX
+from database_synchronize_tool_spark.operators import dedup as DD
+from database_synchronize_tool_spark.operators import similarity as SIM
+from database_synchronize_tool_spark.plans.registry import declared
+
+# --- shared SQL fragments (mirror operators/dedup.py constants) -------------
+
+_SHINGLES_SQL = (
+    "list_distinct(list_filter(list_transform("
+    "range(1, greatest(length(text)-2,1)+1), i -> substr(text, i, 3)), "
+    "s -> length(s)=3))"
+)
+_HASHES_SQL = (
+    "list_transform(list_filter(list_transform("
+    "range(1, greatest(length(text)-2,1)+1), i -> substr(text, i, 3)), "
+    "s -> length(s)=3), "
+    "s -> CAST(ascii(substr(s,1,1))*961 + ascii(substr(s,2,1))*31 "
+    "+ ascii(substr(s,3,1)) AS BIGINT))"
+)
+_JACC_SQL = (
+    "len(list_intersect(sa.sh, sb.sh)) "
+    "/ greatest(len(list_distinct(list_concat(sa.sh, sb.sh))), 1)"
+)
+
+
+def _minhash_cols_sql() -> str:
+    cols = []
+    for i, (a, b) in enumerate(DD.MINHASH_AB, start=1):
+        cols.append(
+            f"coalesce(list_min(list_transform(hs, h -> ({a}*h + {b}) % "
+            f"{DD.MINHASH_PRIME})), {DD.MINHASH_PRIME}) AS m{i}"
+        )
+    return ", ".join(cols)
+
+
+def _band_union_sql() -> str:
+    selects = []
+    for b in range(DD.LSH_BANDS):
+        key = " || '-' || ".join(
+            f"CAST(m{b * DD.LSH_ROWS + r + 1} AS VARCHAR)" for r in range(DD.LSH_ROWS)
+        )
+        selects.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sigs")
+    return " UNION ALL ".join(selects)
+
+
+def _simhash_sql() -> str:
+    # mirror operators/dedup.simhash: whiten the 17-bit shingle hash across
+    # 31 bits with the same affine map, then sign-sum each bit
+    white = f"list_transform(hs, h -> (1103515245*h + 12345) % {DD.MINHASH_PRIME})"
+    terms = []
+    for j in range(DD.SIMHASH_BITS):
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform({white}, h -> CASE WHEN (h >> {j}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_DOT_SQL = (
+    "list_reduce(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i]), "
+    "(x, y) -> x + y)"
+)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    dot = _DOT_SQL.format(a=a, b=b)
+    na = _DOT_SQL.format(a=a, b=a)
+    nb = _DOT_SQL.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def _lsh_bucket_sql(v: str) -> str:
+    terms = []
+    for p in range(SIM.LSH_PLANES):
+        plane = (
+            f"(((({p}*4096 + d) * {SIM.LCG_MULT}) % {SIM.LCG_MOD}) "
+            f"/ {float(SIM.LCG_MOD)} - 0.5)"
+        )
+        dot_p = (
+            f"list_reduce(list_transform(range(0, len({v})), "
+            f"d -> {v}[d+1] * {plane}), (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN ({dot_p}) > 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+# --- deduplication ----------------------------------------------------------
+
+
+@declared(
+    "dedup_exact",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    )
+    SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+    FROM corpus GROUP BY text
+    """,
+    doc="Exact dedup via hash groupBy on the text (corpus doubled so every "
+    "doc has a duplicate): one shuffle, map-side partial aggregation; at "
+    "100 TB key on a fingerprint hash instead of the raw text to shrink "
+    "shuffle width.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return DD.exact_dedup(corpus, "text", "doc_id")
+
+
+@declared(
+    "dedup_normalized",
+    oracle="""
+    SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    GROUP BY 3
+    """,
+    doc="Normalized-text dedup: canonicalize (lower, strip punctuation, "
+    "collapse whitespace) then group on the md5 fingerprint — the shuffle "
+    "key is 16 bytes regardless of document size.",
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(TX.fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("canonical_id", "n_copies", "fp")
+    )
+
+
+@declared(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang AS blk, {_SHINGLES_SQL} AS sh FROM documents
+    )
+    SELECT doc_a, doc_b, jacc FROM (
+      SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, {_JACC_SQL} AS jacc
+      FROM sh sa JOIN sh sb ON sa.blk = sb.blk AND sa.doc_id < sb.doc_id
+    ) WHERE jacc >= 0.8
+    """,
+    doc="Exact character-3-gram Jaccard near-dup pairs, blocked by language "
+    "to bound the pair count (brute-force verify measure; the LSH variant "
+    "is the unblocked scale path).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(d, threshold=0.8)
+
+
+@declared(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS sh, {_HASHES_SQL} AS hs FROM documents
+    ), sigs AS (
+      SELECT doc_id, {_minhash_cols_sql()} FROM sh
+    ), bands AS (
+      {_band_union_sql()}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jacc FROM (
+      SELECT doc_a, doc_b, {_JACC_SQL} AS jacc
+      FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+                JOIN sh sb ON sb.doc_id = cand.doc_b
+    ) WHERE jacc >= 0.8
+    """,
+    doc=f"MinHash ({DD.MINHASH_K} hashes) + LSH banding ({DD.LSH_BANDS}x"
+    f"{DD.LSH_ROWS}) near-dup detection: candidates come only from shared "
+    "band buckets (equi-join on the band key — linear shuffle, no n² "
+    "pair scan), then true Jaccard verifies. The oracle reproduces the "
+    "same affine hash family literally.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(d, threshold=0.8)
+
+
+@declared(
+    "dedup_simhash",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id, lang AS blk, {_simhash_sql()} AS sig
+      FROM (SELECT doc_id, lang, {_HASHES_SQL} AS hs FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
+    doc=f"SimHash ({DD.SIMHASH_BITS}-bit) near-dup pairs within Hamming "
+    "distance 3, language-blocked; at scale, band the signature "
+    "(pigeonhole) instead of blocking.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.simhash_pairs(d, max_hamming=3, block_col="lang")
+
+
+@declared(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT vec_a, vec_b, sim FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_cosine_sql('a.v', 'b.v')} AS sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE sim >= 0.4
+    """,
+    doc="Embedding-cosine near-dup pairs above threshold, label-blocked; "
+    "left-fold dot products keep the doubles bit-identical to the oracle.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_neardup_pairs(e, threshold=0.4)
+
+
+# --- similarity search ------------------------------------------------------
+
+
+@declared(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    )
+    SELECT query_id, cand_id, sim, CAST(rank AS INT) AS rank FROM (
+      SELECT query_id, cand_id, {_cosine_sql('qv', 'cv')} AS sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY {_cosine_sql('qv', 'cv')} DESC, cand_id) AS rank
+      FROM c, q WHERE cand_id <> query_id
+    ) WHERE rank <= 5
+    """,
+    doc="Exact cosine top-5 per query (10 queries × all candidates): "
+    "broadcast the small query side, single scan of the candidates, "
+    "ranking window with id tiebreak.",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.bruteforce_topk(e.filter(F.col("vec_id") < 10), e, k=5)
+
+
+@declared(
+    "ann_lsh_bucket_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, {_lsh_bucket_sql('v')} AS bucket FROM e
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS cand_id, v AS cv, bucket FROM b
+    )
+    SELECT query_id, cand_id, sim, CAST(rank AS INT) AS rank FROM (
+      SELECT query_id, cand_id, {_cosine_sql('qv', 'cv')} AS sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY {_cosine_sql('qv', 'cv')} DESC, cand_id) AS rank
+      FROM c JOIN q USING (bucket) WHERE cand_id <> query_id
+    ) WHERE rank <= 5
+    """,
+    doc=f"LSH-bucketed approximate top-5: {SIM.LSH_PLANES} deterministic "
+    "random-hyperplane sign bits form the bucket; candidates restricted "
+    "to the query's bucket (equi-join replaces the cross join — the "
+    "scale path). Recall vs. the exact baseline is unit-tested.",
+)
+def ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_bucket_topk(e.filter(F.col("vec_id") < 10), e, k=5)
+
+
+@declared(
+    "embedding_norm_stats",
+    oracle=f"""
+    WITH e AS (
+      SELECT label, sqrt({_DOT_SQL.format(a="CAST(embedding AS DOUBLE[])",
+                                          b="CAST(embedding AS DOUBLE[])")}) AS nrm
+      FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n,
+           CAST(SUM(CAST(nrm AS DECIMAL(18,9))) AS DOUBLE) AS sum_norm
+    FROM e GROUP BY label
+    """,
+    doc="Per-label embedding norm statistics (vector math + decimal-exact "
+    "aggregation).",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.functions.vectors import norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", norm(F.col("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("nrm").cast("decimal(18,9)")).cast("double").alias("sum_norm"),
+        )
+    )
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+@declared(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))
+                AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+    doc="Whitespace+regex token counting (split + filter empties — the "
+    "BPE-ish regex variant lives in functions.text).",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TX.token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+
+
+@declared(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tok,
+             length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct,
+             length(text) AS n_chars,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 x -> list_contains(['the','and','of','is','a'], x))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           n_punct / greatest(n_chars, 1) AS punct_ratio,
+           n_stop / greatest(n_tok, 1) AS stop_ratio,
+           (CASE WHEN n_tok >= 10 AND n_tok <= 5000 THEN 0.5 ELSE 0.0 END)
+             + least(n_stop / greatest(n_tok, 1) * 5, 0.3)
+             - least(n_punct / greatest(n_chars, 1) * 2, 0.2)
+             + 0.2 AS quality
+    FROM t
+    """,
+    doc="Document quality heuristics: length band, stopword ratio, "
+    "punctuation ratio → composite score. Pure ratio arithmetic, "
+    "codegen'd end to end.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        TX.punct_ratio(F.col("text")).alias("punct_ratio"),
+        TX.stopword_ratio(F.col("text")).alias("stop_ratio"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@declared(
+    "text_lang_id",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, lang,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            x -> list_contains(['the','and','of','is','a'], x))) AS c_en,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            x -> list_contains(['der','die','das','und','ist'], x))) AS c_de,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            x -> list_contains(['le','la','les','et','est'], x))) AS c_fr,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            x -> list_contains(['el','los','las','es','y'], x))) AS c_es
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN c_en > 0 AND c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+                WHEN c_de > 0 AND c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+                WHEN c_fr > 0 AND c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+                WHEN c_es > 0 AND c_es = greatest(c_en, c_de, c_fr, c_es) THEN 'es'
+                ELSE 'unknown' END AS lang_pred
+    FROM c
+    """,
+    doc="Language ID via stopword-marker argmax (tiny fixed marker sets; "
+    "fixed tie order) — the n-gram-profile heuristic shape without a "
+    "model dependency.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@declared(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    doc="Document fingerprint: md5 of the canonical text form (the exact-"
+    "dedup key at scale).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+@declared(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_hash
+    FROM documents
+    """,
+    doc="Multimodal plumbing: opaque payload treated as bytes — size + "
+    "content hash (the dedup/integrity key for image/audio/video "
+    "columns). Decode/feature-extract stages are mapInPandas stubs in "
+    "multimodal.py (binary libs not in this container).",
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("bigint").alias("n_bytes"),
+        F.sha2(F.col("text"), 256).alias("content_hash"),
+    )
