@@ -285,7 +285,9 @@ def f1_null_to_empty_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     nulled = F.when(F.col("label") == 5, F.lit(None)).otherwise(F.col("embedding"))
     return emb.select(
         "vec_id",
-        F.size(null_to_empty_array(nulled).cast("array<float>")).alias("emb_len"),
+        F.size(null_to_empty_array(nulled).cast("array<float>"))
+        .cast("bigint")  # match the oracle's len() type (BIGINT)
+        .alias("emb_len"),
     )
 
 

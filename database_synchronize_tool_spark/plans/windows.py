@@ -1,1 +1,149 @@
-"""Placeholder — populated incrementally."""
+"""Declared queries: time-window / incremental semantics over the ``events``
+stream table (SURVEY §2.9). Batch forms here (oracle-checkable); the same
+logic runs as Structured Streaming in ``streaming/`` (exercised by tests —
+Spark's streaming and batch ``window()`` share semantics by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from database_synchronize_tool_spark.catalog import load_table
+from database_synchronize_tool_spark.operators.watermark import incremental_sync
+from database_synchronize_tool_spark.plans.registry import declared
+
+DEC6 = "decimal(18,6)"
+
+
+@declared(
+    "t5_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour windowed aggregate (F.window — identical semantics "
+    "under readStream+withWatermark; see streaming/windows.py).",
+)
+def t5_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC6)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+@declared(
+    "t5_sliding_window",
+    oracle="""
+    SELECT ws AS window_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws,
+             value
+      FROM events
+    ) GROUP BY ws
+    """,
+    doc="Sliding window (1 hour every 30 min): each event lands in two "
+    "overlapping windows (Spark expands this internally; the oracle "
+    "unnests the two candidate window starts).",
+)
+def t5_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC6)).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+@declared(
+    "t6_sessionization",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ), s AS (
+      SELECT user_id, event_id, us,
+             SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           MIN(us) AS session_start_us, MAX(us) AS session_end_us
+    FROM s GROUP BY user_id, session_id
+    """,
+    doc="Sessionization (30-min inactivity gap) via gaps-and-islands: lag + "
+    "running sum of session starts — one shuffle on user_id; the "
+    "streaming form is session_window/applyInPandasWithState "
+    "(streaming/windows.py).",
+)
+def t6_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("ts"),
+    )
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_us = 30 * 60 * 1_000_000
+    with_gap = ev.withColumn("prev_us", F.lag("us").over(w_order))
+    new_sess = (
+        F.when(
+            F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") > gap_us), 1
+        ).otherwise(0)
+    )
+    sess = with_gap.withColumn(
+        "session_id", F.sum(new_sess).over(w_run).cast("bigint")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("session_start_us"),
+        F.max("us").alias("session_end_us"),
+    )
+
+
+@declared(
+    "t1_incremental_replay",
+    oracle="""
+    WITH target AS (
+      SELECT event_id, ts, user_id, event_type, value, props
+      FROM events WHERE ts <= TIMESTAMP '2024-01-15'
+    ), wm AS (SELECT MAX(ts) AS w FROM target)
+    SELECT event_id, ts, user_id, event_type, value, props FROM target
+    UNION ALL
+    SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props
+    FROM events e, wm WHERE e.ts > wm.w
+    """,
+    doc="T1 end-to-end incremental step: probe destination watermark → "
+    "strict-> delta extract → keyed merge (operators.watermark."
+    "incremental_sync). Result equals destination ∪ late data.",
+)
+def t1_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    target = ev.filter(F.col("ts") <= F.expr("timestamp'2024-01-15'"))
+    return incremental_sync(
+        target, ev, keys=["event_id"], check_column="ts", check_type="timestamp"
+    )
