@@ -30,8 +30,15 @@ from database_synchronize_tool_spark.functions.text import jaccard, shingles
 # Portable 31-base polynomial hash of a 3-char shingle (ascii inputs).
 MINHASH_PRIME = 2147483647
 MINHASH_K = 16
-LSH_BANDS = 4
-LSH_ROWS = 4
+# 2 bands × 8 rows: P(candidate) = 1-(1-s^8)^2 — steep around s≈0.8. With a
+# shared-vocabulary corpus whose *baseline* pair similarity is ~0.6, wider/
+# shorter bands (4×4) made ~40% of all pairs candidates and the verify stage
+# quadratic; 2×8 keeps the candidate set near-linear.
+LSH_BANDS = 2
+LSH_ROWS = 8
+# Cheap integer prefilter before the array-Jaccard verify: signature
+# agreement (matching minhashes) estimates Jaccard; 12/16 ≈ 0.75.
+MIN_SIG_MATCHES = 12
 # Deterministic affine hash params (a_i, b_i), generated once; literal in the
 # SQL oracle too.
 MINHASH_AB = [
@@ -91,44 +98,69 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via MinHash + LSH banding, verified by true
     Jaccard ≥ threshold. Returns (doc_a, doc_b, jacc).
 
-    Plan shape: one pass computes shingles+signature per doc (narrow), an
-    explode to LSH_BANDS rows per doc, a self-join on (band, key) for
-    candidates (shuffle on the band key — the only quadratic-risk step,
-    bounded by bucket sizes), then a verify join back to the shingle arrays.
+    Plan shape: ONE pass computes shingles+signature per doc (narrow,
+    persisted — every downstream branch reuses it instead of re-deriving the
+    expensive shingle expressions), an explode to LSH_BANDS rows per doc that
+    *carries the 16-int signature array inline*, a self-join on (band, key)
+    for candidates (shuffle on the band key — the only quadratic-risk step,
+    bounded by bucket sizes), an in-row signature-agreement prefilter
+    (zip_with over the carried arrays — no join), and only then the
+    array-Jaccard verify joins the wide shingle arrays for survivors.
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        shingle_hashes(F.col(text_col)).alias("hs"),
+    # Testdata ships as one parquet file per table → one input partition; the
+    # shingle/signature expressions are the heavy part, so spread rows across
+    # the cluster first (cheap: only (id, text) shuffles).
+    spread = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
+    sigs = spread.select(
+        "doc_id",
         F.array_distinct(
-            F.filter(shingles(F.col(text_col)), lambda s: F.length(s) == 3)
+            F.filter(shingles(F.col("__text")), lambda s: F.length(s) == 3)
         ).alias("sh"),
-    )
-    sig_cols = minhash_signature(F.col("hs"))
-    sigs = sh.select(
-        "doc_id", "sh", *[c.alias(f"m{i+1}") for i, c in enumerate(sig_cols)]
-    )
-    band_structs = []
-    for b in range(LSH_BANDS):
-        key = F.concat_ws(
-            "-", *[F.col(f"m{b * LSH_ROWS + r + 1}").cast("string") for r in range(LSH_ROWS)]
-        )
-        band_structs.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+        F.array(*minhash_signature(shingle_hashes(F.col("__text")))).alias("sig"),
+    ).persist()
     bands = sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "-",
+                        *[
+                            F.element_at(F.col("sig"), b * LSH_ROWS + r + 1).cast("string")
+                            for r in range(LSH_ROWS)
+                        ],
+                    ).alias("key"),
+                )
+                for b in range(LSH_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     a, b2 = bands.alias("a"), bands.alias("b")
-    cand = (
+    # Signature agreement computed in-row from the carried arrays — candidate
+    # pairs never join back for the prefilter.
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("a.sig"), F.col("b.sig"), lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    pre = (
         a.join(b2, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(matches >= MIN_SIG_MATCHES)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    ha = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    hb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pre.join(ha, "doc_a")
+        .join(hb, "doc_b")
         .withColumn("jacc", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jacc") >= threshold)
         .select("doc_a", "doc_b", "jacc")

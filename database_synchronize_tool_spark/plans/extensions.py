@@ -59,6 +59,13 @@ def _band_union_sql() -> str:
     return " UNION ALL ".join(selects)
 
 
+def _sig_matches_sql() -> str:
+    return " + ".join(
+        f"(CASE WHEN ga.m{i} = gb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(1, DD.MINHASH_K + 1)
+    )
+
+
 def _simhash_sql() -> str:
     # mirror operators/dedup.simhash: whiten the 17-bit shingle hash across
     # 31 bits with the same affine map, then sign-sum each bit
@@ -180,11 +187,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), pre AS (
+      SELECT doc_a, doc_b
+      FROM cand JOIN sigs ga ON ga.doc_id = cand.doc_a
+                JOIN sigs gb ON gb.doc_id = cand.doc_b
+      WHERE ({_sig_matches_sql()}) >= {DD.MIN_SIG_MATCHES}
     )
     SELECT doc_a, doc_b, jacc FROM (
       SELECT doc_a, doc_b, {_JACC_SQL} AS jacc
-      FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
-                JOIN sh sb ON sb.doc_id = cand.doc_b
+      FROM pre JOIN sh sa ON sa.doc_id = pre.doc_a
+               JOIN sh sb ON sb.doc_id = pre.doc_b
     ) WHERE jacc >= 0.8
     """,
     doc=f"MinHash ({DD.MINHASH_K} hashes) + LSH banding ({DD.LSH_BANDS}x"
