@@ -21,6 +21,7 @@ import json
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 
 def null_to_empty_array(col: Column) -> Column:
@@ -50,7 +51,9 @@ def validate_json(col: Column) -> Column:
     return F.when(parsed.isNotNull(), col)
 
 
-@F.pandas_udf("string")
+# typed instance, not a DDL string: a DDL string would require an active
+# SparkSession at import time just to parse "string"
+@F.pandas_udf(StringType())
 def repair_json(s: pd.Series) -> pd.Series:
     """F3 quote-repair heuristic, vectorized (Arrow batches).
 

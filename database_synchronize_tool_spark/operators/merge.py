@@ -82,16 +82,21 @@ def merge_full_outer(
     Produces one row per key present on either side; non-key columns prefer
     the source (EXCLUDED) value, falling back to the target's.
     """
-    t, s = target.alias("t"), source.alias("s")
+    t = target.alias("t")
+    # Explicit presence marker: key-nullability can't signal "source side
+    # matched" because eqNullSafe deliberately matches NULL keys (NULLS NOT
+    # DISTINCT semantics), so a NULL key is a valid matched source row.
+    s = source.withColumn("__src", F.lit(True)).alias("s")
     cond: Column | None = None
     for k in keys:
         c = t[k].eqNullSafe(s[k])
         cond = c if cond is None else (cond & c)
     joined = t.join(s, on=cond, how="full_outer")
+    src_present = F.col("s.__src").isNotNull()
     cols = [
         F.coalesce(s[k], t[k]).alias(k) for k in keys
     ] + [
-        F.when(s[keys[0]].isNotNull(), s[c]).otherwise(t[c]).alias(c)
+        F.when(src_present, s[c]).otherwise(t[c]).alias(c)
         for c in target.columns
         if c not in keys
     ]

@@ -1,0 +1,85 @@
+"""Unit tests for the keyed-merge operator family (SURVEY §2.3 J3/J4):
+update-vs-insert behavior, source-dup collapse, full-outer equivalence, and
+the no-PK full-row-dedup degenerate case."""
+
+from __future__ import annotations
+
+from database_synchronize_tool_spark.operators.merge import (
+    collapse_source_dups,
+    dedup_merge,
+    merge_full_outer,
+    merge_upsert,
+)
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_merge_upsert_update_and_insert(spark):
+    target = spark.createDataFrame(
+        [(1, "old-a", 10), (2, "old-b", 20)], "k int, name string, v int"
+    )
+    source = spark.createDataFrame(
+        [(2, "new-b", 99), (3, "new-c", 30)], "k int, name string, v int"
+    )
+    out = rows(merge_upsert(target, source, ["k"]))
+    # matched key 2 takes source values; unmatched target 1 kept; new 3 inserted
+    assert out == [(1, "old-a", 10), (2, "new-b", 99), (3, "new-c", 30)]
+
+
+def test_merge_full_outer_equivalent(spark):
+    target = spark.createDataFrame(
+        [(1, "old-a", 10), (2, "old-b", 20)], "k int, name string, v int"
+    )
+    source = spark.createDataFrame(
+        [(2, "new-b", 99), (3, "new-c", 30)], "k int, name string, v int"
+    )
+    a = rows(merge_upsert(target, source, ["k"]))
+    b = rows(merge_full_outer(target, source, ["k"]))
+    assert a == b
+
+
+def test_merge_null_key_rows_survive(spark):
+    # eqNullSafe in the full-outer form: a NULL key on the target matches a
+    # NULL key in the source (single-row semantics like Postgres NOT DISTINCT)
+    target = spark.createDataFrame([(None, "t", 1)], "k int, name string, v int")
+    source = spark.createDataFrame([(None, "s", 2)], "k int, name string, v int")
+    out = rows(merge_full_outer(target, source, ["k"]))
+    assert out == [(None, "s", 2)]
+
+
+def test_collapse_source_dups_last_writer_wins(spark):
+    src = spark.createDataFrame(
+        [(1, "first", 100), (1, "last", 200), (2, "only", 300)],
+        "k int, name string, seq int",
+    )
+    out = rows(collapse_source_dups(src, ["k"], order_col="seq"))
+    assert out == [(1, "last", 200), (2, "only", 300)]
+
+
+def test_collapse_source_dups_arbitrary_single(spark):
+    src = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "k int, name string"
+    )
+    out = collapse_source_dups(src, ["k"]).collect()
+    assert len(out) == 1 and out[0]["k"] == 1
+
+
+def test_dedup_merge_no_pk_full_row(spark):
+    # reference fallback: no PK => conflict key is all columns
+    # (sync_utils.py:156-169) — identical full rows collapse, differing survive
+    target = spark.createDataFrame([(1, "x"), (2, "y")], "k int, name string")
+    source = spark.createDataFrame([(1, "x"), (2, "z")], "k int, name string")
+    out = rows(dedup_merge(target, source))
+    assert out == [(1, "x"), (2, "y"), (2, "z")]
+
+
+def test_merge_idempotent(spark):
+    """Replaying the same source batch is a no-op (exactly-once effect the
+    reference gets from ON CONFLICT; SURVEY §2.8 X2)."""
+    target = spark.createDataFrame([(1, "a", 1)], "k int, name string, v int")
+    source = spark.createDataFrame([(2, "b", 2)], "k int, name string, v int")
+    once = merge_upsert(target, source, ["k"])
+    twice = merge_upsert(once, source, ["k"])
+    assert rows(once) == rows(twice)
