@@ -87,16 +87,19 @@ def merge_full_outer(
     # matched" because eqNullSafe deliberately matches NULL keys (NULLS NOT
     # DISTINCT semantics), so a NULL key is a valid matched source row.
     s = source.withColumn("__src", F.lit(True)).alias("s")
+    # Alias-qualified string refs, not df[col] accessors: when target and
+    # source derive from the same DataFrame (a self-join by lineage), the
+    # accessor form is ambiguous; "t.x"/"s.x" always resolve.
     cond: Column | None = None
     for k in keys:
-        c = t[k].eqNullSafe(s[k])
+        c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
         cond = c if cond is None else (cond & c)
     joined = t.join(s, on=cond, how="full_outer")
     src_present = F.col("s.__src").isNotNull()
     cols = [
-        F.coalesce(s[k], t[k]).alias(k) for k in keys
+        F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k) for k in keys
     ] + [
-        F.when(src_present, s[c]).otherwise(t[c]).alias(c)
+        F.when(src_present, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
         for c in target.columns
         if c not in keys
     ]

@@ -354,3 +354,62 @@ def o1_sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(10)
     )
+
+
+# --- J3 variant + F3 repair (library-surface coverage) ----------------------
+
+
+@declared(
+    "j3_merge_full_outer",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ), source AS (
+      SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    )
+    SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus
+    FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+    """,
+    doc="J3 merge, full-outer+coalesce form (merge_full_outer): one row per "
+    "key from either side, source (EXCLUDED) values win on matches — the "
+    "SQL-checkable twin of the anti-join+union plan.",
+)
+def j3_merge_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.operators.merge import merge_full_outer
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    source = orders.filter(F.col("o_orderdate") >= F.expr("timestamp'1998-01-01'")).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    return merge_full_outer(target, source, ["o_orderkey"])
+
+
+@declared(
+    "f3_json_repair",
+    oracle="SELECT event_id, props AS repaired FROM events",
+    doc="F3 quote-repair heuristic (repair_json pandas UDF, "
+    "sync_utils.py:97-126): props is deterministically corrupted the way "
+    "the reference expects (outer single-quote wrap, doubled inner quotes) "
+    "and the UDF must restore it byte-for-byte — so the oracle is simply "
+    "the original column.",
+)
+def f3_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.functions.normalize import repair_json
+
+    ev = load_table(spark, sf_dir, "events")
+    corrupted = F.concat(
+        F.lit("'"), F.regexp_replace(F.col("props"), '"', "''"), F.lit("'")
+    )
+    return ev.select("event_id", repair_json(corrupted).alias("repaired"))

@@ -1,0 +1,172 @@
+"""Object-store file sync (SURVEY §2.1 S7/S8, §2.3 J1/J2, §3.3).
+
+The reference syncs GCS buckets by set algebra over blob names
+(``/root/reference/db-sync-gcp/gcs_sync.py:24-62``): list both sides, copy
+``source − dest`` server-side, count ``source ∩ dest``. Re-expressed:
+
+- listings are **DataFrames** ``(name, size, mtime)`` — a million-object
+  bucket is a million-row table, not a Python set in driver RAM;
+- the copy plan is a **left_anti join** on name (J1) — broadcast when one
+  listing is small, sort-merge at scale; ``existing`` is a left_semi (J2);
+- optionally the join key extends to (name, size) or a content hash — the
+  reference's README claims MD5 comparison but its code diffs names only
+  (``gcs_sync.py:45`` vs README.md:123-128); both modes exist here;
+- execution is ``foreachPartition`` over the plan, invoking an injected
+  ``copier(name)`` per object, so bytes move server-side (S8) and the driver
+  never loops over objects. Dry-run (X5) = return the plan, skip the action.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LISTING_SCHEMA = "name string, size bigint, mtime timestamp"
+
+
+def list_local_files(spark: SparkSession, root: str) -> DataFrame:
+    """Local-filesystem listing source (the testable stand-in for a bucket
+    listing; a GCS/S3 listing lands in the same schema)."""
+    rows = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            p = os.path.join(dirpath, fn)
+            st = os.stat(p)
+            import datetime as dt
+
+            rows.append(
+                (
+                    os.path.relpath(p, root),
+                    st.st_size,
+                    dt.datetime.utcfromtimestamp(int(st.st_mtime)),
+                )
+            )
+    return spark.createDataFrame(rows, LISTING_SCHEMA)
+
+
+def list_hadoop_files(spark: SparkSession, uri: str) -> DataFrame:
+    """Listing through the Hadoop FileSystem API — works for any scheme with
+    a configured connector (``gs://``, ``s3a://``, ``hdfs://``). Driver-side
+    enumeration of names only (no object bytes)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = path.getFileSystem(conf)
+    it = fs.listFiles(path, True)
+    rows = []
+    import datetime as dt
+
+    while it.hasNext():
+        st = it.next()
+        rows.append(
+            (
+                st.getPath().toString()[len(uri.rstrip("/")) + 1 :],
+                st.getLen(),
+                dt.datetime.utcfromtimestamp(st.getModificationTime() // 1000),
+            )
+        )
+    return spark.createDataFrame(rows, LISTING_SCHEMA)
+
+
+@dataclass(frozen=True)
+class CopyPlan:
+    to_copy: DataFrame  # J1 anti-join: missing at destination
+    existing: DataFrame  # J2 semi-join: present on both sides
+    total_source: int
+    n_to_copy: int
+    n_existing: int
+
+    def stats(self) -> dict[str, int]:
+        # same counters the reference reports (gcs_sync.py:30-47)
+        return {
+            "total_files": self.total_source,
+            "new_files": self.n_to_copy,
+            "existing_files": self.n_existing,
+        }
+
+
+def plan_copy(
+    source: DataFrame, dest: DataFrame, compare: str = "name"
+) -> CopyPlan:
+    """Build the sync plan. ``compare='name'`` is reference parity
+    (names only); ``'name_size'`` also re-copies size mismatches;
+    ``'hash'`` expects an ``md5`` column on both listings (documented README
+    intent)."""
+    keys = {
+        "name": ["name"],
+        "name_size": ["name", "size"],
+        "hash": ["name", "md5"],
+    }[compare]
+    src = source.alias("s")
+    to_copy = src.join(dest, on=keys, how="left_anti")
+    existing = src.join(dest, on=keys, how="left_semi")
+    return CopyPlan(
+        to_copy=to_copy,
+        existing=existing,
+        total_source=source.count(),
+        n_to_copy=to_copy.count(),
+        n_existing=existing.count(),
+    )
+
+
+def execute_copy(
+    plan: CopyPlan,
+    copier: Callable[[str], None],
+    dry_run: bool = False,
+    ordered: bool = True,
+) -> dict[str, int]:
+    """Run the plan. ``copier`` must be picklable — it executes on the
+    partitions of the anti-join result, so a bucket with 10M missing objects
+    copies from every executor in parallel (the reference's sorted driver
+    loop, ``gcs_sync.py:50-57``, parallelized; ordering preserved only
+    *within* a partition, global order has no observable effect for copies).
+    """
+    stats = plan.stats()
+    if dry_run:  # X5
+        return stats
+
+    names = plan.to_copy.select("name")
+    if ordered:
+        names = names.sortWithinPartitions("name")
+
+    def run_partition(rows) -> None:
+        for row in rows:
+            copier(row["name"])
+
+    names.foreachPartition(run_partition)
+    return stats
+
+
+def local_copier(src_root: str, dst_root: str) -> Callable[[str], None]:
+    """Filesystem copier used by tests; a GCS copier has the same shape
+    around ``source_bucket.copy_blob`` (server-side, gcs_sync.py:52-57)."""
+
+    def copy(name: str) -> None:
+        import shutil
+
+        dst = os.path.join(dst_root, name)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(os.path.join(src_root, name), dst)
+
+    return copy
+
+
+def sync_file_sets(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    dry_run: bool = False,
+    compare: str = "name",
+) -> dict[str, int]:
+    """End-to-end local pair sync (reference ``sync_bucket``,
+    ``gcs_sync.py:28-75``)."""
+    plan = plan_copy(
+        list_local_files(spark, src_root),
+        list_local_files(spark, dst_root),
+        compare=compare,
+    )
+    return execute_copy(plan, local_copier(src_root, dst_root), dry_run=dry_run)

@@ -1,0 +1,135 @@
+"""Upsert sinks (SURVEY §2.1 S5/S6, §4 "needs custom work" #1).
+
+Spark's JDBC writer has no MERGE/ON CONFLICT mode, so the reference's batched
+upsert executor (``/root/reference/db-sync-local/utils.py:38-75``: 1000-row
+``execute_values`` batches inside one transaction) becomes a
+``foreachPartition`` sink: each executor opens its own DB-API connection,
+streams its partition in ``batch_size`` chunks through ``executemany`` on an
+``INSERT ... ON CONFLICT (pk) DO UPDATE SET col = excluded.col`` statement,
+and commits per partition.
+
+Differences from the reference, by design:
+- parallel per-partition transactions instead of one global transaction
+  (weaker atomicity, documented; exactly-once *effect* comes from the upsert
+  being idempotent — replaying a partition converges to the same rows).
+- the connection factory is injected (any DB-API driver: psycopg2, pg8000,
+  sqlite3 in tests) so the sink is testable without Postgres.
+
+``ParquetMergeSink`` is the lakehouse path: read target, relational
+merge_upsert, atomic directory swap — the plan Delta's MERGE executes, minus
+the transaction log.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def upsert_statement(
+    table: str,
+    columns: Sequence[str],
+    keys: Sequence[str],
+    placeholder: str = "%s",
+    dialect: str = "postgres",
+) -> str:
+    """Generate the conflict-update statement (mirrors
+    ``generate_upsert_query``, ``sync_utils.py:174-193``). With no keys,
+    degenerates to a plain INSERT (S6 append path)."""
+    collist = ", ".join(columns)
+    values = ", ".join([placeholder] * len(columns))
+    base = f"INSERT INTO {table} ({collist}) VALUES ({values})"
+    if not keys:
+        return base
+    non_keys = [c for c in columns if c not in keys]
+    if not non_keys:  # all columns are the key: nothing to update
+        return base + f" ON CONFLICT ({', '.join(keys)}) DO NOTHING"
+    sets = ", ".join(f"{c} = excluded.{c}" for c in non_keys)
+    return base + f" ON CONFLICT ({', '.join(keys)}) DO UPDATE SET {sets}"
+
+
+@dataclass
+class DbApiUpsertSink:
+    """foreachPartition upsert into any DB-API 2.0 target.
+
+    ``connect`` must be picklable (top-level function / functools.partial) —
+    it runs on executors. ``coalesce_to`` bounds concurrent writers for
+    targets that dislike parallel upserts (sqlite: 1).
+    """
+
+    connect: Callable[[], object]
+    placeholder: str = "%s"
+    batch_size: int = 1000  # reference default, utils.py:38
+    coalesce_to: int | None = None
+
+    def write(self, df: DataFrame, table: str, keys: Sequence[str]) -> None:
+        columns = df.columns
+        stmt = upsert_statement(table, columns, keys, self.placeholder)
+        connect, batch_size = self.connect, self.batch_size
+
+        def write_partition(rows) -> None:
+            conn = connect()
+            try:
+                cur = conn.cursor()
+                batch = []
+                for row in rows:
+                    batch.append(tuple(row))
+                    if len(batch) >= batch_size:
+                        cur.executemany(stmt, batch)
+                        batch.clear()
+                if batch:
+                    cur.executemany(stmt, batch)
+                conn.commit()
+            finally:
+                conn.close()
+
+        out = df.coalesce(self.coalesce_to) if self.coalesce_to else df
+        out.foreachPartition(write_partition)
+
+
+@dataclass
+class ParquetMergeSink:
+    """Lakehouse sink: merge the delta into a parquet target atomically.
+
+    Write-new-then-swap keeps readers consistent (the same contract a Delta
+    commit provides via its log; plain parquet gets it from a directory
+    rename).
+    """
+
+    root: str
+
+    def path(self, table: str) -> str:
+        import os
+
+        return os.path.join(self.root, f"{table}.parquet")
+
+    def read_target(self, spark: SparkSession, table: str, schema) -> DataFrame:
+        import os
+
+        p = self.path(table)
+        if os.path.exists(p):
+            return spark.read.parquet(p)
+        return spark.createDataFrame([], schema)
+
+    def write(self, df: DataFrame, table: str, keys: Sequence[str]) -> None:
+        import os
+        import shutil
+
+        from database_synchronize_tool_spark.operators.merge import (
+            dedup_merge,
+            merge_upsert,
+        )
+
+        spark = df.sparkSession
+        target = self.read_target(spark, table, df.schema)
+        merged = (
+            merge_upsert(target, df, keys) if keys else dedup_merge(target, df)
+        )
+        p = self.path(table)
+        tmp = p + ".__tmp__"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(p):
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+        os.rename(tmp, p)

@@ -1,0 +1,148 @@
+"""Structured Streaming surface over the events stream (SURVEY §2.9).
+
+The reference's "stream" is a daily-cron high-watermark batch (T1/T4); its
+corrected late-data mode (T3) is exactly Spark's watermark semantics. This
+module provides the true streaming forms:
+
+- ``read_events_stream``: file-based streaming source over the events
+  parquet layout (same schema as the batch table; at 100 TB this is a Kafka
+  or file-arrival stream — the transformations are identical).
+- tumbling / sliding window aggregation with ``withWatermark`` so state for
+  closed windows is dropped instead of growing unboundedly;
+- sessionization via ``session_window`` (gap-based, built-in);
+- an incremental-sync stream: the T1 pipeline as a streaming MERGE using
+  ``foreachBatch`` (each micro-batch goes through the same merge_upsert the
+  batch engine uses — one code path for both).
+
+Tests drive these with ``trigger(availableNow=True)`` + memory sink: the
+whole backlog is processed as micro-batches, then the query stops — the
+batch/stream parity check (results must equal the batch window queries).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_synchronize_tool_spark.catalog import table_path
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming read of the events table layout.
+
+    Schema comes from the batch catalog (a stream can't infer), including the
+    nanos->timestamp_ntz normalization, so stream and batch plans see
+    identical columns.
+    """
+    import os
+
+    # RAW footer schema (ts arrives as nanos->bigint under nanosAsLong), not
+    # the converted batch schema — the stream applies the same conversion
+    # below, after the scan
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    reader = spark.readStream.schema(raw_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    path = table_path(sf_dir, "events")
+    if os.path.isfile(path):
+        # the file source monitors a directory; a single-file table layout is
+        # streamed by watching its parent with a glob filter
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.format("parquet").load(path)
+    # same nanos conversion the catalog applies (events.ts arrives as bigint)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("`ts` div 1000")).cast("timestamp_ntz")
+        )
+    return raw
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Per-event-type counts in tumbling windows; watermark bounds state.
+
+    Works on both a stream (late rows beyond the delay are dropped and their
+    windows finalized) and a batch frame (watermark is a no-op) — the parity
+    tests rely on that duality.
+    """
+    src = events
+    if events.isStreaming:
+        # watermarks require TIMESTAMP (an instant); session tz is pinned UTC
+        # so ntz<->instant conversion is lossless and batch/stream agree
+        src = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+            "ts", watermark_delay
+        )
+    return src.groupBy(
+        F.window("ts", window_size).alias("w"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("total_value"),
+    ).select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Per-user gap-based sessions (session_window: state merges as events
+    arrive; the watermark closes sessions whose gap has definitely elapsed)."""
+    src = events
+    if events.isStreaming:
+        src = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+            "ts", watermark_delay
+        )
+    return src.groupBy(
+        F.session_window("ts", gap).alias("s"), "user_id"
+    ).agg(F.count("*").alias("n_events")).select(
+        F.col("s.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("s.end").cast("timestamp_ntz").alias("session_end"),
+        "user_id",
+        "n_events",
+    )
+
+
+def stream_merge_into(
+    stream: DataFrame,
+    keys: Sequence[str],
+    apply_batch: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming upsert: every micro-batch flows through ``apply_batch``
+    (typically a closure over merge_upsert + a sink) — the streaming twin of
+    the T1 incremental pipeline, with exactly-once bookkeeping from the
+    checkpoint instead of the destination-probe watermark."""
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drain a bounded stream into the in-memory sink (test harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,193 @@
+"""End-to-end sync-engine tests (SURVEY §5.3/5.4): YAML config parsing,
+ignored-column pruning, the full incremental pipeline against parquet
+source/sink, replay idempotence, and the DB-API upsert sink against sqlite
+(the same foreachPartition path a Postgres target takes)."""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import textwrap
+
+import pytest
+
+from database_synchronize_tool_spark.runner import run_all_syncs, sync_table
+from database_synchronize_tool_spark.sources.config import SyncConfig, load_table_config
+from database_synchronize_tool_spark.sources.readers import ParquetSource, JdbcSource, prune_ignored
+from database_synchronize_tool_spark.sources.sinks import (
+    DbApiUpsertSink,
+    ParquetMergeSink,
+    upsert_statement,
+)
+
+
+# ---------- config ----------
+
+
+def test_load_reference_yaml(tmp_path):
+    p = tmp_path / "netflix.yaml"
+    p.write_text(
+        textwrap.dedent(
+            """
+            tables:
+              netflix_shows:
+                sync_config:
+                  check_column: date_added
+                  check_type: timestamp
+                  ignore_columns:
+                    - nullable_column
+            """
+        )
+    )
+    cfgs = load_table_config(str(p))
+    c = cfgs["netflix_shows"]
+    assert c.check_column == "date_added"
+    assert c.check_type == "timestamp"
+    assert c.ignore_columns == ("nullable_column",)
+    assert c.service is None  # single file: local variant, no service tag
+
+
+def test_load_multi_file_tags_service(tmp_path):
+    for stem, table in [("inventory", "inv_t"), ("order", "ord_t")]:
+        (tmp_path / f"{stem}.yaml").write_text(
+            f"tables:\n  {table}:\n    sync_config:\n"
+            f"      check_column: id\n      check_type: id\n"
+        )
+    cfgs = load_table_config(
+        str(tmp_path / "inventory.yaml"), str(tmp_path / "order.yaml")
+    )
+    assert cfgs["inv_t"].service == "inventory"
+    assert cfgs["ord_t"].service == "order"
+
+
+def test_bad_check_type_rejected():
+    with pytest.raises(ValueError):
+        SyncConfig(table="t", check_column="c", check_type="bogus")
+
+
+# ---------- pruning (P2) ----------
+
+
+def test_prune_ignored_only_nullable(spark):
+    df = spark.createDataFrame([(1, "a", "b")], "id int, keep string, drop_me string")
+    # all createDataFrame columns are nullable -> drop applies
+    cfg = SyncConfig("t", "id", "id", ignore_columns=("drop_me",))
+    assert prune_ignored(df, cfg).columns == ["id", "keep"]
+    # non-nullable ignore is kept (reference rule, sync_utils.py:210-217)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("keep", LongType(), True),
+        ]
+    )
+    df2 = spark.createDataFrame([(1, 2)], schema)
+    cfg2 = SyncConfig("t", "id", "id", ignore_columns=("id",))
+    assert prune_ignored(df2, cfg2).columns == ["id", "keep"]
+
+
+# ---------- jdbc option building ----------
+
+
+def test_jdbc_partitioned_options():
+    src = JdbcSource(url="jdbc:postgresql://h/db", user="u", num_partitions=16)
+    opts = src.options("t", partition_column="id", lower=0, upper=1000)
+    assert opts["partitionColumn"] == "id"
+    assert opts["numPartitions"] == "16"
+    assert opts["lowerBound"] == "0" and opts["upperBound"] == "1000"
+    # without bounds: single-scan options only
+    assert "partitionColumn" not in src.options("t")
+
+
+# ---------- upsert statement generation (S5/S6) ----------
+
+
+def test_upsert_statement_shapes():
+    s = upsert_statement("t", ["k", "a", "b"], ["k"], "?")
+    assert s == (
+        "INSERT INTO t (k, a, b) VALUES (?, ?, ?) "
+        "ON CONFLICT (k) DO UPDATE SET a = excluded.a, b = excluded.b"
+    )
+    assert upsert_statement("t", ["a"], []) == "INSERT INTO t (a) VALUES (%s)"
+    assert "DO NOTHING" in upsert_statement("t", ["k"], ["k"])
+
+
+# ---------- end-to-end parquet sync ----------
+
+
+def _events_cfg(**kw):
+    return SyncConfig(
+        table="events",
+        check_column="event_id",
+        check_type="id",
+        merge_keys=("event_id",),
+        **kw,
+    )
+
+
+def test_sync_table_full_then_incremental(spark, sf_dir, tmp_path):
+    source = ParquetSource(sf_dir)
+    sink = ParquetMergeSink(str(tmp_path))
+    cfg = _events_cfg()
+
+    # T2 parity quirk, reproduced on purpose: an empty destination with an
+    # id-type watermark takes the delta path `WHERE id > 0`, so a row with
+    # id=0 is never synced (reference sync_utils.py:32-33 + :63). The
+    # testdata's event_id starts at 0, making this observable.
+    n_above_zero = source.read(spark, "events").filter("event_id > 0").count()
+    r1 = sync_table(spark, cfg, source, sink)
+    assert r1.ok and r1.rows_synced == n_above_zero
+    assert spark.read.parquet(sink.path("events")).count() == n_above_zero
+
+    # replay: destination watermark now equals source max -> empty delta
+    r2 = sync_table(spark, cfg, source, sink)
+    assert r2.ok and r2.rows_synced == 0
+    assert spark.read.parquet(sink.path("events")).count() == n_above_zero
+
+
+def test_run_all_syncs_isolates_failures(spark, sf_dir, tmp_path):
+    source = ParquetSource(sf_dir)
+    sink = ParquetMergeSink(str(tmp_path))
+    configs = {
+        "events": _events_cfg(),
+        "missing": SyncConfig(
+            table="missing", check_column="id", check_type="id"
+        ),
+    }
+    results = {r.table: r for r in run_all_syncs(spark, configs, source, sink)}
+    assert results["events"].ok
+    assert not results["missing"].ok and results["missing"].error
+    # C1: one failure doesn't abort the run; overall status is derivable
+    assert not all(r.ok for r in results.values())
+
+
+# ---------- DB-API upsert sink against sqlite ----------
+
+
+def test_dbapi_upsert_sink_sqlite(spark, tmp_path):
+    db = str(tmp_path / "t.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE tgt (k INTEGER PRIMARY KEY, name TEXT, v INTEGER)")
+    con.execute("INSERT INTO tgt VALUES (1, 'old', 10)")
+    con.commit()
+    con.close()
+
+    import functools
+
+    sink = DbApiUpsertSink(
+        connect=functools.partial(sqlite3.connect, db, timeout=30),
+        placeholder="?",
+        batch_size=2,
+        coalesce_to=1,  # sqlite: single writer
+    )
+    df = spark.createDataFrame(
+        [(1, "updated", 99), (2, "new", 20), (3, "also", 30)],
+        "k int, name string, v int",
+    )
+    sink.write(df, "tgt", ["k"])
+
+    con = sqlite3.connect(db)
+    got = sorted(con.execute("SELECT * FROM tgt").fetchall())
+    con.close()
+    assert got == [(1, "updated", 99), (2, "new", 20), (3, "also", 30)]
