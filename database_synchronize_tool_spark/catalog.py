@@ -39,11 +39,21 @@ def table_path(sf_dir: str, name: str) -> str:
 NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+# DataFrame plans are immutable, so the (session, path) -> DataFrame cache is
+# safe to share; it skips re-listing the file and re-reading the parquet
+# footer on every query — a metadata catalog, not a data cache.
+_TABLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One table as a DataFrame. Plain parquet scan: vectorized reader,
     predicate pushdown and column pruning all apply downstream."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    cache_key = (id(spark), table_path(sf_dir, name))
+    cached = _TABLE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in NANO_TS_COLS.get(name, ()):
@@ -55,6 +65,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 col, F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz")
             )
+    _TABLE_CACHE[cache_key] = df
     return df
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from database_synchronize_tool_spark.functions.vectors import as_double, cosine
+from database_synchronize_tool_spark.functions.vectors import as_double, cosine_pairs
 
 LSH_PLANES = 8
 LCG_MULT = 2654435761  # Knuth's 2^32 golden-ratio multiplier
@@ -75,7 +75,7 @@ def bruteforce_topk(
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("sim", cosine_pairs(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
     return (
@@ -111,7 +111,7 @@ def lsh_bucket_topk(
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("sim", cosine_pairs(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
     return (
@@ -141,7 +141,7 @@ def cosine_neardup_pairs(
         cond = (F.col("a.blk") == F.col("b.blk")) & cond
     return (
         a.join(b, cond)
-        .withColumn("sim", cosine(F.col("a.v"), F.col("b.v")))
+        .withColumn("sim", cosine_pairs(F.col("a.v"), F.col("b.v")))
         .filter(F.col("sim") >= threshold)
         .select(
             F.col("a.vid").alias("vec_a"),

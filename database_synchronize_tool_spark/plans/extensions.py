@@ -178,7 +178,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     oracle=f"""
     WITH sh AS (
-      SELECT doc_id, {_SHINGLES_SQL} AS sh, {_HASHES_SQL} AS hs FROM documents
+      SELECT doc_id, list_distinct({_HASHES_SQL}) AS sh, {_HASHES_SQL} AS hs
+      FROM documents
     ), sigs AS (
       SELECT doc_id, {_minhash_cols_sql()} FROM sh
     ), bands AS (

@@ -100,9 +100,11 @@ def t6_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-        F.col("ts"),
     )
-    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Both windows share one (partition, ordering) spec — us preserves ts
+    # order — so Spark plans a single shuffle + single sort and evaluates
+    # both functions in one Window operator.
+    w_order = Window.partitionBy("user_id").orderBy("us", "event_id")
     w_run = (
         Window.partitionBy("user_id")
         .orderBy("us", "event_id")
