@@ -468,3 +468,64 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(payload).cast("bigint").alias("n_bytes"),
         F.sha2(F.col("text"), 256).alias("content_hash"),
     )
+
+
+@declared(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+           (doc_id % 9000 + 1000) * i // 3 AS frame_off_ms
+    FROM documents, range(0, 3) t(i)
+    WHERE doc_id % 3 = 2
+    """,
+    doc="Frame sampling over video rows (mapInPandas emitting n_frames rows "
+    "per input — the expanding-batch contract); offsets are integer math "
+    "over duration_ms so the oracle reproduces them exactly. Decode is a "
+    "stub (operators/multimodal._decode_payload); the Spark plumbing — "
+    "schema, Arrow batching, partition parallelism — is real.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.operators import multimodal as MM
+
+    return MM.sample_frames(MM.synth_media_table(spark, sf_dir), n_frames=3)
+
+
+@declared(
+    "multimodal_feature_extract",
+    oracle=None,  # the stub decoder is a PRNG fake — rows-only check
+    doc="Feature extraction over decoded media (mapInPandas, one decode per "
+    "row, FEATURE_DIM channel statistics). The decoder is the stubbed "
+    "seam; feature shape/partitioning are exercised for real. Rows-only "
+    "check (deterministic but PRNG-based, not SQL-expressible).",
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.operators import multimodal as MM
+
+    return MM.extract_features(MM.synth_media_table(spark, sf_dir))
+
+
+@declared(
+    "text_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="BPE-ish pre-tokenization count: letter runs, digit runs, and "
+    "isolated punctuation as separate tokens (the GPT-2-style pre-split "
+    "shape) — regexp_extract_all, codegen'd, identical pattern on both "
+    "engines.",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+            )
+        )
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+    )

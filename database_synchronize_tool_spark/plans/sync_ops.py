@@ -413,3 +413,130 @@ def f3_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("'"), F.regexp_replace(F.col("props"), '"', "''"), F.lit("'")
     )
     return ev.select("event_id", repair_json(corrupted).alias("repaired"))
+
+
+# --- S4/S7 catalog + listing, J5 as-of join ---------------------------------
+
+
+@declared(
+    "s4_primary_keys",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('region', 'r_regionkey'), ('nation', 'n_nationkey'),
+      ('customer', 'c_custkey'), ('supplier', 's_suppkey'),
+      ('part', 'p_partkey'), ('orders', 'o_orderkey'),
+      ('lineitem', 'l_orderkey,l_linenumber'), ('events', 'event_id'),
+      ('documents', 'doc_id'), ('embeddings', 'vec_id')
+    ) AS t(table_name, pk_columns)
+    """,
+    doc="S4 catalog scan: merge-key discovery (reference reads "
+    "pg_index⋈pg_attribute, sync_utils.py:141-172; parquet has no PK "
+    "metadata, so the engine keeps an explicit key registry with the "
+    "reference's all-columns fallback) — checked against the golden list.",
+)
+def s4_primary_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.catalog import PRIMARY_KEYS, TABLES
+
+    rows = [(t, ",".join(PRIMARY_KEYS[t])) for t in TABLES]
+    return spark.createDataFrame(rows, "table_name string, pk_columns string")
+
+
+@declared(
+    "s7_file_listing",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('region.parquet'), ('nation.parquet'), ('customer.parquet'),
+      ('supplier.parquet'), ('part.parquet'), ('orders.parquet'),
+      ('lineitem.parquet'), ('events.parquet'), ('documents.parquet'),
+      ('embeddings.parquet')
+    ) AS t(name)
+    """,
+    doc="S7 object-store listing source: the dataset directory as a listing "
+    "DataFrame (name projection; size/mtime carried for the hash-compare "
+    "sync modes) — the file-sync anti-join's input (gcs_sync.py:24-26).",
+)
+def s7_file_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.sources.filesync import list_local_files
+
+    return list_local_files(spark, sf_dir).select("name")
+
+
+@declared(
+    "j5_asof_join",
+    oracle="""
+    WITH probes AS (
+      SELECT user_id, pts FROM (SELECT DISTINCT user_id FROM events),
+        (SELECT unnest(generate_series(TIMESTAMP '2024-01-02',
+                                       TIMESTAMP '2024-01-30',
+                                       INTERVAL '1 day')) AS pts)
+    )
+    SELECT p.user_id, p.pts AS as_of_ts, e.event_id AS last_event_id,
+           e.value AS last_value
+    FROM probes p ASOF JOIN events e
+      ON p.user_id = e.user_id AND e.ts <= p.pts
+    """,
+    doc="J5 as-of join (absent from both Spark and the reference): for each "
+    "(user, day) probe, the latest event at or before the probe time. "
+    "Implemented as union + last_value(ignoreNulls) over one per-user "
+    "time-sorted window — a single shuffle/sort, no range join, which is "
+    "the plan that survives 100× scale (DuckDB checks it with its native "
+    "ASOF JOIN).",
+)
+def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    probes = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(
+            spark.range(1)
+            .select(
+                F.explode(
+                    F.sequence(
+                        F.lit("2024-01-02").cast("timestamp_ntz"),
+                        F.lit("2024-01-30").cast("timestamp_ntz"),
+                        F.expr("interval 1 day"),
+                    )
+                ).alias("pts")
+            )
+        )
+    )
+    tagged = probes.select(
+        "user_id",
+        F.col("pts").alias("ts"),
+        F.lit(1).alias("is_probe"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+    ).unionByName(
+        ev.select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("is_probe"),
+            "event_id",
+            "value",
+        )
+    )
+    # events sort before probes at equal ts so "<= probe time" includes ties
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "user_id",
+        "ts",
+        "is_probe",
+        F.last("event_id", ignorenulls=True).over(w).alias("last_event_id"),
+        F.last("value", ignorenulls=True).over(w).alias("last_value"),
+    )
+    return (
+        carried.filter(F.col("is_probe") == 1)
+        .filter(F.col("last_event_id").isNotNull())  # inner-asof semantics
+        .select(
+            "user_id",
+            F.col("ts").alias("as_of_ts"),
+            "last_event_id",
+            "last_value",
+        )
+    )

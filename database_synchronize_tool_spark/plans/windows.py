@@ -149,3 +149,30 @@ def t1_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_sync(
         target, ev, keys=["event_id"], check_column="ts", check_type="timestamp"
     )
+
+
+@declared(
+    "t7_stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="The REAL Structured Streaming engine in the graded surface: events "
+    "replayed through readStream → withWatermark → tumbling window agg → "
+    "availableNow micro-batches → memory sink; the final table must equal "
+    "the batch/SQL answer (streaming/batch window semantics are shared by "
+    "design, and decimal sums make the equality exact).",
+)
+def t7_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        tumbling_counts,
+    )
+
+    stream = tumbling_counts(read_events_stream(spark, sf_dir))
+    run_to_memory(stream, "t7_stream_tumbling_tbl", output_mode="complete")
+    return spark.table("t7_stream_tumbling_tbl")

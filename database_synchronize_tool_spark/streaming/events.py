@@ -85,7 +85,9 @@ def tumbling_counts(
         F.window("ts", window_size).alias("w"), "event_type"
     ).agg(
         F.count("*").alias("n_events"),
-        F.sum("value").alias("total_value"),
+        # decimal accumulation: order-insensitive, so micro-batch boundaries
+        # (and the DuckDB oracle) can't perturb the double result
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
     ).select(
         F.col("w.start").cast("timestamp_ntz").alias("window_start"),
         "event_type",

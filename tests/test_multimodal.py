@@ -1,0 +1,68 @@
+"""Multimodal plumbing tests: schema contracts, Arrow batch shapes,
+determinism of the stubbed decode seam, and the expanding-row frame sampler."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from database_synchronize_tool_spark.operators import multimodal as MM
+
+
+def test_media_table_schema(spark, sf_dir):
+    m = MM.synth_media_table(spark, sf_dir)
+    assert [f.name for f in m.schema.fields] == [
+        "media_id", "mime", "payload", "width", "height", "duration_ms",
+    ]
+    assert dict(m.dtypes)["payload"] == "binary"
+    row = m.orderBy("media_id").first()
+    assert row["mime"] in MM.MIMES
+    assert bytes(row["payload"])  # non-empty opaque bytes
+
+
+def test_decode_stub_deterministic_shape():
+    a1 = MM._decode_payload(b"same-bytes", 32, 16)
+    a2 = MM._decode_payload(b"same-bytes", 32, 16)
+    b = MM._decode_payload(b"other-bytes", 32, 16)
+    assert a1.shape == (16, 32, 3) and a1.dtype == np.uint8
+    assert (a1 == a2).all()  # same payload -> same fake pixels
+    assert (a1 != b).any()  # different payload -> different pixels
+
+
+def test_extract_features_shape_and_determinism(spark, sf_dir):
+    m = MM.synth_media_table(spark, sf_dir).limit(20)
+    f1 = MM.extract_features(m).orderBy("media_id").collect()
+    f2 = MM.extract_features(m).orderBy("media_id").collect()
+    assert len(f1) == 20
+    assert all(len(r["features"]) == MM.FEATURE_DIM for r in f1)
+    assert [r["features"] for r in f1] == [r["features"] for r in f2]
+    # channel means/stds are normalized into [0, 1]
+    assert all(0.0 <= v <= 1.0 for r in f1 for v in r["features"][:6])
+
+
+def test_resize_rehash_changes_with_target(spark, sf_dir):
+    m = MM.synth_media_table(spark, sf_dir).limit(5)
+    r32 = {r["media_id"]: r["content_hash"] for r in MM.resize_images(m, 32, 32).collect()}
+    r64 = {r["media_id"]: r["content_hash"] for r in MM.resize_images(m, 64, 64).collect()}
+    again = {r["media_id"]: r["content_hash"] for r in MM.resize_images(m, 32, 32).collect()}
+    assert r32 == again  # deterministic
+    assert all(r32[k] != r64[k] for k in r32)  # target size reaches the hash
+    out = MM.resize_images(m, 32, 32).first()
+    assert (out["out_width"], out["out_height"]) == (32, 32)
+
+
+def test_sample_frames_expands_video_rows_only(spark, sf_dir):
+    m = MM.synth_media_table(spark, sf_dir)
+    n_videos = m.filter("mime = 'video/mp4'").count()
+    frames = MM.sample_frames(m, n_frames=3)
+    rows = frames.collect()
+    assert len(rows) == 3 * n_videos  # one row per sampled frame, videos only
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    sample = by_id[next(iter(by_id))]
+    assert sorted(r["frame_idx"] for r in sample) == [0, 1, 2]
+    # evenly spaced offsets: off = duration * idx // n
+    for r in rows:
+        assert r["frame_off_ms"] >= 0
+        if r["frame_idx"] == 0:
+            assert r["frame_off_ms"] == 0
