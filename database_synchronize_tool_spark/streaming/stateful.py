@@ -1,0 +1,112 @@
+"""Custom stateful streaming operator: sessionization with
+``applyInPandasWithState`` (SURVEY §2.9 T5 — the escape hatch for stateful
+semantics ``session_window`` can't express, e.g. per-session derived metrics
+or custom eviction policies).
+
+Contract: per user, events extend the current session while gaps stay within
+``gap_ms``; an event beyond the gap CLOSES the running session (emitted
+downstream) and opens a new one. The newest session stays in the state store
+until a later event (or timeout, in continuous deployments) closes it —
+bounded state per key, emitted rows are immutable history.
+
+State schema: (session_start_us, last_us, n_events) — three scalars per user,
+which is what makes this survive unbounded streams: state size is O(users),
+never O(events).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+GAP_MS_DEFAULT = 30 * 60 * 1000
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("session_start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _close_sessions(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    gap_us: int,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        start, last, n = state.get
+    else:
+        start = last = None
+        n = 0
+
+    closed: list[tuple[int, int, int, int]] = []
+    for pdf in pdfs:
+        # micro-batches are unordered within the group: order by event time
+        # (deterministic tiebreak on event_id)
+        pdf = pdf.sort_values(["us", "event_id"])
+        for us in pdf["us"].to_numpy():
+            us = int(us)
+            if start is None:
+                start, last, n = us, us, 1
+            elif us - last > gap_us:
+                closed.append((user_id, start, last, n))
+                start, last, n = us, us, 1
+            else:
+                last, n = us, n + 1
+
+    state.update((start, last, n))
+    yield pd.DataFrame(
+        closed, columns=["user_id", "session_start_us", "session_end_us", "n_events"]
+    )
+
+
+def sessionize_stateful(
+    events: DataFrame, gap_ms: int = GAP_MS_DEFAULT
+) -> DataFrame:
+    """Closed sessions per user via applyInPandasWithState.
+
+    ``events`` must be a streaming frame with (user_id, event_id, ts).
+    Output rows are sessions closed by a later event; the trailing open
+    session per user remains in state (a production deployment adds an
+    event-time timeout to flush it — the state machine is identical).
+    """
+    from pyspark.sql import functions as F
+
+    gap_us = gap_ms * 1000
+    prepared = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+
+    def fn(key, pdfs, state):
+        return _close_sessions(key, pdfs, state, gap_us)
+
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

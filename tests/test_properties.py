@@ -1,0 +1,79 @@
+"""Property-based invariants (hypothesis) for the merge/watermark algebra.
+
+Each example spins a Spark job, so example counts stay small; the properties
+are the ones the sync engine's correctness rests on:
+
+- merge is idempotent (replays converge — the exactly-once effect)
+- merged key-set = target keys ∪ source keys; source wins collisions
+- the watermark delta partitions the source exactly (no loss, no overlap)
+- no-PK merge equals set-union of full rows
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from database_synchronize_tool_spark.operators.merge import dedup_merge, merge_upsert
+from database_synchronize_tool_spark.operators.watermark import delta_filter
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+kv_lists = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(-100, 100)), max_size=12
+)
+
+
+def df_of(spark, pairs):
+    return spark.createDataFrame(pairs or [(None, None)], "k int, v int").filter(
+        "k IS NOT NULL OR v IS NOT NULL" if pairs else "false"
+    )
+
+
+def rows(df):
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+@given(t=kv_lists, s=kv_lists)
+@settings(**SETTINGS)
+def test_merge_idempotent(spark, t, s):
+    # collapse in-batch dup keys first (engine contract: single row per key)
+    t = list({k: (k, v) for k, v in t}.values())
+    s = list({k: (k, v) for k, v in s}.values())
+    target, source = df_of(spark, t), df_of(spark, s)
+    once = rows(merge_upsert(target, source, ["k"]))
+    twice = rows(merge_upsert(merge_upsert(target, source, ["k"]), source, ["k"]))
+    assert once == twice
+
+
+@given(t=kv_lists, s=kv_lists)
+@settings(**SETTINGS)
+def test_merge_keyset_union_source_wins(spark, t, s):
+    t = list({k: (k, v) for k, v in t}.values())
+    s = list({k: (k, v) for k, v in s}.values())
+    merged = dict(rows(merge_upsert(df_of(spark, t), df_of(spark, s), ["k"])))
+    assert set(merged) == {k for k, _ in t} | {k for k, _ in s}
+    for k, v in s:
+        assert merged[k] == v  # EXCLUDED wins
+    for k, v in t:
+        if k not in dict(s):
+            assert merged[k] == v
+
+
+@given(vals=st.lists(st.integers(0, 50), min_size=1, max_size=20), wm=st.integers(0, 50))
+@settings(**SETTINGS)
+def test_delta_filter_partitions_source(spark, vals, wm):
+    src = spark.createDataFrame([(v,) for v in vals], "ck int")
+    above = [r["ck"] for r in delta_filter(src, "ck", wm, parity=True).collect()]
+    assert sorted(above) == sorted(v for v in vals if v > wm)
+
+
+@given(t=kv_lists, s=kv_lists)
+@settings(**SETTINGS)
+def test_dedup_merge_is_set_union(spark, t, s):
+    got = rows(dedup_merge(df_of(spark, t), df_of(spark, s)))
+    assert got == sorted(set(t) | set(s))

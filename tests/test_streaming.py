@@ -67,3 +67,31 @@ def test_stream_merge_foreachbatch(spark, sf_dir, tmp_path):
     want = load_table(spark, sf_dir, "events").count()
     got = spark.read.parquet(out_dir).count()
     assert got == want
+
+
+def test_stateful_sessionization_matches_batch_closed_sessions(spark, sf_dir):
+    """applyInPandasWithState sessionization: the closed sessions it emits
+    must equal the batch gaps-and-islands sessions minus each user's final
+    (still-open) session."""
+    from database_synchronize_tool_spark.plans.registry import all_queries
+    from database_synchronize_tool_spark.streaming.stateful import sessionize_stateful
+
+    stream = sessionize_stateful(read_events_stream(spark, sf_dir))
+    run_to_memory(stream, "stateful_sessions", output_mode="append")
+    got = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in spark.sql("SELECT * FROM stateful_sessions").collect()
+    }
+
+    batch = all_queries()["t6_sessionization"].builder(spark, sf_dir).collect()
+    # drop each user's last session (still open in the state store)
+    by_user = {}
+    for r in batch:
+        by_user.setdefault(r["user_id"], []).append(r)
+    want = set()
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: r["session_start_us"])
+        for r in rows[:-1]:
+            want.add((user, r["session_start_us"], r["session_end_us"], r["n_events"]))
+    assert got == want
+    assert len(got) > 0
