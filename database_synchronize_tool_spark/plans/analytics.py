@@ -550,3 +550,64 @@ def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast(DEC2)).cast("double").alias("total"),
         )
     )
+
+
+@declared(
+    "skew_salted_twophase_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew-resilient two-phase aggregation: phase 1 groups on "
+    "(key, salt=event_id%16) so a hot key spreads over 16 reducers, phase "
+    "2 re-aggregates the 16 partials per key. Same answer as the plain "
+    "groupBy (the oracle); the plan is the one that survives a key owning "
+    "half the table. Decimal partials make the two-phase sum exact, so "
+    "re-aggregation order can't perturb the result.",
+)
+def skew_salted_twophase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    phase1 = (
+        ev.withColumn("__salt", (F.col("event_id") % 16).cast("int"))
+        .groupBy("event_type", "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+        )
+    )
+    return (
+        phase1.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("pv").cast("double").alias("total_value"),
+        )
+    )
+
+
+@declared(
+    "correlated_exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+    doc="Correlated EXISTS decorrelated by Catalyst into a left-semi join "
+    "(RewriteCorrelatedScalarSubquery/RewritePredicateSubquery) — written "
+    "as SQL to exercise the subquery front door, not a hand-built join.",
+)
+def correlated_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        """
+    )
