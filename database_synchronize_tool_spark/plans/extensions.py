@@ -529,3 +529,38 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_bpe_tokens"),
     )
+
+
+@declared(
+    "grouped_normalize_applyinpandas",
+    oracle="""
+    SELECT event_id, event_type,
+           (value - MIN(value) OVER w) / (MAX(value) OVER w - MIN(value) OVER w)
+             AS norm_value
+    FROM events WINDOW w AS (PARTITION BY event_type)
+    """,
+    doc="Grouped min-max normalization via applyInPandas (the grouped-"
+    "transform UDF surface: whole group as one pandas frame, Arrow both "
+    "ways). Min/max are exact and the per-row expression is two IEEE ops "
+    "with fixed association, so the SQL-window oracle matches "
+    "bit-for-bit.",
+)
+def grouped_normalize_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy()
+        mn, mx = v.min(), v.max()
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "norm_value": (v - mn) / (mx - mn),
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        normalize, "event_id bigint, event_type string, norm_value double"
+    )
