@@ -291,3 +291,64 @@ def ngram_jaccard_pairs(
             F.col("jacc"),
         )
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph → cluster
+    labels (label = min doc_id reachable): the step that turns pairwise
+    near-dups into "keep one document per cluster".
+
+    Iterative min-label propagation: each round joins every node's label
+    with its neighbors' labels and keeps the minimum, until a fixpoint
+    (checked with a count — the driver only ever sees one scalar per round).
+    Converges in O(graph diameter) rounds; near-dup graphs are
+    overwhelmingly tiny cliques, so 2-3 rounds in practice. Each round is
+    one shuffle join on doc_id; ``persist`` + ``localCheckpoint`` cut the
+    growing lineage so round N doesn't replay rounds 1..N-1.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -564,3 +564,52 @@ def grouped_normalize_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFra
     return ev.groupBy("event_type").applyInPandas(
         normalize, "event_id bigint, event_type string, norm_value double"
     )
+
+
+@declared(
+    "dedup_cluster_assign",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, list_distinct({_HASHES_SQL}) AS sh, {_HASHES_SQL} AS hs
+      FROM documents
+    ), sigs AS (
+      SELECT doc_id, {_minhash_cols_sql()} FROM sh
+    ), bands AS (
+      {_band_union_sql()}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), pre AS (
+      SELECT doc_a, doc_b
+      FROM cand JOIN sigs ga ON ga.doc_id = cand.doc_a
+                JOIN sigs gb ON gb.doc_id = cand.doc_b
+      WHERE ({_sig_matches_sql()}) >= {DD.MIN_SIG_MATCHES}
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b, {_JACC_SQL} AS jacc
+        FROM pre JOIN sh sa ON sa.doc_id = pre.doc_a
+                 JOIN sh sb ON sb.doc_id = pre.doc_b
+      ) WHERE jacc >= 0.8
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach(node, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+    """,
+    doc="Iterative connected components over the MinHash near-dup graph "
+    "(cluster label = min reachable doc_id — the 'keep one per cluster' "
+    "step of a dedup pipeline). Spark side: min-label propagation loop, "
+    "one shuffle join per round, lineage cut by localCheckpoint, "
+    "fixpoint-detected with a scalar count; converges in O(diameter) "
+    "rounds. The oracle is DuckDB's recursive CTE over the same graph.",
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(d, threshold=0.8)
+    return DD.dedup_clusters(pairs)
