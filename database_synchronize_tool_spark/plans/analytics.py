@@ -767,3 +767,89 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+@declared(
+    "map_functions_showcase",
+    oracle="""
+    SELECT event_id,
+           CAST(len(map_keys(m)) AS INT) AS n_keys,
+           map_keys(m)[1] AS first_key,
+           m['type'][1] AS type_value
+    FROM (
+      SELECT event_id, MAP {'type': event_type, 'user': CAST(user_id AS VARCHAR)} AS m
+      FROM events
+    )
+    """,
+    doc="Map-type surface: construct a map column, inspect keys, index by "
+    "key — create_map/map_keys/element_at (the engine's MapType story for "
+    "jsonb-like semi-structured data).",
+)
+def map_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.element_at(m, "type").alias("type_value"),
+    )
+
+
+@declared(
+    "date_functions_showcase",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(date_part('year', o_orderdate) AS INT) AS order_year,
+           CAST(date_part('dow', o_orderdate) AS INT) AS order_dow,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT)
+             AS days_to_y2k
+    FROM orders
+    """,
+    doc="Date/time function surface: truncation, parts, month boundaries, "
+    "date arithmetic — identical semantics on both engines (dow: Sunday=0).",
+)
+def date_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("order_dow"),
+        F.last_day(od).alias("month_end"),
+        F.datediff(F.lit("2000-01-01").cast("date"), od).cast("int").alias("days_to_y2k"),
+    )
+
+
+@declared(
+    "q2_min_per_group_scalar_subquery",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, p.p_retailprice
+    FROM part p
+    WHERE p.p_retailprice = (
+      SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+    """,
+    doc="TPC-H Q2 shape: correlated scalar subquery (min per group) — "
+    "Catalyst decorrelates into an aggregate + join; written through the "
+    "SQL front door.",
+)
+def q2_min_per_group_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(
+        """
+        SELECT p.p_partkey, p.p_brand, p.p_retailprice
+        FROM part p
+        WHERE p.p_retailprice = (
+          SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+        )
+        """
+    )
