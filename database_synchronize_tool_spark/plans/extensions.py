@@ -613,3 +613,142 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_pairs(d, threshold=0.8)
     return DD.dedup_clusters(pairs)
+
+
+@declared(
+    "text_chunking",
+    oracle="""
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           substr(text, 1 + i * 100, 200) AS chunk
+    FROM documents,
+         LATERAL (SELECT unnest(range(0, CAST(ceil(greatest(length(text) - 100, 1) / 100.0) AS INT))) AS i)
+    """,
+    doc="Document chunking for training pipelines: 200-char windows with "
+    "100-char stride (explode over a computed chunk count — each doc "
+    "yields ceil((len-100)/100) overlapping chunks; at 100 TB this is a "
+    "narrow map+explode, no shuffle at all).",
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_chunks = F.ceil(
+        F.greatest(F.length("text") - 100, F.lit(1)) / F.lit(100.0)
+    ).cast("int")
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.expr("substr(text, 1 + chunk_idx * 100, 200)").alias("chunk"),
+        )
+    )
+
+
+@declared(
+    "text_vocab_topk",
+    oracle="""
+    SELECT token, COUNT(*) AS freq
+    FROM (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                    t -> t <> '' AND NOT list_contains(['the','and','of','is','a'], t)))
+             AS token
+      FROM documents
+    )
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 50
+    """,
+    doc="Vocabulary building: explode lowercased tokens, drop stopwords, "
+    "count, top-50 with lexicographic tiebreak (explode → one hash-agg "
+    "shuffle on the token → TakeOrdered; the BPE-ready corpus statistics "
+    "step).",
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.functions.text import LANG_MARKERS, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        tokens(F.lower(F.col("text"))),
+        lambda t: ~t.isin(*LANG_MARKERS["en"]),
+    )
+    return (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+@declared(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+             127.0 / greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS scale
+      FROM e
+    )
+    SELECT vec_id, scale,
+           list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
+    FROM s
+    """,
+    doc="Symmetric int8 quantization of embeddings: per-vector scale "
+    "127/max|x|, floor(x*scale+0.5) rounding (floor is exact in IEEE — no "
+    "HALF_UP/HALF_EVEN cross-engine ambiguity). The 4× memory cut that "
+    "makes 100 TB ANN candidate scans cache-resident.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.functions.vectors import as_double
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    scale = F.lit(127.0) / F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-30)
+    )
+    return e.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("bigint")).alias("q"),
+    )
+
+
+@declared(
+    "udtf_json_kv_expand",
+    oracle="""
+    SELECT event_id, k AS key, json_extract_string(props, '$.' || k) AS value
+    FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+    """,
+    doc="Python UDTF (table function, Spark 4 API): each event's jsonb-"
+    "shaped props expands to one row per key/value — the lateral-join "
+    "UDF surface, checked against DuckDB's json_keys/json_extract.",
+)
+def udtf_json_kv_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_id bigint, key string, value string")
+    class ExpandJson:
+        def eval(self, event_id, props):  # noqa: ANN001 - UDTF signature
+            if props is None:
+                return
+            try:
+                obj = json.loads(props)
+            except ValueError:
+                return
+            if isinstance(obj, dict):
+                for k, v in obj.items():
+                    yield event_id, k, v if isinstance(v, str) else json.dumps(v)
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.select("event_id", "props").createOrReplaceTempView("__udtf_events_in")
+    spark.udtf.register("expand_json_kv", ExpandJson)
+    return spark.sql(
+        "SELECT t.event_id, t.key, t.value "
+        "FROM __udtf_events_in, LATERAL expand_json_kv(event_id, props) t"
+    )
