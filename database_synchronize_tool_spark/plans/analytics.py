@@ -853,3 +853,40 @@ def q2_min_per_group_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFr
         )
         """
     )
+
+
+@declared(
+    "agg_approx_count_distinct",
+    oracle=None,  # HLL sketches are engine-specific; accuracy is unit-tested
+    doc="approx_count_distinct (HyperLogLog++) per market segment — the "
+    "sketch that replaces exact COUNT(DISTINCT) at 100 TB (no giant "
+    "shuffle of distinct keys; mergeable partial sketches). Rows-only "
+    "check here; tests/test_sketches.py bounds the relative error "
+    "against the exact count.",
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    )
+
+
+@declared(
+    "agg_exact_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Exact percentiles (linear interpolation) per group — Spark "
+    "percentile() and DuckDB quantile_cont share the interpolation "
+    "definition, so the doubles match bit-for-bit on identical sorted "
+    "inputs.",
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+    )
