@@ -53,11 +53,12 @@ def main() -> None:
     for name in HEADLINE:
         qs[name].builder(spark, sf_dir).count()
 
-    # Two timed passes, best-of per query: a single pass is hostage to GC
-    # pauses and scheduler jitter at this data scale; the best observed run
-    # is the standard steady-state estimator for microbenchmarks.
+    # Three timed passes, best-of per query: a single pass is hostage to GC
+    # pauses and scheduler jitter at this data scale (observed spread ±1s on
+    # a ~7s total); the best observed run is the standard steady-state
+    # estimator for microbenchmarks.
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
             df = qs[name].builder(spark, sf_dir)
