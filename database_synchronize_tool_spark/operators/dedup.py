@@ -272,13 +272,20 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard within blocks (the brute-force measure;
-    minhash_lsh_pairs is the scale path for unblocked corpora)."""
-    sh = docs.select(
+    minhash_lsh_pairs is the scale path for unblocked corpora).
+
+    Shingle sets are the hashed (bigint) form from the vectorized UDF —
+    identical Jaccard values (the oracle hashes identically), integer
+    intersections instead of 3-char-string compares in the O(pairs) stage.
+    """
+    spread = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(block_col).alias("blk"),
-        F.array_distinct(
-            F.filter(shingles(F.col(text_col)), lambda s: F.length(s) == 3)
-        ).alias("sh"),
+        F.col(text_col).alias("__text"),
+    )
+    spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
+    sh = spread.select(
+        "doc_id", "blk", minhash_features(F.col("__text"))["sh"].alias("sh")
     )
     a, b = sh.alias("a"), sh.alias("b")
     return (

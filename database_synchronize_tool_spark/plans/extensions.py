@@ -158,7 +158,7 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh AS (
-      SELECT doc_id, lang AS blk, {_SHINGLES_SQL} AS sh FROM documents
+      SELECT doc_id, lang AS blk, list_distinct({_HASHES_SQL}) AS sh FROM documents
     )
     SELECT doc_a, doc_b, jacc FROM (
       SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, {_JACC_SQL} AS jacc
