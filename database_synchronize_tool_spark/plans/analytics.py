@@ -890,3 +890,50 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
         F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
     )
+
+
+@declared(
+    "unpivot_order_metrics",
+    oracle="""
+    SELECT o_orderkey, metric, val
+    FROM (SELECT o_orderkey, o_totalprice, CAST(o_custkey AS DOUBLE) AS o_custkey_d
+          FROM orders)
+    UNPIVOT (val FOR metric IN (o_totalprice, o_custkey_d))
+    """,
+    doc="UNPIVOT/melt (wide→long, the inverse of pivot_status_by_year): "
+    "narrow map-side transform, no shuffle.",
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_custkey").cast("double").alias("o_custkey_d"),
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["o_totalprice", "o_custkey_d"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@declared(
+    "join_strategy_hints",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Join-strategy hint surface: the same equi-join planned with an "
+    "explicit SHUFFLE_MERGE hint (overriding the broadcast default) — "
+    "results identical by definition; the hint API is how a 100 TB job "
+    "pins a strategy when statistics mislead the optimizer.",
+)
+def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").hint("shuffle_merge")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

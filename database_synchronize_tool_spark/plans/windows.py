@@ -176,3 +176,29 @@ def t7_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = tumbling_counts(read_events_stream(spark, sf_dir))
     run_to_memory(stream, "t7_stream_tumbling_tbl", output_mode="complete")
     return spark.table("t7_stream_tumbling_tbl")
+
+
+@declared(
+    "t8_stream_dedup",
+    oracle="SELECT event_id, event_type FROM events",
+    doc="Streaming exact deduplication: dropDuplicatesWithinWatermark on "
+    "event_id over the replayed events stream (state for seen ids is "
+    "evicted once the watermark passes — bounded state, unlike a plain "
+    "streaming dropDuplicates). Events are unique by id, so the output "
+    "equals the table scan.",
+)
+def t8_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    run_to_memory(stream, "t8_stream_dedup_tbl", output_mode="append")
+    return spark.table("t8_stream_dedup_tbl")

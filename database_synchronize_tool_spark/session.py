@@ -40,6 +40,11 @@ def get_spark(
         # partitions whose scheduling overhead dominates at every scale
         # (measured ~13% on the sf0.1 headline set).
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # Large-memory-executor profile: a 64 MB broadcast side is cheap
+        # against a shuffle of the big side. Safe at any scale — only
+        # relations whose MEASURED size is under the threshold broadcast;
+        # a 100 TB table always falls back to sort-merge.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
