@@ -937,3 +937,76 @@ def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@declared(
+    "set_intersect_all_statuses",
+    oracle="""
+    SELECT o_orderstatus FROM orders WHERE o_totalprice > 100000
+    INTERSECT ALL
+    SELECT o_orderstatus FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    """,
+    doc="INTERSECT ALL (bag semantics — duplicate-preserving, min of the "
+    "two multiplicities per value).",
+)
+def set_intersect_all_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 100000).select("o_orderstatus")
+    b = o.filter(F.col("o_orderdate") >= F.expr("timestamp'1997-01-01'")).select(
+        "o_orderstatus"
+    )
+    return a.intersectAll(b)
+
+
+@declared(
+    "set_except_all_statuses",
+    oracle="""
+    SELECT o_orderstatus FROM orders WHERE o_totalprice > 100000
+    EXCEPT ALL
+    SELECT o_orderstatus FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    """,
+    doc="EXCEPT ALL (bag difference — multiplicities subtract).",
+)
+def set_except_all_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 100000).select("o_orderstatus")
+    b = o.filter(F.col("o_orderdate") >= F.expr("timestamp'1997-01-01'")).select(
+        "o_orderstatus"
+    )
+    return a.exceptAll(b)
+
+
+@declared(
+    "j6_range_join_value_bands",
+    oracle="""
+    SELECT band, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 100.0), ('high', 100.0, 1e9))
+         AS bands(band, lo, hi)
+      ON value >= lo AND value < hi
+    GROUP BY band
+    """,
+    doc="J6 range (non-equi) join: events banded against interval boundaries "
+    "— with a tiny boundary table the right physical plan IS "
+    "BroadcastNestedLoopJoin (each row tests 3 intervals in-place, no "
+    "shuffle); at many-interval scale this becomes a sorted bucket lookup "
+    "(F.bucket / searchsorted UDF) instead.",
+)
+def j6_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bands = ev.sparkSession.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 100.0), ("high", 100.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
