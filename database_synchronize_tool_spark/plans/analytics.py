@@ -408,17 +408,20 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 2000.0
     """,
     doc="EXCEPT (distinct set difference) — nations with customers but no "
-    "suppliers.",
+    "well-funded suppliers (filter keeps the difference non-empty so the "
+    "check is non-vacuous).",
 )
 def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 2000.0)
+        .select(F.col("s_nationkey").alias("nationkey"))
     )
     return c.subtract(s)
 

@@ -194,14 +194,22 @@ def a2_row_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j1_anti_join_missing",
     oracle="""
     SELECT c.c_custkey, c.c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 250000)
     """,
     doc="J1 anti-join (files_to_copy = source - dest): left_anti, broadcast "
-    "when the right side is small.",
+    "when the right side is small. (The right side is filtered to "
+    "high-value orders so the difference is non-empty — an anti-join "
+    "check that returns zero rows would be vacuous.)",
 )
 def j1_anti_join_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 250000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return c.join(o, on="c_custkey", how="left_anti").select("c_custkey", "c_name")
 
 
