@@ -1234,3 +1234,145 @@ def window_cume_dist_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame
         F.cume_dist().over(w).alias("cd"),
         F.percent_rank().over(w).alias("pr"),
     )
+
+
+@declared(
+    "grouping_sets_events",
+    oracle="""
+    SELECT event_type, CAST(date_part('hour', ts) AS INT) AS hr,
+           COUNT(*) AS n, GROUPING(event_type) AS g_type,
+           GROUPING(hr) AS g_hr
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (hr), (event_type, hr))
+    """,
+    doc="GROUPING SETS (the general form under cube/rollup) with GROUPING() "
+    "markers disambiguating real NULLs from subtotal rows.",
+)
+def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+               COUNT(*) AS n, CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+               CAST(GROUPING(hour(ts)) AS BIGINT) AS g_hr
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (hour(ts)), (event_type, hour(ts)))
+        """
+    )
+
+
+@declared(
+    "window_first_last_nth",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           FIRST_VALUE(s_acctbal) OVER w AS first_bal,
+           LAST_VALUE(s_acctbal)  OVER w AS last_bal,
+           NTH_VALUE(s_acctbal, 2) OVER w AS second_bal
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="first/last/nth_value over an explicit full-partition frame (the "
+    "default frame would make last_value degenerate to the current row).",
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    w = (
+        Window.partitionBy("s_nationkey")
+        .orderBy("s_acctbal", "s_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.first("s_acctbal").over(w).alias("first_bal"),
+        F.last("s_acctbal").over(w).alias("last_bal"),
+        F.nth_value("s_acctbal", 2).over(w).alias("second_bal"),
+    )
+
+
+@declared(
+    "array_agg_sorted_per_group",
+    oracle="""
+    SELECT s_nationkey, list_sort(list(s_suppkey)) AS suppkeys,
+           CAST(len(list(s_suppkey)) AS INT) AS n
+    FROM supplier GROUP BY s_nationkey
+    """,
+    doc="Grouped array aggregation: collect_list is order-nondeterministic "
+    "by contract, so the engine always sorts the collected array before "
+    "surfacing it — the only deterministic form at any parallelism.",
+)
+def array_agg_sorted_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.sort_array(F.collect_list("s_suppkey")).alias("suppkeys"),
+        F.size(F.collect_list("s_suppkey")).cast("int").alias("n"),
+    )
+
+
+@declared(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume_dec
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+           / CAST(SUM(volume_dec) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(date_part('year', o.o_orderdate) AS INT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS volume_dec,
+             n2.n_name AS nation
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    )
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 market share: the deepest join in the set (7 tables, "
+    "nation twice) — one fact shuffle on orderkey, every dim broadcast; "
+    "share = conditional decimal sum / total decimal sum, one double "
+    "division per year.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.cast(DEC6).alias("volume_dec"),
+            "nation",
+        )
+    )
+    num = F.sum(
+        F.when(F.col("nation") == "NATION_3", F.col("volume_dec")).otherwise(
+            F.lit(0).cast(DEC6)
+        )
+    ).cast("double")
+    return base.groupBy("o_year").agg(
+        (num / F.sum("volume_dec").cast("double")).alias("mkt_share")
+    )
