@@ -752,3 +752,43 @@ def udtf_json_kv_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT t.event_id, t.key, t.value "
         "FROM __udtf_events_in, LATERAL expand_json_kv(event_id, props) t"
     )
+
+
+@declared(
+    "deterministic_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE (doc_id * 2654435761) % 4294967296 % 10 < 3
+    """,
+    doc="Reproducible 30% systematic sample via a portable integer hash "
+    "(Knuth multiplicative) on the key — unlike rand()/sampleBy, the "
+    "selection is engine-independent, re-runnable, and join-stable "
+    "(the property a training pipeline needs for consistent holdouts).",
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 10
+    return d.filter(bucket < 3).select("doc_id", "lang")
+
+
+@declared(
+    "train_val_test_split",
+    oracle="""
+    SELECT split, COUNT(*) AS n FROM (
+      SELECT CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT (doc_id * 2654435761) % 4294967296 % 10 AS b FROM documents)
+    ) GROUP BY split
+    """,
+    doc="80/10/10 train/val/test assignment from the same portable key "
+    "hash — every engine and every rerun assigns identical splits, and "
+    "membership is computable per-row with no global state.",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    b = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 10
+    split = (
+        F.when(b < 8, "train").when(b < 9, "val").otherwise("test")
+    )
+    return d.select(split.alias("split")).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")
+    )
