@@ -1376,3 +1376,74 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.groupBy("o_year").agg(
         (num / F.sum("volume_dec").cast("double")).alias("mkt_share")
     )
+
+
+@declared(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 customer order-count distribution: outer join with a "
+    "join-level predicate (kept customers count 0), then a second "
+    "aggregate over the counts — two small shuffles.",
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@declared(
+    "q21_sole_supplier_orders",
+    oracle="""
+    SELECT s.s_name, COUNT(DISTINCT l1.l_orderkey) AS n_orders
+    FROM lineitem l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    """,
+    doc="TPC-H Q21 shape (adapted to available columns): EXISTS + "
+    "NOT EXISTS against the same fact table — suppliers who were the "
+    "SOLE supplier on finished orders. Catalyst plans the pair as "
+    "left-semi + left-anti joins on the orderkey.",
+)
+def q21_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "supplier", "orders"))
+    return spark.sql(
+        """
+        SELECT s.s_name, COUNT(DISTINCT l1.l_orderkey) AS n_orders
+        FROM lineitem l1
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s.s_name
+        """
+    )
