@@ -202,3 +202,50 @@ def t8_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(stream, "t8_stream_dedup_tbl", output_mode="append")
     return spark.table("t8_stream_dedup_tbl")
+
+
+@declared(
+    "t9_stream_static_join",
+    oracle="""
+    SELECT category, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    JOIN (VALUES ('click', 'engagement'), ('view', 'engagement'),
+                 ('purchase', 'conversion'), ('signup', 'conversion'),
+                 ('error', 'ops')) AS dim(event_type, category)
+      USING (event_type)
+    GROUP BY category
+    """,
+    doc="Stream-static join (the enrichment pattern): the replayed events "
+    "stream joins a static in-memory dimension (broadcast into every "
+    "micro-batch — no state store involved), then aggregates per "
+    "category; availableNow drains to a memory sink and the final table "
+    "must equal the batch/SQL answer.",
+)
+def t9_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+            ("error", "ops"),
+        ],
+        "event_type string, category string",
+    )
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .join(F.broadcast(dim), "event_type")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC6)).cast("double").alias("total_value"),
+        )
+    )
+    run_to_memory(stream, "t9_stream_static_tbl", output_mode="complete")
+    return spark.table("t9_stream_static_tbl")
