@@ -164,3 +164,41 @@ def sample_frames(media: DataFrame, n_frames: int = 3) -> DataFrame:
             )
 
     return media.mapInPandas(batches, FRAMES_SCHEMA)
+
+
+def extract_features_arrow(media: DataFrame) -> DataFrame:
+    """mapInArrow twin of ``extract_features``: consumes/produces raw
+    ``pyarrow.RecordBatch`` streams (no pandas materialization — the
+    lowest-overhead batch API for wide binary columns, since payload bytes
+    stay in Arrow buffers end to end). Feature math is identical; the
+    equivalence is tested."""
+    import pyarrow as pa
+
+    def batches(it):
+        for batch in it:
+            ids = batch.column("media_id")
+            mimes = batch.column("mime")
+            payloads = batch.column("payload")
+            widths = batch.column("width")
+            heights = batch.column("height")
+            feats = []
+            for i in range(batch.num_rows):
+                arr = _decode_payload(
+                    payloads[i].as_py(), widths[i].as_py(), heights[i].as_py()
+                )
+                flat = arr.reshape(-1, 3).astype(np.float64)
+                feats.append(
+                    np.concatenate(
+                        [
+                            flat.mean(axis=0) / 255.0,
+                            flat.std(axis=0) / 255.0,
+                            [arr.shape[0] / 4096.0, arr.shape[1] / 4096.0],
+                        ]
+                    ).tolist()
+                )
+            yield pa.RecordBatch.from_arrays(
+                [ids, mimes, pa.array(feats, type=pa.list_(pa.float64()))],
+                names=["media_id", "mime", "features"],
+            )
+
+    return media.mapInArrow(batches, FEATURES_SCHEMA)

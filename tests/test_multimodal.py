@@ -66,3 +66,18 @@ def test_sample_frames_expands_video_rows_only(spark, sf_dir):
         assert r["frame_off_ms"] >= 0
         if r["frame_idx"] == 0:
             assert r["frame_off_ms"] == 0
+
+
+def test_map_in_arrow_equals_pandas_path(spark, sf_dir):
+    """The mapInArrow and mapInPandas feature extractors must agree exactly
+    (same decode, same math, different batch transports)."""
+    m = MM.synth_media_table(spark, sf_dir).limit(25)
+    via_pandas = {
+        r["media_id"]: r["features"]
+        for r in MM.extract_features(m).collect()
+    }
+    via_arrow = {
+        r["media_id"]: r["features"]
+        for r in MM.extract_features_arrow(m).collect()
+    }
+    assert via_pandas == via_arrow
