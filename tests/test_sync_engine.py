@@ -191,3 +191,27 @@ def test_dbapi_upsert_sink_sqlite(spark, tmp_path):
     got = sorted(con.execute("SELECT * FROM tgt").fetchall())
     con.close()
     assert got == [(1, "updated", 99), (2, "new", 20), (3, "also", 30)]
+
+
+def test_observe_quality_metrics_piggyback(spark, sf_dir):
+    """df.observe(): data-quality counters (rows, nulls, max watermark)
+    collected DURING the sync scan — no second pass over 100 TB. The
+    observation arrives with the action that executed the plan."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from database_synchronize_tool_spark.catalog import load_table
+
+    obs = Observation("sync_quality")
+    ev = load_table(spark, sf_dir, "events")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(F.col("props").isNull().cast("long")).alias("null_props"),
+        F.max("event_id").alias("max_watermark"),
+    )
+    n = observed.count()  # one action drives both the query and the metrics
+    got = obs.get
+    assert got["rows_scanned"] == n
+    assert got["max_watermark"] == ev.agg(F.max("event_id")).first()[0]
+    assert got["null_props"] >= 0
