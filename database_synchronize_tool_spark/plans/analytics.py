@@ -653,10 +653,10 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_by_linestatus",
     oracle="""
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -676,8 +676,8 @@ def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("l_linestatus")
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
     )
 
@@ -860,17 +860,34 @@ def q2_min_per_group_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFr
 
 @declared(
     "agg_approx_count_distinct",
-    oracle=None,  # HLL sketches are engine-specific; accuracy is unit-tested
-    doc="approx_count_distinct (HyperLogLog++) per market segment — the "
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS within_bound
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="approx_count_distinct (HyperLogLog++) per order status — the "
     "sketch that replaces exact COUNT(DISTINCT) at 100 TB (no giant "
-    "shuffle of distinct keys; mergeable partial sketches). Rows-only "
-    "check here; tests/test_sketches.py bounds the relative error "
-    "against the exact count.",
+    "shuffle of distinct keys; mergeable partial sketches). HLL estimates "
+    "are engine-specific, so the declared output is oracle-checkable by "
+    "construction: the exact count plus a boolean asserting the sketch "
+    "landed within 5% of it (rsd=0.02, so 5% is a generous bound). The "
+    "oracle returns the same exact count and TRUE; a drifting sketch "
+    "flips the boolean and fails the hash. tests/test_sketches.py bounds "
+    "the raw relative error too.",
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+        F.count_distinct("o_custkey").cast("long").alias("exact_customers"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", rsd=0.02)
+                - F.count_distinct("o_custkey")
+            )
+            / F.count_distinct("o_custkey")
+            <= F.lit(0.05)
+        ).alias("within_bound"),
     )
 
 
@@ -1296,18 +1313,23 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     "array_agg_sorted_per_group",
     oracle="""
-    SELECT s_nationkey, list_sort(list(s_suppkey)) AS suppkeys,
+    SELECT s_nationkey,
+           array_to_string(list_sort(list(s_suppkey)), ',') AS suppkeys,
            CAST(len(list(s_suppkey)) AS INT) AS n
     FROM supplier GROUP BY s_nationkey
     """,
     doc="Grouped array aggregation: collect_list is order-nondeterministic "
     "by contract, so the engine always sorts the collected array before "
-    "surfacing it — the only deterministic form at any parallelism.",
+    "surfacing it — the only deterministic form at any parallelism. The "
+    "declared output serializes the array to a CSV string so the harness "
+    "compares hashable scalars (list cells crash its canonicalizer).",
 )
 def array_agg_sorted_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     return s.groupBy("s_nationkey").agg(
-        F.sort_array(F.collect_list("s_suppkey")).alias("suppkeys"),
+        F.concat_ws(",", F.sort_array(F.collect_list("s_suppkey"))).alias(
+            "suppkeys"
+        ),
         F.size(F.collect_list("s_suppkey")).cast("int").alias("n"),
     )
 

@@ -492,16 +492,37 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     "multimodal_feature_extract",
-    oracle=None,  # the stub decoder is a PRNG fake — rows-only check
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+                WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+           8 AS n_features,
+           TRUE AS within_spec
+    FROM documents
+    """,
     doc="Feature extraction over decoded media (mapInPandas, one decode per "
     "row, FEATURE_DIM channel statistics). The decoder is the stubbed "
-    "seam; feature shape/partitioning are exercised for real. Rows-only "
-    "check (deterministic but PRNG-based, not SQL-expressible).",
+    "seam, so raw feature values are PRNG-based and not SQL-expressible; "
+    "the declared output instead asserts the extraction CONTRACT per row "
+    "— vector dimension and every component finite in [0,1] (means/stds "
+    "are /255-normalized, dims /4096) — which the oracle states as "
+    "constants. A wrong-shaped or non-finite vector flips the row. Raw "
+    "values are pinned in tests/test_multimodal.py.",
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_synchronize_tool_spark.operators import multimodal as MM
 
-    return MM.extract_features(MM.synth_media_table(spark, sf_dir))
+    feats = MM.extract_features(MM.synth_media_table(spark, sf_dir))
+    ok = F.forall(
+        "features",
+        lambda x: x.isNotNull() & ~F.isnan(x) & (x >= 0.0) & (x <= 1.0),
+    )
+    return feats.select(
+        "media_id",
+        "mime",
+        F.size("features").cast("int").alias("n_features"),
+        ok.alias("within_spec"),
+    )
 
 
 @declared(
