@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
@@ -134,6 +134,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, verified by true
     Jaccard ≥ threshold. Returns (doc_a, doc_b, jacc).
@@ -179,23 +180,49 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
+    def sig_agreement(sa: Column, sb: Column) -> Column:
+        # Signature agreement computed in-row from the carried arrays —
+        # candidate pairs never join back for the prefilter.
+        return F.aggregate(
+            F.zip_with(sa, sb, lambda x, y: F.when(x == y, 1).otherwise(0)),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+
+    star = None
+    if max_bucket is not None:
+        # Hot-bucket cap: a boilerplate cluster (one template text repeated
+        # m times) lands all m docs in the same (band, key) bucket and the
+        # full pair join blows up to m² per band. Oversized buckets are
+        # star-linked instead: every member pairs with the bucket's min-id
+        # anchor only — O(m) candidate rows, and transitive closure
+        # downstream (dedup_clusters) recovers the full duplicate cluster.
+        wsz = Window.partitionBy("band", "key")
+        sized = bands.withColumn("bsz", F.count(F.lit(1)).over(wsz)).withColumn(
+            "rk", F.row_number().over(wsz.orderBy("doc_id"))
+        )
+        big = sized.filter(F.col("bsz") > max_bucket)
+        bands = sized.filter(F.col("bsz") <= max_bucket).drop("bsz", "rk")
+        anchors = big.filter(F.col("rk") == 1).select(
+            "band", "key", F.col("doc_id").alias("doc_a"), F.col("sig").alias("asig")
+        )
+        star = (
+            big.filter(F.col("rk") > 1)
+            .join(anchors, ["band", "key"])
+            .filter(sig_agreement(F.col("asig"), F.col("sig")) >= MIN_SIG_MATCHES)
+            .select("doc_a", F.col("doc_id").alias("doc_b"))
+        )
+
     a, b2 = bands.alias("a"), bands.alias("b")
-    # Signature agreement computed in-row from the carried arrays — candidate
-    # pairs never join back for the prefilter.
-    matches = F.aggregate(
-        F.zip_with(
-            F.col("a.sig"), F.col("b.sig"), lambda x, y: F.when(x == y, 1).otherwise(0)
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
     pre = (
         a.join(b2, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(matches >= MIN_SIG_MATCHES)
+        .filter(sig_agreement(F.col("a.sig"), F.col("b.sig")) >= MIN_SIG_MATCHES)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    if star is not None:
+        pre = pre.unionByName(star)
+    pre = pre.distinct()
     ha = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     hb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
@@ -227,6 +254,57 @@ def simhash(hashes: Column) -> Column:
     return sig
 
 
+def simhash_banded_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs WITHOUT a blocking column, via pigeonhole
+    signature banding: split the ``SIMHASH_BITS``-bit signature into
+    ``max_hamming + 1`` contiguous chunks — two signatures within
+    ``max_hamming`` Hamming distance must agree on at least one chunk, so an
+    equi-join on ``(band, chunk)`` finds every qualifying pair without the
+    O(n²) self-join the unbanded form degenerates to.
+
+    Scale shape: the banded table is ``(max_hamming+1) × n`` rows; candidates
+    are Σ bucket² per (band, chunk) bucket, then exact ``bit_count(xor)``
+    verifies. At corpus scale use a wider signature (64-bit) so chunk
+    cardinality keeps buckets small; the chunk math below is width-agnostic.
+    """
+    n_bands = max_hamming + 1
+    width = -(-SIMHASH_BITS // n_bands)  # ceil division
+    sigs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        simhash(shingle_hashes(F.col(text_col))).alias("sig"),
+    )
+    chunks = [
+        F.shiftright(F.col("sig"), i * width).bitwiseAND(F.lit((1 << width) - 1))
+        for i in range(n_bands)
+    ]
+    banded = sigs.select(
+        "doc_id", "sig", F.posexplode(F.array(*chunks)).alias("band", "chunk")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair can agree on several chunks
+    )
+
+
 def simhash_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -236,19 +314,23 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs whose SimHash signatures are within ``max_hamming``.
 
-    Blocked self-join (by ``block_col`` when given); at scale, band the
-    signature (pigeonhole: split into max_hamming+1 chunks, join on any
-    equal chunk) instead of a full cross-join.
+    Blocked self-join when ``block_col`` is given. Without a block column the
+    call routes to :func:`simhash_banded_pairs` — the unbanded self-join is a
+    latent cartesian and is never executed.
     """
+    if block_col is None:
+        return simhash_banded_pairs(
+            docs, text_col=text_col, id_col=id_col, max_hamming=max_hamming
+        )
     sigs = docs.select(
         F.col(id_col).alias("doc_id"),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+        F.col(block_col).alias("blk"),
         simhash(shingle_hashes(F.col(text_col))).alias("sig"),
     )
     a, b = sigs.alias("a"), sigs.alias("b")
-    cond = F.col("a.doc_id") < F.col("b.doc_id")
-    if block_col:
-        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    cond = (F.col("a.doc_id") < F.col("b.doc_id")) & (
+        F.col("a.blk") == F.col("b.blk")
+    )
     return (
         a.join(b, cond)
         .withColumn(

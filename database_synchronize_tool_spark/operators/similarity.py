@@ -129,16 +129,22 @@ def cosine_neardup_pairs(
     block_col: str | None = "label",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above ``threshold``, blocked to
-    bound the pair count (LSH buckets when no natural block exists)."""
+    bound the pair count. Without a natural block column the sign-LSH bucket
+    becomes the block: same equi-join shape (a bucket collision is required
+    for a candidate pair), so the unblocked call can never degenerate to the
+    O(n²) inequality-only self-join. Bucketing loses cross-bucket pairs —
+    recall < 1, same contract as :func:`lsh_bucket_topk` (raise
+    ``similarity.LSH_PLANES`` probes for recall at scale).
+    """
     base = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+        (
+            F.col(block_col) if block_col else lsh_bucket(F.col(vec_col))
+        ).alias("blk"),
     )
     a, b = base.alias("a"), base.alias("b")
-    cond = F.col("a.vid") < F.col("b.vid")
-    if block_col:
-        cond = (F.col("a.blk") == F.col("b.blk")) & cond
+    cond = (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vid") < F.col("b.vid"))
     return (
         a.join(b, cond)
         .withColumn("sim", cosine_pairs(F.col("a.v"), F.col("b.v")))

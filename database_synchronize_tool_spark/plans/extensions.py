@@ -233,6 +233,35 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "dedup_simhash_banded",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id, {_simhash_sql()} AS sig
+      FROM (SELECT doc_id, {_HASHES_SQL} AS hs FROM documents)
+    ), bands AS (
+      SELECT doc_id, sig, CAST(i AS INT) AS band,
+             (sig >> CAST(i * 8 AS INT)) & 255 AS chunk
+      FROM sigs, range(0, 4) t(i)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
+    doc=f"SimHash near-dup pairs with NO blocking column: pigeonhole "
+    f"banding splits the {DD.SIMHASH_BITS}-bit signature into 4 chunks — "
+    "Hamming ≤ 3 guarantees at least one equal chunk, so the (band, "
+    "chunk) equi-join is exhaustive (identical result set to the O(n²) "
+    "form) while shuffling only 4n banded rows. The scale path the "
+    "blocked variant's docstring promises.",
+)
+def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.simhash_banded_pairs(d, max_hamming=3)
+
+
+@declared(
     "dedup_embedding_cosine",
     oracle=f"""
     WITH e AS (

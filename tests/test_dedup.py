@@ -31,3 +31,113 @@ def test_minhash_near_dup_above_threshold(spark):
     )
     got = {(r["doc_a"], r["doc_b"]): r["jacc"] for r in minhash_lsh_pairs(docs).collect()}
     assert (1, 2) in got and got[(1, 2)] >= 0.8
+
+
+def _sim_corpus(spark):
+    # small corpus with exact dups, near-dups, and unrelated docs
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "the quick brown fox jumps over the lazy dog again and once"),
+        (4, "completely unrelated words zebra quartz vortex nymph glyph"),
+        (5, "spark engines shuffle partitions across the cluster nodes"),
+        (6, "spark engines shuffle partitions across the cluster roads"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_simhash_banded_equals_exhaustive(spark):
+    """Pigeonhole guarantee: banding on max_hamming+1 chunks finds EXACTLY
+    the pairs the brute-force O(n^2) self-join finds."""
+    from pyspark.sql import functions as F
+
+    from database_synchronize_tool_spark.operators.dedup import (
+        shingle_hashes,
+        simhash,
+        simhash_banded_pairs,
+    )
+
+    docs = _sim_corpus(spark)
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_banded_pairs(docs, max_hamming=3).collect()
+    }
+    sigs = docs.select(
+        "doc_id", simhash(shingle_hashes(F.col("text"))).alias("sig")
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+    assert (1, 2, 0) in banded  # exact dup pair survives
+
+
+def test_unblocked_simhash_routes_to_banding_no_cartesian(spark):
+    from database_synchronize_tool_spark.operators.dedup import simhash_pairs
+
+    plan = simhash_pairs(_sim_corpus(spark), block_col=None)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unblocked_cosine_routes_to_lsh_no_cartesian(spark):
+    import numpy as np
+
+    from database_synchronize_tool_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=8)
+    rows = [
+        (1, [float(x) for x in base]),
+        (2, [float(x) for x in base * 1.001]),  # near-dup: same bucket
+        (3, [float(x) for x in -base]),         # antipodal: opposite bucket
+    ]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    df = cosine_neardup_pairs(e, threshold=0.9, block_col=None)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pairs = {(r["vec_a"], r["vec_b"]) for r in df.collect()}
+    assert (1, 2) in pairs and all(3 not in p for p in pairs)
+
+
+def test_minhash_hot_bucket_cap_star_links_flood(spark):
+    """A boilerplate flood (one template repeated 40x) must not quadratic-blow
+    a band bucket: with max_bucket set, oversized buckets emit O(m) star
+    candidates (anchor->member), and connected components still recover the
+    whole duplicate cluster."""
+    from database_synchronize_tool_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    template = "click here to unsubscribe from this newsletter mailing list"
+    rows = [(i, template) for i in range(1, 41)]
+    rows += [(100, "a genuinely unique document about spark partitioning")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    capped = minhash_lsh_pairs(docs, max_bucket=10)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    # star shape: every flood member links to anchor 1, pair count is linear
+    assert got == {(1, i) for i in range(2, 41)}
+
+    uncapped_pairs = 40 * 39 // 2
+    assert len(got) == 39 < uncapped_pairs
+
+    # transitive closure recovers the full cluster off the star pairs
+    clusters = dedup_clusters(capped.select("doc_a", "doc_b"))
+    labels = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert len({labels[i] for i in range(1, 41)}) == 1
