@@ -54,6 +54,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     # Respect an externally configured master (driver/cluster); default local.
     if not os.environ.get("SPARK_MASTER_URL"):
         builder = builder.master(f"local[{cpus}]")
