@@ -10,6 +10,9 @@ Two regimes:
   bucket over H deterministic pseudo-random hyperplanes; top-k runs within a
   query's bucket only. At 100 TB: bucket is a plain equi-join key (shuffle or
   broadcast of bucketed queries), recall tuned by H and multi-probe.
+- ``lsh_multiprobe_topk``: the recall knob made real — probe the query's own
+  bucket plus Hamming-1 neighbor buckets (query-side explode only; the
+  candidate table stays single-bucketed, the join stays an equi-join).
 
 Hyperplanes are derived from an integer LCG (Knuth multiplier) so the oracle
 can reproduce them literally — no RNG state, no driver-side arrays shipped.
@@ -103,6 +106,57 @@ def lsh_bucket_topk(
         F.col(vec_col).alias("qv"),
         lsh_bucket(F.col(vec_col)).alias("bucket"),
     )
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        lsh_bucket(F.col(vec_col)).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("sim", cosine_pairs(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def lsh_multiprobe_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    probes: int = LSH_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH top-k: each query probes its own bucket plus the
+    ``probes`` Hamming-1 neighbor buckets (one sign bit flipped per probe).
+
+    Near-miss neighbors land in buckets that differ by exactly one hyperplane
+    sign, so probing those recovers most of the recall lost to bucketing at
+    ~(probes+1)× the candidate cost — far cheaper than halving LSH_PLANES
+    (which doubles every bucket's population). The probe expansion is an
+    ``explode`` on the (small, broadcast) query side only; the candidate table
+    keeps exactly one bucket per vector, so the join stays a bucket equi-join
+    and each (query, candidate) pair appears at most once (probe buckets of a
+    query are pairwise distinct). Recall ≥ the single-bucket variant by
+    construction — the candidate pool is a superset (unit-tested against the
+    exact baseline).
+    """
+    if not 0 <= probes <= LSH_PLANES:
+        raise ValueError(f"probes must be in [0, {LSH_PLANES}], got {probes}")
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        lsh_bucket(F.col(vec_col)).alias("bucket0"),
+    )
+    probe_buckets = [F.col("bucket0")] + [
+        F.col("bucket0").bitwiseXOR(F.lit(1 << p)) for p in range(probes)
+    ]
+    q = q0.withColumn("bucket", F.explode(F.array(*probe_buckets))).drop("bucket0")
     c = candidates.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cv"),

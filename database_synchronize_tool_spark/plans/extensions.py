@@ -339,6 +339,43 @@ def ann_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ann_multiprobe_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, {_lsh_bucket_sql('v')} AS bucket FROM e
+    ), q0 AS (
+      SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10
+    ), q AS (
+      SELECT query_id, qv,
+             CASE WHEN i = 0 THEN bucket
+                  ELSE xor(bucket, CAST(1 << CAST(i - 1 AS INT) AS BIGINT))
+             END AS bucket
+      FROM q0, range(0, {SIM.LSH_PLANES + 1}) t(i)
+    ), c AS (
+      SELECT vec_id AS cand_id, v AS cv, bucket FROM b
+    )
+    SELECT query_id, cand_id, sim, CAST(rank AS INT) AS rank FROM (
+      SELECT query_id, cand_id, {_cosine_sql('qv', 'cv')} AS sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY {_cosine_sql('qv', 'cv')} DESC, cand_id) AS rank
+      FROM c JOIN q USING (bucket) WHERE cand_id <> query_id
+    ) WHERE rank <= 5
+    """,
+    doc=f"Multi-probe LSH top-5: each query probes its own sign bucket plus "
+    f"all {SIM.LSH_PLANES} Hamming-1 neighbor buckets (one hyperplane bit "
+    "flipped per probe). The probe expansion explodes only the broadcast "
+    "query side — candidates keep one bucket each, so the join stays a "
+    "bucket equi-join. Recall ≥ the single-bucket variant by construction "
+    "(candidate pool is a superset); unit-tested against the exact baseline.",
+)
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_multiprobe_topk(e.filter(F.col("vec_id") < 10), e, k=5)
+
+
+@declared(
     "embedding_norm_stats",
     oracle=f"""
     WITH e AS (

@@ -1,0 +1,56 @@
+"""ANN operator recall contracts (SURVEY §2 extension surface).
+
+Multi-probe LSH (``lsh_multiprobe_topk``) probes the query's own sign bucket
+plus Hamming-1 neighbor buckets; its candidate pool is a superset of the
+single-bucket variant's, so every exact-top-k pair the single-bucket search
+finds must also be found with probes on — and on this corpus the probes
+recover strictly more (the recall knob the round-2 verdict asked for).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_synchronize_tool_spark.catalog import load_table
+from database_synchronize_tool_spark.operators import similarity as SIM
+
+
+def _pairs(df) -> set[tuple[int, int]]:
+    return {(r["query_id"], r["cand_id"]) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def recall_sets(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    return {
+        "exact": _pairs(SIM.bruteforce_topk(q, e, k=5)),
+        "single": _pairs(SIM.lsh_bucket_topk(q, e, k=5)),
+        "multi": _pairs(SIM.lsh_multiprobe_topk(q, e, k=5)),
+        "zero_probe": _pairs(SIM.lsh_multiprobe_topk(q, e, k=5, probes=0)),
+    }
+
+
+def test_multiprobe_recall_beats_single_bucket(recall_sets):
+    exact = recall_sets["exact"]
+    r_single = len(recall_sets["single"] & exact) / len(exact)
+    r_multi = len(recall_sets["multi"] & exact) / len(exact)
+    # superset candidate pool => recall can never drop, and on this corpus
+    # the Hamming-1 probes recover strictly more of the exact top-k
+    assert r_multi > r_single
+
+
+def test_multiprobe_hits_superset_of_single_bucket(recall_sets):
+    exact = recall_sets["exact"]
+    assert (recall_sets["single"] & exact) <= (recall_sets["multi"] & exact)
+
+
+def test_zero_probes_degenerates_to_single_bucket(recall_sets):
+    assert recall_sets["zero_probe"] == recall_sets["single"]
+
+
+def test_probes_out_of_range_rejected(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="probes"):
+        SIM.lsh_multiprobe_topk(e, e, probes=SIM.LSH_PLANES + 1)
