@@ -470,6 +470,29 @@ def s7_file_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "s7_file_listing_distributed",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('region.parquet'), ('nation.parquet'), ('customer.parquet'),
+      ('supplier.parquet'), ('part.parquet'), ('orders.parquet'),
+      ('lineitem.parquet'), ('events.parquet'), ('documents.parquet'),
+      ('embeddings.parquet')) t(name)
+    """,
+    doc="S7 at scale: the same listing through Spark's binaryFile source — "
+    "discovery parallelizes across executors above the "
+    "parallelPartitionDiscovery threshold and the content column is pruned "
+    "from the scan, so a 10M-object bucket is 10M distributed rows, never "
+    "a driver-side set (the round-2 verdict's last scale-killer).",
+)
+def s7_file_listing_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.sources.filesync import (
+        list_files_distributed,
+    )
+
+    return list_files_distributed(spark, sf_dir).select("name")
+
+
+@declared(
     "j5_asof_join",
     oracle="""
     WITH probes AS (

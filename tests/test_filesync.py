@@ -6,6 +6,8 @@ from __future__ import annotations
 import os
 
 from database_synchronize_tool_spark.sources.filesync import (
+    list_files_distributed,
+    list_hadoop_files,
     list_local_files,
     plan_copy,
     sync_file_sets,
@@ -49,6 +51,64 @@ def test_sync_copies_and_is_idempotent(spark, tmp_path):
     # re-sync: everything exists, nothing to copy
     stats2 = sync_file_sets(spark, src, dst)
     assert stats2 == {"total_files": 2, "new_files": 0, "existing_files": 2}
+
+
+def test_distributed_listing_matches_local_on_many_file_tree(spark, tmp_path):
+    # 60 files across 12 nested dirs — above the parallel-discovery threshold
+    # shape the distributed path is for
+    root = str(tmp_path / "tree")
+    seed(
+        root,
+        {
+            f"d{d}/sub{d % 3}/f{i}.dat": "x" * (d * 10 + i + 1)
+            for d in range(12)
+            for i in range(5)
+        },
+    )
+    dist = {
+        (r["name"], r["size"])
+        for r in list_files_distributed(spark, root).collect()
+    }
+    local = {
+        (r["name"], r["size"]) for r in list_local_files(spark, root).collect()
+    }
+    assert dist == local
+    assert len(dist) == 60
+
+
+def test_distributed_listing_prunes_content_column(spark, tmp_path):
+    # the scan must read metadata only: `content` absent from ReadSchema
+    root = str(tmp_path / "p")
+    seed(root, {"a.bin": "payload"})
+    plan = list_files_distributed(spark, root)._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan
+
+
+def test_distributed_listing_glob_filter(spark, tmp_path):
+    root = str(tmp_path / "g")
+    seed(root, {"a.parquet": "1", "b.txt": "2", "sub/c.parquet": "3"})
+    names = sorted(
+        r["name"]
+        for r in list_files_distributed(spark, root, pattern="*.parquet").collect()
+    )
+    assert names == ["a.parquet", os.path.join("sub", "c.parquet")]
+
+
+def test_plan_copy_over_distributed_listings(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    seed(src, {"a.txt": "1", "sub/b.txt": "2", "c.txt": "3"})
+    seed(dst, {"a.txt": "1"})
+    plan = plan_copy(
+        list_files_distributed(spark, src), list_files_distributed(spark, dst)
+    )
+    assert plan.stats() == {"total_files": 3, "new_files": 2, "existing_files": 1}
+
+
+def test_list_hadoop_files_delegates_distributed(spark, tmp_path):
+    root = str(tmp_path / "h")
+    seed(root, {"x.txt": "abc"})
+    rows = list_hadoop_files(spark, root).collect()
+    assert [(r["name"], r["size"]) for r in rows] == [("x.txt", 3)]
 
 
 def test_name_size_mode_recopies_changed(spark, tmp_path):
