@@ -449,6 +449,70 @@ def s4_primary_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "table_name string, pk_columns string")
 
 
+def _catalog_golden_oracle() -> str:
+    """Handwritten expected catalog SQL, one row per (table, kind) — written
+    independently of the readers.py generators so the driver's hash-compare is
+    a true golden check: if the generated SQL drifts from the reference's
+    shape (``sync_utils.py:195-204`` columns, ``:141-150`` pg_index PKs,
+    ``:153-166`` all-columns fallback), this mismatches. Inner single quotes
+    are doubled for the SQL string literal."""
+    from database_synchronize_tool_spark.catalog import TABLES
+
+    vals = []
+    for t in TABLES:
+        cols = (
+            "SELECT column_name, data_type, is_nullable, "
+            "character_maximum_length, numeric_precision, numeric_scale, "
+            f"udt_name FROM information_schema.columns WHERE table_name = "
+            f"''{t}'' ORDER BY ordinal_position"
+        )
+        pks = (
+            "SELECT a.attname AS column_name FROM pg_index i JOIN "
+            "pg_attribute a ON a.attrelid = i.indrelid AND a.attnum = "
+            f"ANY(i.indkey) WHERE i.indrelid = ''{t}''::regclass AND "
+            "i.indisprimary"
+        )
+        fallback = (
+            "SELECT column_name FROM information_schema.columns WHERE "
+            f"table_name = ''{t}'' ORDER BY ordinal_position"
+        )
+        vals.append(f"('{t}', 'columns', '{cols}')")
+        vals.append(f"('{t}', 'primary_keys', '{pks}')")
+        vals.append(f"('{t}', 'columns_fallback', '{fallback}')")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(table_name, kind, stmt)"
+    )
+
+
+@declared(
+    "catalog_live_columns_sql",
+    oracle=_catalog_golden_oracle(),
+    doc="Live-JDBC catalog path, golden-checked: the exact information_schema "
+    "column query, pg_index⋈pg_attribute PK query, and all-columns fallback "
+    "the engine ships to a live Postgres through JdbcSource (no Postgres in "
+    "the sandbox, so the driver verifies the generated SQL against a "
+    "handwritten expected form instead of executing it remotely).",
+)
+def catalog_live_columns_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.catalog import TABLES
+    from database_synchronize_tool_spark.sources.readers import (
+        columns_catalog_sql,
+        columns_fallback_sql,
+        primary_keys_catalog_sql,
+    )
+
+    rows = []
+    for t in TABLES:
+        rows.append((t, "columns", columns_catalog_sql(t)))
+        rows.append((t, "primary_keys", primary_keys_catalog_sql(t)))
+        rows.append((t, "columns_fallback", columns_fallback_sql(t)))
+    return spark.createDataFrame(
+        rows, "table_name string, kind string, stmt string"
+    )
+
+
 @declared(
     "s7_file_listing",
     oracle="""

@@ -54,6 +54,50 @@ class ParquetSource:
         return self.read(spark, table).schema
 
 
+def _sql_literal(name: str) -> str:
+    """Single-quoted SQL literal with embedded quotes doubled. The reference
+    binds ``%(table_name)s`` driver-side (``sync_utils.py:197-204``); Spark's
+    JDBC reader ships a textual subquery, so the parameter is inlined."""
+    return "'" + name.replace("'", "''") + "'"
+
+
+def columns_catalog_sql(table: str) -> str:
+    """information_schema column-discovery SQL (reference ``get_table_schema``,
+    ``/root/reference/db-sync-local/sync_utils.py:195-204``): name, type,
+    nullability, and the parameterized-type fields (length / precision /
+    scale / udt) that feed the rendered ``type(p,s)`` / ``udt[]`` forms."""
+    return (
+        "SELECT column_name, data_type, is_nullable, "
+        "character_maximum_length, numeric_precision, numeric_scale, udt_name "
+        "FROM information_schema.columns "
+        f"WHERE table_name = {_sql_literal(table)} "
+        "ORDER BY ordinal_position"
+    )
+
+
+def primary_keys_catalog_sql(table: str) -> str:
+    """pg_index ⋈ pg_attribute primary-key discovery SQL (reference
+    ``get_primary_keys``, ``sync_utils.py:141-150``)."""
+    return (
+        "SELECT a.attname AS column_name "
+        "FROM pg_index i "
+        "JOIN pg_attribute a ON a.attrelid = i.indrelid "
+        "AND a.attnum = ANY(i.indkey) "
+        f"WHERE i.indrelid = {_sql_literal(table)}::regclass "
+        "AND i.indisprimary"
+    )
+
+
+def columns_fallback_sql(table: str) -> str:
+    """All-columns fallback when no PK exists — the conflict key degenerates
+    to every column (reference ``sync_utils.py:153-166``; J4 full-row dedup)."""
+    return (
+        "SELECT column_name FROM information_schema.columns "
+        f"WHERE table_name = {_sql_literal(table)} "
+        "ORDER BY ordinal_position"
+    )
+
+
 @dataclass(frozen=True)
 class JdbcSource:
     """Database-side source (Postgres et al.) with partitioned scans.
@@ -108,3 +152,25 @@ class JdbcSource:
         for k, v in self.options(table, partition_column, lower, upper).items():
             reader = reader.option(k, v)
         return reader.load()
+
+    def _read_sql(self, spark: SparkSession, sql: str) -> DataFrame:
+        """Run arbitrary catalog SQL remotely: Spark's JDBC source accepts a
+        parenthesized subquery as ``dbtable``. Single-partition on purpose —
+        catalog results are rows-per-column, not data."""
+        reader = spark.read.format("jdbc")
+        for k, v in self.options(f"({sql}) AS cat").items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+    def read_columns_catalog(self, spark: SparkSession, table: str) -> DataFrame:
+        """S3 against a live database: the remote information_schema is the
+        schema authority (reference ``get_table_schema``), not parquet
+        footers. Requires the JDBC jar; SQL generation is golden-tested
+        without a live server (no Postgres in the sandbox, documented)."""
+        return self._read_sql(spark, columns_catalog_sql(table))
+
+    def read_primary_keys(self, spark: SparkSession, table: str) -> DataFrame:
+        """S4 against a live database, with the reference's fallback chain:
+        callers should fall back to :func:`columns_fallback_sql` columns when
+        this returns empty (``sync_utils.py:153-166``)."""
+        return self._read_sql(spark, primary_keys_catalog_sql(table))
