@@ -79,6 +79,83 @@ def sync_table(
     return SyncResult(cfg.table, ok=True, rows_synced=n, watermark=wm)
 
 
+@dataclass(frozen=True)
+class ServiceSyncPlan:
+    """One service's sync plan from the secret config (S10 → C2): the
+    prod-side source, the stage-side destination, and the service's tables."""
+
+    service: str
+    prod: Any  # JdbcSource (typed Any to keep runner import-light)
+    stage: Any
+    configs: dict[str, SyncConfig] = field(default_factory=dict)
+
+
+def plan_secret_syncs(environ: dict[str, str] | None = None) -> list[ServiceSyncPlan]:
+    """GCP-variant entry path: ``DB_SECRET_INFO`` env → per-service
+    prod/stage ``JdbcSource`` pairs + per-service table configs.
+
+    Mirrors the reference's ``parse_db_config`` + service grouping
+    (``/root/reference/db-sync-gcp/gcp_utils.py:15-71``,
+    ``gcp_main.py:45-62``): services without a ``db`` block never reach here
+    (parser skips them); a service missing either the prod or the stage end
+    is skipped too — a sync needs both. Each service's ``table_config`` YAML
+    is loaded and its tables tagged with the service name, so
+    :func:`run_all_syncs` groups them exactly as the reference does.
+    """
+    from dataclasses import replace
+
+    from database_synchronize_tool_spark.sources.config import (
+        load_table_config,
+        parse_db_secret_info,
+    )
+    from database_synchronize_tool_spark.sources.readers import JdbcSource
+
+    connections, table_config = parse_db_secret_info(environ)
+
+    def jdbc(conn) -> JdbcSource:
+        o = conn.jdbc_options()
+        return JdbcSource(
+            url=o["url"], user=o["user"], password=o["password"], driver=o["driver"]
+        )
+
+    plans: list[ServiceSyncPlan] = []
+    for service in sorted({c.service for c in connections.values()}):
+        prod = connections.get(f"{service}_prod")
+        stage = connections.get(f"{service}_stage")
+        if prod is None or stage is None:
+            continue
+        configs: dict[str, SyncConfig] = {}
+        if service in table_config:
+            configs = {
+                name: replace(cfg, service=service)
+                for name, cfg in load_table_config(table_config[service]).items()
+            }
+        plans.append(ServiceSyncPlan(service, jdbc(prod), jdbc(stage), configs))
+    return plans
+
+
+def run_secret_syncs(
+    spark: SparkSession,
+    environ: dict[str, str] | None = None,
+    source_for: Any = None,
+    sink_for: Any = None,
+) -> list[SyncResult]:
+    """Run every secret-configured service with per-table error isolation.
+
+    By default each service reads from its prod ``JdbcSource``; ``sink_for``
+    must build the stage-side sink (a live JDBC upsert sink needs a DB-API
+    connect factory the secret alone can't provide). Both factories take the
+    :class:`ServiceSyncPlan`, so tests substitute parquet source/sink pairs —
+    no Postgres runs in the sandbox (documented).
+    """
+    results: list[SyncResult] = []
+    for plan in plan_secret_syncs(environ):
+        source = source_for(plan) if source_for is not None else plan.prod
+        sink = sink_for(plan)
+        results.extend(run_all_syncs(spark, plan.configs, source, sink))
+    return results
+
+
 def run_all_syncs(
     spark: SparkSession,
     configs: dict[str, SyncConfig],
