@@ -64,14 +64,25 @@ def merge_upsert(
     source: DataFrame,
     keys: Sequence[str],
     broadcast_source: bool = False,
+    order_col: str | None = None,
+    collapse: bool = True,
 ) -> DataFrame:
     """Anti-join + union upsert: source wins on key collisions.
 
     Equivalent to ``INSERT ... ON CONFLICT DO UPDATE`` over full rows.
+    Duplicate keys *within* the source batch are collapsed first (keep-max
+    on ``order_col`` when given, else arbitrary-but-single) so the merged
+    output has one row per key — where the reference's single-statement
+    upsert would raise ``CardinalityViolation`` (``sync_utils.py:174-188``),
+    we collapse; documented divergence, SURVEY §7.4. Pass ``collapse=False``
+    only when the source is already key-unique and the extra aggregate is
+    provably wasted (the collapse shares the merge's key partitioning, so
+    its cost is one map-side-combined aggregate, not a second full shuffle).
     """
-    src = F.broadcast(source) if broadcast_source else source
-    kept = target.join(src.select(*keys), on=list(keys), how="left_anti")
-    return kept.unionByName(source)
+    src = collapse_source_dups(source, keys, order_col) if collapse else source
+    probe = F.broadcast(src) if broadcast_source else src
+    kept = target.join(probe.select(*keys), on=list(keys), how="left_anti")
+    return kept.unionByName(src)
 
 
 def merge_full_outer(
