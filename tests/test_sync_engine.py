@@ -165,6 +165,67 @@ def test_run_all_syncs_isolates_failures(spark, sf_dir, tmp_path):
 # ---------- DB-API upsert sink against sqlite ----------
 
 
+def test_parquet_merge_sink_crash_between_renames_recoverable(spark, tmp_path, monkeypatch):
+    # simulate a crash after the current table was renamed aside but before
+    # the new copy went live: BOTH full copies must exist on disk (nothing
+    # is ever deleted before the new data is live)
+    import os as _os
+
+    sink = ParquetMergeSink(str(tmp_path))
+    df1 = spark.createDataFrame([(1, "a")], "k int, v string")
+    sink.write(df1, "t", ["k"])
+    p = sink.path("t")
+
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def crashing_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            real_rename(src, dst)  # current table moves aside...
+            raise OSError("simulated crash before new copy went live")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", crashing_rename)
+    df2 = spark.createDataFrame([(2, "b")], "k int, v string")
+    try:
+        sink.write(df2, "t", ["k"])
+    except OSError:
+        pass
+    monkeypatch.setattr(_os, "rename", real_rename)
+
+    # crash window: live path missing, but old AND new copies both on disk
+    assert not _os.path.exists(p)
+    old_rows = spark.read.parquet(p + ".__old__").collect()
+    new_rows = spark.read.parquet(p + ".__tmp__").collect()
+    assert [(r["k"], r["v"]) for r in old_rows] == [(1, "a")]
+    assert sorted((r["k"], r["v"]) for r in new_rows) == [(1, "a"), (2, "b")]
+
+    # recovery = restore the old copy and re-run the idempotent write:
+    # stale tmp/old are cleared and the merge converges to the same rows
+    real_rename(p + ".__old__", p)
+    sink.write(df2, "t", ["k"])
+    assert sorted(
+        (r["k"], r["v"]) for r in spark.read.parquet(p).collect()
+    ) == [(1, "a"), (2, "b")]
+    assert not _os.path.exists(p + ".__tmp__")
+    assert not _os.path.exists(p + ".__old__")
+
+
+def test_parquet_merge_sink_clears_stale_leftovers(spark, tmp_path):
+    import os as _os
+
+    sink = ParquetMergeSink(str(tmp_path))
+    p = sink.path("t")
+    # fabricate leftovers from a crashed previous run
+    _os.makedirs(p + ".__tmp__")
+    _os.makedirs(p + ".__old__")
+    sink.write(spark.createDataFrame([(1, "a")], "k int, v string"), "t", ["k"])
+    assert _os.path.isdir(p)
+    assert not _os.path.exists(p + ".__tmp__")
+    assert not _os.path.exists(p + ".__old__")
+
+
 def test_dbapi_upsert_sink_sqlite(spark, tmp_path):
     db = str(tmp_path / "t.db")
     con = sqlite3.connect(db)
