@@ -111,6 +111,78 @@ def test_list_hadoop_files_delegates_distributed(spark, tmp_path):
     assert [(r["name"], r["size"]) for r in rows] == [("x.txt", 3)]
 
 
+def test_confirm_flow_executes_on_y(spark, tmp_path):
+    from database_synchronize_tool_spark.cli import sync_with_confirmation
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    seed(src, {"a.txt": "1", "b.txt": "2"})
+    os.makedirs(dst)
+    prompts = []
+
+    def confirm(prompt):
+        prompts.append(prompt)
+        return "y"
+
+    result = sync_with_confirmation(spark, src, dst, confirm=confirm)
+    assert result["executed"] and not result["cancelled"]
+    assert result["new_files"] == 2
+    assert len(prompts) == 1 and "(y/N)" in prompts[0]
+    assert sorted(os.listdir(dst)) == ["a.txt", "b.txt"]
+
+
+def test_confirm_flow_cancels_on_anything_else(spark, tmp_path):
+    from database_synchronize_tool_spark.cli import sync_with_confirmation
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    seed(src, {"a.txt": "1"})
+    os.makedirs(dst)
+    result = sync_with_confirmation(spark, src, dst, confirm=lambda _: "no")
+    assert result["cancelled"] and not result["executed"]
+    assert result["new_files"] == 1  # the dry-run report still happened
+    assert os.listdir(dst) == []  # but nothing copied
+
+
+def test_cli_yes_flag_skips_prompt(spark, tmp_path):
+    from database_synchronize_tool_spark.cli import main
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    seed(src, {"a.txt": "1"})
+    os.makedirs(dst)
+
+    def explode(_prompt):  # must never be called with --yes
+        raise AssertionError("prompted despite --yes")
+
+    rc = main([src, dst, "--yes"], spark=spark, confirm=explode)
+    assert rc == 0
+    assert os.listdir(dst) == ["a.txt"]
+
+
+def test_cli_dry_run_never_prompts_or_copies(spark, tmp_path):
+    from database_synchronize_tool_spark.cli import main
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    seed(src, {"a.txt": "1"})
+    os.makedirs(dst)
+
+    def explode(_prompt):
+        raise AssertionError("prompted during --dry-run")
+
+    rc = main([src, dst, "--dry-run"], spark=spark, confirm=explode)
+    assert rc == 0
+    assert os.listdir(dst) == []
+
+
+def test_cli_cancelled_exit_code(spark, tmp_path):
+    from database_synchronize_tool_spark.cli import main
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    seed(src, {"a.txt": "1"})
+    os.makedirs(dst)
+    rc = main([src, dst], spark=spark, confirm=lambda _: "")
+    assert rc == 1
+    assert os.listdir(dst) == []
+
+
 def test_name_size_mode_recopies_changed(spark, tmp_path):
     src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
     seed(src, {"a.txt": "longer-content"})
