@@ -197,6 +197,11 @@ def minhash_lsh_pairs(
         # star-linked instead: every member pairs with the bucket's min-id
         # anchor only — O(m) candidate rows, and transitive closure
         # downstream (dedup_clusters) recovers the full duplicate cluster.
+        # Caveat (off by default): cluster recovery assumes the anchor
+        # passes the signature/Jaccard verify against each member. The
+        # anchor is the bucket's min doc_id, not a centrality pick — if it
+        # fails the verify for some member, that member's links through the
+        # anchor (and hence its member–member pairs) are lost entirely.
         wsz = Window.partitionBy("band", "key")
         sized = bands.withColumn("bsz", F.count(F.lit(1)).over(wsz)).withColumn(
             "rk", F.row_number().over(wsz.orderBy("doc_id"))

@@ -866,15 +866,16 @@ def q2_min_per_group_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFr
            TRUE AS within_bound
     FROM orders GROUP BY o_orderstatus
     """,
-    doc="approx_count_distinct (HyperLogLog++) per order status — the "
-    "sketch that replaces exact COUNT(DISTINCT) at 100 TB (no giant "
-    "shuffle of distinct keys; mergeable partial sketches). HLL estimates "
-    "are engine-specific, so the declared output is oracle-checkable by "
-    "construction: the exact count plus a boolean asserting the sketch "
-    "landed within 5% of it (rsd=0.02, so 5% is a generous bound). The "
-    "oracle returns the same exact count and TRUE; a drifting sketch "
-    "flips the boolean and fails the hash. tests/test_sketches.py bounds "
-    "the raw relative error too.",
+    doc="approx_count_distinct (HyperLogLog++) per order status — at 100 TB "
+    "the sketch is what you'd run INSTEAD of exact COUNT(DISTINCT) (no "
+    "giant shuffle of distinct keys; mergeable partial sketches). This "
+    "declared query computes BOTH on purpose: the exact count is what the "
+    "oracle independently verifies; the within_bound boolean (sketch "
+    "within 5% of exact, rsd=0.02) is computed Spark-side and the oracle "
+    "hardcodes TRUE — so the bound is self-reported, not independently "
+    "checked (a >5% drift still fails the hash, but the real error-bound "
+    "evidence is tests/test_sketches.py, which asserts the raw relative "
+    "error directly).",
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")

@@ -232,6 +232,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_pairs(d, max_hamming=3, block_col="lang")
 
 
+# Banding constants derived from the SAME knobs the operator uses
+# (simhash_banded_pairs: n_bands = max_hamming+1, width = ceil(bits/bands)),
+# so changing DD.SIMHASH_BITS or the query's max_hamming can't silently
+# desynchronize the oracle from the engine (round-2 ADVICE).
+_SIMHASH_MAX_HAMMING = 3
+_SIMHASH_BANDS = _SIMHASH_MAX_HAMMING + 1
+_SIMHASH_WIDTH = -(-DD.SIMHASH_BITS // _SIMHASH_BANDS)  # ceil, mirrors operator
+
+
 @declared(
     "dedup_simhash_banded",
     oracle=f"""
@@ -240,25 +249,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, {_HASHES_SQL} AS hs FROM documents)
     ), bands AS (
       SELECT doc_id, sig, CAST(i AS INT) AS band,
-             (sig >> CAST(i * 8 AS INT)) & 255 AS chunk
-      FROM sigs, range(0, 4) t(i)
+             (sig >> CAST(i * {_SIMHASH_WIDTH} AS INT)) & {(1 << _SIMHASH_WIDTH) - 1} AS chunk
+      FROM sigs, range(0, {_SIMHASH_BANDS}) t(i)
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    WHERE bit_count(xor(a.sig, b.sig)) <= {_SIMHASH_MAX_HAMMING}
     """,
     doc=f"SimHash near-dup pairs with NO blocking column: pigeonhole "
-    f"banding splits the {DD.SIMHASH_BITS}-bit signature into 4 chunks — "
-    "Hamming ≤ 3 guarantees at least one equal chunk, so the (band, "
-    "chunk) equi-join is exhaustive (identical result set to the O(n²) "
-    "form) while shuffling only 4n banded rows. The scale path the "
+    f"banding splits the {DD.SIMHASH_BITS}-bit signature into "
+    f"{_SIMHASH_BANDS} chunks — Hamming ≤ {_SIMHASH_MAX_HAMMING} "
+    "guarantees at least one equal chunk, so the (band, chunk) equi-join "
+    "is exhaustive (identical result set to the O(n²) form) while "
+    f"shuffling only {_SIMHASH_BANDS}·n banded rows. The scale path the "
     "blocked variant's docstring promises.",
 )
 def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return DD.simhash_banded_pairs(d, max_hamming=3)
+    return DD.simhash_banded_pairs(d, max_hamming=_SIMHASH_MAX_HAMMING)
 
 
 @declared(
