@@ -23,6 +23,12 @@ Methodology — steady-state execution of a resident pipeline:
   overhead (~0.6 s across the set, worst on multi-stage dedup_minhash_lsh).
   Production sessions keep AQE on (session.py default) — runtime coalesce /
   skew handling matter exactly when shuffles are big.
+- **Symmetric oracle, same artifact.** After the Spark session stops, the
+  DuckDB oracle runs in this same process under the SAME methodology (hot
+  native tables ≙ the .cache() above, warm pass, best-of-3 — see
+  tools/bench_oracle.py), and the one JSON line carries both totals plus the
+  ratio. No more cross-session number pairing (round-2 verdict item 9 /
+  advice on methodology asymmetry).
 """
 
 from __future__ import annotations
@@ -84,6 +90,18 @@ def main() -> None:
             print(f"# {name}: {elapsed:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+
+    # Oracle side, back-to-back on the now-idle machine (JVM stopped), same
+    # warm+best-of-3 methodology — both totals land in one artifact.
+    spark.stop()
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from bench_oracle import run_oracle_bench
+
+    oracle_timings = run_oracle_bench(
+        sf_dir, HEADLINE, echo=lambda s: print(s, file=sys.stderr)
+    )
+    oracle_total = round(sum(oracle_timings.values()), 3)
+
     print(
         json.dumps(
             {
@@ -92,6 +110,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "oracle_queries": oracle_timings,
+                "oracle_total_sec": oracle_total,
+                "ratio_vs_oracle": round(total / oracle_total, 3) if oracle_total else None,
+                "methodology": "both sides: hot in-memory tables, plan/warm once, best-of-3, measured back-to-back in one process",
             }
         )
     )
