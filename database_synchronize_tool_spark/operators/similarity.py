@@ -175,6 +175,100 @@ def lsh_multiprobe_topk(
     )
 
 
+def ivf_assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_cells: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``top_cells`` nearest centroids by cosine.
+
+    ``centroids`` is small by construction (|cells| ≪ N) and broadcasts; the
+    assignment is one narrow pass over the vector table — per-row argmax
+    against the broadcast list, no shuffle of the big side. Ties break on
+    centroid id for determinism. Returns (id, vec, cell, cell_rank).
+    """
+    v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    c = centroids.select(
+        F.col("cell").alias("cell"), F.col("centroid").alias("cv")
+    )
+    scored = v.crossJoin(F.broadcast(c)).withColumn(
+        "csim", cosine_pairs(F.col("v"), F.col("cv"))
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("csim").desc(), F.col("cell"))
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= top_cells)
+        .select("vid", "v", "cell", F.col("cell_rank").cast("int").alias("cell_rank"))
+    )
+
+
+def seed_centroids(
+    candidates: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse quantizer: the ``n_cells`` smallest-id vectors
+    act as centroids (cell = their rank by id). Zero RNG state, so the
+    DuckDB oracle reproduces the quantizer literally. At corpus scale swap
+    in k-means-trained centroids (e.g. pyspark.ml KMeans over a sample) —
+    every downstream step is unchanged: the IVF contract only needs a small
+    deterministic (cell, centroid) table."""
+    w = Window.orderBy(F.col(id_col))
+    # global sort over n_cells seed rows only: the filter keeps the smallest
+    # ids via one pass (at scale, seed from a sample or a known id range)
+    seeds = candidates.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("centroid"))
+    smallest = seeds.orderBy("sid").limit(n_cells)
+    return smallest.select(
+        (F.row_number().over(Window.orderBy("sid")) - 1).alias("cell"),
+        "centroid",
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the candidate
+    table into ``n_cells`` cells, probe each query's ``n_probe`` nearest
+    cells, exact cosine top-k within the probed cells only.
+
+    The classic ANN scale shape complementing sign-LSH: candidate work per
+    query is ~``n_probe/n_cells`` of the corpus, the cell equi-join replaces
+    the cross join, and recall is tuned by ``n_probe`` (monotone — probing
+    more cells only grows the candidate pool; unit-tested). Candidates are
+    assigned to exactly one cell (their inverted file); queries fan out to
+    ``n_probe`` cells on the broadcast side only.
+    """
+    cents = seed_centroids(candidates, n_cells, id_col, vec_col)
+    cand_cells = ivf_assign_cells(candidates, cents, id_col, vec_col, top_cells=1)
+    c = cand_cells.select(
+        F.col("vid").alias("cand_id"), F.col("v").alias("cv"), "cell"
+    )
+    q_cells = ivf_assign_cells(queries, cents, id_col, vec_col, top_cells=n_probe)
+    q = q_cells.select(
+        F.col("vid").alias("query_id"), F.col("v").alias("qv"), "cell"
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("sim", cosine_pairs(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def cosine_neardup_pairs(
     embeddings: DataFrame,
     threshold: float,

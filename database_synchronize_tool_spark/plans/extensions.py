@@ -385,6 +385,59 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_multiprobe_topk(e.filter(F.col("vec_id") < 10), e, k=5)
 
 
+_IVF_CELLS = 16
+_IVF_PROBE = 2
+
+
+@declared(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cents AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY sid) - 1 AS INT) AS cell,
+             centroid AS cv
+      FROM (SELECT vec_id AS sid, v AS centroid FROM e
+            ORDER BY vec_id LIMIT {_IVF_CELLS})
+    ), cand_assign AS (
+      SELECT vec_id AS cand_id, v AS cv2, cell FROM (
+        SELECT e.vec_id, e.v AS v, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cosine_sql('e.v', 'c.cv')} DESC, c.cell) AS rk
+        FROM e, cents c
+      ) WHERE rk = 1
+    ), q_assign AS (
+      SELECT vec_id AS query_id, v AS qv, cell FROM (
+        SELECT e.vec_id, e.v AS v, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cosine_sql('e.v', 'c.cv')} DESC, c.cell) AS rk
+        FROM e, cents c WHERE e.vec_id < 10
+      ) WHERE rk <= {_IVF_PROBE}
+    )
+    SELECT query_id, cand_id, sim, CAST(rank AS INT) AS rank FROM (
+      SELECT query_id, cand_id, {_cosine_sql('qv', 'cv2')} AS sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY {_cosine_sql('qv', 'cv2')} DESC, cand_id) AS rank
+      FROM cand_assign JOIN q_assign USING (cell) WHERE cand_id <> query_id
+    ) WHERE rank <= 5
+    """,
+    doc=f"IVF approximate top-5: candidates coarse-quantized into "
+    f"{_IVF_CELLS} cells (deterministic data-seeded centroids, so the "
+    f"oracle reproduces the quantizer literally), each query probes its "
+    f"{_IVF_PROBE} nearest cells, exact cosine top-k within probed cells "
+    "only. The inverted-file ANN scale shape complementing sign-LSH: "
+    "per-query work ~ n_probe/n_cells of the corpus, cell equi-join "
+    "replaces the cross join, recall tuned by n_probe (monotone, "
+    "unit-tested). At corpus scale the quantizer swaps to k-means "
+    "centroids with every downstream step unchanged.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(
+        e.filter(F.col("vec_id") < 10), e, k=5, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE
+    )
+
+
 @declared(
     "embedding_norm_stats",
     oracle=f"""

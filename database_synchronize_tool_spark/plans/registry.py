@@ -87,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
     "udtf_json_kv_expand",
     # --- newly declared this round ---
     "ann_multiprobe_topk",
+    "ann_ivf_topk",
     "s7_file_listing_distributed",
     "catalog_live_columns_sql",
     # --- re-verify: §2 sync core (sync_ops.py) ---

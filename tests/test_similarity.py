@@ -54,3 +54,41 @@ def test_probes_out_of_range_rejected(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError, match="probes"):
         SIM.lsh_multiprobe_topk(e, e, probes=SIM.LSH_PLANES + 1)
+
+
+def test_ivf_nprobe_monotone_recall(spark, sf_dir):
+    # probing more cells only grows each query's candidate pool, so recall
+    # vs the exact baseline is monotone in n_probe
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = _pairs(SIM.bruteforce_topk(q, e, k=5))
+    recalls = []
+    for n_probe in (1, 2, 4):
+        got = _pairs(SIM.ivf_topk(q, e, k=5, n_cells=16, n_probe=n_probe))
+        recalls.append(len(got & exact) / len(exact))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] > recalls[0]  # more probes recover real neighbors here
+
+
+def test_ivf_probe_all_cells_is_exact(spark, sf_dir):
+    # n_probe == n_cells degenerates to the exact search
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = _pairs(SIM.bruteforce_topk(q, e, k=5))
+    all_cells = _pairs(SIM.ivf_topk(q, e, k=5, n_cells=8, n_probe=8))
+    assert all_cells == exact
+
+
+def test_ivf_candidates_single_cell(spark, sf_dir):
+    # each candidate belongs to exactly one inverted file
+    from database_synchronize_tool_spark.operators.similarity import (
+        ivf_assign_cells,
+        seed_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(e, 16)
+    assert cents.count() == 16
+    assigned = ivf_assign_cells(e, cents, top_cells=1)
+    assert assigned.count() == e.count()
+    assert assigned.select("vid").distinct().count() == e.count()
