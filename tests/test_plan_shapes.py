@@ -52,3 +52,42 @@ def test_sessionization_single_sort(spark, sf_dir):
 def test_topk_is_take_ordered(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "o1_sort_limit_topk")
     assert "TakeOrderedAndProject" in plan  # not a full global sort
+
+
+def test_bucketed_target_merge_skips_big_side_shuffle(spark, sf_dir):
+    # SCALE.md / merge.py claim: a target bucketed on the merge key is not
+    # re-shuffled by the merge join — its bucketing already satisfies the
+    # required distribution, so only the (small) source side pays an
+    # Exchange. Pin that: the bucketed plan must carry strictly fewer
+    # Exchanges than the identical merge over the unbucketed parquet.
+    from database_synchronize_tool_spark.catalog import load_table
+    from database_synchronize_tool_spark.operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    delta = orders.limit(500)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        spark.sql("DROP TABLE IF EXISTS bucketed_orders_test")
+        (
+            orders.write.mode("overwrite")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable("bucketed_orders_test")
+        )
+        bucketed = spark.table("bucketed_orders_test")
+
+        def exchanges(df) -> int:
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            return plan.count("Exchange")
+
+        n_bucketed = exchanges(merge_upsert(bucketed, delta, ["o_orderkey"]))
+        n_plain = exchanges(merge_upsert(orders, delta, ["o_orderkey"]))
+        assert n_bucketed < n_plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bucketed_orders_test")
