@@ -258,7 +258,12 @@ def j3_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
         F.lit("U").alias("o_orderstatus"),
     )
-    return merge_upsert(target, source, ["o_orderkey"], broadcast_source=True)
+    # collapse=False: the delta is a filtered slice of orders, whose PK is
+    # o_orderkey — provably key-unique, so the dup-collapse aggregate would
+    # be a pure waste (the documented opt-out in merge_upsert)
+    return merge_upsert(
+        target, source, ["o_orderkey"], broadcast_source=True, collapse=False
+    )
 
 
 @declared(
