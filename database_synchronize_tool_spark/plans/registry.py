@@ -124,6 +124,7 @@ _PRIORITY: tuple[str, ...] = (
     "t7_stream_tumbling",
     "t8_stream_dedup",
     "t9_stream_static_join",
+    "t10_stream_session_window",  # new this round: completes the window matrix
     # --- re-verify: headline analytics (bench set) ---
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -249,3 +249,48 @@ def t9_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(stream, "t9_stream_static_tbl", output_mode="complete")
     return spark.table("t9_stream_static_tbl")
+
+
+@declared(
+    "t10_stream_session_window",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    ), sess AS (
+      SELECT MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL '30 minutes' AS session_end,
+             user_id, COUNT(*) AS n_events
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT session_start, session_end, user_id, n_events
+    FROM sess, (SELECT MAX(ts) AS mx FROM events) m
+    WHERE session_end <= mx - INTERVAL '2 hours'
+    """,
+    doc="Streaming sessionization via the built-in session_window (gap-based "
+    "merging state, watermark-closed): events replayed as micro-batches, "
+    "append mode emits exactly the sessions the 2-hour watermark finalized "
+    "— i.e. session_end (last event + gap) <= max event time - delay. The "
+    "oracle models that eviction rule literally on top of the batch "
+    "gaps-and-islands sessions, so the streaming engine's emission "
+    "semantics (not just the window math) are driver-checked. Completes "
+    "the window matrix: tumbling/sliding/session × batch/stream.",
+)
+def t10_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        session_counts,
+    )
+
+    stream = session_counts(read_events_stream(spark, sf_dir))
+    run_to_memory(stream, "t10_stream_session_tbl", output_mode="append")
+    return spark.table("t10_stream_session_tbl")

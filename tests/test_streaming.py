@@ -39,6 +39,29 @@ def test_session_stream_matches_batch(spark, sf_dir):
     assert got == want
 
 
+def test_session_stream_append_emits_watermark_closed_only(spark, sf_dir):
+    """Append mode must emit exactly the sessions the watermark finalized:
+    session_end (last event + gap) <= max event time - delay. This is the
+    eviction rule the declared t10_stream_session_window oracle models."""
+    import pyspark.sql.functions as F
+
+    stream = session_counts(read_events_stream(spark, sf_dir))
+    run_to_memory(stream, "session_append_test", output_mode="append")
+    got = canon(spark.sql("SELECT * FROM session_append_test").collect())
+
+    events = load_table(spark, sf_dir, "events")
+    mx = events.agg(F.max(F.col("ts").cast("timestamp"))).first()[0]
+    import datetime as dt
+
+    cutoff = mx - dt.timedelta(hours=2)
+    batch = session_counts(events).filter(
+        F.col("session_end").cast("timestamp") <= F.lit(cutoff)
+    )
+    want = canon(batch.collect())
+    assert got == want
+    assert 0 < len(got) < session_counts(events).count()  # something held back
+
+
 def test_stream_merge_foreachbatch(spark, sf_dir, tmp_path):
     """Micro-batches flow through the same merge_upsert as the batch engine;
     the final state equals a plain batch copy keyed on event_id."""
