@@ -914,6 +914,36 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS exact_p50,
+           TRUE AS within_rank_bound
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="approx_percentile (Greenwald-Khanna sketch, accuracy=100 => rank "
+    "error <= 1%) per order status — the quantile sketch that replaces an "
+    "exact per-group sort at 100 TB (mergeable partial summaries, no "
+    "full-column shuffle-sort). Same verification pattern as "
+    "agg_approx_count_distinct: the oracle independently verifies only "
+    "the exact p50; within_rank_bound (sketch p50 between the exact 0.48 "
+    "and 0.52 quantiles, i.e. inside a 2x-cushioned rank band) is "
+    "computed Spark-side, so a sketch drifting past its rank guarantee "
+    "flips the boolean and fails the hash.",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+        F.expr(
+            "approx_percentile(o_totalprice, 0.5, 100) "
+            "BETWEEN percentile(o_totalprice, 0.48) "
+            "AND percentile(o_totalprice, 0.52)"
+        ).alias("within_rank_bound"),
+    )
+
+
+@declared(
     "unpivot_order_metrics",
     oracle="""
     SELECT o_orderkey, metric, val

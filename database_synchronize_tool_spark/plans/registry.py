@@ -90,6 +90,8 @@ _PRIORITY: tuple[str, ...] = (
     "ann_ivf_topk",
     "s7_file_listing_distributed",
     "catalog_live_columns_sql",
+    "agg_approx_percentile",
+    "t10_stream_session_window",
     # --- re-verify: §2 sync core (sync_ops.py) ---
     "s1_full_scan_projection",
     "s2_delta_scan_ts",
@@ -124,7 +126,6 @@ _PRIORITY: tuple[str, ...] = (
     "t7_stream_tumbling",
     "t8_stream_dedup",
     "t9_stream_static_join",
-    "t10_stream_session_window",  # new this round: completes the window matrix
     # --- re-verify: headline analytics (bench set) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
