@@ -54,6 +54,23 @@ def test_topk_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan  # not a full global sort
 
 
+def test_multiprobe_join_is_broadcast_hash_not_cartesian(spark, sf_dir):
+    # the probe explode must stay on the broadcast query side; the candidate
+    # join must remain a bucket equi-join (hash), never a cartesian product
+    plan = plan_of(spark, sf_dir, "ann_multiprobe_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_cell_join_is_broadcast_hash_not_cartesian(spark, sf_dir):
+    # centroid assignment is a broadcast nested-loop over 16 rows (intended:
+    # per-row argmax against the broadcast centroid list); the cell search
+    # join itself must be a hash equi-join and nothing may be a cartesian
+    plan = plan_of(spark, sf_dir, "ann_ivf_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_bucketed_target_merge_skips_big_side_shuffle(spark, sf_dir):
     # SCALE.md / merge.py claim: a target bucketed on the merge key is not
     # re-shuffled by the merge join — its bucketing already satisfies the
