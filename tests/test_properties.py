@@ -64,6 +64,34 @@ def test_merge_keyset_union_source_wins(spark, t, s):
             assert merged[k] == v
 
 
+@given(t=kv_lists, s=kv_lists)
+@settings(**SETTINGS)
+def test_merge_output_key_unique_even_with_dup_source(spark, t, s):
+    # RAW source batches (dup keys allowed): since round 3 merge_upsert
+    # collapses in-batch dups itself, so the output must be key-unique and
+    # cover exactly target-keys ∪ source-keys
+    t = list({k: (k, v) for k, v in t}.values())  # targets are key-unique
+    out = rows(merge_upsert(df_of(spark, t), df_of(spark, s), ["k"]))
+    keys = [k for k, _ in out]
+    assert len(keys) == len(set(keys))
+    assert set(keys) == {k for k, _ in t} | {k for k, _ in s}
+
+
+@given(t=kv_lists, s=kv_lists)
+@settings(**SETTINGS)
+def test_merge_collapse_keeps_max_order_col(spark, t, s):
+    # with order_col, the greatest-v source row wins its key deterministically
+    t = list({k: (k, v) for k, v in t}.values())
+    merged = dict(
+        rows(merge_upsert(df_of(spark, t), df_of(spark, s), ["k"], order_col="v"))
+    )
+    src_max = {}
+    for k, v in s:
+        src_max[k] = max(src_max.get(k, v), v)
+    for k, v in src_max.items():
+        assert merged[k] == v
+
+
 @given(vals=st.lists(st.integers(0, 50), min_size=1, max_size=20), wm=st.integers(0, 50))
 @settings(**SETTINGS)
 def test_delta_filter_partitions_source(spark, vals, wm):
