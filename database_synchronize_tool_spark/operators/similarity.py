@@ -275,15 +275,23 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = "label",
+    probes: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above ``threshold``, blocked to
     bound the pair count. Without a natural block column the sign-LSH bucket
     becomes the block: same equi-join shape (a bucket collision is required
     for a candidate pair), so the unblocked call can never degenerate to the
     O(n²) inequality-only self-join. Bucketing loses cross-bucket pairs —
-    recall < 1, same contract as :func:`lsh_bucket_topk` (raise
-    ``similarity.LSH_PLANES`` probes for recall at scale).
+    ``probes > 0`` (LSH mode only) recovers them the multi-probe way: one
+    side of the self-join additionally probes its Hamming-1 neighbor
+    buckets, so pairs whose buckets differ by ≤1 sign bit become candidates
+    too, at (probes+1)× the left side's rows — still an equi-join, recall ≥
+    the unprobed call by construction (superset candidate set; unit-tested).
     """
+    if block_col is not None and probes:
+        raise ValueError("probes apply only to the LSH-bucketed (unblocked) mode")
+    if not 0 <= probes <= LSH_PLANES:
+        raise ValueError(f"probes must be in [0, {LSH_PLANES}], got {probes}")
     base = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
@@ -291,15 +299,34 @@ def cosine_neardup_pairs(
             F.col(block_col) if block_col else lsh_bucket(F.col(vec_col))
         ).alias("blk"),
     )
-    a, b = base.alias("a"), base.alias("b")
+    a = base.alias("a")
+    if probes:
+        probe_buckets = [F.col("blk")] + [
+            F.col("blk").bitwiseXOR(F.lit(1 << p)) for p in range(probes)
+        ]
+        a = (
+            base.withColumn("blk_probe", F.explode(F.array(*probe_buckets)))
+            .drop("blk")
+            .withColumnRenamed("blk_probe", "blk")
+            .alias("a")
+        )
+    b = base.alias("b")
     cond = (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vid") < F.col("b.vid"))
-    return (
+    pairs = (
         a.join(b, cond)
-        .withColumn("sim", cosine_pairs(F.col("a.v"), F.col("b.v")))
-        .filter(F.col("sim") >= threshold)
         .select(
             F.col("a.vid").alias("vec_a"),
             F.col("b.vid").alias("vec_b"),
-            F.col("sim"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
         )
+    )
+    if probes:
+        # a pair can collide twice (a probes b's bucket AND shares its own);
+        # dedupe on ids before the verify so each pair is scored once
+        pairs = pairs.dropDuplicates(["vec_a", "vec_b"])
+    return (
+        pairs.withColumn("sim", cosine_pairs(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", "sim")
     )

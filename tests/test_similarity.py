@@ -56,6 +56,26 @@ def test_probes_out_of_range_rejected(spark, sf_dir):
         SIM.lsh_multiprobe_topk(e, e, probes=SIM.LSH_PLANES + 1)
 
 
+def test_neardup_probes_monotone_superset(spark, sf_dir):
+    # unblocked near-dup: each extra Hamming-1 probe can only ADD candidate
+    # pairs (threshold verify is exact), so results are nested supersets
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def pairs(probes):
+        df = SIM.cosine_neardup_pairs(e, 0.35, block_col=None, probes=probes)
+        return {(r["vec_a"], r["vec_b"]) for r in df.collect()}
+
+    p0, p4, p8 = pairs(0), pairs(4), pairs(8)
+    assert p0 <= p4 <= p8
+    assert len(p8) > len(p0)  # probes recover real cross-bucket pairs here
+
+
+def test_neardup_probes_rejected_with_block_col(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="LSH-bucketed"):
+        SIM.cosine_neardup_pairs(e, 0.4, probes=2)
+
+
 def test_ivf_nprobe_monotone_recall(spark, sf_dir):
     # probing more cells only grows each query's candidate pool, so recall
     # vs the exact baseline is monotone in n_probe
