@@ -96,9 +96,17 @@ class ParquetMergeSink:
     Write-new-then-swap keeps readers consistent (the same contract a Delta
     commit provides via its log; plain parquet gets it from a directory
     rename).
+
+    ``partition_by`` writes a hive-partitioned layout (``col=value/``
+    directories): downstream scans that filter on a partition column prune
+    whole directories (``PartitionFilters`` in the plan — asserted in
+    tests), which at 100 TB is the difference between scanning a day and
+    scanning the table. The swap stays atomic — partitioning only changes
+    the layout inside the table directory being swapped.
     """
 
     root: str
+    partition_by: Sequence[str] = ()
 
     def path(self, table: str) -> str:
         import os
@@ -139,7 +147,10 @@ class ParquetMergeSink:
         for stale in (tmp, old):
             if os.path.exists(stale):
                 shutil.rmtree(stale) if os.path.isdir(stale) else os.remove(stale)
-        merged.write.mode("overwrite").parquet(tmp)
+        writer = merged.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(tmp)
         if os.path.exists(p):
             os.rename(p, old)  # atomic: current copy preserved, not deleted
         os.rename(tmp, p)  # atomic: new copy goes live

@@ -212,6 +212,35 @@ def test_parquet_merge_sink_crash_between_renames_recoverable(spark, tmp_path, m
     assert not _os.path.exists(p + ".__old__")
 
 
+def test_parquet_merge_sink_partitioned_layout_prunes(spark, tmp_path):
+    # hive-partitioned sink layout: reads filtered on the partition column
+    # must prune directories (PartitionFilters), not scan the whole table
+    import os as _os
+
+    sink = ParquetMergeSink(str(tmp_path), partition_by=["etype"])
+    df = spark.createDataFrame(
+        [(1, "click", 1.0), (2, "view", 2.0), (3, "click", 3.0)],
+        "id int, etype string, v double",
+    )
+    sink.write(df, "ev", ["id"])
+    p = sink.path("ev")
+    assert sorted(
+        d for d in _os.listdir(p) if d.startswith("etype=")
+    ) == ["etype=click", "etype=view"]
+
+    scan = spark.read.parquet(p).filter("etype = 'click'")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "etype" in plan
+    assert sorted(r["id"] for r in scan.collect()) == [1, 3]
+
+    # merge of a delta keeps the layout and stays idempotent
+    delta = spark.createDataFrame([(3, "click", 9.0), (4, "view", 4.0)],
+                                  "id int, etype string, v double")
+    sink.write(delta, "ev", ["id"])
+    got = {r["id"]: r["v"] for r in spark.read.parquet(p).collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: 9.0, 4: 4.0}
+
+
 def test_parquet_merge_sink_clears_stale_leftovers(spark, tmp_path):
     import os as _os
 
