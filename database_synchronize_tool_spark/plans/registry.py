@@ -92,6 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     "catalog_live_columns_sql",
     "agg_approx_percentile",
     "t10_stream_session_window",
+    "j7_sync_diff_audit",
     # --- re-verify: §2 sync core (sync_ops.py) ---
     "s1_full_scan_projection",
     "s2_delta_scan_ts",

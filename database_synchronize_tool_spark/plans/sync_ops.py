@@ -267,6 +267,53 @@ def j3_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "j7_sync_diff_audit",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.05
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ), s AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 11 <> 0
+    )
+    SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           CASE WHEN t.o_orderkey IS NULL THEN 'missing_in_target'
+                WHEN s.o_orderkey IS NULL THEN 'missing_in_source'
+                ELSE 'changed' END AS status
+    FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+    WHERE t.o_orderkey IS NULL OR s.o_orderkey IS NULL
+       OR t.o_totalprice IS DISTINCT FROM s.o_totalprice
+       OR t.o_orderstatus IS DISTINCT FROM s.o_orderstatus
+    """,
+    doc="Sync audit (the verification step the reference lacks): keyed "
+    "symmetric diff classifying every divergent key as missing_in_target "
+    "(sync behind), missing_in_source (source-side delete — the "
+    "high-watermark model's blind spot), or changed (drift below the "
+    "watermark). One full-outer shuffle on the key; equal rows never "
+    "emitted, so the output is the divergence set, not a table copy. "
+    "Null-safe compares = Postgres IS DISTINCT FROM.",
+)
+def j7_sync_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.operators.diff import sync_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 1.05
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    source = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    return sync_diff(target, source, ["o_orderkey"])
+
+
+@declared(
     "j4_dedup_full_row",
     oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     doc="J4 no-PK degenerate merge key: all columns form the key => full-row "
