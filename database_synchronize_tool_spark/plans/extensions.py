@@ -844,13 +844,17 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e
     )
     SELECT vec_id, scale,
-           list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q
+           array_to_string(
+             list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)), ',') AS q
     FROM s
     """,
     doc="Symmetric int8 quantization of embeddings: per-vector scale "
     "127/max|x|, floor(x*scale+0.5) rounding (floor is exact in IEEE — no "
     "HALF_UP/HALF_EVEN cross-engine ambiguity). The 4× memory cut that "
-    "makes 100 TB ANN candidate scans cache-resident.",
+    "makes 100 TB ANN candidate scans cache-resident. The declared output "
+    "serializes the int8 array to a CSV string (the array_agg_sorted_per_group "
+    "pattern) so the harness compares hashable scalars — list cells crash "
+    "its pandas canonicalizer.",
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_synchronize_tool_spark.functions.vectors import as_double
@@ -863,7 +867,12 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         scale.alias("scale"),
-        F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("bigint")).alias("q"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("bigint").cast("string")
+            ),
+        ).alias("q"),
     )
 
 
