@@ -97,26 +97,33 @@ def main() -> None:
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
     from bench_oracle import run_oracle_bench
 
-    oracle_timings = run_oracle_bench(
-        sf_dir, HEADLINE, echo=lambda s: print(s, file=sys.stderr)
-    )
+    # A DuckDB-side failure must not discard the already-collected Spark
+    # timings — emit the artifact either way, with an oracle_error field.
+    oracle_timings: dict[str, float] = {}
+    oracle_error = None
+    try:
+        oracle_timings = run_oracle_bench(
+            sf_dir, HEADLINE, echo=lambda s: print(s, file=sys.stderr)
+        )
+    except Exception as exc:  # noqa: BLE001 - artifact must still be emitted
+        oracle_error = f"{type(exc).__name__}: {exc}"
+        print(f"# oracle bench failed: {oracle_error}", file=sys.stderr)
     oracle_total = round(sum(oracle_timings.values()), 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "oracle_queries": oracle_timings,
-                "oracle_total_sec": oracle_total,
-                "ratio_vs_oracle": round(total / oracle_total, 3) if oracle_total else None,
-                "methodology": "both sides: hot in-memory tables, plan/warm once, best-of-3, measured back-to-back in one process",
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "oracle_queries": oracle_timings,
+        "oracle_total_sec": oracle_total,
+        "ratio_vs_oracle": round(total / oracle_total, 3) if oracle_total else None,
+        "methodology": "both sides: hot in-memory tables, plan/warm once, best-of-3, measured back-to-back in one process",
+    }
+    if oracle_error is not None:
+        payload["oracle_error"] = oracle_error
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -148,6 +148,11 @@ def run_secret_syncs(
     :class:`ServiceSyncPlan`, so tests substitute parquet source/sink pairs —
     no Postgres runs in the sandbox (documented).
     """
+    if sink_for is None:
+        raise ValueError(
+            "sink_for is required: a stage-side sink cannot be derived "
+            "from the secret alone"
+        )
     results: list[SyncResult] = []
     for plan in plan_secret_syncs(environ):
         source = source_for(plan) if source_for is not None else plan.prod

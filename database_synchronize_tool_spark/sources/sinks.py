@@ -128,7 +128,11 @@ class ParquetMergeSink:
         crash at any point is recoverable and never strands the only copy in
         a temp directory (the round-2 verdict's rmtree-then-rename hazard).
         A leftover ``.__old__``/``.__tmp__`` from a crashed run is cleared on
-        the next write — the live target is always the authority."""
+        the next write — but only once a live target exists. If the crash
+        landed between the two renames (live path missing, ``.__old__``
+        holding the only full copy), the old copy is renamed back into place
+        first; otherwise this write would merge against an empty target and
+        then delete the sole surviving copies."""
         import os
         import shutil
 
@@ -137,12 +141,16 @@ class ParquetMergeSink:
             merge_upsert,
         )
 
+        p = self.path(table)
+        old_pre = p + ".__old__"
+        if not os.path.exists(p) and os.path.exists(old_pre):
+            os.rename(old_pre, p)  # auto-recover mid-swap crash
+
         spark = df.sparkSession
         target = self.read_target(spark, table, df.schema)
         merged = (
             merge_upsert(target, df, keys) if keys else dedup_merge(target, df)
         )
-        p = self.path(table)
         tmp, old = p + ".__tmp__", p + ".__old__"
         for stale in (tmp, old):
             if os.path.exists(stale):

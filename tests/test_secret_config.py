@@ -192,3 +192,12 @@ def test_run_secret_syncs_end_to_end(spark, tmp_path):
         sink_for=lambda plan: ParquetMergeSink(dst_root),
     )
     assert [(r.table, r.ok, r.rows_synced) for r in results2] == [("items", True, 0)]
+
+
+def test_run_secret_syncs_requires_sink_factory(spark):
+    # a stage-side sink can't be derived from the secret alone: omitting
+    # sink_for must fail loudly, not crash with NoneType-not-callable
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sink_for is required"):
+        run_secret_syncs(spark, {"DB_SECRET_INFO": "{}"})

@@ -201,9 +201,9 @@ def test_parquet_merge_sink_crash_between_renames_recoverable(spark, tmp_path, m
     assert [(r["k"], r["v"]) for r in old_rows] == [(1, "a")]
     assert sorted((r["k"], r["v"]) for r in new_rows) == [(1, "a"), (2, "b")]
 
-    # recovery = restore the old copy and re-run the idempotent write:
-    # stale tmp/old are cleared and the merge converges to the same rows
-    real_rename(p + ".__old__", p)
+    # recovery is automatic: the next write detects the missing live path,
+    # renames the old copy back into place, clears the stale tmp, and the
+    # idempotent merge converges to the same rows
     sink.write(df2, "t", ["k"])
     assert sorted(
         (r["k"], r["v"]) for r in spark.read.parquet(p).collect()
@@ -246,13 +246,19 @@ def test_parquet_merge_sink_clears_stale_leftovers(spark, tmp_path):
 
     sink = ParquetMergeSink(str(tmp_path))
     p = sink.path("t")
-    # fabricate leftovers from a crashed previous run
+    # fabricate leftovers from a crashed previous run NEXT TO a live target:
+    # only then are tmp/old stale (a missing live target means .__old__ is
+    # the sole surviving copy and must be recovered, not deleted)
+    sink.write(spark.createDataFrame([(1, "a")], "k int, v string"), "t", ["k"])
     _os.makedirs(p + ".__tmp__")
     _os.makedirs(p + ".__old__")
-    sink.write(spark.createDataFrame([(1, "a")], "k int, v string"), "t", ["k"])
+    sink.write(spark.createDataFrame([(2, "b")], "k int, v string"), "t", ["k"])
     assert _os.path.isdir(p)
     assert not _os.path.exists(p + ".__tmp__")
     assert not _os.path.exists(p + ".__old__")
+    assert sorted(
+        (r["k"], r["v"]) for r in spark.read.parquet(p).collect()
+    ) == [(1, "a"), (2, "b")]
 
 
 def test_dbapi_upsert_sink_sqlite(spark, tmp_path):
