@@ -20,7 +20,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Protocol
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from database_synchronize_tool_spark.operators.watermark import (
     delta_filter,
@@ -69,13 +70,22 @@ def sync_table(
     else:
         delta = delta_filter(src, cfg.check_column, wm, parity=cfg.parity)
 
-    # P4: empty-delta guard — skip the sink entirely (sync_utils.py:268-279)
-    n = delta.count()
-    if n == 0:
+    # P4: empty-delta guard — skip the sink entirely (sync_utils.py:268-279).
+    # A take(1) probe, not a full count: the pushed watermark predicate plus
+    # the limit lets the scan stop at the first qualifying row, so the guard
+    # costs one early-terminating job instead of a full pass over the source.
+    if delta.isEmpty():
         return SyncResult(cfg.table, ok=True, rows_synced=0, watermark=wm)
 
+    # rows_synced rides the sink's own action via observe() — the delta is
+    # scanned exactly once (no count() second pass; at 100 TB a second pass
+    # doubles the read). The observed node sits under the merge/write plan,
+    # so the metric arrives with the write job itself.
+    obs = Observation(f"sync_metrics_{cfg.table}")
+    observed = delta.observe(obs, F.count(F.lit(1)).alias("rows_synced"))
     keys = list(cfg.merge_keys)
-    sink.write(delta, cfg.table, keys)
+    sink.write(observed, cfg.table, keys)
+    n = int(obs.get["rows_synced"])
     return SyncResult(cfg.table, ok=True, rows_synced=n, watermark=wm)
 
 

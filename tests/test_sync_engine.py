@@ -146,6 +146,31 @@ def test_sync_table_full_then_incremental(spark, sf_dir, tmp_path):
     assert spark.read.parquet(sink.path("events")).count() == n_above_zero
 
 
+def test_sync_table_single_pass_no_count_action(spark, sf_dir, tmp_path, monkeypatch):
+    """rows_synced comes from the observe() piggyback on the sink's own
+    write job — sync_table must never run a count() action over the delta
+    (a second full pass that doubles the read at 100 TB). The empty-delta
+    guard is a take(1) probe, which is allowed."""
+    from pyspark.sql import DataFrame
+
+    source = ParquetSource(sf_dir)
+    sink = ParquetMergeSink(str(tmp_path))
+    cfg = _events_cfg()
+    expected = source.read(spark, "events").filter("event_id > 0").count()
+
+    def banned_count(self):
+        raise AssertionError("sync_table ran a full-pass count() action")
+
+    monkeypatch.setattr(DataFrame, "count", banned_count)
+    r1 = sync_table(spark, cfg, source, sink)
+    r2 = sync_table(spark, cfg, source, sink)  # replay: empty-delta path
+    monkeypatch.undo()
+
+    assert r1.ok and r1.rows_synced == expected
+    assert r2.ok and r2.rows_synced == 0
+    assert spark.read.parquet(sink.path("events")).count() == expected
+
+
 def test_run_all_syncs_isolates_failures(spark, sf_dir, tmp_path):
     source = ParquetSource(sf_dir)
     sink = ParquetMergeSink(str(tmp_path))
