@@ -88,6 +88,41 @@ def list_files_distributed(
     )
 
 
+def list_files_with_hash(
+    spark: SparkSession, uri: str, pattern: str | None = None
+) -> DataFrame:
+    """Content-hash listing: ``(name, size, mtime, md5)`` with the digest
+    computed **executor-side** from the ``binaryFile`` content column.
+
+    This makes the reference README's claimed-but-never-implemented MD5
+    comparison (``/root/reference/README.md:123-128`` vs the names-only diff
+    at ``gcs_sync.py:45``) real: feed two of these listings to
+    :func:`plan_copy` with ``compare='hash'`` and modified-in-place objects
+    (same name, same size, different bytes) are re-copied.
+
+    Scale shape: the scan necessarily reads bytes (hashing needs them), but
+    ``md5(content)`` is projected immediately above the FileScan, so only
+    the 32-char digest — never the content — enters the join/shuffle
+    (plan-pinned in ``test_plan_shapes.py``). Each file hashes on the
+    executor that reads it; the driver sees metadata rows only.
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = path.getFileSystem(conf)
+    qualified = fs.makeQualified(path).toString().rstrip("/")
+    reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
+    if pattern is not None:
+        reader = reader.option("pathGlobFilter", pattern)
+    listing = reader.load(uri)
+    return listing.select(
+        F.col("path").substr(F.lit(len(qualified) + 2), F.lit(2**30)).alias("name"),
+        F.col("length").alias("size"),
+        F.date_trunc("second", F.col("modificationTime")).cast("timestamp").alias("mtime"),
+        F.md5(F.col("content")).alias("md5"),
+    )
+
+
 def list_hadoop_files(spark: SparkSession, uri: str) -> DataFrame:
     """Back-compat alias: earlier rounds enumerated the Hadoop listing
     iterator into a driver-side list (the round-2 verdict's one remaining
@@ -127,12 +162,27 @@ def plan_copy(
     src = source.alias("s")
     to_copy = src.join(dest, on=keys, how="left_anti")
     existing = src.join(dest, on=keys, how="left_semi")
+    # All three counters from ONE job: a left join against the deduped dest
+    # keys with a hit flag, aggregated once. count(*) = total source rows,
+    # count(hit) = semi-join cardinality, and anti = total − semi by
+    # definition. Previously this ran three separate listing+join jobs per
+    # sync pair (one per counter).
+    hits = dest.select(*keys).dropDuplicates(keys).withColumn("__hit__", F.lit(1))
+    row = (
+        src.join(hits, on=keys, how="left")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count("__hit__").alias("existing"),
+        )
+        .first()
+    )
+    total, n_existing = int(row["total"]), int(row["existing"])
     return CopyPlan(
         to_copy=to_copy,
         existing=existing,
-        total_source=source.count(),
-        n_to_copy=to_copy.count(),
-        n_existing=existing.count(),
+        total_source=total,
+        n_to_copy=total - n_existing,
+        n_existing=n_existing,
     )
 
 
@@ -186,10 +236,13 @@ def sync_file_sets(
     compare: str = "name",
 ) -> dict[str, int]:
     """End-to-end local pair sync (reference ``sync_bucket``,
-    ``gcs_sync.py:28-75``)."""
-    plan = plan_copy(
-        list_local_files(spark, src_root),
-        list_local_files(spark, dst_root),
-        compare=compare,
-    )
+    ``gcs_sync.py:28-75``). ``compare='hash'`` lists both sides through the
+    distributed content-hash lister (digests computed executor-side), so a
+    modified-in-place file — same name and size, different bytes — is
+    detected and re-copied; the name modes use the plain local lister."""
+    if compare == "hash":
+        lister = lambda root: list_files_with_hash(spark, root)  # noqa: E731
+    else:
+        lister = lambda root: list_local_files(spark, root)  # noqa: E731
+    plan = plan_copy(lister(src_root), lister(dst_root), compare=compare)
     return execute_copy(plan, local_copier(src_root, dst_root), dry_run=dry_run)

@@ -193,3 +193,80 @@ def test_name_size_mode_recopies_changed(spark, tmp_path):
     stats = sync_file_sets(spark, src, dst, compare="name_size")
     assert stats["new_files"] == 1
     assert open(os.path.join(dst, "a.txt")).read() == "longer-content"
+
+
+def test_hash_mode_recopies_modified_same_size(spark, tmp_path):
+    # the case only a content hash can catch: same name AND same size,
+    # different bytes (the reference README's claimed MD5 mode, made real)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    seed(src, {"a.txt": "aa", "b.txt": "zz"})
+    seed(dst, {"a.txt": "ab", "b.txt": "zz"})  # a.txt modified in place
+    assert sync_file_sets(spark, src, dst, dry_run=True, compare="name_size")[
+        "new_files"
+    ] == 0
+    stats = sync_file_sets(spark, src, dst, compare="hash")
+    assert stats == {"total_files": 2, "new_files": 1, "existing_files": 1}
+    assert open(os.path.join(dst, "a.txt")).read() == "aa"
+    # converged: re-sync in hash mode finds nothing to copy
+    assert sync_file_sets(spark, src, dst, compare="hash")["new_files"] == 0
+
+
+def test_hash_listing_digest_matches_md5(spark, tmp_path):
+    import hashlib
+
+    from database_synchronize_tool_spark.sources.filesync import list_files_with_hash
+
+    root = str(tmp_path / "h")
+    seed(root, {"x.bin": "some-bytes", "sub/y.bin": "other"})
+    got = {r["name"]: r["md5"] for r in list_files_with_hash(spark, root).collect()}
+    want = {
+        name: hashlib.md5(
+            open(os.path.join(root, name), "rb").read()
+        ).hexdigest()
+        for name in got
+    }
+    assert got == want and len(got) == 2
+
+
+def test_hash_join_never_ships_content(spark, tmp_path):
+    # scale shape: the binaryFile scan must read bytes (hashing needs them),
+    # but only the 32-char digest may cross into the join/shuffle — content
+    # stays confined to the scan + the md5 projection directly above it
+    from database_synchronize_tool_spark.sources.filesync import list_files_with_hash
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    seed(src, {"a.txt": "aa"})
+    seed(dst, {"a.txt": "ab"})
+    plan = plan_copy(
+        list_files_with_hash(spark, src),
+        list_files_with_hash(spark, dst),
+        compare="hash",
+    )
+    txt = plan.to_copy._jdf.queryExecution().executedPlan().toString()
+    assert "md5" in txt
+    for line in txt.splitlines():
+        if "content#" in line:
+            # scan-stage nodes only: the scan itself, the md5 projection,
+            # and the pushed-down join-key null filter — never a shuffle,
+            # sort, or join operator
+            assert any(k in line for k in ("FileScan", "Project", "Filter")), line
+            assert not any(k in line for k in ("Exchange", "Join", "Sort")), line
+
+
+def test_plan_copy_stats_single_job(spark, tmp_path, monkeypatch):
+    # all three counters must come from ONE aggregation action, not three
+    # separate count() jobs re-running the listing+join per counter
+    from pyspark.sql import DataFrame
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    seed(src, {"a.txt": "1", "b.txt": "2", "c.txt": "3"})
+    seed(dst, {"a.txt": "1", "d.txt": "4"})
+    s, d = list_local_files(spark, src), list_local_files(spark, dst)
+
+    def banned_count(self):
+        raise AssertionError("plan_copy ran a per-counter count() job")
+
+    monkeypatch.setattr(DataFrame, "count", banned_count)
+    plan = plan_copy(s, d)
+    monkeypatch.undo()
+    assert plan.stats() == {"total_files": 3, "new_files": 2, "existing_files": 1}
