@@ -227,6 +227,59 @@ def seed_centroids(
     )
 
 
+def train_centroids_kmeans(
+    candidates: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """K-means-trained coarse quantizer: the quality upgrade over
+    :func:`seed_centroids` (whose smallest-id seeds carry no information
+    about the vector distribution — seed quality drives IVF recall at
+    corpus scale).
+
+    Deterministic end-to-end: a fixed KMeans ``seed`` plus an optional
+    **hash-deterministic** training sample — ``xxhash64(id) % sample_mod
+    == 0`` keeps ~1/sample_mod of the corpus regardless of partitioning,
+    so the same ids train on every run and every cluster size (unlike
+    ``DataFrame.sample``, whose draw depends on the partition layout). At
+    100 TB you train on the sample (k-means cost is |sample|·k·iters,
+    driver holds only k centers) and assign the full corpus with the same
+    broadcast-argmax pass as any other centroid table. Output matches the
+    ``(cell, centroid)`` contract, so every downstream IVF step is
+    unchanged."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    data = candidates.select(
+        F.col(id_col).alias("sid"), as_double(F.col(vec_col)).alias("v")
+    )
+    if sample_mod is not None and sample_mod > 1:
+        data = data.filter(
+            F.pmod(F.xxhash64(F.col("sid")), F.lit(sample_mod)) == 0
+        )
+    # canonical layout for the trainer: KMeans' k-means|| init draws from a
+    # per-partition RNG, so the same seed on a different partitioning yields
+    # different centers. Sorting by id and collapsing the (small) training
+    # sample to one partition pins the draw — training is reproducible no
+    # matter how the input arrived partitioned.
+    feats = (
+        data.orderBy("sid")
+        .coalesce(1)
+        .select(array_to_vector(F.col("v")).alias("features"))
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feats)
+    rows = [
+        (i, [float(x) for x in center])
+        for i, center in enumerate(model.clusterCenters())
+    ]
+    return candidates.sparkSession.createDataFrame(
+        rows, "cell int, centroid array<double>"
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -235,6 +288,7 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize the candidate
     table into ``n_cells`` cells, probe each query's ``n_probe`` nearest
@@ -246,8 +300,18 @@ def ivf_topk(
     more cells only grows the candidate pool; unit-tested). Candidates are
     assigned to exactly one cell (their inverted file); queries fan out to
     ``n_probe`` cells on the broadcast side only.
+
+    ``centroids`` overrides the quantizer: pass a ``(cell, centroid)``
+    table — e.g. from :func:`train_centroids_kmeans` — to trade the
+    oracle-reproducible smallest-id seeds for trained cells with better
+    recall at equal ``n_probe`` (tested). Default stays ``seed_centroids``
+    so the declared query remains literally reproducible in SQL.
     """
-    cents = seed_centroids(candidates, n_cells, id_col, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else seed_centroids(candidates, n_cells, id_col, vec_col)
+    )
     cand_cells = ivf_assign_cells(candidates, cents, id_col, vec_col, top_cells=1)
     c = cand_cells.select(
         F.col("vid").alias("cand_id"), F.col("v").alias("cv"), "cell"

@@ -112,3 +112,41 @@ def test_ivf_candidates_single_cell(spark, sf_dir):
     assigned = ivf_assign_cells(e, cents, top_cells=1)
     assert assigned.count() == e.count()
     assert assigned.select("vid").distinct().count() == e.count()
+
+
+def test_ivf_trained_centroids_recall_geq_seeded(spark, sf_dir):
+    # k-means-trained cells adapt to the vector distribution; smallest-id
+    # seeds don't — at equal n_probe the trained quantizer must recall at
+    # least as many true neighbors (the reason to train at corpus scale)
+    e = load_table(spark, sf_dir, "embeddings")
+    # queries must be DISJOINT from the smallest-id seed vectors: a query
+    # that is itself a centroid gets a cell centered exactly on itself,
+    # which flatters the seeded quantizer and hides the training win
+    n = e.count()
+    q = e.filter(F.col("vec_id") >= n - 20)
+    exact = _pairs(SIM.bruteforce_topk(q, e, k=5))
+
+    cents = SIM.train_centroids_kmeans(e, n_cells=16, seed=42)
+    assert cents.count() == 16
+
+    for n_probe in (1, 2, 4):
+        seeded = _pairs(SIM.ivf_topk(q, e, k=5, n_cells=16, n_probe=n_probe))
+        trained = _pairs(
+            SIM.ivf_topk(q, e, k=5, n_cells=16, n_probe=n_probe, centroids=cents)
+        )
+        r_seeded = len(seeded & exact) / len(exact)
+        r_trained = len(trained & exact) / len(exact)
+        assert r_trained >= r_seeded, (n_probe, r_trained, r_seeded)
+
+
+def test_ivf_kmeans_sample_is_hash_deterministic(spark, sf_dir):
+    # the training sample must not depend on partition layout: same ids
+    # selected after an arbitrary repartition, so training is reproducible
+    e = load_table(spark, sf_dir, "embeddings")
+    c1 = SIM.train_centroids_kmeans(e, n_cells=4, seed=7, sample_mod=3)
+    c2 = SIM.train_centroids_kmeans(
+        e.repartition(7), n_cells=4, seed=7, sample_mod=3
+    )
+    got1 = sorted((r["cell"], tuple(r["centroid"])) for r in c1.collect())
+    got2 = sorted((r["cell"], tuple(r["centroid"])) for r in c2.collect())
+    assert got1 == got2
