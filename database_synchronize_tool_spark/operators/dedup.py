@@ -241,21 +241,34 @@ def minhash_lsh_pairs(
 
 SIMHASH_BITS = 32
 
+# One affine whitening map per 32-bit signature group (classic public LCG
+# constants). Whitening happens mod MINHASH_PRIME = 2^31 − 1, so each map
+# yields 31 usable bits — bit 31 of a group is provably always 0 and is
+# skipped on BOTH engines (the oracle derives from the same loop). A 64-bit
+# signature therefore uses two independent maps; corpus-scale chunk
+# cardinality is the reason to go wide (banding buckets shrink 2^8×).
+SIMHASH_AFFINE = ((1103515245, 12345), (69069, 362437), (1664525, 1013904223))
 
-def simhash(hashes: Column) -> Column:
-    """32-bit SimHash from token/shingle hashes: bit j set iff the sum of
-    ±1 contributions (per hash's bit j) is positive. (The shingle hash only
-    populates ~17 low bits; the affine spread below whitens it first.)"""
-    hashes = F.transform(hashes, _affine(1103515245, 12345))
-    def bit_contrib(j: int):
+
+def simhash(hashes: Column, bits: int = SIMHASH_BITS) -> Column:
+    """``bits``-wide SimHash from token/shingle hashes: bit j set iff the
+    sum of ±1 contributions (per whitened hash's bit j) is positive. (The
+    shingle hash only populates ~17 low bits; the per-group affine spread
+    whitens it first.)"""
+    def bit_contrib(r: int):
         return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(1 << j)) != 0, 1
+            h.bitwiseAND(F.lit(1 << r)) != 0, 1
         ).otherwise(-1)
 
     sig = F.lit(0).cast("bigint")
-    for j in range(SIMHASH_BITS):
-        contrib = F.aggregate(hashes, F.lit(0).cast("bigint"), bit_contrib(j))
-        sig = sig + F.when(contrib > 0, F.lit(1 << j)).otherwise(0)
+    for g in range(-(-bits // 32)):
+        a, b = SIMHASH_AFFINE[g]
+        white = F.transform(hashes, _affine(a, b))
+        # r stops at 30: whitened values are < 2^31, so bit 31 of every
+        # group never sets (and skipping it keeps j=63 off the sign bit)
+        for r in range(min(31, bits - g * 32)):
+            contrib = F.aggregate(white, F.lit(0).cast("bigint"), bit_contrib(r))
+            sig = sig + F.when(contrib > 0, F.lit(1 << (g * 32 + r))).otherwise(0)
     return sig
 
 
@@ -264,6 +277,7 @@ def simhash_banded_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """SimHash near-dup pairs WITHOUT a blocking column, via pigeonhole
     signature banding: split the ``SIMHASH_BITS``-bit signature into
@@ -278,10 +292,10 @@ def simhash_banded_pairs(
     cardinality keeps buckets small; the chunk math below is width-agnostic.
     """
     n_bands = max_hamming + 1
-    width = -(-SIMHASH_BITS // n_bands)  # ceil division
+    width = -(-bits // n_bands)  # ceil division
     sigs = docs.select(
         F.col(id_col).alias("doc_id"),
-        simhash(shingle_hashes(F.col(text_col))).alias("sig"),
+        simhash(shingle_hashes(F.col(text_col)), bits=bits).alias("sig"),
     )
     chunks = [
         F.shiftright(F.col("sig"), i * width).bitwiseAND(F.lit((1 << width) - 1))
@@ -316,6 +330,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     block_col: str | None = None,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """Near-dup pairs whose SimHash signatures are within ``max_hamming``.
 
@@ -325,12 +340,13 @@ def simhash_pairs(
     """
     if block_col is None:
         return simhash_banded_pairs(
-            docs, text_col=text_col, id_col=id_col, max_hamming=max_hamming
+            docs, text_col=text_col, id_col=id_col, max_hamming=max_hamming,
+            bits=bits,
         )
     sigs = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(block_col).alias("blk"),
-        simhash(shingle_hashes(F.col(text_col))).alias("sig"),
+        simhash(shingle_hashes(F.col(text_col)), bits=bits).alias("sig"),
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     cond = (F.col("a.doc_id") < F.col("b.doc_id")) & (

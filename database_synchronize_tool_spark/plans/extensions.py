@@ -66,16 +66,20 @@ def _sig_matches_sql() -> str:
     )
 
 
-def _simhash_sql() -> str:
-    # mirror operators/dedup.simhash: whiten the 17-bit shingle hash across
-    # 31 bits with the same affine map, then sign-sum each bit
-    white = f"list_transform(hs, h -> (1103515245*h + 12345) % {DD.MINHASH_PRIME})"
+def _simhash_sql(bits: int = DD.SIMHASH_BITS) -> str:
+    # mirror operators/dedup.simhash exactly: one affine whitening map per
+    # 32-bit group (same SIMHASH_AFFINE constants), sign-sum each of the 31
+    # usable bits per group (whitening is mod 2^31-1, so bit 31 never sets
+    # and both engines skip it)
     terms = []
-    for j in range(DD.SIMHASH_BITS):
-        terms.append(
-            f"(CASE WHEN list_sum(list_transform({white}, h -> CASE WHEN (h >> {j}) & 1 = 1 "
-            f"THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
-        )
+    for g in range(-(-bits // 32)):
+        a, b = DD.SIMHASH_AFFINE[g]
+        white = f"list_transform(hs, h -> ({a}*h + {b}) % {DD.MINHASH_PRIME})"
+        for r in range(min(31, bits - g * 32)):
+            terms.append(
+                f"(CASE WHEN list_sum(list_transform({white}, h -> CASE WHEN (h >> {r}) & 1 = 1 "
+                f"THEN 1 ELSE -1 END)) > 0 THEN {1 << (g * 32 + r)} ELSE 0 END)"
+            )
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
@@ -269,6 +273,43 @@ _SIMHASH_WIDTH = -(-DD.SIMHASH_BITS // _SIMHASH_BANDS)  # ceil, mirrors operator
 def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return DD.simhash_banded_pairs(d, max_hamming=_SIMHASH_MAX_HAMMING)
+
+
+_SIMHASH64_BITS = 64
+_SIMHASH64_WIDTH = -(-_SIMHASH64_BITS // _SIMHASH_BANDS)  # ceil, mirrors operator
+
+
+@declared(
+    "dedup_simhash_banded64",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id, {_simhash_sql(_SIMHASH64_BITS)} AS sig
+      FROM (SELECT doc_id, {_HASHES_SQL} AS hs FROM documents)
+    ), bands AS (
+      SELECT doc_id, sig, CAST(i AS INT) AS band,
+             (sig >> CAST(i * {_SIMHASH64_WIDTH} AS INT)) & {(1 << _SIMHASH64_WIDTH) - 1} AS chunk
+      FROM sigs, range(0, {_SIMHASH_BANDS}) t(i)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {_SIMHASH_MAX_HAMMING}
+    """,
+    doc=f"64-bit SimHash banded near-dup pairs — the corpus-scale width: "
+    f"{_SIMHASH64_WIDTH}-bit chunks give 2^{_SIMHASH64_WIDTH} bucket "
+    f"cardinality per band (vs 2^{_SIMHASH_WIDTH} at 32 bits), shrinking "
+    "the Σ bucket² candidate join by ~256× on a big corpus. Two "
+    "independent affine whitening maps feed the two 32-bit signature "
+    "groups; the oracle derives from the same SIMHASH_AFFINE constants "
+    "and the same banding math, so neither engine can silently "
+    "desynchronize.",
+)
+def dedup_simhash_banded64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.simhash_banded_pairs(
+        d, max_hamming=_SIMHASH_MAX_HAMMING, bits=_SIMHASH64_BITS
+    )
 
 
 @declared(

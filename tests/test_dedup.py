@@ -141,3 +141,53 @@ def test_minhash_hot_bucket_cap_star_links_flood(spark):
     clusters = dedup_clusters(capped.select("doc_a", "doc_b"))
     labels = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
     assert len({labels[i] for i in range(1, 41)}) == 1
+
+
+def test_simhash64_banded_equals_exhaustive_and_differs_from_32(spark):
+    """The 64-bit signature keeps the pigeonhole guarantee (banded ==
+    brute force) and genuinely uses the second whitening map: upper-group
+    bits are populated, so signatures aren't just the 32-bit ones."""
+    from pyspark.sql import functions as F
+
+    from database_synchronize_tool_spark.operators.dedup import (
+        shingle_hashes,
+        simhash,
+        simhash_banded_pairs,
+    )
+
+    docs = _sim_corpus(spark)
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_banded_pairs(docs, max_hamming=3, bits=64).collect()
+    }
+    sigs = docs.select(
+        "doc_id", simhash(shingle_hashes(F.col("text")), bits=64).alias("sig")
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    brute = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+    # upper 32 bits carry signal (second affine map really contributes)
+    upper = [r["sig"] >> 32 for r in sigs.collect()]
+    assert any(u != 0 for u in upper)
+    # 64-bit hamming separates docs the 32-bit one may conflate: widths
+    # differ, so the signature sets must not be identical modulo 2^32
+    sigs32 = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select(
+            "doc_id", simhash(shingle_hashes(F.col("text")), bits=32).alias("sig")
+        ).collect()
+    }
+    sigs64 = {r["doc_id"]: r["sig"] for r in sigs.collect()}
+    assert all(sigs64[d] & 0xFFFFFFFF == sigs32[d] for d in sigs32)
