@@ -1500,3 +1500,173 @@ def q21_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s.s_name
         """
     )
+
+
+@declared(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT nation, o_year, CAST(SUM(profit_dec) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(date_part('year', o.o_orderdate) AS INT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  - 0.6 * p.p_retailprice * l.l_quantity AS DECIMAL(18,6)) AS profit_dec
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%gear%'
+    )
+    GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 product-type profit (adapted: the schema has no partsupp, "
+    "so supply cost is the deterministic proxy 0.6*p_retailprice per unit). "
+    "Five-table join — one fact shuffle on orderkey, every dim broadcast, "
+    "name-LIKE filter pushed into the part scan — then a (nation, year) "
+    "hash aggregate with map-side partials. Profit goes through DECIMAL so "
+    "the mixed +/- sum is order-insensitive.",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            profit.cast(DEC6).alias("profit_dec"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("profit_dec").cast("double").alias("sum_profit"))
+    )
+
+
+@declared(
+    "q11_important_part_value",
+    oracle="""
+    WITH v AS (
+      SELECT l.l_partkey,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS value_dec
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_5', 'NATION_6', 'NATION_7')
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM v
+    WHERE CAST(value_dec AS DOUBLE) >
+          (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM v) * 0.001
+    """,
+    doc="TPC-H Q11 important stock (adapted: no partsupp, so per-part value "
+    "is revenue routed through suppliers of three nations). Group-aggregate "
+    "vs global-aggregate threshold: the per-part decimal sums are computed "
+    "once, the grand total is a one-row broadcast joined back (no second "
+    "fact scan), and the HAVING-style filter keeps parts above 0.1% of "
+    "total — a scale-free relative threshold.",
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_5", "NATION_6", "NATION_7")
+    )
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_revenue().cast(DEC6)).alias("value_dec"))
+    )
+    tot = v.agg(F.sum("value_dec").cast("double").alias("tot"))
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_dec").cast("double") > F.col("tot") * 0.001)
+        .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
+    )
+
+
+@declared(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 parts/supplier relationship (adapted: lineitem stands in "
+    "for partsupp; suppliers with negative balance stand in for the "
+    "complaints exclusion). NOT-IN over a non-null key compiles to a "
+    "broadcast left_anti join; the brand/type/size predicates push into "
+    "the part scan; COUNT(DISTINCT) runs as a two-phase expand+agg.",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@declared(
+    "q20_potential_part_promotion",
+    oracle="""
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'red%'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l.l_suppkey
+      HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 300
+    ) AND s.s_acctbal > 0
+    """,
+    doc="TPC-H Q20 potential part promotion (adapted: the availqty>half-"
+    "shipped test becomes shipped-quantity-above-threshold, no partsupp). "
+    "Nested IN-subquery = aggregate-then-left_semi: the red/1997 filters "
+    "push into the part/lineitem scans, quantities sum exactly via "
+    "DECIMAL, and the qualifying supplier keys semi-join the supplier "
+    "table (broadcast — the agg output is tiny).",
+)
+def q20_potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("timestamp'1997-01-01'"))
+        & (F.col("l_shipdate") < F.expr("timestamp'1998-01-01'"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 0)
+    qualifying = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC2)).alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_suppkey")
+    )
+    return s.join(
+        F.broadcast(qualifying), s.s_suppkey == qualifying.l_suppkey, "left_semi"
+    ).select("s_name", "s_acctbal")
