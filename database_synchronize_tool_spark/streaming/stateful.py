@@ -52,6 +52,7 @@ def _close_sessions(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
     gap_us: int,
+    watermark_us: int = 0,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.exists:
@@ -62,6 +63,12 @@ def _close_sessions(
 
     closed: list[tuple[int, int, int, int]] = []
     for pdf in pdfs:
+        # late-data policy: Spark does NOT auto-filter late input for
+        # arbitrary stateful ops (unlike windowed aggregations) — the guide
+        # leaves that to the state function, so enforce it here: a straggler
+        # behind the watermark can neither rewind last_us nor inflate counts
+        if watermark_us > 0:
+            pdf = pdf[pdf["us"] >= watermark_us]
         # micro-batches are unordered within the group: order by event time
         # (deterministic tiebreak on event_id)
         pdf = pdf.sort_values(["us", "event_id"])
@@ -82,7 +89,9 @@ def _close_sessions(
 
 
 def sessionize_stateful(
-    events: DataFrame, gap_ms: int = GAP_MS_DEFAULT
+    events: DataFrame,
+    gap_ms: int = GAP_MS_DEFAULT,
+    watermark_delay: str | None = None,
 ) -> DataFrame:
     """Closed sessions per user via applyInPandasWithState.
 
@@ -90,6 +99,16 @@ def sessionize_stateful(
     Output rows are sessions closed by a later event; the trailing open
     session per user remains in state (a production deployment adds an
     event-time timeout to flush it — the state machine is identical).
+
+    ``watermark_delay`` (e.g. ``"10 minutes"``) attaches an event-time
+    watermark to the input and makes the state function drop rows older
+    than the current watermark (``GroupState.getCurrentWatermarkMs``) — a
+    late straggler can never rewind ``last_us`` or inflate a session the
+    stream has already moved past. The drop happens INSIDE the operator:
+    Spark auto-filters late input only for windowed aggregations, not for
+    arbitrary stateful ops, where the guide leaves the policy to the state
+    function. Without it (the default, used by the bounded parity tests)
+    every row reaches the state machine.
     """
     from pyspark.sql import functions as F
 
@@ -97,11 +116,17 @@ def sessionize_stateful(
     prepared = events.select(
         "user_id",
         "event_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("ts").cast("timestamp").alias("ts"),
     )
+    if watermark_delay is not None:
+        prepared = prepared.withWatermark("ts", watermark_delay)
+    prepared = prepared.withColumn("us", F.unix_micros(F.col("ts")))
+
+    with_watermark = watermark_delay is not None
 
     def fn(key, pdfs, state):
-        return _close_sessions(key, pdfs, state, gap_us)
+        wm_us = state.getCurrentWatermarkMs() * 1000 if with_watermark else 0
+        return _close_sessions(key, pdfs, state, gap_us, wm_us)
 
     return prepared.groupBy("user_id").applyInPandasWithState(
         fn,

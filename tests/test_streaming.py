@@ -118,3 +118,155 @@ def test_stateful_sessionization_matches_batch_closed_sessions(spark, sf_dir):
             want.add((user, r["session_start_us"], r["session_end_us"], r["n_events"]))
     assert got == want
     assert len(got) > 0
+
+
+# --- late-data / watermark-drop semantics (VERDICT r3 #8) -------------------
+#
+# A controlled multi-file stream: each parquet file is one micro-batch
+# (maxFilesPerTrigger=1; the file source processes oldest-mtime first, and we
+# pin distinct mtimes). File 1 drives the watermark forward; a later file
+# carries an event whose time is BEHIND the watermark and must be dropped by
+# the engine, deterministically — not merged into a finalized session.
+#
+# Timing subtlety (empirically pinned here): a batch's input-side late filter
+# uses the watermark advanced by batches STRICTLY BEFORE the previous one —
+# the watermark computed from batch N's max event time takes filtering effect
+# in batch N+2, even though the progress log already reports it on batch N+1.
+# Hence the on-time filler batch between the watermark driver and the late
+# straggler: it guarantees the straggler's batch runs with the advanced
+# watermark in force, making the drop deterministic.
+
+_LATE_SCHEMA = "user_id bigint, event_id bigint, ts timestamp, value double"
+
+
+def _write_event_file(path: str, rows, mtime: int) -> None:
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [dt.datetime.fromisoformat(r[2]) for r in rows], pa.timestamp("us")
+            ),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }
+    )
+    pq.write_table(tbl, path)
+    os.utime(path, (mtime, mtime))
+
+
+def _event_stream(spark, src_dir: str):
+    return (
+        spark.readStream.schema(_LATE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+
+
+def test_session_window_drops_late_event(spark, tmp_path):
+    """Built-in session_window + watermark: an event older than the watermark
+    is dropped, so the finalized session keeps its original count instead of
+    absorbing the straggler."""
+    src = tmp_path / "late_src"
+    src.mkdir()
+    # batch 1: user 1 sessions at 10:00/10:05; user 99 at 12:00 pushes the
+    # watermark to 12:00 - 10 min = 11:50 for the NEXT batch
+    _write_event_file(
+        str(src / "f1.parquet"),
+        [
+            (1, 101, "2024-01-01T10:00:00"),
+            (1, 102, "2024-01-01T10:05:00"),
+            (99, 900, "2024-01-01T12:00:00"),
+        ],
+        mtime=1_700_000_000,
+    )
+    # batch 2: on-time filler (own open session, never emitted) — carries the
+    # 11:50 watermark into force for the batch after it
+    _write_event_file(
+        str(src / "f2.parquet"),
+        [(98, 800, "2024-01-01T12:01:00")],
+        mtime=1_700_000_100,
+    )
+    # batch 3: a late event inside user 1's session span — behind the 11:50
+    # watermark, must be dropped (were it admitted, n_events would read 3)
+    _write_event_file(
+        str(src / "f3.parquet"),
+        [(1, 103, "2024-01-01T10:06:00")],
+        mtime=1_700_000_200,
+    )
+    out = session_counts(
+        _event_stream(spark, str(src)), gap="30 minutes", watermark_delay="10 minutes"
+    )
+    run_to_memory(out, "late_session_test", output_mode="append")
+    got = [
+        (str(r["session_start"]), str(r["session_end"]), r["user_id"], r["n_events"])
+        for r in spark.sql("SELECT * FROM late_session_test").collect()
+    ]
+    # exactly the finalized user-1 session, with the late event excluded; the
+    # user-99/98 sessions (ends past the watermark) are still held in state
+    assert got == [("2024-01-01 10:00:00", "2024-01-01 10:35:00", 1, 2)]
+
+
+def test_stateful_sessionization_drops_late_event(spark, tmp_path):
+    """applyInPandasWithState + watermark: a late straggler is dropped by the
+    operator's own watermark check (Spark auto-filters late input only for
+    windowed aggregations, not arbitrary stateful ops), so it can neither
+    rewind last_us nor inflate the open session's count."""
+    from database_synchronize_tool_spark.streaming.stateful import sessionize_stateful
+
+    src = tmp_path / "late_stateful_src"
+    src.mkdir()
+    # batch 1: two-event session, then 12:00 closes it (emitted n=2) and
+    # opens a fresh session; watermark for the next batch = 11:50
+    _write_event_file(
+        str(src / "f1.parquet"),
+        [
+            (1, 101, "2024-01-01T10:00:00"),
+            (1, 102, "2024-01-01T10:05:00"),
+            (1, 103, "2024-01-01T12:00:00"),
+        ],
+        mtime=1_700_000_000,
+    )
+    # batch 2: on-time filler on another user (session stays open, never
+    # emitted) — brings the 11:50 watermark into filtering force
+    _write_event_file(
+        str(src / "f2.parquet"),
+        [(7, 700, "2024-01-01T12:01:00")],
+        mtime=1_700_000_100,
+    )
+    # batch 3: late event at 10:06 — dropped; without the watermark it would
+    # rewind the open session's last_us and bump n_events to 2
+    _write_event_file(
+        str(src / "f3.parquet"),
+        [(1, 104, "2024-01-01T10:06:00")],
+        mtime=1_700_000_200,
+    )
+    # batch 4: 13:00 closes the 12:00 session — count must still be 1
+    _write_event_file(
+        str(src / "f4.parquet"),
+        [(1, 105, "2024-01-01T13:00:00")],
+        mtime=1_700_000_300,
+    )
+    out = sessionize_stateful(
+        _event_stream(spark, str(src)), gap_ms=30 * 60 * 1000,
+        watermark_delay="10 minutes",
+    )
+    run_to_memory(out, "late_stateful_test", output_mode="append")
+    import datetime as dt
+
+    def us(s):
+        return int(dt.datetime.fromisoformat(s).timestamp() * 1_000_000)
+
+    got = canon(
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in spark.sql("SELECT * FROM late_stateful_test").collect()
+    )
+    assert got == [
+        (1, us("2024-01-01T10:00:00"), us("2024-01-01T10:05:00"), 2),
+        (1, us("2024-01-01T12:00:00"), us("2024-01-01T12:00:00"), 1),
+    ]
