@@ -1,0 +1,106 @@
+"""Slowly-changing-dimension Type-2 merge as a relational operator.
+
+The reference's upsert (``/root/reference/db-sync-local/sync_utils.py:174-193``)
+is Type-1: a changed row OVERWRITES the target and the old value is gone. A
+sync pipeline that feeds analytics usually needs the Type-2 form instead —
+keep every version, stamp its validity interval, and mark the live one:
+
+    (key..., tracked..., valid_from, valid_to, is_current)
+
+Semantics per source row (one batch, one ``change_ts`` per row):
+
+- key absent from target        -> insert new current version
+- key present, tracked changed  -> close the current version
+                                   (valid_to = change_ts, is_current=false)
+                                   AND insert the new current version
+- key present, tracked equal    -> no-op (idempotent re-deliveries are free)
+
+Closed history rows are never touched.
+
+Spark-first shape: ONE full-outer equi-join of the *current* slice against
+the (key-collapsed) source, then each joined row explodes into 0-2 output
+rows via an array-of-structs — entirely built-in expressions, whole-stage
+codegen, a single shuffle on the key (or none, with ``broadcast_source`` for
+a small delta against a huge target). History rows bypass the join through a
+union: at 100 TB the closed history — the bulk of the table — is never
+shuffled, and with the table partitioned on ``is_current`` the current slice
+is one partition-pruned scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from database_synchronize_tool_spark.operators.merge import collapse_source_dups
+
+SCD2_COLS = ("valid_from", "valid_to", "is_current")
+
+
+def scd2_merge(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    tracked: Sequence[str],
+    change_ts: str = "change_ts",
+    broadcast_source: bool = False,
+    collapse: bool = True,
+) -> DataFrame:
+    """Type-2 merge of a change batch into an SCD2 history table.
+
+    ``target`` carries ``keys + tracked + (valid_from, valid_to,
+    is_current)``; ``source`` carries ``keys + tracked + change_ts``.
+    Duplicate keys within the batch collapse to the latest ``change_ts``
+    first (last-writer-wins, same contract as ``merge_upsert``).
+    """
+    src = (
+        collapse_source_dups(source, keys, order_col=change_ts)
+        if collapse
+        else source
+    )
+    valid_to_type = dict(target.dtypes)["valid_to"]
+
+    cur = target.filter(F.col("is_current"))
+    hist = target.filter(~F.col("is_current"))
+
+    t = cur.alias("t")
+    s = src.withColumn("__src", F.lit(True))
+    s = (F.broadcast(s) if broadcast_source else s).alias("s")
+
+    cond: Column | None = None
+    for k in keys:
+        c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = t.join(s, on=cond, how="full_outer")
+
+    t_present = F.col("t.is_current").isNotNull()
+    s_present = F.col("s.__src").isNotNull()
+    changed: Column = F.lit(False)
+    for c in tracked:
+        changed = changed | ~F.col(f"t.{c}").eqNullSafe(F.col(f"s.{c}"))
+
+    def version(side: str, valid_from: Column, valid_to: Column, live: bool) -> Column:
+        return F.struct(
+            *[F.col(f"{side}.{k}").alias(k) for k in keys],
+            *[F.col(f"{side}.{c}").alias(c) for c in tracked],
+            valid_from.alias("valid_from"),
+            valid_to.alias("valid_to"),
+            F.lit(live).alias("is_current"),
+        )
+
+    keep_t = version("t", F.col("t.valid_from"), F.col("t.valid_to"), True)
+    close_t = version("t", F.col("t.valid_from"), F.col(f"s.{change_ts}"), False)
+    new_s = version(
+        "s", F.col(f"s.{change_ts}"), F.lit(None).cast(valid_to_type), True
+    )
+
+    rows = (
+        F.when(~s_present, F.array(keep_t))
+        .when(~t_present, F.array(new_s))
+        .when(changed, F.array(close_t, new_s))
+        .otherwise(F.array(keep_t))
+    )
+    merged = joined.select(F.explode(rows).alias("__v")).select("__v.*")
+    return merged.unionByName(hist.select(*merged.columns))

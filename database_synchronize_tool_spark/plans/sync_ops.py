@@ -687,3 +687,102 @@ def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_value",
         )
     )
+
+
+@declared(
+    "j8_scd2_merge",
+    oracle="""
+    WITH target AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal AS bal,
+             TIMESTAMP '2020-01-01' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+      FROM customer
+    ), delta AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal + 100 AS bal,
+             TIMESTAMP '2024-01-01' AS change_ts
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal, TIMESTAMP '2024-01-01'
+      FROM customer WHERE c_custkey % 3 = 1
+      UNION ALL
+      SELECT c_custkey + 1000000, 'NEW', 0.0, TIMESTAMP '2024-01-01'
+      FROM customer WHERE c_custkey % 5 = 0
+    )
+    SELECT * FROM (
+      -- current versions kept as-is: no delta for the key, or delta equal
+      SELECT t.c_custkey, t.c_mktsegment, t.bal,
+             t.valid_from, t.valid_to, t.is_current
+      FROM target t LEFT JOIN delta d ON d.c_custkey = t.c_custkey
+      WHERE d.c_custkey IS NULL
+         OR (d.c_mktsegment IS NOT DISTINCT FROM t.c_mktsegment
+             AND d.bal IS NOT DISTINCT FROM t.bal)
+      UNION ALL
+      -- closed-out old versions of changed keys
+      SELECT t.c_custkey, t.c_mktsegment, t.bal,
+             t.valid_from, d.change_ts, FALSE
+      FROM target t JOIN delta d ON d.c_custkey = t.c_custkey
+      WHERE NOT (d.c_mktsegment IS NOT DISTINCT FROM t.c_mktsegment
+                 AND d.bal IS NOT DISTINCT FROM t.bal)
+      UNION ALL
+      -- new current versions of changed keys
+      SELECT d.c_custkey, d.c_mktsegment, d.bal,
+             d.change_ts, CAST(NULL AS TIMESTAMP), TRUE
+      FROM delta d JOIN target t ON t.c_custkey = d.c_custkey
+      WHERE NOT (d.c_mktsegment IS NOT DISTINCT FROM t.c_mktsegment
+                 AND d.bal IS NOT DISTINCT FROM t.bal)
+      UNION ALL
+      -- brand-new keys
+      SELECT d.c_custkey, d.c_mktsegment, d.bal,
+             d.change_ts, CAST(NULL AS TIMESTAMP), TRUE
+      FROM delta d LEFT JOIN target t ON t.c_custkey = d.c_custkey
+      WHERE t.c_custkey IS NULL
+    )
+    """,
+    doc="J8 SCD Type-2 merge (engine extension — the reference's upsert is "
+    "Type-1 and destroys history, sync_utils.py:174-193): a change batch "
+    "against a versioned dimension closes changed current rows at "
+    "change_ts and inserts new current versions; unchanged re-deliveries "
+    "are no-ops. One full-outer join on the key, 0-2 output rows per "
+    "joined row via array-explode, closed history never shuffled. The "
+    "oracle rebuilds the same contract as four UNION ALL branches.",
+)
+def j8_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    target = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").alias("bal"),
+        F.expr("timestamp'2020-01-01'").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    ts = F.expr("timestamp'2024-01-01'")
+    changed = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") + 100).alias("bal"),
+        ts.alias("change_ts"),
+    )
+    same = c.filter(F.col("c_custkey") % 3 == 1).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").alias("bal"),
+        ts.alias("change_ts"),
+    )
+    fresh = c.filter(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit(0.0).alias("bal"),
+        ts.alias("change_ts"),
+    )
+    delta = changed.unionByName(same).unionByName(fresh)
+    from database_synchronize_tool_spark.operators.scd import scd2_merge
+
+    return scd2_merge(
+        target,
+        delta,
+        keys=["c_custkey"],
+        tracked=["c_mktsegment", "bal"],
+        broadcast_source=True,
+        collapse=False,  # the three branches are key-disjoint by construction
+    )

@@ -1,0 +1,128 @@
+"""SCD Type-2 merge: version chains, idempotent no-ops, batch dup collapse."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from database_synchronize_tool_spark.operators.scd import scd2_merge
+
+TARGET_SCHEMA = (
+    "id bigint, seg string, bal double, "
+    "valid_from timestamp, valid_to timestamp, is_current boolean"
+)
+SOURCE_SCHEMA = "id bigint, seg string, bal double, change_ts timestamp"
+
+T0 = dt.datetime(2020, 1, 1)
+T1 = dt.datetime(2024, 1, 1)
+T2 = dt.datetime(2024, 6, 1)
+
+
+def _canon(df):
+    return sorted((tuple(r) for r in df.collect()), key=repr)
+
+
+def _target(spark, rows):
+    return spark.createDataFrame(rows, TARGET_SCHEMA)
+
+
+def _source(spark, rows):
+    return spark.createDataFrame(rows, SOURCE_SCHEMA)
+
+
+def test_scd2_new_changed_unchanged(spark):
+    target = _target(
+        spark,
+        [
+            (1, "A", 10.0, T0, None, True),
+            (2, "B", 20.0, T0, None, True),
+            (3, "C", 30.0, T0, None, True),
+        ],
+    )
+    source = _source(
+        spark,
+        [
+            (1, "A", 10.0, T1),  # unchanged -> no-op
+            (2, "B", 25.0, T1),  # changed   -> close + new version
+            (9, "Z", 90.0, T1),  # new key   -> insert
+        ],
+    )
+    got = _canon(scd2_merge(target, source, keys=["id"], tracked=["seg", "bal"]))
+    assert got == sorted([
+            (1, "A", 10.0, T0, None, True),
+            (2, "B", 20.0, T0, T1, False),
+            (2, "B", 25.0, T1, None, True),
+            (3, "C", 30.0, T0, None, True),
+            (9, "Z", 90.0, T1, None, True),
+        ], key=repr
+    )
+
+
+def test_scd2_three_version_chain_and_history_passthrough(spark):
+    target = _target(spark, [(1, "A", 10.0, T0, None, True)])
+    after1 = scd2_merge(
+        target, _source(spark, [(1, "A", 11.0, T1)]), keys=["id"], tracked=["seg", "bal"]
+    )
+    after2 = scd2_merge(
+        after1, _source(spark, [(1, "B", 11.0, T2)]), keys=["id"], tracked=["seg", "bal"]
+    )
+    assert _canon(after2) == sorted([
+            (1, "A", 10.0, T0, T1, False),
+            (1, "A", 11.0, T1, T2, False),
+            (1, "B", 11.0, T2, None, True),
+        ], key=repr
+    )
+
+
+def test_scd2_idempotent_redelivery(spark):
+    """Replaying the same batch is a no-op — the re-delivered values equal
+    the now-current version, so nothing closes and nothing inserts."""
+    target = _target(spark, [(1, "A", 10.0, T0, None, True)])
+    batch = [(1, "A", 99.0, T1)]
+    once = scd2_merge(
+        target, _source(spark, batch), keys=["id"], tracked=["seg", "bal"]
+    )
+    twice = scd2_merge(
+        once, _source(spark, batch), keys=["id"], tracked=["seg", "bal"]
+    )
+    assert _canon(once) == _canon(twice)
+
+
+def test_scd2_batch_dups_collapse_to_latest(spark):
+    target = _target(spark, [(1, "A", 10.0, T0, None, True)])
+    source = _source(spark, [(1, "A", 11.0, T1), (1, "A", 12.0, T2)])
+    got = _canon(scd2_merge(target, source, keys=["id"], tracked=["seg", "bal"]))
+    # one close-out at the winning row's change_ts, one new current version
+    assert got == sorted([
+            (1, "A", 10.0, T0, T2, False),
+            (1, "A", 12.0, T2, None, True),
+        ], key=repr
+    )
+
+
+def test_scd2_null_tracked_values_null_safe(spark):
+    """NULL->value and value->NULL are real changes; NULL->NULL is not."""
+    target = _target(
+        spark,
+        [
+            (1, None, 10.0, T0, None, True),
+            (2, "B", 20.0, T0, None, True),
+            (3, None, 30.0, T0, None, True),
+        ],
+    )
+    source = _source(
+        spark,
+        [
+            (1, "A", 10.0, T1),  # NULL -> 'A': change
+            (2, None, 20.0, T1),  # 'B' -> NULL: change
+            (3, None, 30.0, T1),  # NULL -> NULL: no-op
+        ],
+    )
+    got = _canon(scd2_merge(target, source, keys=["id"], tracked=["seg", "bal"]))
+    assert got == sorted([
+            (1, None, 10.0, T0, T1, False),
+            (1, "A", 10.0, T1, None, True),
+            (2, "B", 20.0, T0, T1, False),
+            (2, None, 20.0, T1, None, True),
+            (3, None, 30.0, T0, None, True),
+        ], key=repr
+    )
