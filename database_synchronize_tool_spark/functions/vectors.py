@@ -73,3 +73,36 @@ def cosine_pairs(a: pd.Series, b: pd.Series) -> pd.Series:
                 / (np.sqrt(_foldsum(x * x)[0]) * np.sqrt(_foldsum(y * y)[0]))
             )
     return pd.Series(out)
+
+
+def l2_sq(a: Column, b: Column) -> Column:
+    """Σ (aᵢ-bᵢ)² — left-fold squared L2 distance (PQ's metric)."""
+    return F.aggregate(
+        F.zip_with(as_double(a), as_double(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@F.pandas_udf(DoubleType())
+def l2_sq_pairs(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized twin of ``l2_sq`` — same left-fold order, bit-identical to
+    the higher-order-function form and DuckDB's ``list_reduce``."""
+    n = len(a)
+    out = np.empty(n)
+    if n == 0:
+        return pd.Series(out)
+    lens_a = a.map(len).to_numpy()
+    lens_b = b.map(len).to_numpy()
+    if (lens_a == lens_a[0]).all() and (lens_b == lens_a[0]).all():
+        x = np.array(a.tolist(), dtype=np.float64)
+        y = np.array(b.tolist(), dtype=np.float64)
+        d = x - y
+        out = _foldsum(d * d)
+    else:  # ragged fallback, same math per row
+        for i in range(n):
+            x = np.asarray(a.iloc[i], dtype=np.float64)[None, :]
+            y = np.asarray(b.iloc[i], dtype=np.float64)[None, :]
+            d = x - y
+            out[i] = _foldsum(d * d)[0]
+    return pd.Series(out)

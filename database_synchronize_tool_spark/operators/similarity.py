@@ -394,3 +394,152 @@ def cosine_neardup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", "sim")
     )
+
+
+# --- product quantization (PQ) ---------------------------------------------
+#
+# The memory-side complement to IVF: instead of pruning WHICH candidates are
+# scored (inverted files), PQ shrinks WHAT is scored — each vector becomes m
+# small codes (one byte each at ksub<=256), and query-candidate distance is
+# approximated from per-subvector lookup tables (ADC, asymmetric distance
+# computation). At 100 TB the IVF+PQ stack is the canonical ANN layout: codes
+# are ~dim*4/m bytes smaller than raw float vectors, so candidate lists stay
+# cache-resident; the LUT join below is the distributed form of the classic
+# in-memory table scan.
+
+PQ_M = 4  # subvectors per vector
+PQ_KSUB = 16  # codebook entries per subvector
+
+
+def _subvec(v: Column, sub: Column, m: int) -> Column:
+    """Subvector ``sub`` (0-based) of ``v`` split into ``m`` equal slices."""
+    dsub = (F.size(v) / m).cast("int")
+    return F.slice(v, sub * dsub + F.lit(1), dsub)
+
+
+def pq_codebooks(
+    candidates: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic data-seeded PQ codebooks: the ``ksub`` smallest-id
+    vectors donate their subvectors as code entries (the seed_centroids
+    pattern — zero RNG, so the DuckDB oracle rebuilds the codebooks
+    literally; swap in per-subvector k-means for trained quality, the
+    (sub, code, cv) contract is unchanged). Output: m*ksub tiny rows."""
+    seeds = (
+        candidates.select(
+            F.col(id_col).alias("sid"), as_double(F.col(vec_col)).alias("v")
+        )
+        .orderBy("sid")
+        .limit(ksub)
+    )
+    coded = seeds.select(
+        (F.row_number().over(Window.orderBy("sid")) - 1).alias("code"), "v"
+    )
+    return coded.select(
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        "code",
+        "v",
+    ).select("sub", "code", _subvec(F.col("v"), F.col("sub"), m).alias("cv"))
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` nearest-code ids (squared-L2 per
+    subvector). One explode to (vid, sub) rows, one broadcast join against
+    the m*ksub codebook, argmin via min(struct(dist, code)) — a map-side
+    combined aggregate, no window sort — then codes re-assembled in
+    subvector order. N*m*ksub distance evaluations, the irreducible PQ
+    encode cost, all Arrow-vectorized; the big side never shuffles wide
+    rows (the raw vector stays behind, only (vid, sub, subvector) moves).
+    Output: (vid, codes array<int>)."""
+    from database_synchronize_tool_spark.functions.vectors import l2_sq_pairs
+
+    v = vectors.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    )
+    sv = v.select(
+        "vid",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col("v"),
+    ).select("vid", "sub", _subvec(F.col("v"), F.col("sub"), m).alias("sv"))
+    scored = sv.join(F.broadcast(codebooks), "sub").select(
+        "vid",
+        "sub",
+        "code",
+        l2_sq_pairs(F.col("sv"), F.col("cv")).alias("dist"),
+    )
+    best = scored.groupBy("vid", "sub").agg(
+        F.min(F.struct("dist", "code"))["code"].alias("code")
+    )
+    return best.groupBy("vid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance: candidates are PQ codes,
+    queries stay exact; distance ≈ Σ_sub LUT[sub][code] where LUT holds the
+    query-subvector-to-code squared-L2 distances.
+
+    Scale shape: the LUT is |Q|*m*ksub rows (tiny — broadcast); candidates
+    expand to N*m code rows that hash-join the LUT and re-aggregate to
+    (query, cand) sums — per-candidate work is m lookups + one add, never a
+    full-dimension dot product, which is the entire point of PQ. The sum
+    runs through DECIMAL so partial-order can't perturb the double result.
+    Ranking tiebreaks on cand_id; rank ascends with distance."""
+    from database_synchronize_tool_spark.functions.vectors import l2_sq_pairs
+
+    cb = codebooks if codebooks is not None else pq_codebooks(
+        candidates, m, ksub, id_col, vec_col
+    )
+    enc = pq_encode(candidates, cb, m, id_col, vec_col)
+    cand_codes = enc.select(
+        F.col("vid").alias("cand_id"),
+        F.posexplode("codes").alias("sub", "code"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    qsub = q.select(
+        "query_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col("qv"),
+    ).select("query_id", "sub", _subvec(F.col("qv"), F.col("sub"), m).alias("qsv"))
+    lut = qsub.join(F.broadcast(cb), "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        l2_sq_pairs(F.col("qsv"), F.col("cv")).alias("pdist"),
+    )
+    joined = cand_codes.join(F.broadcast(lut), ["sub", "code"])
+    adist = joined.groupBy("query_id", "cand_id").agg(
+        F.sum(F.col("pdist").cast("decimal(28,12)")).cast("double").alias("adist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("cand_id"))
+    return (
+        adist.filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adist", F.col("rank").cast("int").alias("rank"))
+    )

@@ -992,3 +992,103 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(split.alias("split")).groupBy("split").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# --- product quantization (IVF's memory-side complement) --------------------
+
+_L2SQ_SQL = (
+    "list_reduce(list_transform(range(1, len({a})+1), "
+    "i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])), (x, y) -> x + y)"
+)
+_PQ_CB_SQL = f"""
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), coded AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY sid) - 1 AS INT) AS code, v
+      FROM (SELECT vec_id AS sid, v FROM e ORDER BY vec_id LIMIT {SIM.PQ_KSUB})
+    ), cb AS (
+      SELECT CAST(i AS INT) AS sub, code,
+             list_slice(v, i*(len(v)//{SIM.PQ_M})+1,
+                        (i+1)*(len(v)//{SIM.PQ_M})) AS cv
+      FROM coded, range(0, {SIM.PQ_M}) t(i)
+    ), sv AS (
+      SELECT vec_id AS vid, CAST(i AS INT) AS sub,
+             list_slice(v, i*(len(v)//{SIM.PQ_M})+1,
+                        (i+1)*(len(v)//{SIM.PQ_M})) AS sv
+      FROM e, range(0, {SIM.PQ_M}) t(i)
+    ), best AS (
+      SELECT vid, sub, code FROM (
+        SELECT vid, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vid, sub
+                                  ORDER BY {_L2SQ_SQL.format(a="sv", b="cv")}, code) AS rk
+        FROM sv JOIN cb USING (sub)
+      ) WHERE rk = 1
+    )
+"""
+
+
+@declared(
+    "ann_pq_encode",
+    oracle=f"""
+    WITH {_PQ_CB_SQL}
+    SELECT vid AS vec_id,
+           array_to_string(list(code ORDER BY sub), ',') AS codes
+    FROM best GROUP BY vid
+    """,
+    doc=f"Product-quantization encode: each 64-dim vector becomes "
+    f"{SIM.PQ_M} nearest-code ids over {SIM.PQ_KSUB}-entry per-subvector "
+    "codebooks (squared-L2, data-seeded like the IVF quantizer, so the "
+    "oracle rebuilds the codebooks literally). The 100 TB memory story "
+    "that completes IVF: codes are ~64x smaller than raw float vectors, "
+    "keeping candidate lists cache-resident. Argmin runs as a map-side "
+    "combined min(struct) aggregate, not a window sort; codes serialize "
+    "to CSV (the list-cell canonicalizer lesson from "
+    "embedding_quantize_int8).",
+)
+def ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    enc = SIM.pq_encode(e, SIM.pq_codebooks(e))
+    return enc.select(
+        F.col("vid").alias("vec_id"),
+        F.concat_ws(
+            ",", F.transform(F.col("codes"), lambda c: c.cast("string"))
+        ).alias("codes"),
+    )
+
+
+@declared(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_CB_SQL}, qsub AS (
+      SELECT vec_id AS query_id, CAST(i AS INT) AS sub,
+             list_slice(v, i*(len(v)//{SIM.PQ_M})+1,
+                        (i+1)*(len(v)//{SIM.PQ_M})) AS qsv
+      FROM e, range(0, {SIM.PQ_M}) t(i) WHERE vec_id < 10
+    ), lut AS (
+      SELECT query_id, sub, code,
+             {_L2SQ_SQL.format(a="qsv", b="cv")} AS pdist
+      FROM qsub JOIN cb USING (sub)
+    ), adist AS (
+      SELECT query_id, vid AS cand_id,
+             CAST(SUM(CAST(pdist AS DECIMAL(28,12))) AS DOUBLE) AS adist
+      FROM best JOIN lut USING (sub, code)
+      GROUP BY query_id, vid
+    )
+    SELECT query_id, cand_id, adist, CAST(rank AS INT) AS rank FROM (
+      SELECT query_id, cand_id, adist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist, cand_id) AS rank
+      FROM adist WHERE cand_id <> query_id
+    ) WHERE rank <= 5
+    """,
+    doc="PQ asymmetric-distance top-5: queries stay exact, candidates are "
+    "code tuples; distance = sum of per-subvector LUT entries (query "
+    "subvector vs codebook entry, squared-L2), summed through DECIMAL so "
+    "partial order can't perturb the double. Per-candidate cost is "
+    f"{SIM.PQ_M} lookups + adds instead of a 64-dim dot product — the ADC "
+    "scan PQ exists for; the LUT (|Q|*m*ksub rows) broadcasts and the "
+    "code join is a hash equi-join. Recall vs exact L2 unit-tested.",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.pq_adc_topk(e.filter(F.col("vec_id") < 10), e, k=5)

@@ -138,6 +138,8 @@ _PRIORITY: tuple[str, ...] = (
     # ================= end of the 50-query driver window =================
     # --- queued for round 5: declared after the r4 rotation was fixed ---
     "j8_scd2_merge",
+    "ann_pq_encode",
+    "ann_pq_adc_topk",
     # --- queued for round 5: last green r2 (dedup/ANN/text/multimodal) ---
     "dedup_minhash_lsh",
     "dedup_simhash_banded",
