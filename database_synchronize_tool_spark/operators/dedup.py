@@ -462,3 +462,52 @@ def dedup_clusters(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Directional shingle-containment pairs within blocks: (inner, outer,
+    containment) where ``containment = |sh(inner) ∩ sh(outer)| / |sh(inner)|
+    >= threshold`` — the measure that finds documents swallowed by larger
+    ones (quotes, concatenations, boilerplate wrappers), which symmetric
+    Jaccard misses because the union term grows with the container.
+
+    Same blocked self-join shape as :func:`ngram_jaccard_pairs` (the
+    brute-force verify measure); for unblocked corpora the LSH band join
+    bounds candidates the same way it does for Jaccard — containment ≥ t
+    implies the pair shares at least one band with probability rising in t,
+    so the banded candidate set still applies. Directional output: each
+    unordered pair can appear twice (A-in-B and B-in-A are different
+    facts).
+    """
+    from database_synchronize_tool_spark.functions.text import containment
+
+    spread = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(block_col).alias("blk"),
+        F.col(text_col).alias("__text"),
+    )
+    spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
+    sh = spread.select(
+        "doc_id", "blk", minhash_features(F.col("__text"))["sh"].alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .withColumn("cont", containment(F.col("a.sh"), F.col("b.sh")))
+        .filter(F.col("cont") >= threshold)
+        .select(
+            F.col("a.doc_id").alias("doc_inner"),
+            F.col("b.doc_id").alias("doc_outer"),
+            F.col("cont"),
+        )
+    )

@@ -1092,3 +1092,28 @@ def ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return SIM.pq_adc_topk(e.filter(F.col("vec_id") < 10), e, k=5)
+
+
+@declared(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang AS blk, list_distinct({_HASHES_SQL}) AS sh
+      FROM documents
+    )
+    SELECT doc_inner, doc_outer, cont FROM (
+      SELECT sa.doc_id AS doc_inner, sb.doc_id AS doc_outer,
+             len(list_intersect(sa.sh, sb.sh)) / greatest(len(sa.sh), 1) AS cont
+      FROM sh sa JOIN sh sb ON sa.blk = sb.blk AND sa.doc_id <> sb.doc_id
+    ) WHERE cont >= 0.9
+    """,
+    doc="Directional shingle containment (|inner ∩ outer| / |inner| >= 0.9), "
+    "blocked by language: finds documents swallowed by larger ones — "
+    "quotes, concatenations, boilerplate wrappers — which symmetric "
+    "Jaccard misses because the union grows with the container. The "
+    "training-data failure mode this guards: a contained doc survives "
+    "Jaccard dedup and the model sees its text twice.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.containment_pairs(d, threshold=0.9)

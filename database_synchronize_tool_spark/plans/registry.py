@@ -140,6 +140,7 @@ _PRIORITY: tuple[str, ...] = (
     "j8_scd2_merge",
     "ann_pq_encode",
     "ann_pq_adc_topk",
+    "dedup_containment",
     # --- queued for round 5: last green r2 (dedup/ANN/text/multimodal) ---
     "dedup_minhash_lsh",
     "dedup_simhash_banded",

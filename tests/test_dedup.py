@@ -191,3 +191,32 @@ def test_simhash64_banded_equals_exhaustive_and_differs_from_32(spark):
     }
     sigs64 = {r["doc_id"]: r["sig"] for r in sigs.collect()}
     assert all(sigs64[d] & 0xFFFFFFFF == sigs32[d] for d in sigs32)
+
+
+def test_containment_directional(spark):
+    """A short doc pasted into a long one: high containment inner->outer,
+    low outer->inner, and symmetric Jaccard misses the pair entirely."""
+    from database_synchronize_tool_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    inner = "the quick brown fox jumps over the lazy dog"
+    outer = inner + " " + ("x y z w v u t s r q p o n m l k j i h g " * 20)
+    docs = spark.createDataFrame(
+        [(1, inner, "en"), (2, outer, "en"), (3, "completely different text", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    got = {
+        (r["doc_inner"], r["doc_outer"]): r["cont"]
+        for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 0.9
+    assert (2, 1) not in got  # directional: the container is not contained
+    assert (3, 2) not in got
+    # symmetric Jaccard on the same pair is diluted far below any useful cutoff
+    jacc = {
+        (r["doc_a"], r["doc_b"]): r["jacc"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert jacc[(1, 2)] < 0.5
