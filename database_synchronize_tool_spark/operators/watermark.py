@@ -62,6 +62,35 @@ def delta_filter(
     return source.filter(col >= F.lit(low))
 
 
+def merge_agg_partials(state: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
+    """Incremental aggregate maintenance: fold a delta's partial aggregates
+    into a persisted per-key aggregate state without re-reading history.
+
+    Both inputs carry the same schema: ``keys`` plus *additive* partial
+    columns (COUNT partials, SUM partials — AVG is derived downstream as
+    sum/count, never stored). The merge is ``unionByName`` + one hash
+    re-aggregate over ``keys``, i.e. the same combine step Spark's own
+    partial/final HashAggregate pairs perform, lifted across sync runs.
+
+    Scale shape: the state side is one pre-aggregated row per key (bounded by
+    key cardinality, not history size) and the delta side is one watermark
+    delta's worth of partials — at 100 TB this replaces a full-history rescan
+    per refresh with a scan of only the new data. Exactness: callers store
+    DECIMAL sum partials (registry determinism rule) so re-aggregation order
+    cannot perturb the result vs. a from-scratch recompute.
+
+    Reference analog: none — the reference recomputes ``MAX(check_col)`` from
+    the destination each run (``sync_utils.py:17-39``); this generalizes that
+    "state lives in the destination" stance from scalar MAX to arbitrary
+    additive aggregates.
+    """
+    partial_cols = [c for c in state.columns if c not in keys]
+    merged = state.unionByName(delta.select(*state.columns))
+    return merged.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in partial_cols]
+    )
+
+
 def incremental_sync(
     target: DataFrame,
     source: DataFrame,

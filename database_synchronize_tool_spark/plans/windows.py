@@ -152,6 +152,46 @@ def t1_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "agg_incremental_maintenance",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Incremental aggregate maintenance (materialized-view refresh): a "
+    "persisted per-key aggregate state (events at or before the watermark, "
+    "pre-aggregated) is folded together with the watermark delta's partials "
+    "via operators.watermark.merge_agg_partials — unionByName + one hash "
+    "re-aggregate, the cross-run analog of Spark's partial/final "
+    "HashAggregate combine. The oracle recomputes from scratch; equality "
+    "proves the delta-only refresh is exact (DECIMAL partials make the sum "
+    "order-insensitive). At 100 TB the refresh scans only the delta: state "
+    "is bounded by key cardinality, not history size.",
+)
+def agg_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.operators.watermark import (
+        merge_agg_partials,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    wm = F.expr("timestamp'2024-01-15'")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC6)).alias("pv"),
+        )
+
+    state = partials(ev.filter(F.col("ts") <= wm))  # persisted snapshot
+    delta = partials(ev.filter(F.col("ts") > wm))  # this run's delta
+    return merge_agg_partials(state, delta, keys=["event_type"]).select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("pv").cast("double").alias("total_value"),
+    )
+
+
+@declared(
     "t7_stream_tumbling",
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
