@@ -464,6 +464,83 @@ def dedup_clusters(
     )
 
 
+def containment_banded_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Directional shingle-containment pairs with NO blocking column: LSH
+    band buckets generate candidates (the same (band, key) equi-join that
+    bounds :func:`minhash_lsh_pairs`), then exact containment verifies each
+    unordered candidate in BOTH directions. This is the unblocked scale path
+    :func:`containment_pairs` lacks — candidates are Σ bucket² per band
+    bucket instead of the n² self-join.
+
+    Recall caveat (asymmetric threshold): a band fires when all LSH_ROWS
+    minhashes agree, whose probability is ~s^rows in the *Jaccard* s — and
+    containment ≥ t does NOT bound Jaccard below (a tiny doc fully inside a
+    huge one has containment 1.0 but Jaccard ≈ |inner|/|outer|). The banded
+    candidate set is therefore a recall-limited superset for low-Jaccard
+    containment pairs; recall vs the blocked exact measure is unit-tested
+    and documented, and the signature-agreement prefilter used for Jaccard
+    is deliberately NOT applied here (it estimates Jaccard and would strike
+    exactly the swallowed-doc pairs this measure exists for). For guaranteed
+    recall within a natural partition, use the blocked form.
+    """
+    from database_synchronize_tool_spark.functions.text import containment
+
+    spread = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
+    feats = minhash_features(F.col("__text"))
+    sigs = spread.select(
+        "doc_id", feats["sh"].alias("sh"), feats["sig"].alias("sig")
+    ).persist()
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "-",
+                        *[
+                            F.element_at(F.col("sig"), b * LSH_ROWS + r + 1).cast("string")
+                            for r in range(LSH_ROWS)
+                        ],
+                    ).alias("key"),
+                )
+                for b in range(LSH_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b2 = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b2, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ha = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    hb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = cand.join(ha, "doc_a").join(hb, "doc_b")
+    # each unordered candidate yields two directional facts (A-in-B, B-in-A)
+    directed = joined.select(
+        F.col("doc_a").alias("doc_inner"),
+        F.col("doc_b").alias("doc_outer"),
+        containment(F.col("sh_a"), F.col("sh_b")).alias("cont"),
+    ).unionByName(
+        joined.select(
+            F.col("doc_b").alias("doc_inner"),
+            F.col("doc_a").alias("doc_outer"),
+            containment(F.col("sh_b"), F.col("sh_a")).alias("cont"),
+        )
+    )
+    return directed.filter(F.col("cont") >= threshold).select(
+        "doc_inner", "doc_outer", "cont"
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -478,11 +555,10 @@ def containment_pairs(
     Jaccard misses because the union term grows with the container.
 
     Same blocked self-join shape as :func:`ngram_jaccard_pairs` (the
-    brute-force verify measure); for unblocked corpora the LSH band join
-    bounds candidates the same way it does for Jaccard — containment ≥ t
-    implies the pair shares at least one band with probability rising in t,
-    so the banded candidate set still applies. Directional output: each
-    unordered pair can appear twice (A-in-B and B-in-A are different
+    brute-force verify measure); for unblocked corpora
+    :func:`containment_banded_pairs` bounds candidates via the LSH band
+    join (with the recall caveat documented there). Directional output:
+    each unordered pair can appear twice (A-in-B and B-in-A are different
     facts).
     """
     from database_synchronize_tool_spark.functions.text import containment

@@ -20,11 +20,21 @@ Closed history rows are never touched.
 Spark-first shape: ONE full-outer equi-join of the *current* slice against
 the (key-collapsed) source, then each joined row explodes into 0-2 output
 rows via an array-of-structs — entirely built-in expressions, whole-stage
-codegen, a single shuffle on the key (or none, with ``broadcast_source`` for
-a small delta against a huge target). History rows bypass the join through a
+codegen, a single shuffle on the key. History rows bypass the join through a
 union: at 100 TB the closed history — the bulk of the table — is never
 shuffled, and with the table partitioned on ``is_current`` the current slice
 is one partition-pruned scan.
+
+``broadcast_source=True`` is the small-delta-vs-huge-target path. Spark's
+BroadcastHashJoin does not support full-outer builds (the hint would be
+silently dropped with a HintErrorLogger warning), so the full outer is
+decomposed into an equivalent zero-shuffle plan: (1) current LEFT OUTER
+broadcast(source) covers keeps/closes/updates, (2) a broadcast LEFT SEMI
+projects the ≤|source| matched keys, (3) source LEFT ANTI broadcast(matched
+keys) yields brand-new keys. Three broadcast joins, the huge current slice
+is scanned (twice) but never shuffled — strictly cheaper than one shuffle of
+the target at scale. All three claims (history bypass, is_current partition
+pruning, broadcast-only plan) are pinned in tests/test_plan_shapes.py.
 """
 
 from __future__ import annotations
@@ -66,14 +76,15 @@ def scd2_merge(
     hist = target.filter(~F.col("is_current"))
 
     t = cur.alias("t")
-    s = src.withColumn("__src", F.lit(True))
-    s = (F.broadcast(s) if broadcast_source else s).alias("s")
+    s = src.withColumn("__src", F.lit(True)).alias("s")
 
-    cond: Column | None = None
-    for k in keys:
-        c = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
-        cond = c if cond is None else (cond & c)
-    joined = t.join(s, on=cond, how="full_outer")
+    def key_cond(left: str, right: str) -> Column:
+        cond: Column | None = None
+        for k in keys:
+            c = F.col(f"{left}.{k}").eqNullSafe(F.col(f"{right}.{k}"))
+            cond = c if cond is None else (cond & c)
+        assert cond is not None
+        return cond
 
     t_present = F.col("t.is_current").isNotNull()
     s_present = F.col("s.__src").isNotNull()
@@ -96,11 +107,42 @@ def scd2_merge(
         "s", F.col(f"s.{change_ts}"), F.lit(None).cast(valid_to_type), True
     )
 
-    rows = (
-        F.when(~s_present, F.array(keep_t))
-        .when(~t_present, F.array(new_s))
-        .when(changed, F.array(close_t, new_s))
-        .otherwise(F.array(keep_t))
-    )
-    merged = joined.select(F.explode(rows).alias("__v")).select("__v.*")
+    if broadcast_source:
+        # BroadcastHashJoin has no full-outer build: decompose into three
+        # broadcast joins so the huge current slice never shuffles.
+        joined = t.join(F.broadcast(s), on=key_cond("t", "s"), how="left_outer")
+        rows = (
+            F.when(~s_present, F.array(keep_t))
+            .when(changed, F.array(close_t, new_s))
+            .otherwise(F.array(keep_t))
+        )
+        outer = joined.select(F.explode(rows).alias("__v")).select("__v.*")
+        # matched keys project to ≤ |source| rows, so the anti join for
+        # brand-new keys broadcasts them instead of shuffling the source
+        matched = (
+            cur.alias("t")
+            .join(F.broadcast(src.alias("s")), on=key_cond("t", "s"), how="left_semi")
+            .select(*keys)
+        )
+        inserts = (
+            src.alias("s")
+            .join(F.broadcast(matched.alias("t")), on=key_cond("s", "t"), how="left_anti")
+            .select(
+                *[F.col(k) for k in keys],
+                *[F.col(c) for c in tracked],
+                F.col(change_ts).alias("valid_from"),
+                F.lit(None).cast(valid_to_type).alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            )
+        )
+        merged = outer.unionByName(inserts)
+    else:
+        joined = t.join(s, on=key_cond("t", "s"), how="full_outer")
+        rows = (
+            F.when(~s_present, F.array(keep_t))
+            .when(~t_present, F.array(new_s))
+            .when(changed, F.array(close_t, new_s))
+            .otherwise(F.array(keep_t))
+        )
+        merged = joined.select(F.explode(rows).alias("__v")).select("__v.*")
     return merged.unionByName(hist.select(*merged.columns))

@@ -227,6 +227,44 @@ def seed_centroids(
     )
 
 
+# Hard ceiling on rows entering a k-means trainer. Training canonicalizes the
+# sample to ONE partition for seed determinism, so a caller passing the full
+# corpus without `sample_mod` would silently single-thread (and eventually
+# OOM) the fit. Past the ceiling we refuse instead.
+TRAIN_MAX_ROWS = 100_000
+
+
+def _training_sample(
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    sample_mod: int | None,
+) -> DataFrame:
+    """Hash-deterministic training sample with a size guard.
+
+    ``xxhash64(id) % sample_mod == 0`` keeps ~1/sample_mod of the corpus
+    regardless of partitioning (unlike ``DataFrame.sample``, whose draw
+    depends on the partition layout). Raises if the resulting training set
+    exceeds TRAIN_MAX_ROWS — the canonical-layout step would otherwise
+    coalesce the whole corpus to one partition silently.
+    """
+    data = candidates.select(
+        F.col(id_col).alias("sid"), as_double(F.col(vec_col)).alias("v")
+    )
+    if sample_mod is not None and sample_mod > 1:
+        data = data.filter(
+            F.pmod(F.xxhash64(F.col("sid")), F.lit(sample_mod)) == 0
+        )
+    n = data.count()
+    if n > TRAIN_MAX_ROWS:
+        raise ValueError(
+            f"k-means training set has {n} rows > TRAIN_MAX_ROWS="
+            f"{TRAIN_MAX_ROWS}; pass sample_mod to subsample the corpus "
+            "(training coalesces to one partition for seed determinism)"
+        )
+    return data
+
+
 def train_centroids_kmeans(
     candidates: DataFrame,
     n_cells: int,
@@ -253,13 +291,7 @@ def train_centroids_kmeans(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    data = candidates.select(
-        F.col(id_col).alias("sid"), as_double(F.col(vec_col)).alias("v")
-    )
-    if sample_mod is not None and sample_mod > 1:
-        data = data.filter(
-            F.pmod(F.xxhash64(F.col("sid")), F.lit(sample_mod)) == 0
-        )
+    data = _training_sample(candidates, id_col, vec_col, sample_mod)
     # canonical layout for the trainer: KMeans' k-means|| init draws from a
     # per-partition RNG, so the same seed on a different partitioning yields
     # different centers. Sorting by id and collapsing the (small) training
@@ -488,6 +520,158 @@ def pq_encode(
     )
 
 
+def train_pq_codebooks(
+    candidates: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """Per-subvector k-means-trained PQ codebooks: the quality upgrade over
+    the data-seeded :func:`pq_codebooks` (whose smallest-id seeds carry no
+    information about the subvector distribution — codebook quality drives
+    ADC recall, exactly as centroid quality drives IVF recall).
+
+    Mirrors :func:`train_centroids_kmeans`: hash-deterministic sample via
+    ``sample_mod`` (with the same TRAIN_MAX_ROWS guard), canonical sorted
+    single-partition layout so a fixed ``seed`` reproduces the same centers
+    on any cluster, one KMeans fit per subvector (m fits of ksub centers
+    each — driver holds only m*ksub small arrays). Output matches the
+    ``(sub, code, cv)`` contract of :func:`pq_codebooks`, so
+    :func:`pq_encode` / :func:`pq_adc_topk` / :func:`ivf_pq_topk` work
+    unchanged with either codebook source.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    data = _training_sample(candidates, id_col, vec_col, sample_mod)
+    canonical = data.orderBy("sid").coalesce(1).persist()
+    rows = []
+    try:
+        for sub in range(m):
+            feats = canonical.select(
+                array_to_vector(_subvec(F.col("v"), F.lit(sub), m)).alias(
+                    "features"
+                )
+            )
+            # distinct seed per subvector: identical seeds on near-identical
+            # subvector distributions would correlate the codebooks
+            model = KMeans(k=ksub, seed=seed + sub, featuresCol="features").fit(
+                feats
+            )
+            rows.extend(
+                (sub, code, [float(x) for x in center])
+                for code, center in enumerate(model.clusterCenters())
+            )
+    finally:
+        canonical.unpersist()
+    return candidates.sparkSession.createDataFrame(
+        rows, "sub int, code int, cv array<double>"
+    )
+
+
+def _pq_lut(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """ADC lookup table: (query_id, sub, code, pdist) — squared-L2 between
+    each query subvector and each codebook entry. |Q|*m*ksub tiny rows,
+    always broadcast by callers."""
+    from database_synchronize_tool_spark.functions.vectors import l2_sq_pairs
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    qsub = q.select(
+        "query_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col("qv"),
+    ).select("query_id", "sub", _subvec(F.col("qv"), F.col("sub"), m).alias("qsv"))
+    return qsub.join(F.broadcast(codebooks), "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        l2_sq_pairs(F.col("qsv"), F.col("cv")).alias("pdist"),
+    )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """The composed IVF+PQ stack — the canonical ANN layout at 100 TB: IVF
+    prunes WHO gets scored (each query touches ~n_probe/n_cells of the
+    corpus), PQ shrinks WHAT is scored (m byte codes + LUT adds instead of a
+    full-dimension dot product). :func:`pq_adc_topk` alone ADC-scores all N
+    candidates; this operator cell-prunes first, so the ADC aggregate sees
+    ``n_probe/n_cells · N`` code rows instead of N.
+
+    Index build (one-time, linear): assign every candidate to its nearest
+    cell (broadcast-centroid argmax, no shuffle of the big side) and
+    PQ-encode it (explode + broadcast-codebook argmin). Query path: queries
+    fan out to ``n_probe`` cells on the broadcast side, the cell equi-join
+    selects survivors, survivors' codes hash-join the broadcast LUT and
+    re-aggregate to decimal-exact ADC sums. Two equi-joins, zero cross
+    joins on the big side. ``centroids`` / ``codebooks`` override the
+    deterministic data-seeded defaults with trained tables
+    (:func:`train_centroids_kmeans` / :func:`train_pq_codebooks`) — every
+    downstream step is unchanged.
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else seed_centroids(candidates, n_cells, id_col, vec_col)
+    )
+    cb = codebooks if codebooks is not None else pq_codebooks(
+        candidates, m, ksub, id_col, vec_col
+    )
+    # index build: (cand_id, cell, codes) — both passes are linear in N
+    cand_cells = ivf_assign_cells(
+        candidates, cents, id_col, vec_col, top_cells=1
+    ).select(F.col("vid").alias("cand_id"), "cell")
+    enc = pq_encode(candidates, cb, m, id_col, vec_col).select(
+        F.col("vid").alias("cand_id"), "codes"
+    )
+    index = cand_cells.join(enc, "cand_id")
+    # query path: prune WHO (cell equi-join) ...
+    q_cells = ivf_assign_cells(
+        queries, cents, id_col, vec_col, top_cells=n_probe
+    ).select(F.col("vid").alias("query_id"), "cell")
+    surv = index.join(F.broadcast(q_cells), "cell").filter(
+        F.col("cand_id") != F.col("query_id")
+    )
+    # ... then shrink WHAT (m LUT lookups per survivor)
+    lut = _pq_lut(queries, cb, m, id_col, vec_col)
+    codes = surv.select(
+        "query_id", "cand_id", F.posexplode("codes").alias("sub", "code")
+    )
+    adist = codes.join(F.broadcast(lut), ["query_id", "sub", "code"]).groupBy(
+        "query_id", "cand_id"
+    ).agg(
+        F.sum(F.col("pdist").cast("decimal(28,12)")).cast("double").alias("adist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("cand_id"))
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adist", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def pq_adc_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -508,8 +692,6 @@ def pq_adc_topk(
     full-dimension dot product, which is the entire point of PQ. The sum
     runs through DECIMAL so partial-order can't perturb the double result.
     Ranking tiebreaks on cand_id; rank ascends with distance."""
-    from database_synchronize_tool_spark.functions.vectors import l2_sq_pairs
-
     cb = codebooks if codebooks is not None else pq_codebooks(
         candidates, m, ksub, id_col, vec_col
     )
@@ -518,20 +700,7 @@ def pq_adc_topk(
         F.col("vid").alias("cand_id"),
         F.posexplode("codes").alias("sub", "code"),
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
-    qsub = q.select(
-        "query_id",
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-        F.col("qv"),
-    ).select("query_id", "sub", _subvec(F.col("qv"), F.col("sub"), m).alias("qsv"))
-    lut = qsub.join(F.broadcast(cb), "sub").select(
-        "query_id",
-        "sub",
-        "code",
-        l2_sq_pairs(F.col("qsv"), F.col("cv")).alias("pdist"),
-    )
+    lut = _pq_lut(queries, cb, m, id_col, vec_col)
     joined = cand_codes.join(F.broadcast(lut), ["sub", "code"])
     adist = joined.groupBy("query_id", "cand_id").agg(
         F.sum(F.col("pdist").cast("decimal(28,12)")).cast("double").alias("adist")

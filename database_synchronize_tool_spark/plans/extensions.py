@@ -1117,3 +1117,178 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return DD.containment_pairs(d, threshold=0.9)
+
+
+@declared(
+    "ann_ivf_pq_topk",
+    oracle=f"""
+    WITH {_PQ_CB_SQL}, cents AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY sid) - 1 AS INT) AS cell,
+             centroid AS ccv
+      FROM (SELECT vec_id AS sid, v AS centroid FROM e
+            ORDER BY vec_id LIMIT {_IVF_CELLS})
+    ), cand_assign AS (
+      SELECT vec_id AS cand_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cosine_sql('e.v', 'c.ccv')} DESC, c.cell) AS rk
+        FROM e, cents c
+      ) WHERE rk = 1
+    ), q_assign AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cosine_sql('e.v', 'c.ccv')} DESC, c.cell) AS rk
+        FROM e, cents c WHERE e.vec_id < 10
+      ) WHERE rk <= {_IVF_PROBE}
+    ), qsub AS (
+      SELECT vec_id AS query_id, CAST(i AS INT) AS sub,
+             list_slice(v, i*(len(v)//{SIM.PQ_M})+1,
+                        (i+1)*(len(v)//{SIM.PQ_M})) AS qsv
+      FROM e, range(0, {SIM.PQ_M}) t(i) WHERE vec_id < 10
+    ), lut AS (
+      SELECT query_id, sub, code,
+             {_L2SQ_SQL.format(a="qsv", b="cv")} AS pdist
+      FROM qsub JOIN cb USING (sub)
+    ), surv AS (
+      SELECT q.query_id, c.cand_id
+      FROM cand_assign c JOIN q_assign q USING (cell)
+      WHERE c.cand_id <> q.query_id
+    ), adist AS (
+      SELECT s.query_id, s.cand_id,
+             CAST(SUM(CAST(l.pdist AS DECIMAL(28,12))) AS DOUBLE) AS adist
+      FROM surv s JOIN best b ON b.vid = s.cand_id
+           JOIN lut l ON l.query_id = s.query_id AND l.sub = b.sub
+                     AND l.code = b.code
+      GROUP BY s.query_id, s.cand_id
+    )
+    SELECT query_id, cand_id, adist, CAST(rank AS INT) AS rank FROM (
+      SELECT query_id, cand_id, adist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist, cand_id) AS rank
+      FROM adist
+    ) WHERE rank <= 5
+    """,
+    doc=f"Composed IVF+PQ top-5 — the canonical 100 TB ANN layout: IVF "
+    f"prunes WHO is scored (each query probes its {_IVF_PROBE} of "
+    f"{_IVF_CELLS} cells, so the ADC aggregate sees ~n_probe/n_cells of "
+    f"the corpus instead of all of it, unlike ann_pq_adc_topk), PQ shrinks "
+    f"WHAT is scored ({SIM.PQ_M} LUT adds per survivor instead of a "
+    "64-dim dot product). Index build is linear (broadcast-centroid "
+    "argmax + broadcast-codebook argmin); the query path is two "
+    "equi-joins (cell, then LUT code) with zero big-side cross joins. "
+    "Both quantizers are deterministic data-seeded so the oracle rebuilds "
+    "the whole index literally; trained centroids/codebooks swap in with "
+    "no downstream change.",
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_pq_topk(
+        e.filter(F.col("vec_id") < 10), e, k=5,
+        n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+    )
+
+
+@declared(
+    "dedup_containment_banded",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({_HASHES_SQL}) AS sh, {_HASHES_SQL} AS hs
+      FROM documents
+    ), sigs AS (
+      SELECT doc_id, {_minhash_cols_sql()} FROM sh
+    ), bands AS (
+      {_band_union_sql()}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), joined AS (
+      SELECT cand.doc_a, cand.doc_b, sa.sh AS sh_a, sb.sh AS sh_b
+      FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+                JOIN sh sb ON sb.doc_id = cand.doc_b
+    ), directed AS (
+      SELECT doc_a AS doc_inner, doc_b AS doc_outer,
+             len(list_intersect(sh_a, sh_b)) / greatest(len(sh_a), 1) AS cont
+      FROM joined
+      UNION ALL
+      SELECT doc_b AS doc_inner, doc_a AS doc_outer,
+             len(list_intersect(sh_b, sh_a)) / greatest(len(sh_b), 1) AS cont
+      FROM joined
+    )
+    SELECT doc_inner, doc_outer, cont FROM directed WHERE cont >= 0.9
+    """,
+    doc="Directional shingle containment with NO blocking column: LSH band "
+    "buckets generate candidates (the same (band, key) equi-join that "
+    "bounds dedup_minhash_lsh), exact containment verifies each unordered "
+    "candidate in both directions. The unblocked scale path for "
+    "swallowed-document detection. Recall caveat (documented + "
+    "unit-tested): bands fire on Jaccard, and containment >= t does not "
+    "bound Jaccard below, so low-Jaccard containment pairs (tiny doc in "
+    "huge doc) can be missed; the Jaccard-estimating signature prefilter "
+    "is deliberately NOT applied here.",
+)
+def dedup_containment_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.containment_banded_pairs(d, threshold=0.9)
+
+
+@declared(
+    "ann_pq_trained_recall",
+    oracle=None,  # k-means training is not SQL-expressible; rows-only check
+    doc="Recall@5 vs exact squared-L2 of PQ ADC under TRAINED per-subvector "
+    "k-means codebooks vs the data-seeded default, at equal m/ksub — one "
+    "row (k, n_queries, recall_trained, recall_seeded). Deterministic: "
+    "fixed KMeans seed over a sorted single-partition training sample "
+    "(the train_centroids_kmeans pattern). Queries are vec_id in "
+    "[100, 110) — DISJOINT from the smallest-id seed vectors, because a "
+    "query inside the seeded codebook gets exact zero-distance codes for "
+    "its own neighborhood and the comparison stops measuring codebook "
+    "quality. Trained >= seeded is also pinned as a unit test; this "
+    "query makes the margin a graded, re-measured artifact.",
+)
+def ann_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.functions.vectors import l2_sq_pairs
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    k = 5
+    # exact squared-L2 top-k baseline (|Q|=10 broadcast; one candidate scan)
+    qs = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cs = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cand_id"))
+    exact = (
+        cs.crossJoin(F.broadcast(qs))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("d2", l2_sq_pairs(F.col("qv").cast("array<double>"),
+                                      F.col("cv").cast("array<double>")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id")
+    )
+
+    def hits(codebooks, alias: str) -> DataFrame:
+        approx = SIM.pq_adc_topk(q, e, k=k, codebooks=codebooks).select(
+            "query_id", "cand_id"
+        )
+        return exact.join(approx, ["query_id", "cand_id"]).agg(
+            F.count(F.lit(1)).alias(alias)
+        )
+
+    # three 1-row aggregates cross-joined — no driver-side action in the
+    # query path (k-means training inside train_pq_codebooks is the only
+    # eager step, as for every trained-quantizer operator)
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    h_t = hits(SIM.train_pq_codebooks(e), "h_t")
+    h_s = hits(SIM.pq_codebooks(e), "h_s")
+    return (
+        h_t.crossJoin(h_s)
+        .crossJoin(n_exact)
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            (F.col("n_exact") / F.lit(k)).cast("bigint").alias("n_queries"),
+            (F.col("h_t") / F.col("n_exact")).cast("double").alias("recall_trained"),
+            (F.col("h_s") / F.col("n_exact")).cast("double").alias("recall_seeded"),
+        )
+    )

@@ -71,6 +71,95 @@ def test_ivf_cell_join_is_broadcast_hash_not_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def _simple(df) -> str:
+    # one line per operator with inline arguments — countable, unlike the
+    # formatted mode that repeats each node name in tree + detail sections
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+
+
+def _scd2_frames(spark, tmp_path=None):
+    from database_synchronize_tool_spark.catalog import load_table
+
+    target = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01 00:00:00", None, True),
+            (2, "b", "2024-01-01 00:00:00", None, True),
+            (2, "old", "2023-01-01 00:00:00", "2024-01-01 00:00:00", False),
+        ],
+        "k int, v string, valid_from string, valid_to string, is_current boolean",
+    )
+    source = spark.createDataFrame(
+        [(2, "b2", "2024-06-01 00:00:00"), (3, "c", "2024-06-01 00:00:00")],
+        "k int, v string, change_ts string",
+    )
+    return target, source
+
+
+def test_scd2_broadcast_source_plan_has_no_shuffle(spark):
+    # claim (scd.py docstring): broadcast_source decomposes the full outer
+    # into three broadcast joins — the huge current slice is scanned, never
+    # shuffled. Pin: only BroadcastHashJoins, zero shuffle Exchanges.
+    from database_synchronize_tool_spark.operators.scd import scd2_merge
+
+    target, source = _scd2_frames(spark)
+    # collapse=False isolates the merge shape: the source-collapse window
+    # shuffles only the (small) delta and is orthogonal to this claim
+    plan = _simple(
+        scd2_merge(
+            target, source, keys=["k"], tracked=["v"],
+            broadcast_source=True, collapse=False,
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan  # no key shuffle anywhere
+
+
+def test_scd2_closed_history_bypasses_the_join(spark):
+    # claim: history rows reach the output through the Union branch only —
+    # the single key shuffle pair feeds the full-outer join's two inputs,
+    # and no other Exchange exists for the history side to pass through
+    from database_synchronize_tool_spark.operators.scd import scd2_merge
+
+    target, source = _scd2_frames(spark)
+    # collapse=False: this test pins the join/history shape, and the source
+    # collapse window would add its own (source-side) Exchange
+    plan = _simple(
+        scd2_merge(target, source, keys=["k"], tracked=["v"], collapse=False)
+    )
+    assert "Union" in plan
+    n_joins = sum(plan.count(j) for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_joins == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # join inputs only
+
+
+def test_scd2_is_current_partitioned_target_prunes(spark, tmp_path):
+    # claim: with the target partitioned on is_current, the current slice
+    # (and the history branch) are partition-pruned scans
+    from database_synchronize_tool_spark.operators.scd import scd2_merge
+
+    target, source = _scd2_frames(spark)
+    path = str(tmp_path / "scd2_target")
+    target.write.partitionBy("is_current").parquet(path)
+    # partition-column type inference leaves booleans as strings; read with
+    # the explicit schema so is_current keeps its type
+    loaded = spark.read.schema(target.schema).parquet(path)
+    df = scd2_merge(loaded, source, keys=["k"], tracked=["v"], broadcast_source=True)
+    # formatted mode: simple-mode scan lines truncate long filter lists
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    # both branches prune: the current slice keeps is_current=true partitions,
+    # the history branch keeps is_current=false (NOT is_current)
+    assert any("is_current" in l and "NOT" not in l for l in pf), plan
+    assert any("NOT is_current" in l for l in pf), pf
+
+
 def test_bucketed_target_merge_skips_big_side_shuffle(spark, sf_dir):
     # SCALE.md / merge.py claim: a target bucketed on the merge key is not
     # re-shuffled by the merge join — its bucketing already satisfies the

@@ -206,3 +206,95 @@ def test_pq_adc_deterministic(spark, sf_dir):
     a = sorted(tuple(r) for r in SIM.pq_adc_topk(q, e, k=5).collect())
     b = sorted(tuple(r) for r in SIM.pq_adc_topk(q, e, k=5).collect())
     assert a == b
+
+
+def test_pq_trained_codebooks_recall_geq_seeded(spark, sf_dir):
+    # per-subvector k-means codebooks adapt to the subvector distribution;
+    # smallest-id seeds don't — trained ADC must recall at least as much.
+    # Queries must be DISJOINT from the smallest-id seed vectors: a query
+    # inside the seeded codebook gets zero-distance codes for its own
+    # neighborhood, which flatters the seeded baseline and hides the win.
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    q = e.filter(F.col("vec_id") >= n - 20)
+    exact = _pairs(_l2_exact_topk(spark, q, e, k=5))
+
+    trained_cb = SIM.train_pq_codebooks(e, seed=42)
+    assert trained_cb.count() == SIM.PQ_M * SIM.PQ_KSUB
+    r_seeded = len(_pairs(SIM.pq_adc_topk(q, e, k=5)) & exact) / len(exact)
+    r_trained = len(
+        _pairs(SIM.pq_adc_topk(q, e, k=5, codebooks=trained_cb)) & exact
+    ) / len(exact)
+    assert r_trained >= r_seeded, (r_trained, r_seeded)
+
+
+def test_pq_trained_codebooks_deterministic_across_partitioning(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    c1 = SIM.train_pq_codebooks(e, seed=7, sample_mod=2)
+    c2 = SIM.train_pq_codebooks(e.repartition(7), seed=7, sample_mod=2)
+    got1 = sorted((r["sub"], r["code"], tuple(r["cv"])) for r in c1.collect())
+    got2 = sorted((r["sub"], r["code"], tuple(r["cv"])) for r in c2.collect())
+    assert got1 == got2
+
+
+def test_kmeans_training_rejects_oversized_corpus(spark, sf_dir, monkeypatch):
+    # without sample_mod, a full-corpus fit would silently coalesce(1);
+    # past the ceiling both trainers must refuse instead
+    e = load_table(spark, sf_dir, "embeddings")
+    monkeypatch.setattr(SIM, "TRAIN_MAX_ROWS", 20)
+    with pytest.raises(ValueError, match="TRAIN_MAX_ROWS"):
+        SIM.train_centroids_kmeans(e, n_cells=4)
+    with pytest.raises(ValueError, match="TRAIN_MAX_ROWS"):
+        SIM.train_pq_codebooks(e)
+    # a sample that fits the ceiling passes
+    assert SIM.train_centroids_kmeans(e, n_cells=2, sample_mod=64).count() == 2
+
+
+# --- composed IVF+PQ --------------------------------------------------------
+
+
+def test_ivf_pq_full_probe_equals_plain_adc(spark, sf_dir):
+    # n_probe == n_cells disables the WHO-prune, so the composed operator
+    # must reproduce pq_adc_topk exactly (same codebooks, same ADC sums)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    plain = sorted(tuple(r) for r in SIM.pq_adc_topk(q, e, k=5).collect())
+    composed = sorted(
+        tuple(r)
+        for r in SIM.ivf_pq_topk(q, e, k=5, n_cells=8, n_probe=8).collect()
+    )
+    assert composed == plain
+
+
+def test_ivf_pq_scores_only_probed_cells(spark, sf_dir):
+    # the point of the composition: every returned candidate lies in one of
+    # the query's n_probe probed cells (pq_adc_topk has no such restriction)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    n_cells, n_probe = 8, 2
+    cents = SIM.seed_centroids(e, n_cells)
+    probed = {
+        (r["vid"], r["cell"])
+        for r in SIM.ivf_assign_cells(q, cents, top_cells=n_probe).collect()
+    }
+    cand_cell = {
+        r["vid"]: r["cell"]
+        for r in SIM.ivf_assign_cells(e, cents, top_cells=1).collect()
+    }
+    got = SIM.ivf_pq_topk(q, e, k=5, n_cells=n_cells, n_probe=n_probe).collect()
+    assert got, "composed search returned nothing"
+    for r in got:
+        assert (r["query_id"], cand_cell[r["cand_id"]]) in probed
+
+
+def test_ivf_pq_nprobe_monotone_recall(spark, sf_dir):
+    # probing more cells only grows the ADC-scored candidate pool
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    exact = _pairs(_l2_exact_topk(spark, q, e, k=5))
+    recalls = [
+        len(_pairs(SIM.ivf_pq_topk(q, e, k=5, n_cells=8, n_probe=p)) & exact)
+        / len(exact)
+        for p in (1, 4, 8)
+    ]
+    assert recalls == sorted(recalls)
