@@ -994,6 +994,154 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declared(
+    "text_tfidf_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                    t -> t <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    )
+    SELECT doc_id, term, score, CAST(rank AS INT) AS rank FROM (
+      SELECT tf.doc_id, tf.term,
+             (tf.tf * (n.n_docs + 1)) / (dfreq.df + 1) AS score,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY (tf.tf * (n.n_docs + 1)) / (dfreq.df + 1) DESC,
+                                         tf.term) AS rank
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ) WHERE rank <= 3
+    """,
+    doc="Top-3 characteristic terms per document by a TF-IDF-style weight "
+    "with a RATIONAL idf surrogate: score = tf·(N+1)/(df+1). The rational "
+    "form is monotone in 1/df like log-idf but stays a single exact-integer "
+    "multiply + one IEEE divide, so both engines produce bit-identical "
+    "doubles (libm ln() is not correctly-rounded and would flap the hash). "
+    "Scale shape: token explode -> (doc,term) hash-agg -> vocab agg -> "
+    "equi-join back (vocab is bounded; AQE broadcasts when small) -> "
+    "per-doc window top-k. The keyword-extraction step of a corpus "
+    "featurization pipeline.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            (F.col("tf") * (F.col("n_docs") + 1)) / (F.col("df") + 1),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@declared(
+    "stratified_rebalance_sample",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+    ), m AS (
+      SELECT MIN(n_lang) AS min_n FROM counts
+    )
+    SELECT doc_id, lang FROM documents
+    JOIN counts USING (lang) CROSS JOIN m
+    WHERE CAST((doc_id * 2654435761) % 4294967296 AS DECIMAL(38,0)) * n_lang
+          < CAST(min_n AS DECIMAL(38,0)) * 4294967296
+    """,
+    doc="Stratified corpus rebalancing: downsample every language to ~the "
+    "smallest language's share via the portable Knuth hash — keep doc iff "
+    "bucket(doc_id)·n_lang < min_n·2^32, i.e. a per-stratum rate of "
+    "min_n/n_lang with an engine-independent, re-runnable draw. The "
+    "products run in DECIMAL(38,0) so corpus-scale stratum counts cannot "
+    "overflow int64. Scale shape: one tiny per-stratum agg (|langs| rows, "
+    "broadcast), then a NARROW filter — no window, no per-stratum sort, so "
+    "a billion-doc stratum costs a scan, unlike rank-based caps that "
+    "single-partition each stratum.",
+)
+def stratified_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    m = counts.agg(F.min("n_lang").alias("min_n"))
+    bucket = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).cast(
+        "decimal(38,0)"
+    )
+    keep = bucket * F.col("n_lang") < F.col("min_n").cast("decimal(38,0)") * F.lit(
+        4294967296
+    )
+    return (
+        d.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(m))
+        .filter(keep)
+        .select("doc_id", "lang")
+    )
+
+
+@declared(
+    "split_dedup_safe",
+    oracle="""
+    WITH f AS (
+      SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                     '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), s AS (
+      SELECT fp,
+             CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT fp, (ascii(substr(fp, 1, 1))*961 + ascii(substr(fp, 2, 1))*31
+                        + ascii(substr(fp, 3, 1))) % 10 AS b FROM f)
+    )
+    SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique
+    FROM s GROUP BY split
+    """,
+    doc="Leakage-safe 80/10/10 split: membership is keyed on the CONTENT "
+    "fingerprint (md5 of the canonical text, the exact-dedup key), not the "
+    "row id — every copy of a duplicated document lands in the same split, "
+    "so train/test contamination via exact dups is impossible by "
+    "construction (n_docs vs n_unique exposes the duplicate mass per "
+    "split; the co-travel invariant is unit-tested). The bucket is a "
+    "portable poly-31 hash of the fingerprint's first hex chars — "
+    "engine-independent like the doc_id split in train_val_test_split. "
+    "Scale: narrow map + one hash-agg.",
+)
+def split_dedup_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = TX.fingerprint(F.col("text"))
+    b = (
+        F.ascii(F.substring(fp, 1, 1)) * 961
+        + F.ascii(F.substring(fp, 2, 1)) * 31
+        + F.ascii(F.substring(fp, 3, 1))
+    ) % 10
+    split = F.when(b < 8, "train").when(b < 9, "val").otherwise("test")
+    return (
+        d.select(fp.alias("fp"), split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+        )
+    )
+
+
 # --- product quantization (IVF's memory-side complement) --------------------
 
 _L2SQ_SQL = (

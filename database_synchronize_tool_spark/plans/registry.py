@@ -88,6 +88,10 @@ _PRIORITY: tuple[str, ...] = (
     "ann_ivf_pq_topk",
     "dedup_containment_banded",
     "ann_pq_trained_recall",
+    # --- newly declared this round: training-pipeline surface ---
+    "text_tfidf_topk",
+    "stratified_rebalance_sample",
+    "split_dedup_safe",
     # --- re-verify: last green r2 (dedup/ANN/text/multimodal/sample) ---
     "dedup_minhash_lsh",
     "dedup_simhash_banded",
@@ -132,11 +136,11 @@ _PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "agg_approx_percentile",
+    # ================= end of the 50-query driver window =================
+    # --- queued for round 7: remaining r3-stale sync-ops cohort ---
     "j7_sync_diff_audit",
     "catalog_live_columns_sql",
     "s7_file_listing_distributed",
-    # ================= end of the 50-query driver window =================
-    # --- queued for round 7: remaining r3-stale sync-ops cohort ---
     "s1_full_scan_projection",
     "s2_delta_scan_ts",
     "s2_delta_scan_id",

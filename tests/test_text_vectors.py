@@ -90,3 +90,58 @@ def test_cosine_orthogonal(spark):
     df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0])], "a array<float>, b array<float>")
     c = df.select(cosine(F.col("a"), F.col("b")).alias("out")).collect()[0]["out"]
     assert c == 0.0
+
+
+def test_split_dedup_safe_copies_cotravel(spark):
+    """Every copy of a duplicated document must land in the same split —
+    the invariant split_dedup_safe exists for (fingerprint-keyed buckets)."""
+    from database_synchronize_tool_spark.functions.text import fingerprint
+
+    base = "The Quick   brown FOX jumps over the lazy dog!"
+    docs = spark.createDataFrame(
+        # 1 and 2 are the same content modulo case/whitespace/punctuation;
+        # 3 is distinct
+        [(1, base), (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "something else entirely")],
+        "doc_id bigint, text string",
+    )
+    fp = fingerprint(F.col("text"))
+    b = (
+        F.ascii(F.substring(fp, 1, 1)) * 961
+        + F.ascii(F.substring(fp, 2, 1)) * 31
+        + F.ascii(F.substring(fp, 3, 1))
+    ) % 10
+    split = F.when(b < 8, "train").when(b < 9, "val").otherwise("test")
+    got = {r["doc_id"]: r["s"] for r in docs.select("doc_id", split.alias("s")).collect()}
+    assert got[1] == got[2]  # canonical-equal copies co-travel
+    # and fingerprint-keyed assignment means NO fp ever spans two splits
+    spans = (
+        docs.select(fp.alias("fp"), split.alias("s"))
+        .groupBy("fp")
+        .agg(F.countDistinct("s").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert spans == 0
+
+
+def test_stratified_rebalance_evens_language_shares(spark, sf_dir):
+    """Rebalancing keeps ~min_n docs per language: every stratum's kept
+    count is within sampling noise of the smallest stratum's size, and the
+    draw is deterministic (re-run gives identical rows)."""
+    from database_synchronize_tool_spark.plans.registry import get
+
+    df = get("stratified_rebalance_sample").builder(spark, sf_dir)
+    kept = {r["lang"]: r["n"] for r in df.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    from database_synchronize_tool_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    full = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    min_n = min(full.values())
+    for lang, n in kept.items():
+        # hash draw is Bernoulli(min_n/n_lang) per doc: allow generous noise
+        assert n <= full[lang]
+        assert abs(n - min_n) <= max(10, int(0.6 * min_n)), (lang, n, min_n)
+    a = sorted(tuple(r) for r in df.collect())
+    b_ = sorted(tuple(r) for r in get("stratified_rebalance_sample").builder(spark, sf_dir).collect())
+    assert a == b_
