@@ -541,6 +541,76 @@ def containment_banded_pairs(
     )
 
 
+def containment_prefix_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """EXACT unblocked directional containment via prefix filtering — the
+    classic set-similarity-join candidate bound (Chaudhuri et al. SSJoin /
+    Bayardo et al. all-pairs, public literature), specialized to the
+    asymmetric measure: if ``|A∩B| >= ceil(t·|A|)`` then B must contain at
+    least one of the ``|A| - ceil(t·|A|) + 1`` globally-rarest shingles of A
+    (A can miss at most ``|A| - ceil(t·|A|)`` of them). So joining each
+    doc's RAREST-shingle prefix against the full shingle posting lists
+    yields a candidate set with GUARANTEED recall 1.0 for containment >= t
+    — unlike minhash banding, whose fire probability follows Jaccard and
+    misses low-Jaccard swallowed docs (:func:`containment_banded_pairs`
+    measures ~3% recall on a template-heavy corpus at t=0.9).
+
+    Scale shape: one shingle-frequency aggregate (the global rarity order),
+    one per-doc window to take the prefix (partitioned by doc — bounded by
+    shingles-per-doc, no stratum skew), one equi-join of prefix rows
+    against the posting lists (cost = Σ posting-list sizes over PREFIX
+    shingles only — rarest-first ordering makes those the shortest lists),
+    then the exact directional verify. Threshold is the rational
+    ``threshold_num/threshold_den`` so the required-overlap ceiling is
+    integer math, bit-identical in SQL.
+    """
+    from database_synchronize_tool_spark.functions.text import containment
+
+    if not 0 < threshold_num <= threshold_den:
+        raise ValueError("threshold must be a rational in (0, 1]")
+    spread = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
+    sh = spread.select(
+        "doc_id", minhash_features(F.col("__text"))["sh"].alias("sh")
+    ).persist()
+    ex = sh.select("doc_id", F.explode("sh").alias("h"))
+    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # prefix size p = n - ceil(t*n) + 1, integer ceiling
+    n_sh = sh.select("doc_id", F.size("sh").alias("n"))
+    exdf = ex.join(dfreq, "h").join(n_sh, "doc_id")
+    w = Window.partitionBy("doc_id").orderBy("df", "h")
+    # ceil(num·n/den) over an exact integer numerator: the double quotient
+    # is exact whenever the true value is integral (integers are
+    # representable), and >0.09 away from an integer otherwise — safe
+    required = F.ceil(
+        (F.lit(threshold_num) * F.col("n")) / F.lit(threshold_den)
+    ).cast("bigint")
+    prefix = exdf.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= F.col("n") - required + 1
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_inner"), "h")
+        .join(ex.select(F.col("doc_id").alias("doc_outer"), "h"), "h")
+        .filter(F.col("doc_inner") != F.col("doc_outer"))
+        .select("doc_inner", "doc_outer")
+        .distinct()
+    )
+    ha = sh.select(F.col("doc_id").alias("doc_inner"), F.col("sh").alias("sh_a"))
+    hb = sh.select(F.col("doc_id").alias("doc_outer"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(ha, "doc_inner")
+        .join(hb, "doc_outer")
+        .withColumn("cont", containment(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("cont") >= float(threshold_num) / float(threshold_den))
+        .select("doc_inner", "doc_outer", "cont")
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     text_col: str = "text",
