@@ -160,6 +160,22 @@ def test_scd2_is_current_partitioned_target_prunes(spark, tmp_path):
     assert any("NOT is_current" in l for l in pf), pf
 
 
+def test_tfidf_vocab_join_no_cartesian(spark, sf_dir):
+    # the (doc,term)xvocab join must be a hash equi-join; the only nested
+    # loop allowed is the broadcast of the 1-row corpus-count aggregate
+    plan = plan_of(spark, sf_dir, "text_tfidf_topk")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial/final pairs on both aggs
+
+
+def test_containment_prefix_posting_join_is_equi(spark, sf_dir):
+    # prefix rows join posting lists on the shingle hash — an equi-join,
+    # never a cartesian; the per-doc prefix window partitions by doc_id
+    plan = plan_of(spark, sf_dir, "dedup_containment_prefix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bucketed_target_merge_skips_big_side_shuffle(spark, sf_dir):
     # SCALE.md / merge.py claim: a target bucketed on the merge key is not
     # re-shuffled by the merge join — its bucketing already satisfies the

@@ -105,3 +105,52 @@ def test_delta_filter_partitions_source(spark, vals, wm):
 def test_dedup_merge_is_set_union(spark, t, s):
     got = rows(dedup_merge(df_of(spark, t), df_of(spark, s)))
     assert got == sorted(set(t) | set(s))
+
+
+# --- containment prefix filter: recall-1.0 theorem on random corpora --------
+
+_words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+                     "shared", "tokens", "common", "tail"]),
+    min_size=3, max_size=12,
+)
+_corpora = st.lists(_words, min_size=2, max_size=6)
+
+
+@given(docs=_corpora)
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_containment_prefix_equals_bruteforce(spark, docs):
+    """The prefix-filter candidate bound is a theorem: for ANY corpus the
+    prefix join must surface exactly the brute-force containment pairs."""
+    from pyspark.sql import functions as F
+
+    from database_synchronize_tool_spark.functions.text import containment
+    from database_synchronize_tool_spark.operators.dedup import (
+        containment_prefix_pairs,
+        minhash_features,
+    )
+
+    frame = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["doc_inner"], r["doc_outer"]): r["cont"]
+        for r in containment_prefix_pairs(frame, threshold_num=8,
+                                          threshold_den=10).collect()
+    }
+    sh = frame.select("doc_id", minhash_features(F.col("text"))["sh"].alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    truth = {
+        (r["i"], r["o"]): r["c"]
+        for r in a.join(b, F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("i"),
+            F.col("b.doc_id").alias("o"),
+            containment(F.col("a.sh"), F.col("b.sh")).alias("c"),
+        )
+        .filter(F.col("c") >= 0.8)
+        .collect()
+    }
+    assert set(got) == set(truth), (set(truth) - set(got), set(got) - set(truth))
