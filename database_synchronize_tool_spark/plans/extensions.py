@@ -1098,6 +1098,65 @@ def stratified_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "text_pack_streams",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             (doc_id * 2654435761) % 4294967296 AS hkey
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n_tokens, hkey % 8 AS stream,
+             SUM(n_tokens) OVER (PARTITION BY hkey % 8
+                                 ORDER BY hkey, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, CAST(stream AS BIGINT) AS stream,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+           CAST((cum - n_tokens) % 512 AS BIGINT) AS off,
+           n_tokens
+    FROM s
+    """,
+    doc="Deterministic sequence packing for training: shuffle docs into 8 "
+    "independent streams by the portable Knuth hash, run a per-stream "
+    "token prefix-sum (hash order, doc_id tiebreak), and assign each doc "
+    "to the 512-token bin containing its start offset. The packing step "
+    "of an LLM data pipeline made scale-shaped: bins are derived from K "
+    "PARALLEL partitioned prefix sums, never one global ordered window "
+    "(at cluster scale raise the stream count with cores — streams are "
+    "embarrassingly parallel and the assignment stays pure integer math, "
+    "reproducible on any engine).",
+)
+def text_pack_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from database_synchronize_tool_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).alias("hkey"),
+    ).withColumn("stream", F.col("hkey") % 8)
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("hkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = t.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return s.select(
+        "doc_id",
+        F.col("stream").cast("bigint").alias("stream"),
+        F.floor(start / 512).cast("bigint").alias("bin"),
+        (start % 512).cast("bigint").alias("off"),
+        "n_tokens",
+    )
+
+
+@declared(
     "split_dedup_safe",
     oracle="""
     WITH f AS (

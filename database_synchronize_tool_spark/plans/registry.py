@@ -92,6 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_tfidf_topk",
     "stratified_rebalance_sample",
     "split_dedup_safe",
+    "text_pack_streams",
     "dedup_containment_prefix",
     # --- re-verify: last green r2 (dedup/ANN/text/multimodal/sample) ---
     "dedup_minhash_lsh",
