@@ -176,6 +176,18 @@ def test_containment_prefix_posting_join_is_equi(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_pack_streams_window_is_partitioned(spark, sf_dir):
+    # the packing prefix-sum must run as K parallel per-stream windows —
+    # a missing partitionBy would collapse to one global sorted partition
+    # (Spark warns "No Partition Defined for Window operation")
+    plan = plan_of(spark, sf_dir, "text_pack_streams")
+    win = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win, plan
+    # every window spec carries the stream partition key
+    assert all("stream" in l for l in win), win
+    assert "SinglePartition" not in plan
+
+
 def test_bucketed_target_merge_skips_big_side_shuffle(spark, sf_dir):
     # SCALE.md / merge.py claim: a target bucketed on the merge key is not
     # re-shuffled by the merge join — its bucketing already satisfies the
