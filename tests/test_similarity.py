@@ -298,3 +298,25 @@ def test_ivf_pq_nprobe_monotone_recall(spark, sf_dir):
         for p in (1, 4, 8)
     ]
     assert recalls == sorted(recalls)
+
+
+def test_ivf_pq_fully_trained_recall_geq_seeded(spark, sf_dir):
+    # the production composition: trained coarse quantizer + trained PQ
+    # codebooks must recall at least as much as the all-seeded stack at
+    # equal (n_cells, n_probe, m, ksub). Queries disjoint from the seeds.
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    q = e.filter(F.col("vec_id") >= n - 20)
+    exact = _pairs(_l2_exact_topk(spark, q, e, k=5))
+    kw = dict(k=5, n_cells=8, n_probe=2)
+    seeded = _pairs(SIM.ivf_pq_topk(q, e, **kw))
+    trained = _pairs(
+        SIM.ivf_pq_topk(
+            q, e, **kw,
+            centroids=SIM.train_centroids_kmeans(e, n_cells=8, seed=42),
+            codebooks=SIM.train_pq_codebooks(e, seed=42),
+        )
+    )
+    r_seeded = len(seeded & exact) / len(exact)
+    r_trained = len(trained & exact) / len(exact)
+    assert r_trained >= r_seeded, (r_trained, r_seeded)
