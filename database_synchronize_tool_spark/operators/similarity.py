@@ -449,6 +449,20 @@ def _subvec(v: Column, sub: Column, m: int) -> Column:
     return F.slice(v, sub * dsub + F.lit(1), dsub)
 
 
+def _codebooks_from_seeds(seeds: DataFrame, ksub: int, m: int) -> DataFrame:
+    """(sid, v) rows → (sub, code, cv) codebooks from the ksub smallest-sid
+    vectors' subvector slices (zero RNG — SQL-reproducible)."""
+    smallest = seeds.orderBy("sid").limit(ksub)
+    coded = smallest.select(
+        (F.row_number().over(Window.orderBy("sid")) - 1).alias("code"), "v"
+    )
+    return coded.select(
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        "code",
+        "v",
+    ).select("sub", "code", _subvec(F.col("v"), F.col("sub"), m).alias("cv"))
+
+
 def pq_codebooks(
     candidates: DataFrame,
     m: int = PQ_M,
@@ -461,21 +475,10 @@ def pq_codebooks(
     pattern — zero RNG, so the DuckDB oracle rebuilds the codebooks
     literally; swap in per-subvector k-means for trained quality, the
     (sub, code, cv) contract is unchanged). Output: m*ksub tiny rows."""
-    seeds = (
-        candidates.select(
-            F.col(id_col).alias("sid"), as_double(F.col(vec_col)).alias("v")
-        )
-        .orderBy("sid")
-        .limit(ksub)
+    seeds = candidates.select(
+        F.col(id_col).alias("sid"), as_double(F.col(vec_col)).alias("v")
     )
-    coded = seeds.select(
-        (F.row_number().over(Window.orderBy("sid")) - 1).alias("code"), "v"
-    )
-    return coded.select(
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-        "code",
-        "v",
-    ).select("sub", "code", _subvec(F.col("v"), F.col("sub"), m).alias("cv"))
+    return _codebooks_from_seeds(seeds, ksub, m)
 
 
 def pq_encode(
@@ -662,6 +665,104 @@ def ivf_pq_topk(
     adist = codes.join(F.broadcast(lut), ["query_id", "sub", "code"]).groupBy(
         "query_id", "cand_id"
     ).agg(
+        F.sum(F.col("pdist").cast("decimal(28,12)")).cast("double").alias("adist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("cand_id"))
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "adist", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _residual(v: Column, c: Column) -> Column:
+    """Element-wise v − c (both array<double>)."""
+    return F.zip_with(v, c, lambda x, y: x - y)
+
+
+def ivf_pq_residual_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Residual-encoded IVF+PQ — the geometry production IVF-PQ indexes
+    actually quantize: each candidate stores PQ codes of its RESIDUAL
+    ``v − centroid(cell)``, and the identity ``‖q−c‖² = ‖(q−ccv)−(c−ccv)‖²``
+    lets ADC run on residuals with a per-(query, probed-cell) LUT. Residuals
+    concentrate around the origin regardless of which cell a vector lives
+    in, so a codebook TRAINED on residuals spends its ksub^m capacity on
+    what the coarse quantizer left behind — the reason production IVF-PQ
+    encodes residuals. With the deterministic data-SEEDED codebooks used
+    for oracle reproducibility the recall ordering vs the raw-vector
+    composition is corpus-dependent (measured both ways on the two test
+    tables), so no comparative recall claim is pinned; correctness is
+    pinned by the bit-exact SQL oracle and the structural tests
+    (probed-cell restriction, determinism).
+
+    Scale shape is unchanged from :func:`ivf_pq_topk` — linear index build,
+    cell equi-join prune, broadcast-LUT ADC — with one difference: the LUT
+    is |Q|·n_probe·m·ksub rows (one slab per probed cell, since the query's
+    residual depends on the cell) — still tiny, still broadcast. Codebooks
+    are seeded from the ksub smallest-id vectors' residuals (deterministic,
+    SQL-reproducible)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else seed_centroids(candidates, n_cells, id_col, vec_col)
+    )
+    cents2 = cents.select("cell", as_double(F.col("centroid")).alias("ccv"))
+    # index build: every candidate's residual vs its own cell, PQ-encoded
+    cand_assign = ivf_assign_cells(candidates, cents, id_col, vec_col, top_cells=1)
+    cand_res = cand_assign.join(F.broadcast(cents2), "cell").select(
+        "vid", "cell", _residual(as_double(F.col("v")), F.col("ccv")).alias("v")
+    )
+    cb = _codebooks_from_seeds(
+        cand_res.select(F.col("vid").alias("sid"), "v"), ksub, m
+    )
+    enc = pq_encode(cand_res, cb, m, id_col="vid", vec_col="v")
+    index = cand_assign.select(F.col("vid").alias("cand_id"), "cell").join(
+        enc.select(F.col("vid").alias("cand_id"), "codes"), "cand_id"
+    )
+    # query path: residual per PROBED cell (not the query's own cell)
+    q_cells = ivf_assign_cells(queries, cents, id_col, vec_col, top_cells=n_probe)
+    q_res = q_cells.join(F.broadcast(cents2), "cell").select(
+        F.col("vid").alias("query_id"),
+        "cell",
+        _residual(as_double(F.col("v")), F.col("ccv")).alias("qv"),
+    )
+    qsub = q_res.select(
+        "query_id",
+        "cell",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col("qv"),
+    ).select(
+        "query_id", "cell", "sub", _subvec(F.col("qv"), F.col("sub"), m).alias("qsv")
+    )
+    from database_synchronize_tool_spark.functions.vectors import l2_sq_pairs
+
+    lut = qsub.join(F.broadcast(cb), "sub").select(
+        "query_id",
+        "cell",
+        "sub",
+        "code",
+        l2_sq_pairs(F.col("qsv"), F.col("cv")).alias("pdist"),
+    )
+    surv = index.join(
+        F.broadcast(q_res.select("query_id", "cell")), "cell"
+    ).filter(F.col("cand_id") != F.col("query_id"))
+    codes = surv.select(
+        "query_id", "cand_id", "cell", F.posexplode("codes").alias("sub", "code")
+    )
+    adist = codes.join(
+        F.broadcast(lut), ["query_id", "cell", "sub", "code"]
+    ).groupBy("query_id", "cand_id").agg(
         F.sum(F.col("pdist").cast("decimal(28,12)")).cast("double").alias("adist")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("cand_id"))

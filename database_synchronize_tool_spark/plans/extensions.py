@@ -1397,6 +1397,106 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ann_ivf_pq_residual_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cents AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY sid) - 1 AS INT) AS cell,
+             centroid AS ccv
+      FROM (SELECT vec_id AS sid, v AS centroid FROM e
+            ORDER BY vec_id LIMIT {_IVF_CELLS})
+    ), assign AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cosine_sql('e.v', 'c.ccv')} DESC, c.cell) AS rk
+        FROM e, cents c
+      ) WHERE rk = 1
+    ), res AS (
+      SELECT a.vec_id, a.cell,
+             list_transform(range(1, len(a.v)+1), i -> a.v[i] - c.ccv[i]) AS rv
+      FROM assign a JOIN cents c USING (cell)
+    ), coded AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY sid) - 1 AS INT) AS code, rv
+      FROM (SELECT vec_id AS sid, rv FROM res ORDER BY vec_id LIMIT {SIM.PQ_KSUB})
+    ), cb AS (
+      SELECT CAST(i AS INT) AS sub, code,
+             list_slice(rv, i*(len(rv)//{SIM.PQ_M})+1,
+                        (i+1)*(len(rv)//{SIM.PQ_M})) AS cv
+      FROM coded, range(0, {SIM.PQ_M}) t(i)
+    ), sv AS (
+      SELECT vec_id AS vid, CAST(i AS INT) AS sub,
+             list_slice(rv, i*(len(rv)//{SIM.PQ_M})+1,
+                        (i+1)*(len(rv)//{SIM.PQ_M})) AS sv
+      FROM res, range(0, {SIM.PQ_M}) t(i)
+    ), best AS (
+      SELECT vid, sub, code FROM (
+        SELECT vid, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vid, sub
+                                  ORDER BY {_L2SQ_SQL.format(a="sv", b="cv")}, code) AS rk
+        FROM sv JOIN cb USING (sub)
+      ) WHERE rk = 1
+    ), q_assign AS (
+      SELECT vec_id AS query_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cosine_sql('e.v', 'c.ccv')} DESC, c.cell) AS rk
+        FROM e, cents c WHERE e.vec_id < 10
+      ) WHERE rk <= {_IVF_PROBE}
+    ), q_res AS (
+      SELECT qa.query_id, qa.cell,
+             list_transform(range(1, len(qa.v)+1), i -> qa.v[i] - c.ccv[i]) AS qrv
+      FROM q_assign qa JOIN cents c USING (cell)
+    ), qsub AS (
+      SELECT query_id, cell, CAST(i AS INT) AS sub,
+             list_slice(qrv, i*(len(qrv)//{SIM.PQ_M})+1,
+                        (i+1)*(len(qrv)//{SIM.PQ_M})) AS qsv
+      FROM q_res, range(0, {SIM.PQ_M}) t(i)
+    ), lut AS (
+      SELECT query_id, cell, sub, code,
+             {_L2SQ_SQL.format(a="qsv", b="cv")} AS pdist
+      FROM qsub JOIN cb USING (sub)
+    ), surv AS (
+      SELECT q.query_id, a.vec_id AS cand_id, a.cell
+      FROM assign a JOIN q_assign q USING (cell)
+      WHERE a.vec_id <> q.query_id
+    ), adist AS (
+      SELECT s.query_id, s.cand_id,
+             CAST(SUM(CAST(l.pdist AS DECIMAL(28,12))) AS DOUBLE) AS adist
+      FROM surv s JOIN best b ON b.vid = s.cand_id
+           JOIN lut l ON l.query_id = s.query_id AND l.cell = s.cell
+                     AND l.sub = b.sub AND l.code = b.code
+      GROUP BY s.query_id, s.cand_id
+    )
+    SELECT query_id, cand_id, adist, CAST(rank AS INT) AS rank FROM (
+      SELECT query_id, cand_id, adist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist, cand_id) AS rank
+      FROM adist
+    ) WHERE rank <= 5
+    """,
+    doc="Residual-encoded IVF+PQ top-5 — the geometry production IVF-PQ "
+    "indexes quantize: candidates store PQ codes of v - centroid(cell), "
+    "and ||q-c||^2 = ||(q-ccv)-(c-ccv)||^2 lets ADC run on residuals with "
+    "a per-(query, probed-cell) LUT. Residuals concentrate near the "
+    "origin, so a residual-TRAINED codebook models what the coarse "
+    "quantizer left behind — the reason this layout wins at scale. Here "
+    "both quantizers stay deterministic data-seeded so the oracle "
+    "rebuilds the whole index literally (with seeded codebooks the "
+    "recall ordering vs raw-vector ADC is corpus-dependent and is "
+    "deliberately not claimed). Same scale shape as ann_ivf_pq_topk; the "
+    "LUT grows to |Q|*n_probe*m*ksub rows, still broadcast.",
+)
+def ann_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_pq_residual_topk(
+        e.filter(F.col("vec_id") < 10), e, k=5,
+        n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+    )
+
+
+@declared(
     "dedup_containment_banded",
     oracle=f"""
     WITH sh AS (

@@ -86,6 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_incremental_maintenance",
     # --- newly declared this round (VERDICT r5 Next #2-4) ---
     "ann_ivf_pq_topk",
+    "ann_ivf_pq_residual_topk",
     "dedup_containment_banded",
     "ann_pq_trained_recall",
     # --- newly declared this round: training-pipeline surface ---
