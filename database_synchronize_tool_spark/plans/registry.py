@@ -60,14 +60,20 @@ def _load_all() -> None:
 
 
 # The external differential harness checks the first 50 declared queries per
-# round, so ordering is part of the graded surface. Round-6 window (VERDICT r5
-# "Next round" #1): the five queries never driver-verified in any round lead
-# (the r4 additions stranded by the missed r5 rotation, plus
-# `agg_incremental_maintenance` which was absent from _PRIORITY entirely),
-# followed by this round's new operators, then the 19-query cohort last green
-# in round 2 and 23 of the r3-stale cohort. The remaining 26 r3-stale sync-ops
-# queries are queued at positions 51+ and lead round 7. Names listed before
-# their module declares them are skipped harmlessly by all_queries().
+# round, so ordering is part of the graded surface. _WINDOW holds EXACTLY the
+# 50 declared names the driver verifies this round (unit-tested in
+# tests/test_registry.py — the round-6 marker drifted to position 53, ADVICE
+# r6 #1, stranding three analytics queries outside the window unnoticed);
+# _QUEUE holds everything else, stalest-first, and feeds future rotations.
+#
+# Round-7 window (VERDICT r6 "Next round" #1): queries whose IMPLEMENTATION
+# changes this round lead (changed code needs fresh driver evidence — the
+# in-row ADC rewrite, containment hot-bucket cap + prefix length filter,
+# trained-recall sample_mod fix, plus the new trained-residual composition),
+# then the full 32-query r3-stale cohort (the 29 sync-ops queries queued last
+# round plus the 3 analytics queries the off-by-three marker stranded), then
+# 11 from the r4/r5 queue. Names listed before their module declares them are
+# skipped harmlessly by all_queries().
 #
 # Compensating control (ADVICE r2): curated ordering means ~half the queries
 # sit outside any single round's driver window, so EVERY round we run the full
@@ -76,71 +82,19 @@ def _load_all() -> None:
 # (no name filter = all queries). A rotation is only committed after that
 # sweep reports 0 FAIL; the sweep output is the local evidence for the
 # rotated-out set.
-_PRIORITY: tuple[str, ...] = (
-    # --- round-6 window (VERDICT r5 Next #1): the ONLY 5 of 123 declared
-    # queries never driver-verified in any round lead the window ---
-    "j8_scd2_merge",
-    "ann_pq_encode",
+_WINDOW: tuple[str, ...] = (
+    # --- changed or new in round 7: fresh driver evidence required ---
     "ann_pq_adc_topk",
-    "dedup_containment",
-    "agg_incremental_maintenance",
-    # --- newly declared this round (VERDICT r5 Next #2-4) ---
     "ann_ivf_pq_topk",
     "ann_ivf_pq_residual_topk",
     "dedup_containment_banded",
-    "ann_pq_trained_recall",
-    # --- newly declared this round: training-pipeline surface ---
-    "text_tfidf_topk",
-    "stratified_rebalance_sample",
-    "split_dedup_safe",
-    "text_pack_streams",
     "dedup_containment_prefix",
-    # --- re-verify: last green r2 (dedup/ANN/text/multimodal/sample) ---
-    "dedup_minhash_lsh",
-    "dedup_simhash_banded",
-    "dedup_cluster_assign",
-    "ann_lsh_bucket_topk",
-    "q12_priority_by_linestatus",
-    "agg_approx_count_distinct",
-    "array_agg_sorted_per_group",
-    "text_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "multimodal_binary_meta",
-    "multimodal_frame_sample",
-    "multimodal_feature_extract",
-    "text_bpe_token_count",
-    "text_chunking",
-    "text_vocab_topk",
-    "deterministic_sample",
-    "train_val_test_split",
-    # --- re-verify: last green r3 — dedup/ANN/embedding measures ---
-    "dedup_normalized",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "ann_bruteforce_topk",
-    "embedding_norm_stats",
-    "ann_multiprobe_topk",
-    "ann_ivf_topk",
-    # --- re-verify: last green r3 — vectorized UDF surface ---
-    "grouped_normalize_applyinpandas",
-    "udtf_json_kv_expand",
-    # --- re-verify: last green r3 — streaming + sessionization ---
-    "t5_tumbling_window",
-    "t5_sliding_window",
-    "t6_sessionization",
-    "t7_stream_tumbling",
-    "t8_stream_dedup",
-    "t9_stream_static_join",
-    "t10_stream_session_window",
-    # --- re-verify: last green r3 — analytics / misc ---
+    "ann_pq_trained_recall",
+    # --- re-verify: r3-stale analytics stranded by the r6 off-by-three ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "agg_approx_percentile",
-    # ================= end of the 50-query driver window =================
-    # --- queued for round 7: remaining r3-stale sync-ops cohort ---
+    # --- re-verify: r3-stale sync-ops cohort (queued since round 6) ---
     "j7_sync_diff_audit",
     "catalog_live_columns_sql",
     "s7_file_listing_distributed",
@@ -170,14 +124,111 @@ _PRIORITY: tuple[str, ...] = (
     "f5_string_normalize_compat",
     "o1_sort_limit_topk",
     "t1_incremental_replay",
-    # --- queued for round 7+: last green r4/r5 (freshest greens) ---
+    # --- re-verify: last green r4/r5 (stalest of the remaining cohort) ---
     "embedding_quantize_int8",
     "dedup_simhash_banded64",
     "q9_product_type_profit",
     "q11_important_part_value",
     "q16_supplier_part_counts",
     "q20_potential_part_promotion",
+    "q5_revenue_by_nation",
+    "q6_revenue_forecast",
+    "q10_returned_revenue",
+    "agg_having",
+    "agg_distinct_count",
+    "agg_stats_moments",
 )
+
+_QUEUE: tuple[str, ...] = (
+    # --- queued for round 8: remainder of the r5 cohort, declared order ---
+    "rollup_returns",
+    "cube_events",
+    "pivot_status_by_year",
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_lag_lead",
+    "set_except_nations",
+    "set_intersect_nations",
+    "set_union_distinct",
+    "scalar_subquery_above_avg",
+    "scalar_function_showcase",
+    "case_when_bucketing",
+    "skew_salted_twophase_agg",
+    "correlated_exists_subquery",
+    "q4_order_priority",
+    "q14_promo_revenue",
+    "q19_disjunctive_predicates",
+    "window_ntile_quartiles",
+    "map_functions_showcase",
+    "date_functions_showcase",
+    "q2_min_per_group_scalar_subquery",
+    "agg_exact_percentiles",
+    "unpivot_order_metrics",
+    "join_strategy_hints",
+    "set_intersect_all_statuses",
+    "set_except_all_statuses",
+    "q7_volume_shipping",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q22_global_sales_opportunity",
+    "window_cume_dist_percent_rank",
+    "grouping_sets_events",
+    "window_first_last_nth",
+    "q8_market_share",
+    "q13_customer_order_distribution",
+    "q21_sole_supplier_orders",
+    "dedup_exact",
+    # --- freshest greens: verified round 6 ---
+    "j8_scd2_merge",
+    "ann_pq_encode",
+    "dedup_containment",
+    "agg_incremental_maintenance",
+    "text_tfidf_topk",
+    "stratified_rebalance_sample",
+    "split_dedup_safe",
+    "text_pack_streams",
+    "dedup_minhash_lsh",
+    "dedup_simhash_banded",
+    "dedup_cluster_assign",
+    "ann_lsh_bucket_topk",
+    "q12_priority_by_linestatus",
+    "agg_approx_count_distinct",
+    "array_agg_sorted_per_group",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "multimodal_binary_meta",
+    "multimodal_frame_sample",
+    "multimodal_feature_extract",
+    "text_bpe_token_count",
+    "text_chunking",
+    "text_vocab_topk",
+    "deterministic_sample",
+    "train_val_test_split",
+    "dedup_normalized",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_bruteforce_topk",
+    "embedding_norm_stats",
+    "ann_multiprobe_topk",
+    "ann_ivf_topk",
+    "grouped_normalize_applyinpandas",
+    "udtf_json_kv_expand",
+    "t5_tumbling_window",
+    "t5_sliding_window",
+    "t6_sessionization",
+    "t7_stream_tumbling",
+    "t8_stream_dedup",
+    "t9_stream_static_join",
+    "t10_stream_session_window",
+)
+
+_PRIORITY: tuple[str, ...] = _WINDOW + _QUEUE
+
+DRIVER_WINDOW_SIZE = 50
 
 
 def all_queries() -> dict[str, Declared]:
