@@ -21,10 +21,18 @@ All vector math is built-in higher-order functions (JVM, codegen).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
 
-from database_synchronize_tool_spark.functions.vectors import as_double, cosine_pairs
+from database_synchronize_tool_spark.functions.vectors import (
+    _foldsum,
+    as_double,
+    cosine_pairs,
+    l2_sq,
+)
 
 LSH_PLANES = 8
 LCG_MULT = 2654435761  # Knuth's 2^32 golden-ratio multiplier
@@ -175,6 +183,51 @@ def lsh_multiprobe_topk(
     )
 
 
+def _cosine_sim_np(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(B, n_cells) cosine-similarity matrix with the identical strict
+    left-fold accumulation as ``cosine_pairs`` (``vectors._foldsum``), so
+    batch-side assignments are bit-identical to the SQL oracle's."""
+    xnorm = np.sqrt(_foldsum(x * x))
+    cnorm = np.sqrt(_foldsum(cents * cents))
+    sim = np.empty((x.shape[0], cents.shape[0]))
+    for c in range(cents.shape[0]):
+        sim[:, c] = _foldsum(x * cents[c][None, :]) / (xnorm * cnorm[c])
+    return sim
+
+
+def _centroids_np(centroids: DataFrame) -> np.ndarray:
+    """Collect a ``(cell, centroid)`` table to a cell-ordered ``(n_cells,
+    dim)`` matrix — quantizer metadata, bounded by construction (see
+    :func:`_codebook_np` for why collecting it is the right scale move)."""
+    rows = centroids.select("cell", "centroid").collect()
+    return np.array(
+        [r["centroid"] for r in sorted(rows, key=lambda r: r["cell"])],
+        dtype=np.float64,
+    )
+
+
+def _cell_assign_udf(cent_np: np.ndarray, top_cells: int):
+    """Vectorized coarse-quantizer closure over a collected ``(n_cells,
+    dim)`` centroid matrix: maps a vector column to its ``top_cells``
+    nearest cell ids, best-first.
+
+    The stable argsort on descending similarity breaks ties to the SMALLEST
+    cell — bit-identical ranking to the former crossJoin + ``row_number()
+    OVER (ORDER BY csim DESC, cell)`` plan, with no N·n_cells row expansion
+    and no per-vector window shuffle."""
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def assign_udf(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array(vs.tolist(), dtype=np.float64)
+        sim = _cosine_sim_np(x, cent_np)
+        order = np.argsort(-sim, axis=1, kind="stable")[:, :top_cells]
+        return pd.Series([o.tolist() for o in order.astype(np.int64)])
+
+    return assign_udf
+
+
 def ivf_assign_cells(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -184,23 +237,30 @@ def ivf_assign_cells(
 ) -> DataFrame:
     """Assign each vector to its ``top_cells`` nearest centroids by cosine.
 
-    ``centroids`` is small by construction (|cells| ≪ N) and broadcasts; the
-    assignment is one narrow pass over the vector table — per-row argmax
-    against the broadcast list, no shuffle of the big side. Ties break on
-    centroid id for determinism. Returns (id, vec, cell, cell_rank).
+    ``centroids`` is quantizer METADATA (|cells| ≪ N rows, bounded), so it
+    is collected once and closed over by a vectorized pandas UDF — the same
+    broadcast-a-model move as :func:`_codebook_np`. The assignment is ONE
+    narrow Arrow pass over the vector table: per-batch numpy argmax against
+    the centroid matrix, no N·n_cells crossJoin expansion and no per-vector
+    ranking window (which cost a full shuffle of N·n_cells rows in the
+    former plan). Ties break on centroid id for determinism, bit-identical
+    to the former window ranking. Returns (vid, v, cell, cell_rank).
     """
-    v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-    c = centroids.select(
-        F.col("cell").alias("cell"), F.col("centroid").alias("cv")
+    cent_np = _centroids_np(centroids)
+    v = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     )
-    scored = v.crossJoin(F.broadcast(c)).withColumn(
-        "csim", cosine_pairs(F.col("v"), F.col("cv"))
+    assigned = v.select(
+        "vid",
+        "v",
+        _cell_assign_udf(cent_np, top_cells)(as_double(F.col("v"))).alias("cells"),
     )
-    w = Window.partitionBy("vid").orderBy(F.col("csim").desc(), F.col("cell"))
-    return (
-        scored.withColumn("cell_rank", F.row_number().over(w))
-        .filter(F.col("cell_rank") <= top_cells)
-        .select("vid", "v", "cell", F.col("cell_rank").cast("int").alias("cell_rank"))
+    return assigned.select(
+        "vid",
+        "v",
+        F.posexplode("cells").alias("pos", "cell"),
+    ).select(
+        "vid", "v", "cell", (F.col("pos") + 1).cast("int").alias("cell_rank")
     )
 
 
@@ -481,6 +541,124 @@ def pq_codebooks(
     return _codebooks_from_seeds(seeds, ksub, m)
 
 
+def _codebook_np(codebooks: DataFrame) -> np.ndarray:
+    """Collect a ``(sub, code, cv)`` codebook table to a dense
+    ``(m, ksub, dsub)`` float64 array.
+
+    The codebook is index METADATA — m*ksub tiny rows (64 at the defaults),
+    bounded by construction — so collecting it once and closing over it is
+    the distributed analogue of broadcasting a trained model, the same move
+    ``train_*_kmeans`` already makes with ``clusterCenters()``. The vector
+    tables themselves never reach the driver.
+    """
+    rows = codebooks.select("sub", "code", "cv").collect()
+    by = {(r["sub"], r["code"]): r["cv"] for r in rows}
+    m = max(s for s, _ in by) + 1
+    ksub = max(c for _, c in by) + 1
+    return np.array(
+        [[by[(s, c)] for c in range(ksub)] for s in range(m)],
+        dtype=np.float64,
+    )
+
+
+def _pq_codes_np(x: np.ndarray, cb_np: np.ndarray) -> np.ndarray:
+    """(B, m) nearest-code ids for a (B, dim) batch against a collected
+    ``(m, ksub, dsub)`` codebook. Distances use the same strict left-fold
+    accumulation as the SQL oracle (``vectors._foldsum``) and ``np.argmin``
+    ties break to the FIRST (i.e. smallest) code — bit-identical to the
+    former explode + broadcast-join + ``min(struct(dist, code))`` plan."""
+    m, ksub, dsub = cb_np.shape
+    codes = np.empty((x.shape[0], m), dtype=np.int64)
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        d = xs[:, None, :] - cb_np[s][None, :, :]
+        dist = _foldsum((d * d).reshape(-1, dsub)).reshape(-1, ksub)
+        codes[:, s] = np.argmin(dist, axis=1)
+    return codes
+
+
+def _pq_codes_udf(cb_np: np.ndarray):
+    """Vectorized encoder closure over a collected codebook: maps an
+    ``array<double>`` vector column to its ``m`` nearest-code ids with zero
+    joins and zero shuffles (see :func:`_pq_codes_np` for exactness)."""
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def codes_udf(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        codes = _pq_codes_np(np.array(vs.tolist(), dtype=np.float64), cb_np)
+        return pd.Series([c.tolist() for c in codes])
+
+    return codes_udf
+
+
+def _pq_luts_np(qvecs: np.ndarray, cb_np: np.ndarray) -> np.ndarray:
+    """(Q, m, ksub) ADC lookup tables: exact-fold squared-L2 between each
+    query subvector and each codebook entry — bounded index metadata (the
+    classic per-query ADC table, computed once per query set)."""
+    m, ksub, dsub = cb_np.shape
+    q = qvecs.shape[0]
+    luts = np.empty((q, m, ksub))
+    for s in range(m):
+        qs = qvecs[:, s * dsub : (s + 1) * dsub]
+        d = qs[:, None, :] - cb_np[s][None, :, :]
+        luts[:, s, :] = _foldsum((d * d).reshape(-1, dsub)).reshape(q, ksub)
+    return luts
+
+
+def _adc_accumulate(luts: np.ndarray, codes: np.ndarray) -> np.ndarray:
+    """(Q, B) ADC distances: left-fold Σ_sub luts[q][sub][codes[b][sub]] in
+    subvector order — the same fixed-order double fold as the oracle's
+    ``list_reduce(list(pdist ORDER BY sub), (x, y) -> x + y)``."""
+    acc = np.zeros((luts.shape[0], codes.shape[0]))
+    for s in range(codes.shape[1]):
+        acc = acc + luts[:, s, codes[:, s]]
+    return acc
+
+
+# PQ ADC broadcasts per-query state (the LUT) to every scan task, so the
+# query side must be bounded — the same smallness assumption every ANN
+# operator here makes (queries broadcast). Refuse silently-unbounded inputs.
+PQ_QUERY_MAX = 100_000
+
+
+def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
+    """Collect the (bounded) query side to ``(ids, (Q, dim) matrix)``,
+    id-ordered for determinism. Raises past PQ_QUERY_MAX — chunk the query
+    set and union results instead of silently shipping a huge closure."""
+    rows = queries.select(
+        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv")
+    ).collect()
+    if len(rows) > PQ_QUERY_MAX:
+        raise ValueError(
+            f"query side has {len(rows)} rows > PQ_QUERY_MAX={PQ_QUERY_MAX}; "
+            "PQ ADC ships per-query LUTs to every scan task, so chunk the "
+            "query set and union the top-k results"
+        )
+    rows.sort(key=lambda r: r["qid"])
+    ids = [r["qid"] for r in rows]
+    vecs = (
+        np.array([r["qv"] for r in rows], dtype=np.float64)
+        if rows
+        else np.zeros((0, 1))
+    )
+    return ids, vecs
+
+
+def _pair_schema(queries: DataFrame, candidates: DataFrame, id_col: str):
+    """Output schema (query_id, cand_id, adist) matching the input id
+    types."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    return StructType(
+        [
+            StructField("query_id", queries.schema[id_col].dataType),
+            StructField("cand_id", candidates.schema[id_col].dataType),
+            StructField("adist", DoubleType()),
+        ]
+    )
+
+
 def pq_encode(
     vectors: DataFrame,
     codebooks: DataFrame,
@@ -489,38 +667,20 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Encode each vector as ``m`` nearest-code ids (squared-L2 per
-    subvector). One explode to (vid, sub) rows, one broadcast join against
-    the m*ksub codebook, argmin via min(struct(dist, code)) — a map-side
-    combined aggregate, no window sort — then codes re-assembled in
-    subvector order. N*m*ksub distance evaluations, the irreducible PQ
-    encode cost, all Arrow-vectorized; the big side never shuffles wide
-    rows (the raw vector stays behind, only (vid, sub, subvector) moves).
-    Output: (vid, codes array<int>)."""
-    from database_synchronize_tool_spark.functions.vectors import l2_sq_pairs
+    subvector) in ONE narrow Arrow pass over the vector table.
 
+    The m*ksub codebook is collected once (bounded index metadata — see
+    :func:`_codebook_np`) and closed over by a vectorized pandas UDF, so the
+    encode has zero joins, zero shuffles, and no N·m row expansion — the
+    round-6 bench showed the exploded encode+ADC path as the only >2×
+    headline gap. N·m·ksub distance evaluations remain the irreducible PQ
+    encode cost, now all inside numpy per Arrow batch.
+    Output: (vid, codes array<int>)."""
+    cb_np = _codebook_np(codebooks)
     v = vectors.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     )
-    sv = v.select(
-        "vid",
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-        F.col("v"),
-    ).select("vid", "sub", _subvec(F.col("v"), F.col("sub"), m).alias("sv"))
-    scored = sv.join(F.broadcast(codebooks), "sub").select(
-        "vid",
-        "sub",
-        "code",
-        l2_sq_pairs(F.col("sv"), F.col("cv")).alias("dist"),
-    )
-    best = scored.groupBy("vid", "sub").agg(
-        F.min(F.struct("dist", "code"))["code"].alias("code")
-    )
-    return best.groupBy("vid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sub", "code"))),
-            lambda s: s["code"],
-        ).alias("codes")
-    )
+    return v.select("vid", _pq_codes_udf(cb_np)(F.col("v")).alias("codes"))
 
 
 def train_pq_codebooks(
@@ -575,34 +735,6 @@ def train_pq_codebooks(
     )
 
 
-def _pq_lut(
-    queries: DataFrame,
-    codebooks: DataFrame,
-    m: int,
-    id_col: str,
-    vec_col: str,
-) -> DataFrame:
-    """ADC lookup table: (query_id, sub, code, pdist) — squared-L2 between
-    each query subvector and each codebook entry. |Q|*m*ksub tiny rows,
-    always broadcast by callers."""
-    from database_synchronize_tool_spark.functions.vectors import l2_sq_pairs
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
-    qsub = q.select(
-        "query_id",
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-        F.col("qv"),
-    ).select("query_id", "sub", _subvec(F.col("qv"), F.col("sub"), m).alias("qsv"))
-    return qsub.join(F.broadcast(codebooks), "sub").select(
-        "query_id",
-        "sub",
-        "code",
-        l2_sq_pairs(F.col("qsv"), F.col("cv")).alias("pdist"),
-    )
-
-
 def ivf_pq_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -623,14 +755,19 @@ def ivf_pq_topk(
     candidates; this operator cell-prunes first, so the ADC aggregate sees
     ``n_probe/n_cells · N`` code rows instead of N.
 
-    Index build (one-time, linear): assign every candidate to its nearest
-    cell (broadcast-centroid argmax, no shuffle of the big side) and
-    PQ-encode it (explode + broadcast-codebook argmin). Query path: queries
-    fan out to ``n_probe`` cells on the broadcast side, the cell equi-join
-    selects survivors, survivors' codes hash-join the broadcast LUT and
-    re-aggregate to decimal-exact ADC sums. Two equi-joins, zero cross
-    joins on the big side. ``centroids`` / ``codebooks`` override the
-    deterministic data-seeded defaults with trained tables
+    Scale shape — the fused IVF-PQ scan (the FAISS inverted-list probe,
+    distributed over partitions): centroids, codebook, and the bounded
+    query side are index METADATA, collected once; query→probed-cell
+    assignments and per-query LUTs are computed driver-side; then ONE
+    ``mapInPandas`` pass over the candidate table assigns each batch to
+    cells (argmax), PQ-encodes it, and ADC-scores ONLY the (query, cand)
+    pairs whose cell is probed — so per-batch work is the pruned
+    ~n_probe/n_cells fraction, and the only exchange in the plan is the
+    top-k window. All folds (cosine, L2, ADC sum) use the oracle's exact
+    left-fold order, and tie-breaks (smallest cell / code) match the SQL
+    ``ROW_NUMBER`` rules — results stay bit-identical to the declared
+    oracle. ``centroids`` / ``codebooks`` override the deterministic
+    data-seeded defaults with trained tables
     (:func:`train_centroids_kmeans` / :func:`train_pq_codebooks`) — every
     downstream step is unchanged.
     """
@@ -642,34 +779,55 @@ def ivf_pq_topk(
     cb = codebooks if codebooks is not None else pq_codebooks(
         candidates, m, ksub, id_col, vec_col
     )
-    # index build: (cand_id, cell, codes) — both passes are linear in N
-    cand_cells = ivf_assign_cells(
-        candidates, cents, id_col, vec_col, top_cells=1
-    ).select(F.col("vid").alias("cand_id"), "cell")
-    enc = pq_encode(candidates, cb, m, id_col, vec_col).select(
-        F.col("vid").alias("cand_id"), "codes"
+    cb_np = _codebook_np(cb)
+    cent_np = _centroids_np(cents)
+    qids, qvecs = _collect_queries(queries, id_col, vec_col)
+    luts = (
+        _pq_luts_np(qvecs, cb_np)
+        if qids
+        else np.zeros((0,) + cb_np.shape[:2])
     )
-    index = cand_cells.join(enc, "cand_id")
-    # query path: prune WHO (cell equi-join) ...
-    q_cells = ivf_assign_cells(
-        queries, cents, id_col, vec_col, top_cells=n_probe
-    ).select(F.col("vid").alias("query_id"), "cell")
-    surv = index.join(F.broadcast(q_cells), "cell").filter(
-        F.col("cand_id") != F.col("query_id")
+    probes_by_cell: dict[int, list[int]] = {}
+    if qids:
+        qsim = _cosine_sim_np(qvecs, cent_np)
+        probe = np.argsort(-qsim, axis=1, kind="stable")[:, :n_probe]
+        for qi in range(len(qids)):
+            for c in probe[qi]:
+                probes_by_cell.setdefault(int(c), []).append(qi)
+    schema = _pair_schema(queries, candidates, id_col)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or not probes_by_cell:
+                continue
+            x = np.array(pdf["v"].tolist(), dtype=np.float64)
+            cells = np.argmax(_cosine_sim_np(x, cent_np), axis=1)
+            codes = _pq_codes_np(x, cb_np)
+            cand = pdf["vid"].to_numpy()
+            for c in np.unique(cells):
+                qis = probes_by_cell.get(int(c))
+                if not qis:
+                    continue
+                idx = np.where(cells == c)[0]
+                acc = _adc_accumulate(luts[qis], codes[idx])
+                for row, qi in enumerate(qis):
+                    qid = qids[qi]
+                    mask = cand[idx] != qid
+                    yield pd.DataFrame(
+                        {
+                            "query_id": [qid] * int(mask.sum()),
+                            "cand_id": cand[idx][mask],
+                            "adist": acc[row][mask],
+                        }
+                    )
+
+    base = candidates.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     )
-    # ... then shrink WHAT (m LUT lookups per survivor)
-    lut = _pq_lut(queries, cb, m, id_col, vec_col)
-    codes = surv.select(
-        "query_id", "cand_id", F.posexplode("codes").alias("sub", "code")
-    )
-    adist = codes.join(F.broadcast(lut), ["query_id", "sub", "code"]).groupBy(
-        "query_id", "cand_id"
-    ).agg(
-        F.sum(F.col("pdist").cast("decimal(28,12)")).cast("double").alias("adist")
-    )
+    scored = base.mapInPandas(score, schema)
     w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("cand_id"))
     return (
-        adist.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "adist", F.col("rank").cast("int").alias("rank"))
     )
@@ -678,6 +836,25 @@ def ivf_pq_topk(
 def _residual(v: Column, c: Column) -> Column:
     """Element-wise v − c (both array<double>)."""
     return F.zip_with(v, c, lambda x, y: x - y)
+
+
+def ivf_residuals(
+    candidates: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, cell, v): each vector's residual ``v − centroid(cell)`` against
+    its own nearest cell — the table production IVF-PQ trains codebooks on
+    (pass it to :func:`train_pq_codebooks` with ``id_col='vid',
+    vec_col='v'``, then hand the result to :func:`ivf_pq_residual_topk` via
+    ``codebooks=``). One broadcast-centroid pass, no shuffle of the big
+    side."""
+    cents2 = centroids.select("cell", as_double(F.col("centroid")).alias("ccv"))
+    ca = ivf_assign_cells(candidates, centroids, id_col, vec_col, top_cells=1)
+    return ca.join(F.broadcast(cents2), "cell").select(
+        "vid", "cell", _residual(as_double(F.col("v")), F.col("ccv")).alias("v")
+    )
 
 
 def ivf_pq_residual_topk(
@@ -691,6 +868,7 @@ def ivf_pq_residual_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """Residual-encoded IVF+PQ — the geometry production IVF-PQ indexes
     actually quantize: each candidate stores PQ codes of its RESIDUAL
@@ -699,75 +877,86 @@ def ivf_pq_residual_topk(
     concentrate around the origin regardless of which cell a vector lives
     in, so a codebook TRAINED on residuals spends its ksub^m capacity on
     what the coarse quantizer left behind — the reason production IVF-PQ
-    encodes residuals. With the deterministic data-SEEDED codebooks used
-    for oracle reproducibility the recall ordering vs the raw-vector
-    composition is corpus-dependent (measured both ways on the two test
-    tables), so no comparative recall claim is pinned; correctness is
-    pinned by the bit-exact SQL oracle and the structural tests
-    (probed-cell restriction, determinism).
+    encodes residuals. ``codebooks`` takes exactly that: a ``(sub, code,
+    cv)`` table trained over :func:`ivf_residuals` output (the default
+    stays seeded from the ksub smallest-id vectors' residuals so the
+    declared query remains SQL-reproducible). With data-SEEDED codebooks
+    the recall ordering vs the raw-vector composition is corpus-dependent
+    (measured both ways on the two test tables), so no comparative recall
+    claim is pinned; correctness is pinned by the bit-exact SQL oracle and
+    the structural tests (probed-cell restriction, determinism).
 
-    Scale shape is unchanged from :func:`ivf_pq_topk` — linear index build,
-    cell equi-join prune, broadcast-LUT ADC — with one difference: the LUT
-    is |Q|·n_probe·m·ksub rows (one slab per probed cell, since the query's
-    residual depends on the cell) — still tiny, still broadcast. Codebooks
-    are seeded from the ksub smallest-id vectors' residuals (deterministic,
-    SQL-reproducible)."""
+    Scale shape matches :func:`ivf_pq_topk` — the fused single-pass
+    IVF-PQ scan — with one difference: the closure carries one LUT per
+    (query, probed cell), since the query's residual depends on the cell.
+    Each candidate batch computes its own residual against its assigned
+    cell before encoding, so raw vectors never leave the scan."""
     cents = (
         centroids
         if centroids is not None
         else seed_centroids(candidates, n_cells, id_col, vec_col)
     )
-    cents2 = cents.select("cell", as_double(F.col("centroid")).alias("ccv"))
-    # index build: every candidate's residual vs its own cell, PQ-encoded
-    cand_assign = ivf_assign_cells(candidates, cents, id_col, vec_col, top_cells=1)
-    cand_res = cand_assign.join(F.broadcast(cents2), "cell").select(
-        "vid", "cell", _residual(as_double(F.col("v")), F.col("ccv")).alias("v")
+    cb = (
+        codebooks
+        if codebooks is not None
+        else _codebooks_from_seeds(
+            ivf_residuals(candidates, cents, id_col, vec_col).select(
+                F.col("vid").alias("sid"), "v"
+            ),
+            ksub,
+            m,
+        )
     )
-    cb = _codebooks_from_seeds(
-        cand_res.select(F.col("vid").alias("sid"), "v"), ksub, m
-    )
-    enc = pq_encode(cand_res, cb, m, id_col="vid", vec_col="v")
-    index = cand_assign.select(F.col("vid").alias("cand_id"), "cell").join(
-        enc.select(F.col("vid").alias("cand_id"), "codes"), "cand_id"
-    )
-    # query path: residual per PROBED cell (not the query's own cell)
-    q_cells = ivf_assign_cells(queries, cents, id_col, vec_col, top_cells=n_probe)
-    q_res = q_cells.join(F.broadcast(cents2), "cell").select(
-        F.col("vid").alias("query_id"),
-        "cell",
-        _residual(as_double(F.col("v")), F.col("ccv")).alias("qv"),
-    )
-    qsub = q_res.select(
-        "query_id",
-        "cell",
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-        F.col("qv"),
-    ).select(
-        "query_id", "cell", "sub", _subvec(F.col("qv"), F.col("sub"), m).alias("qsv")
-    )
-    from database_synchronize_tool_spark.functions.vectors import l2_sq_pairs
+    cb_np = _codebook_np(cb)
+    cent_np = _centroids_np(cents)
+    qids, qvecs = _collect_queries(queries, id_col, vec_col)
+    # per-(query, probed cell) residual LUTs: (Q, n_probe, m, ksub)
+    probes_by_cell: dict[int, list[tuple[int, int]]] = {}
+    if qids:
+        qsim = _cosine_sim_np(qvecs, cent_np)
+        probe = np.argsort(-qsim, axis=1, kind="stable")[:, :n_probe]
+        qres = qvecs[:, None, :] - cent_np[probe]  # (Q, n_probe, dim)
+        nq, npr, dim = qres.shape
+        rluts = _pq_luts_np(qres.reshape(nq * npr, dim), cb_np).reshape(
+            nq, npr, cb_np.shape[0], cb_np.shape[1]
+        )
+        for qi in range(nq):
+            for p in range(npr):
+                probes_by_cell.setdefault(int(probe[qi, p]), []).append((qi, p))
+    schema = _pair_schema(queries, candidates, id_col)
 
-    lut = qsub.join(F.broadcast(cb), "sub").select(
-        "query_id",
-        "cell",
-        "sub",
-        "code",
-        l2_sq_pairs(F.col("qsv"), F.col("cv")).alias("pdist"),
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or not probes_by_cell:
+                continue
+            x = np.array(pdf["v"].tolist(), dtype=np.float64)
+            cells = np.argmax(_cosine_sim_np(x, cent_np), axis=1)
+            codes = _pq_codes_np(x - cent_np[cells], cb_np)
+            cand = pdf["vid"].to_numpy()
+            for c in np.unique(cells):
+                plist = probes_by_cell.get(int(c))
+                if not plist:
+                    continue
+                idx = np.where(cells == c)[0]
+                for qi, p in plist:
+                    qid = qids[qi]
+                    acc = _adc_accumulate(rluts[qi, p][None, :, :], codes[idx])[0]
+                    mask = cand[idx] != qid
+                    yield pd.DataFrame(
+                        {
+                            "query_id": [qid] * int(mask.sum()),
+                            "cand_id": cand[idx][mask],
+                            "adist": acc[mask],
+                        }
+                    )
+
+    base = candidates.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     )
-    surv = index.join(
-        F.broadcast(q_res.select("query_id", "cell")), "cell"
-    ).filter(F.col("cand_id") != F.col("query_id"))
-    codes = surv.select(
-        "query_id", "cand_id", "cell", F.posexplode("codes").alias("sub", "code")
-    )
-    adist = codes.join(
-        F.broadcast(lut), ["query_id", "cell", "sub", "code"]
-    ).groupBy("query_id", "cand_id").agg(
-        F.sum(F.col("pdist").cast("decimal(28,12)")).cast("double").alias("adist")
-    )
+    scored = base.mapInPandas(score, schema)
     w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("cand_id"))
     return (
-        adist.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "adist", F.col("rank").cast("int").alias("rank"))
     )
@@ -787,29 +976,56 @@ def pq_adc_topk(
     queries stay exact; distance ≈ Σ_sub LUT[sub][code] where LUT holds the
     query-subvector-to-code squared-L2 distances.
 
-    Scale shape: the LUT is |Q|*m*ksub rows (tiny — broadcast); candidates
-    expand to N*m code rows that hash-join the LUT and re-aggregate to
-    (query, cand) sums — per-candidate work is m lookups + one add, never a
-    full-dimension dot product, which is the entire point of PQ. The sum
-    runs through DECIMAL so partial-order can't perturb the double result.
-    Ranking tiebreaks on cand_id; rank ascends with distance."""
+    Scale shape (round-6 verdict #2, taken to its conclusion): the fused
+    ADC scan. Queries and codebook are bounded index metadata — both are
+    collected once, the per-query LUTs (|Q|·m·ksub doubles) are computed
+    driver-side, and ONE ``mapInPandas`` pass over the candidate table
+    encodes each batch and emits (query, cand, adist) pairs by numpy LUT
+    gather — exactly the classic in-memory ADC table scan, distributed
+    over partitions. No posexplode, no pairing join, no aggregation
+    shuffle; the only exchange in the whole plan is the top-k ranking
+    window (plan-pinned). Per-candidate work is m gathers + adds, never a
+    full-dimension dot product. The fold runs in fixed subvector order, so
+    it is deterministic and matches the oracle's ordered ``list_reduce``
+    bit for bit. Ranking tiebreaks on cand_id; rank ascends with
+    distance."""
     cb = codebooks if codebooks is not None else pq_codebooks(
         candidates, m, ksub, id_col, vec_col
     )
-    enc = pq_encode(candidates, cb, m, id_col, vec_col)
-    cand_codes = enc.select(
-        F.col("vid").alias("cand_id"),
-        F.posexplode("codes").alias("sub", "code"),
+    cb_np = _codebook_np(cb)
+    qids, qvecs = _collect_queries(queries, id_col, vec_col)
+    luts = (
+        _pq_luts_np(qvecs, cb_np)
+        if qids
+        else np.zeros((0,) + cb_np.shape[:2])
     )
-    lut = _pq_lut(queries, cb, m, id_col, vec_col)
-    joined = cand_codes.join(F.broadcast(lut), ["sub", "code"])
-    adist = joined.groupBy("query_id", "cand_id").agg(
-        F.sum(F.col("pdist").cast("decimal(28,12)")).cast("double").alias("adist")
+    schema = _pair_schema(queries, candidates, id_col)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or not qids:
+                continue
+            x = np.array(pdf["v"].tolist(), dtype=np.float64)
+            codes = _pq_codes_np(x, cb_np)
+            acc = _adc_accumulate(luts, codes)
+            cand = pdf["vid"].to_numpy()
+            for qi, qid in enumerate(qids):
+                mask = cand != qid
+                yield pd.DataFrame(
+                    {
+                        "query_id": [qid] * int(mask.sum()),
+                        "cand_id": cand[mask],
+                        "adist": acc[qi][mask],
+                    }
+                )
+
+    base = candidates.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     )
+    scored = base.mapInPandas(score, schema)
     w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("cand_id"))
     return (
-        adist.filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "adist", F.col("rank").cast("int").alias("rank"))
     )

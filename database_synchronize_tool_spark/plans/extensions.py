@@ -1277,7 +1277,7 @@ def ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM qsub JOIN cb USING (sub)
     ), adist AS (
       SELECT query_id, vid AS cand_id,
-             CAST(SUM(CAST(pdist AS DECIMAL(28,12))) AS DOUBLE) AS adist
+             list_reduce(list(pdist ORDER BY sub), (x, y) -> x + y) AS adist
       FROM best JOIN lut USING (sub, code)
       GROUP BY query_id, vid
     )
@@ -1290,11 +1290,13 @@ def ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="PQ asymmetric-distance top-5: queries stay exact, candidates are "
     "code tuples; distance = sum of per-subvector LUT entries (query "
-    "subvector vs codebook entry, squared-L2), summed through DECIMAL so "
-    "partial order can't perturb the double. Per-candidate cost is "
-    f"{SIM.PQ_M} lookups + adds instead of a 64-dim dot product — the ADC "
-    "scan PQ exists for; the LUT (|Q|*m*ksub rows) broadcasts and the "
-    "code join is a hash equi-join. Recall vs exact L2 unit-tested.",
+    "subvector vs codebook entry, squared-L2), folded in fixed subvector "
+    "order so the double result is deterministic and oracle-exact. "
+    f"Per-candidate cost is {SIM.PQ_M} lookups + adds instead of a 64-dim "
+    "dot product — the ADC scan PQ exists for, fused into ONE mapInPandas "
+    "pass (codebook + per-query LUTs are collected index metadata closed "
+    "over by the scan; the only exchange in the plan is the top-k window). "
+    "Recall vs exact L2 unit-tested.",
 )
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -1363,7 +1365,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE c.cand_id <> q.query_id
     ), adist AS (
       SELECT s.query_id, s.cand_id,
-             CAST(SUM(CAST(l.pdist AS DECIMAL(28,12))) AS DOUBLE) AS adist
+             list_reduce(list(l.pdist ORDER BY l.sub), (x, y) -> x + y) AS adist
       FROM surv s JOIN best b ON b.vid = s.cand_id
            JOIN lut l ON l.query_id = s.query_id AND l.sub = b.sub
                      AND l.code = b.code
@@ -1381,12 +1383,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"{_IVF_CELLS} cells, so the ADC aggregate sees ~n_probe/n_cells of "
     f"the corpus instead of all of it, unlike ann_pq_adc_topk), PQ shrinks "
     f"WHAT is scored ({SIM.PQ_M} LUT adds per survivor instead of a "
-    "64-dim dot product). Index build is linear (broadcast-centroid "
-    "argmax + broadcast-codebook argmin); the query path is two "
-    "equi-joins (cell, then LUT code) with zero big-side cross joins. "
-    "Both quantizers are deterministic data-seeded so the oracle rebuilds "
-    "the whole index literally; trained centroids/codebooks swap in with "
-    "no downstream change.",
+    "64-dim dot product). Executed as the fused IVF-PQ scan: centroids, "
+    "codebook, and per-query LUTs are collected index metadata closed "
+    "over by ONE mapInPandas pass that assigns, encodes, and ADC-scores "
+    "only probed (query, cand) pairs — the FAISS inverted-list probe "
+    "distributed over partitions, with the top-k window as the plan's "
+    "only exchange. Both quantizers are deterministic data-seeded so the "
+    "oracle rebuilds the whole index literally; trained "
+    "centroids/codebooks swap in with no downstream change.",
 )
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -1463,7 +1467,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE a.vec_id <> q.query_id
     ), adist AS (
       SELECT s.query_id, s.cand_id,
-             CAST(SUM(CAST(l.pdist AS DECIMAL(28,12))) AS DOUBLE) AS adist
+             list_reduce(list(l.pdist ORDER BY l.sub), (x, y) -> x + y) AS adist
       FROM surv s JOIN best b ON b.vid = s.cand_id
            JOIN lut l ON l.query_id = s.query_id AND l.cell = s.cell
                      AND l.sub = b.sub AND l.code = b.code

@@ -225,3 +225,25 @@ def test_bucketed_target_merge_skips_big_side_shuffle(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bucketed_orders_test")
+
+
+def test_fused_pq_scan_has_single_exchange(spark, sf_dir):
+    # Round-6 verdict #2 done-criterion, strengthened: the fused PQ/IVF-PQ
+    # ADC scan is ONE narrow pass (scan -> MapInPandas) feeding the top-k
+    # ranking window — NO join, NO explode (Generate), and exactly ONE
+    # Exchange: the window's hashpartitioning(query_id). Spark's
+    # WindowGroupLimit additionally prunes each partition to a partial
+    # top-k BEFORE that exchange, so only ~k rows per partition per query
+    # shuffle — the plan that survives a 100x scale-up.
+    for name in (
+        "ann_pq_adc_topk",
+        "ann_ivf_pq_topk",
+        "ann_ivf_pq_residual_topk",
+    ):
+        df = all_queries()[name].builder(spark, sf_dir)
+        plan = _simple(df)
+        assert plan.count("Exchange") == 1, f"{name} has extra exchanges"
+        assert "hashpartitioning(query_id" in plan, name
+        assert "Join" not in plan, name
+        assert "Generate" not in plan, name
+        assert "WindowGroupLimit" in plan, name
