@@ -298,19 +298,33 @@ def _training_sample(
     candidates: DataFrame,
     id_col: str,
     vec_col: str,
-    sample_mod: int | None,
+    sample_mod: int | str | None,
 ) -> DataFrame:
     """Hash-deterministic training sample with a size guard.
 
     ``xxhash64(id) % sample_mod == 0`` keeps ~1/sample_mod of the corpus
     regardless of partitioning (unlike ``DataFrame.sample``, whose draw
-    depends on the partition layout). Raises if the resulting training set
-    exceeds TRAIN_MAX_ROWS — the canonical-layout step would otherwise
-    coalesce the whole corpus to one partition silently.
+    depends on the partition layout). ``sample_mod="auto"`` derives the
+    modulus from the corpus count so the trainer stays runnable at any
+    scale factor (ADVICE r6: a declared query with a fixed sample_mod
+    would hit the guard once the table outgrows TRAIN_MAX_ROWS); the 2×
+    margin covers hash-draw variance around the ~n/mod expectation.
+    Raises if the resulting training set still exceeds TRAIN_MAX_ROWS —
+    the canonical-layout step would otherwise coalesce the whole corpus
+    to one partition silently.
     """
+    import math
+
     data = candidates.select(
         F.col(id_col).alias("sid"), as_double(F.col(vec_col)).alias("v")
     )
+    if sample_mod == "auto":
+        total = data.count()
+        sample_mod = (
+            max(1, math.ceil(total / TRAIN_MAX_ROWS) * 2)
+            if total > TRAIN_MAX_ROWS
+            else 1
+        )
     if sample_mod is not None and sample_mod > 1:
         data = data.filter(
             F.pmod(F.xxhash64(F.col("sid")), F.lit(sample_mod)) == 0
@@ -331,7 +345,7 @@ def train_centroids_kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    sample_mod: int | None = None,
+    sample_mod: int | str | None = None,
 ) -> DataFrame:
     """K-means-trained coarse quantizer: the quality upgrade over
     :func:`seed_centroids` (whose smallest-id seeds carry no information
@@ -690,7 +704,7 @@ def train_pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    sample_mod: int | None = None,
+    sample_mod: int | str | None = None,
 ) -> DataFrame:
     """Per-subvector k-means-trained PQ codebooks: the quality upgrade over
     the data-seeded :func:`pq_codebooks` (whose smallest-id seeds carry no

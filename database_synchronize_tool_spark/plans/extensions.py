@@ -1637,7 +1637,10 @@ def ann_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query path (k-means training inside train_pq_codebooks is the only
     # eager step, as for every trained-quantizer operator)
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    h_t = hits(SIM.train_pq_codebooks(e), "h_t")
+    # sample_mod="auto" derives the subsampling modulus from the corpus
+    # count, so this declared query stays runnable at any SF instead of
+    # hitting the TRAIN_MAX_ROWS guard past ~sf5 (ADVICE r6 #2)
+    h_t = hits(SIM.train_pq_codebooks(e, sample_mod="auto"), "h_t")
     h_s = hits(SIM.pq_codebooks(e), "h_s")
     return (
         h_t.crossJoin(h_s)
@@ -1647,5 +1650,80 @@ def ann_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_exact") / F.lit(k)).cast("bigint").alias("n_queries"),
             (F.col("h_t") / F.col("n_exact")).cast("double").alias("recall_trained"),
             (F.col("h_s") / F.col("n_exact")).cast("double").alias("recall_seeded"),
+        )
+    )
+
+
+@declared(
+    "ann_ivf_pq_residual_trained",
+    oracle=None,  # k-means training is not SQL-expressible; rows-only check
+    doc="Recall@5 vs exact squared-L2 of residual-encoded IVF+PQ under "
+    "residual-TRAINED per-subvector k-means codebooks vs the "
+    "residual-seeded default, at equal m/ksub/n_cells/n_probe — the "
+    "production IVF-PQ composition the round-6 verdict listed as the one "
+    "missing ANN piece: train_pq_codebooks fitted over ivf_residuals "
+    "output, fed to ivf_pq_residual_topk via codebooks=. One row "
+    "(k, n_queries, recall_trained_residual, recall_seeded_residual). "
+    "NO recall ordering is pinned: measured on both test tables the "
+    "direction flips between sf0.001 and sf0.01 at n_probe=2 AND at full "
+    "probe (the uniform-random test embeddings have no residual "
+    "structure for codebooks to learn), so per the repo's "
+    "measure-before-pinning discipline this artifact records the margin "
+    "each round instead of asserting an inequality; structure "
+    "(composition runs, determinism across partitioning, probed-cell "
+    "restriction) is pinned by unit tests. Queries vec_id in [100,110) "
+    "stay disjoint from the smallest-id seeds; fixed KMeans seed and "
+    "auto-derived hash-deterministic sample_mod keep it reproducible at "
+    "any SF.",
+)
+def ann_ivf_pq_residual_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.functions.vectors import l2_sq_pairs
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    k = 5
+    qs = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cs = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cand_id"))
+    exact = (
+        cs.crossJoin(F.broadcast(qs))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("d2", l2_sq_pairs(F.col("qv").cast("array<double>"),
+                                      F.col("cv").cast("array<double>")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id")
+    )
+    cents = SIM.seed_centroids(e, _IVF_CELLS)
+
+    def hits(codebooks, alias: str) -> DataFrame:
+        approx = SIM.ivf_pq_residual_topk(
+            q, e, k=k, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+            centroids=cents, codebooks=codebooks,
+        ).select("query_id", "cand_id")
+        return exact.join(approx, ["query_id", "cand_id"]).agg(
+            F.count(F.lit(1)).alias(alias)
+        )
+
+    residuals = SIM.ivf_residuals(e, cents)
+    trained_cb = SIM.train_pq_codebooks(
+        residuals, id_col="vid", vec_col="v", sample_mod="auto"
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    h_t = hits(trained_cb, "h_t")
+    h_s = hits(None, "h_s")
+    return (
+        h_t.crossJoin(h_s)
+        .crossJoin(n_exact)
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            (F.col("n_exact") / F.lit(k)).cast("bigint").alias("n_queries"),
+            (F.col("h_t") / F.col("n_exact"))
+            .cast("double")
+            .alias("recall_trained_residual"),
+            (F.col("h_s") / F.col("n_exact"))
+            .cast("double")
+            .alias("recall_seeded_residual"),
         )
     )

@@ -87,6 +87,7 @@ _WINDOW: tuple[str, ...] = (
     "ann_pq_adc_topk",
     "ann_ivf_pq_topk",
     "ann_ivf_pq_residual_topk",
+    "ann_ivf_pq_residual_trained",
     "dedup_containment_banded",
     "dedup_containment_prefix",
     "ann_pq_trained_recall",
@@ -136,11 +137,11 @@ _WINDOW: tuple[str, ...] = (
     "q10_returned_revenue",
     "agg_having",
     "agg_distinct_count",
-    "agg_stats_moments",
 )
 
 _QUEUE: tuple[str, ...] = (
     # --- queued for round 8: remainder of the r5 cohort, declared order ---
+    "agg_stats_moments",
     "rollup_returns",
     "cube_events",
     "pivot_status_by_year",

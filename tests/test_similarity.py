@@ -352,3 +352,57 @@ def test_ivf_pq_residual_scores_only_probed_cells_and_is_deterministic(spark, sf
         q, e, k=5, n_cells=n_cells, n_probe=n_probe
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_ivf_pq_residual_trained_codebooks_compose(spark, sf_dir):
+    # the production IVF-PQ composition (r6 verdict missing #2):
+    # train_pq_codebooks fitted on ivf_residuals output, fed back through
+    # codebooks=. Structural pins only — measured on both test tables the
+    # trained-vs-seeded recall ordering flips between SFs (at n_probe=2
+    # AND at full probe), so no inequality is asserted; the declared
+    # ann_ivf_pq_residual_trained artifact records the margin per round.
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    n_cells, n_probe = 16, 2
+    cents = SIM.seed_centroids(e, n_cells)
+    residuals = SIM.ivf_residuals(e, cents)
+    cb = SIM.train_pq_codebooks(
+        residuals, id_col="vid", vec_col="v", seed=42, sample_mod="auto"
+    )
+    assert cb.count() == SIM.PQ_M * SIM.PQ_KSUB
+    got = SIM.ivf_pq_residual_topk(
+        q, e, k=5, n_cells=n_cells, n_probe=n_probe,
+        centroids=cents, codebooks=cb,
+    ).collect()
+    assert got, "trained-residual composition returned nothing"
+    # probed-cell restriction holds under trained codebooks too
+    probed = {
+        (r["vid"], r["cell"])
+        for r in SIM.ivf_assign_cells(q, cents, top_cells=n_probe).collect()
+    }
+    cand_cell = {
+        r["vid"]: r["cell"]
+        for r in SIM.ivf_assign_cells(e, cents, top_cells=1).collect()
+    }
+    for r in got:
+        assert (r["query_id"], cand_cell[r["cand_id"]]) in probed
+    # deterministic across input partitioning: hash-deterministic sample +
+    # fixed seed + canonical trainer layout
+    cb2 = SIM.train_pq_codebooks(
+        residuals.repartition(7), id_col="vid", vec_col="v",
+        seed=42, sample_mod="auto",
+    )
+    again = SIM.ivf_pq_residual_topk(
+        q, e, k=5, n_cells=n_cells, n_probe=n_probe,
+        centroids=cents, codebooks=cb2,
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_training_sample_auto_mod(spark, sf_dir):
+    # sample_mod="auto" stays within the TRAIN_MAX_ROWS guard and equals
+    # the unsampled draw when the corpus already fits (mod derives to 1)
+    e = load_table(spark, sf_dir, "embeddings")
+    auto = SIM._training_sample(e, "vec_id", "embedding", "auto")
+    plain = SIM._training_sample(e, "vec_id", "embedding", None)
+    assert auto.count() == plain.count() <= SIM.TRAIN_MAX_ROWS
