@@ -469,6 +469,7 @@ def containment_banded_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.9,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Directional shingle-containment pairs with NO blocking column: LSH
     band buckets generate candidates (the same (band, key) equi-join that
@@ -476,6 +477,20 @@ def containment_banded_pairs(
     unordered candidate in BOTH directions. This is the unblocked scale path
     :func:`containment_pairs` lacks — candidates are Σ bucket² per band
     bucket instead of the n² self-join.
+
+    ``max_bucket`` is the hot-bucket guard ported from
+    :func:`minhash_lsh_pairs` (round-6 verdict #3): containment's target
+    corpus — boilerplate wrappers, templates — is exactly the one that
+    drops thousands of near-identical docs into ONE (band, key) bucket,
+    where Σ bucket² degenerates to the m² blow-up banding exists to avoid.
+    Buckets larger than ``max_bucket`` are star-linked instead: every
+    member pairs only with the bucket's min-id anchor (O(m) candidate
+    rows). Recall trade, documented: member–member pairs of a hot bucket
+    are found only if some OTHER (non-hot) band also buckets them or if
+    they pass the verify against the anchor; within a template cluster the
+    anchor-star still surfaces every member as contained-in/containing the
+    anchor, which is what boilerplate removal acts on. Off by default so
+    the declared query stays literally SQL-reproducible.
 
     Recall caveat (asymmetric threshold): a band fires when all LSH_ROWS
     minhashes agree, whose probability is ~s^rows in the *Jaccard* s — and
@@ -487,6 +502,12 @@ def containment_banded_pairs(
     is deliberately NOT applied here (it estimates Jaccard and would strike
     exactly the swallowed-doc pairs this measure exists for). For guaranteed
     recall within a natural partition, use the blocked form.
+
+    Caching note: the shingle/signature table is ``persist()``-ed because
+    the returned lazy plan references it three times; the cache entry lives
+    until the session ends or ``spark.catalog.clearCache()`` — a long-lived
+    process running many such queries should clear between them (the
+    differential sweep harness does).
     """
     from database_synchronize_tool_spark.functions.text import containment
 
@@ -514,13 +535,31 @@ def containment_banded_pairs(
             ])
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    star = None
+    if max_bucket is not None:
+        wsz = Window.partitionBy("band", "key")
+        sized = bands.withColumn("bsz", F.count(F.lit(1)).over(wsz)).withColumn(
+            "rk", F.row_number().over(wsz.orderBy("doc_id"))
+        )
+        big = sized.filter(F.col("bsz") > max_bucket)
+        bands = sized.filter(F.col("bsz") <= max_bucket).drop("bsz", "rk")
+        anchors = big.filter(F.col("rk") == 1).select(
+            "band", "key", F.col("doc_id").alias("doc_a")
+        )
+        star = (
+            big.filter(F.col("rk") > 1)
+            .join(anchors, ["band", "key"])
+            .select("doc_a", F.col("doc_id").alias("doc_b"))
+        )
     a, b2 = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b2, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.distinct()
     ha = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     hb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     joined = cand.join(ha, "doc_a").join(hb, "doc_b")
@@ -565,12 +604,49 @@ def containment_prefix_pairs(
     shingles-per-doc, no stratum skew), one equi-join of prefix rows
     against the posting lists (cost = Σ posting-list sizes over PREFIX
     shingles only — rarest-first ordering makes those the shortest lists),
-    then the exact directional verify. Threshold is the rational
+    then the exact directional verify. The candidate join additionally
+    carries the sound LENGTH bound ``|sh(outer)| >= ceil(t·|sh(inner)|)``
+    (round-6 verdict #4: |A∩B| >= t|A| forces |B| >= t|A|), so a tiny doc
+    whose prefix contains a popular shingle no longer fans out over that
+    shingle's whole posting list — only outers long enough to possibly
+    contain it survive. The bound is implied by containment >= t, so
+    recall stays exactly 1.0 (property-tested). Threshold is the rational
     ``threshold_num/threshold_den`` so the required-overlap ceiling is
     integer math, bit-identical in SQL.
+
+    Caching note: the shingle table is ``persist()``-ed (three references
+    in the returned lazy plan); long-lived multi-query processes should
+    ``spark.catalog.clearCache()`` between queries (the differential sweep
+    harness does).
     """
     from database_synchronize_tool_spark.functions.text import containment
 
+    sh, cand = _containment_prefix_candidates(
+        docs, text_col, id_col, threshold_num, threshold_den
+    )
+    ha = sh.select(F.col("doc_id").alias("doc_inner"), F.col("sh").alias("sh_a"))
+    hb = sh.select(F.col("doc_id").alias("doc_outer"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(ha, "doc_inner")
+        .join(hb, "doc_outer")
+        .withColumn("cont", containment(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("cont") >= float(threshold_num) / float(threshold_den))
+        .select("doc_inner", "doc_outer", "cont")
+    )
+
+
+def _containment_prefix_candidates(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_num: int,
+    threshold_den: int,
+    length_filter: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """(shingle table, candidate pairs) for :func:`containment_prefix_pairs`
+    — split out so tests can assert the length bound's candidate-count
+    reduction directly. ``length_filter=False`` disables the outer-length
+    bound (used only to measure its effect; recall is 1.0 either way)."""
     if not 0 < threshold_num <= threshold_den:
         raise ValueError("threshold must be a rational in (0, 1]")
     spread = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
@@ -593,22 +669,19 @@ def containment_prefix_pairs(
     prefix = exdf.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= F.col("n") - required + 1
     )
-    cand = (
-        prefix.select(F.col("doc_id").alias("doc_inner"), "h")
-        .join(ex.select(F.col("doc_id").alias("doc_outer"), "h"), "h")
-        .filter(F.col("doc_inner") != F.col("doc_outer"))
-        .select("doc_inner", "doc_outer")
-        .distinct()
+    inner = prefix.select(
+        F.col("doc_id").alias("doc_inner"), "h", required.alias("req")
     )
-    ha = sh.select(F.col("doc_id").alias("doc_inner"), F.col("sh").alias("sh_a"))
-    hb = sh.select(F.col("doc_id").alias("doc_outer"), F.col("sh").alias("sh_b"))
-    return (
-        cand.join(ha, "doc_inner")
-        .join(hb, "doc_outer")
-        .withColumn("cont", containment(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("cont") >= float(threshold_num) / float(threshold_den))
-        .select("doc_inner", "doc_outer", "cont")
+    outer = ex.join(n_sh, "doc_id").select(
+        F.col("doc_id").alias("doc_outer"), "h", F.col("n").alias("n_out")
     )
+    cand = inner.join(outer, "h").filter(
+        F.col("doc_inner") != F.col("doc_outer")
+    )
+    if length_filter:
+        # |A∩B| >= ceil(t|A|) and A∩B ⊆ B force |B| >= ceil(t|A|)
+        cand = cand.filter(F.col("n_out") >= F.col("req"))
+    return sh, cand.select("doc_inner", "doc_outer").distinct()
 
 
 def containment_pairs(

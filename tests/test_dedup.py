@@ -302,3 +302,69 @@ def test_containment_banded_finds_swallowed_doc_sharing_signature(spark):
     }
     assert got[(1, 2)] == 1.0 and got[(2, 1)] == 1.0
     assert not any(3 in p for p in got)
+
+
+def test_containment_banded_hot_bucket_cap(spark):
+    """A template cluster (one text repeated 12x) lands every member in the
+    SAME (band, key) bucket for every band — the m^2 blow-up banding exists
+    to avoid. With max_bucket the bucket is star-linked: every member still
+    pairs with the min-id anchor in both directions (what boilerplate
+    removal acts on), member-member pairs are the documented recall trade,
+    and the plan stays a pure equi-join."""
+    from database_synchronize_tool_spark.operators.dedup import (
+        containment_banded_pairs,
+    )
+
+    text = "the same boilerplate template text repeated across the corpus"
+    rows = [(i, text) for i in range(1, 13)] + [(99, "totally different words")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    full = {
+        (r["doc_inner"], r["doc_outer"])
+        for r in containment_banded_pairs(docs, threshold=0.9).collect()
+    }
+    capped_df = containment_banded_pairs(docs, threshold=0.9, max_bucket=5)
+    capped = {(r["doc_inner"], r["doc_outer"]) for r in capped_df.collect()}
+    assert capped <= full
+    for i in range(2, 13):  # anchor-star keeps every member<->anchor fact
+        assert (1, i) in capped and (i, 1) in capped
+    assert (2, 3) in full and (2, 3) not in capped  # the m^2 part is gone
+    assert all(1 in p for p in capped)  # only anchor pairs survive the cap
+    plan = capped_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_prefix_length_filter(spark):
+    """The sound outer-length bound |sh(outer)| >= ceil(t*|sh(inner)|):
+    a long doc whose prefix shares a shingle with a tiny doc no longer
+    emits the (long_inner, tiny_outer) candidate — the tiny doc cannot
+    possibly contain it — while the final output is EXACTLY the
+    brute-force measure either way (the bound is implied by containment
+    >= t, so recall stays 1.0)."""
+    from database_synchronize_tool_spark.operators.dedup import (
+        _containment_prefix_candidates,
+        containment_prefix_pairs,
+    )
+
+    filler = "abcdefghijklmnopqrstuvwxyz0123456789ABCD"
+    rows = [(1, filler + "XYZQW"), (2, filler), (3, filler), (4, "XYZQW")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    _, cand_f = _containment_prefix_candidates(docs, "text", "doc_id", 3, 4)
+    _, cand_u = _containment_prefix_candidates(
+        docs, "text", "doc_id", 3, 4, length_filter=False
+    )
+    f = {(r["doc_inner"], r["doc_outer"]) for r in cand_f.collect()}
+    u = {(r["doc_inner"], r["doc_outer"]) for r in cand_u.collect()}
+    assert f < u, (len(f), len(u))  # strictly fewer candidates
+    assert (1, 4) in u and (1, 4) not in f  # long-in-tiny fan-out removed
+    got = {
+        (r["doc_inner"], r["doc_outer"]): r["cont"]
+        for r in containment_prefix_pairs(
+            docs, threshold_num=3, threshold_den=4
+        ).collect()
+    }
+    truth = _brute_containment(spark, docs, 3 / 4)
+    assert set(got) == set(truth)
+    for pair, cont in got.items():
+        assert abs(truth[pair] - cont) < 1e-12, pair

@@ -69,6 +69,12 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
             continue
+        finally:
+            # several operators persist() intermediate feature tables that
+            # the lazy result references repeatedly (minhash signatures,
+            # shingle sets); the cache entries outlive the query, so this
+            # long-lived 132-query process must release them (ADVICE r6 #3)
+            spark.catalog.clearCache()
         if q.oracle is None:
             print(f"ROWS  {name}: {len(s_rows)} rows (no oracle)")
             n_rows_only += 1
