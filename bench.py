@@ -63,20 +63,53 @@ HEADLINE = [
     # of oracle wall-clock per round. dedup_containment_banded exercises the
     # same feature + verify code path at bench-compatible cost on both sides.
     "dedup_containment_banded",
+    # round-6 additions, benched from round 7 so regressions are visible
+    # in-artifact (VERDICT r6 next #6)
+    "dedup_containment_prefix",
     "ann_bruteforce_topk",
     "ann_pq_adc_topk",
     "ann_ivf_pq_topk",
+    "ann_ivf_pq_residual_topk",
     "text_quality_score",
+    "text_tfidf_topk",
+    "text_pack_streams",
 ]
+
+# Queries whose Spark side is benched (so regressions stay visible) but
+# whose DuckDB oracle is excluded from the symmetric pairing: the prefix
+# containment oracle needs >120 s PER EXECUTION at sf0.1 (the window over
+# every exploded shingle + full posting-list join), so warm+best-of-3 would
+# add ~10 min of oracle wall-clock per round while Spark finishes the same
+# query in seconds. The headline total/ratio cover paired queries only;
+# unpaired timings are reported separately in the artifact.
+ORACLE_SKIP = {"dedup_containment_prefix"}
 
 REGRESSION_PCT = 10  # flag queries >10% slower than the last round's artifact
 
 
+def _current_round() -> int | None:
+    """The in-progress round, derived from VERDICT.md's header (the judge
+    writes "# VERDICT — round N" at the END of round N, so the build is in
+    round N+1). Lets the regression baseline exclude the current round's
+    own artifact (ADVICE r6 #4: after the driver records BENCH_r{N}.json,
+    a re-run inside round N would otherwise compare against itself)."""
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "VERDICT.md")) as f:
+            m = re.search(r"round\s+(\d+)", f.readline())
+        return int(m.group(1)) + 1 if m else None
+    except OSError:
+        return None
+
+
 def _previous_artifact() -> tuple[str | None, dict[str, float]]:
-    """Latest BENCH_r{N}.json in the repo root, for per-query regression
-    flags. Caveat carried in the artifact: at sf0.1 sub-second queries swing
-    tens of percent run-to-run (VERDICT r5: identical code measured ±30%),
-    so a flag is a prompt to re-measure, not proof of a regression."""
+    """Latest BENCH_r{N}.json strictly BEFORE the current round, for
+    per-query regression flags. Caveat carried in the artifact: at sf0.1
+    sub-second queries swing tens of percent run-to-run (VERDICT r5:
+    identical code measured ±30%), so a flag is a prompt to re-measure,
+    not proof of a regression."""
     import glob
     import re
 
@@ -87,7 +120,12 @@ def _previous_artifact() -> tuple[str | None, dict[str, float]]:
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         return int(m.group(1)) if m else -1
 
-    arts = [p for p in arts if round_no(p) >= 0]
+    cur = _current_round()
+    arts = [
+        p
+        for p in arts
+        if round_no(p) >= 0 and (cur is None or round_no(p) < cur)
+    ]
     if not arts:
         return None, {}
     latest = max(arts, key=round_no)
@@ -130,6 +168,7 @@ def main() -> None:
                 timings[name] = elapsed
             print(f"# {name}: {elapsed:.3f}s ({n} rows)", file=sys.stderr)
 
+    unpaired = {k: timings.pop(k) for k in ORACLE_SKIP if k in timings}
     total = round(sum(timings.values()), 3)
 
     # Oracle side, back-to-back on the now-idle machine (JVM stopped), same
@@ -144,7 +183,9 @@ def main() -> None:
     oracle_error = None
     try:
         oracle_timings = run_oracle_bench(
-            sf_dir, HEADLINE, echo=lambda s: print(s, file=sys.stderr)
+            sf_dir,
+            [n for n in HEADLINE if n not in ORACLE_SKIP],
+            echo=lambda s: print(s, file=sys.stderr),
         )
     except Exception as exc:  # noqa: BLE001 - artifact must still be emitted
         oracle_error = f"{type(exc).__name__}: {exc}"
@@ -181,6 +222,11 @@ def main() -> None:
         "ratio_vs_oracle": round(total / oracle_total, 3) if oracle_total else None,
         "regressions_vs": baseline_name,
         "regressions": regressions,
+        "unpaired_queries": unpaired,
+        "unpaired_note": "Spark-benched for regression visibility but "
+        "excluded from total/ratio: their DuckDB oracle needs minutes per "
+        "execution at this SF (see ORACLE_SKIP), so the symmetric pairing "
+        "would measure oracle pathology, not Spark",
         "regression_note": f">{REGRESSION_PCT}% slower than the previous "
         "artifact; sub-second queries swing that much run-to-run at sf0.1, "
         "so treat flags as re-measure prompts",
