@@ -350,13 +350,18 @@ def test_containment_prefix_length_filter(spark):
     filler = "abcdefghijklmnopqrstuvwxyz0123456789ABCD"
     rows = [(1, filler + "XYZQW"), (2, filler), (3, filler), (4, "XYZQW")]
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
-    _, cand_f = _containment_prefix_candidates(docs, "text", "doc_id", 3, 4)
-    _, cand_u = _containment_prefix_candidates(
-        docs, "text", "doc_id", 3, 4, length_filter=False
+    _, cand_p = _containment_prefix_candidates(docs, "text", "doc_id", 3, 4)
+    _, cand_l = _containment_prefix_candidates(
+        docs, "text", "doc_id", 3, 4, positional_filter=False
     )
-    f = {(r["doc_inner"], r["doc_outer"]) for r in cand_f.collect()}
+    _, cand_u = _containment_prefix_candidates(
+        docs, "text", "doc_id", 3, 4,
+        length_filter=False, positional_filter=False,
+    )
+    p = {(r["doc_inner"], r["doc_outer"]) for r in cand_p.collect()}
+    f = {(r["doc_inner"], r["doc_outer"]) for r in cand_l.collect()}
     u = {(r["doc_inner"], r["doc_outer"]) for r in cand_u.collect()}
-    assert f < u, (len(f), len(u))  # strictly fewer candidates
+    assert p <= f < u, (len(p), len(f), len(u))  # positional subsumes length
     assert (1, 4) in u and (1, 4) not in f  # long-in-tiny fan-out removed
     got = {
         (r["doc_inner"], r["doc_outer"]): r["cont"]
