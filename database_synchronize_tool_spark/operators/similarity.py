@@ -75,19 +75,39 @@ def bruteforce_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k per query (excluding self). Queries broadcast;
-    ranking window tiebreaks on candidate id for determinism."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    """Exact cosine top-k per query (excluding self), as a fused scan: the
+    bounded query side is collected once (the same broadcast-the-queries
+    assumption the former crossJoin form made) and ONE ``mapInPandas``
+    pass over the candidate table emits the full (B, |Q|) cosine matrix
+    per batch — numpy keeps the exact ``cosine_pairs`` left-fold, so
+    scores are bit-identical to the SQL oracle. Cost is still O(|Q|·N)
+    FLOPs but only one scan of N and only the top-k window's exchange in
+    the plan (map-side ``WindowGroupLimit`` prunes each partition to ~k
+    rows per query first). Ranking tiebreaks on candidate id."""
+    qids, qvecs = _collect_queries(queries, id_col, vec_col)
+    schema = _sim_pair_schema(queries, candidates, id_col)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or not qids:
+                continue
+            x = np.array(pdf["v"].tolist(), dtype=np.float64)
+            sim = _cosine_sim_np(x, qvecs)  # (B, |Q|), exact fold
+            cand = pdf["vid"].to_numpy()
+            for qi, qid in enumerate(qids):
+                mask = cand != qid
+                yield pd.DataFrame(
+                    {
+                        "query_id": [qid] * int(mask.sum()),
+                        "cand_id": cand[mask],
+                        "sim": sim[mask, qi],
+                    }
+                )
+
+    base = candidates.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     )
-    c = candidates.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn("sim", cosine_pairs(F.col("qv"), F.col("cv")))
-    )
+    scored = base.mapInPandas(score, schema)
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -412,25 +432,60 @@ def ivf_topk(
     oracle-reproducible smallest-id seeds for trained cells with better
     recall at equal ``n_probe`` (tested). Default stays ``seed_centroids``
     so the declared query remains literally reproducible in SQL.
+
+    Executed as the fused inverted-list scan (the same shape as
+    :func:`ivf_pq_topk`, with exact cosine instead of ADC): centroids and
+    the bounded query side are collected index metadata, query→probed-cell
+    assignments are computed driver-side, and ONE ``mapInPandas`` pass
+    assigns each candidate batch (argmax) and cosine-scores ONLY the
+    (query, cand) pairs whose cell is probed. All folds and tie rules are
+    bit-identical to the SQL oracle; the top-k window is the plan's only
+    exchange.
     """
     cents = (
         centroids
         if centroids is not None
         else seed_centroids(candidates, n_cells, id_col, vec_col)
     )
-    cand_cells = ivf_assign_cells(candidates, cents, id_col, vec_col, top_cells=1)
-    c = cand_cells.select(
-        F.col("vid").alias("cand_id"), F.col("v").alias("cv"), "cell"
+    cent_np = _centroids_np(cents)
+    qids, qvecs = _collect_queries(queries, id_col, vec_col)
+    probes_by_cell: dict[int, list[int]] = {}
+    if qids:
+        qsim = _cosine_sim_np(qvecs, cent_np)
+        probe = np.argsort(-qsim, axis=1, kind="stable")[:, :n_probe]
+        for qi in range(len(qids)):
+            for c in probe[qi]:
+                probes_by_cell.setdefault(int(c), []).append(qi)
+    schema = _sim_pair_schema(queries, candidates, id_col)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or not probes_by_cell:
+                continue
+            x = np.array(pdf["v"].tolist(), dtype=np.float64)
+            cells = np.argmax(_cosine_sim_np(x, cent_np), axis=1)
+            cand = pdf["vid"].to_numpy()
+            for c in np.unique(cells):
+                qis = probes_by_cell.get(int(c))
+                if not qis:
+                    continue
+                idx = np.where(cells == c)[0]
+                sim = _cosine_sim_np(x[idx], qvecs[qis])  # (|idx|, |qis|)
+                for col, qi in enumerate(qis):
+                    qid = qids[qi]
+                    mask = cand[idx] != qid
+                    yield pd.DataFrame(
+                        {
+                            "query_id": [qid] * int(mask.sum()),
+                            "cand_id": cand[idx][mask],
+                            "sim": sim[mask, col],
+                        }
+                    )
+
+    base = candidates.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     )
-    q_cells = ivf_assign_cells(queries, cents, id_col, vec_col, top_cells=n_probe)
-    q = q_cells.select(
-        F.col("vid").alias("query_id"), F.col("v").alias("qv"), "cell"
-    )
-    scored = (
-        c.join(F.broadcast(q), "cell")
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .withColumn("sim", cosine_pairs(F.col("qv"), F.col("cv")))
-    )
+    scored = base.mapInPandas(score, schema)
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -659,8 +714,13 @@ def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
     return ids, vecs
 
 
-def _pair_schema(queries: DataFrame, candidates: DataFrame, id_col: str):
-    """Output schema (query_id, cand_id, adist) matching the input id
+def _pair_schema(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    score_col: str = "adist",
+):
+    """Output schema (query_id, cand_id, <score>) matching the input id
     types."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -668,9 +728,13 @@ def _pair_schema(queries: DataFrame, candidates: DataFrame, id_col: str):
         [
             StructField("query_id", queries.schema[id_col].dataType),
             StructField("cand_id", candidates.schema[id_col].dataType),
-            StructField("adist", DoubleType()),
+            StructField(score_col, DoubleType()),
         ]
     )
+
+
+def _sim_pair_schema(queries: DataFrame, candidates: DataFrame, id_col: str):
+    return _pair_schema(queries, candidates, id_col, score_col="sim")
 
 
 def pq_encode(

@@ -62,12 +62,11 @@ def test_multiprobe_join_is_broadcast_hash_not_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_ivf_cell_join_is_broadcast_hash_not_cartesian(spark, sf_dir):
-    # centroid assignment is a broadcast nested-loop over 16 rows (intended:
-    # per-row argmax against the broadcast centroid list); the cell search
-    # join itself must be a hash equi-join and nothing may be a cartesian
-    plan = plan_of(spark, sf_dir, "ann_ivf_topk")
-    assert "BroadcastHashJoin" in plan
+def test_neardup_block_join_is_hash_not_cartesian(spark, sf_dir):
+    # the embedding near-dup self-join must stay a block equi-join (hash),
+    # never a cartesian product (ann_ivf_topk moved to the fused-scan
+    # family pinned below, so this guards the remaining join-shaped path)
+    plan = plan_of(spark, sf_dir, "dedup_embedding_cosine")
     assert "CartesianProduct" not in plan
 
 
@@ -239,6 +238,8 @@ def test_fused_pq_scan_has_single_exchange(spark, sf_dir):
         "ann_pq_adc_topk",
         "ann_ivf_pq_topk",
         "ann_ivf_pq_residual_topk",
+        "ann_bruteforce_topk",
+        "ann_ivf_topk",
     ):
         df = all_queries()[name].builder(spark, sf_dir)
         plan = _simple(df)
