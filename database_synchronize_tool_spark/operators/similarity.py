@@ -1,29 +1,30 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two regimes:
+Design: every ANN operator here assumes a BOUNDED query side (queries
+broadcast — the standard vector-search serving shape). The exact, IVF, and
+PQ operators exploit that as FUSED SCANS: quantizer/codebook/query state is
+bounded index metadata, collected once and closed over by one
+``mapInPandas`` pass over the candidate table; the only exchange in each
+plan is the top-k ranking window (map-side ``WindowGroupLimit`` prunes each
+partition to ~k rows per query first). All numpy math reproduces the exact
+left-fold accumulation of the SQL oracle (``vectors._foldsum``) and the
+same tie rules, so results stay bit-identical to the declared DuckDB
+oracles.
 
-- ``bruteforce_topk``: exact cosine top-k. Queries × candidates cross join —
-  correct baseline, and the right choice whenever the *query* set is small:
-  broadcast the queries, stream the candidate table once, per-partition
-  partial top-k via the ranking window. Cost O(|Q|·N) but only one scan of N.
-- ``lsh_bucket_topk``: random-hyperplane LSH. Each vector maps to a sign
-  bucket over H deterministic pseudo-random hyperplanes; top-k runs within a
-  query's bucket only. At 100 TB: bucket is a plain equi-join key (shuffle or
-  broadcast of bucketed queries), recall tuned by H and multi-probe.
-- ``lsh_multiprobe_topk``: the recall knob made real — probe the query's own
-  bucket plus Hamming-1 neighbor buckets (query-side explode only; the
-  candidate table stays single-bucketed, the join stays an equi-join).
-
-Hyperplanes are derived from an integer LCG (Knuth multiplier) so the oracle
-can reproduce them literally — no RNG state, no driver-side arrays shipped.
-All vector math is built-in higher-order functions (JVM, codegen).
+- ``bruteforce_topk``: exact cosine top-k — the correctness baseline.
+- ``lsh_bucket_topk`` / ``lsh_multiprobe_topk``: random-hyperplane LSH;
+  bucket equi-joins (the bucket is data-dependent on BOTH sides, so the
+  join form stays). Hyperplanes derive from an integer LCG (Knuth
+  multiplier) so the oracle reproduces them literally.
+- ``ivf_topk`` / ``ivf_pq_topk`` / ``ivf_pq_residual_topk`` /
+  ``pq_adc_topk``: the IVF/PQ family, with k-means-trainable quantizers.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
@@ -31,7 +32,6 @@ from database_synchronize_tool_spark.functions.vectors import (
     _foldsum,
     as_double,
     cosine_pairs,
-    l2_sq,
 )
 
 LSH_PLANES = 8
