@@ -10,6 +10,7 @@ operators use).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1023,23 +1024,56 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "form is monotone in 1/df like log-idf but stays a single exact-integer "
     "multiply + one IEEE divide, so both engines produce bit-identical "
     "doubles (libm ln() is not correctly-rounded and would flap the hash). "
-    "Scale shape: token explode -> (doc,term) hash-agg -> vocab agg -> "
-    "equi-join back (vocab is bounded; AQE broadcasts when small) -> "
-    "per-doc window top-k. The keyword-extraction step of a corpus "
-    "featurization pipeline.",
+    "Scale shape: every token of a doc lives in ONE row, so per-doc term "
+    "counts are computed in-row (one Arrow Counter pass — no (doc, term) "
+    "aggregation shuffle); the document-frequency vocabulary (bounded by "
+    "language, not corpus size) aggregates once and BROADCASTS back onto "
+    "the narrow tf rows, so the only exchanges left are the vocab "
+    "aggregate and the per-doc top-k window. Drop the broadcast hint if "
+    "the raw vocabulary genuinely exceeds executor memory. The "
+    "keyword-extraction step of a corpus featurization pipeline.",
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections import Counter
+
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
     from database_synchronize_tool_spark.functions.text import tokens
 
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    @F.pandas_udf(
+        ArrayType(
+            StructType(
+                [
+                    StructField("term", StringType()),
+                    StructField("tf", LongType()),
+                ]
+            )
+        )
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    def term_counts(toks: pd.Series) -> pd.Series:
+        return toks.map(
+            lambda ts: [
+                {"term": t, "tf": c} for t, c in Counter(ts).items()
+            ]
+            if ts is not None
+            else []
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = d.select(
+        "doc_id",
+        F.explode(term_counts(tokens(F.lower(F.col("text"))))).alias("tc"),
+    ).select("doc_id", F.col("tc.term").alias("term"), F.col("tc.tf").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n))
         .withColumn(
             "score",
