@@ -406,3 +406,35 @@ def test_training_sample_auto_mod(spark, sf_dir):
     auto = SIM._training_sample(e, "vec_id", "embedding", "auto")
     plain = SIM._training_sample(e, "vec_id", "embedding", None)
     assert auto.count() == plain.count() <= SIM.TRAIN_MAX_ROWS
+
+
+def test_fused_ops_empty_query_side(spark, sf_dir):
+    # a fused scan with zero queries must return an empty, correctly-shaped
+    # result (the closure yields no batches), not raise
+    e = load_table(spark, sf_dir, "embeddings")
+    none = e.filter(F.col("vec_id") < 0)
+    for op in (
+        lambda: SIM.bruteforce_topk(none, e, k=3),
+        lambda: SIM.ivf_topk(none, e, k=3, n_cells=8, n_probe=2),
+        lambda: SIM.pq_adc_topk(none, e, k=3),
+        lambda: SIM.ivf_pq_topk(none, e, k=3, n_cells=8, n_probe=2),
+        lambda: SIM.ivf_pq_residual_topk(none, e, k=3, n_cells=8, n_probe=2),
+    ):
+        df = op()
+        assert df.count() == 0
+        assert set(df.columns) == {"query_id", "cand_id", "rank"} | (
+            {"sim"} if "sim" in df.columns else {"adist"}
+        )
+
+
+def test_collect_queries_guard_refuses_unbounded_side(spark, sf_dir):
+    # the fused ops ship per-query state to every scan task; a query side
+    # past PQ_QUERY_MAX must be refused loudly, not silently collected
+    e = load_table(spark, sf_dir, "embeddings")
+    orig = SIM.PQ_QUERY_MAX
+    SIM.PQ_QUERY_MAX = 5
+    try:
+        with pytest.raises(ValueError, match="PQ_QUERY_MAX"):
+            SIM.bruteforce_topk(e, e, k=3)
+    finally:
+        SIM.PQ_QUERY_MAX = orig
