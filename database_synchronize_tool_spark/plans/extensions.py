@@ -1761,3 +1761,145 @@ def ann_ivf_pq_residual_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_seeded_residual"),
         )
     )
+
+
+# --- source-keyed corpus management (round 7) -------------------------------
+#
+# The documents table's `source` column is the unit of the three data-
+# management questions every training-data pipeline answers before mixing:
+# is any source contaminated with another's text (decontamination screen),
+# what does each source contribute (mix report), and how should the mix be
+# reweighted (temperature resampling). All three are pure relational shapes
+# — per-source aggregates and narrow hash filters — so they scale as scans.
+
+
+@declared(
+    "decontam_cross_source_dups",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, 'held_out_bench' AS source, text
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT text AS dup_text,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           MIN(doc_id) AS first_doc
+    FROM corpus
+    GROUP BY text
+    HAVING COUNT(DISTINCT source) > 1
+    """,
+    doc="Benchmark-decontamination screen: exact texts that appear in MORE "
+    "THAN ONE source — the check that catches evaluation data leaked into "
+    "training corpora (every doc_id % 7 == 0 text is mirrored into a "
+    "synthetic 'held_out_bench' source so the screen has known positives "
+    "at every SF, the dedup_exact doubling convention). One hash "
+    "groupBy + a distinct-count HAVING: at 100 TB key on a text "
+    "fingerprint instead of the raw text to shrink the shuffle, exactly "
+    "as dedup_exact documents.",
+)
+def decontam_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    mirrored = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit("held_out_bench").alias("source"),
+        "text",
+    )
+    corpus = d.unionByName(mirrored)
+    return (
+        corpus.groupBy("text")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_sources") > 1)
+        .select(
+            F.col("text").alias("dup_text"), "n_copies", "n_sources", "first_doc"
+        )
+    )
+
+
+@declared(
+    "source_mix_report",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                    t -> t <> ''))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents GROUP BY source
+    """,
+    doc="Per-source contribution report — the table a data-mixing decision "
+    "reads: docs, whitespace-token and char volume, language spread per "
+    "source. One map-side-combined aggregate over integer sums (exact, "
+    "order-insensitive); token counting reuses the text_token_count "
+    "expression so both engines count identically.",
+)
+def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+
+
+@declared(
+    "lang_temperature_sample",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), w AS (
+      SELECT lang, n_s, n_docs,
+             sqrt(CAST(n_s AS DOUBLE) / n_docs) AS w
+      FROM counts CROSS JOIN n
+    ), z AS (
+      SELECT CAST(SUM(CAST(w AS DECIMAL(28,12))) AS DOUBLE) AS z FROM w
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    JOIN w USING (lang) CROSS JOIN z
+    WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0
+          < LEAST(1.0, n_docs * w / z / n_s)
+    """,
+    doc="Temperature-based stratum resampling (alpha = 0.5): target share "
+    "of stratum s is proportional to p_s^alpha — the standard softening "
+    "used for multilingual mixes, sitting between proportional (alpha=1) "
+    "and the hard equal-share rebalance (alpha=0, cf. "
+    "stratified_rebalance_sample). Per-doc keep rate is min(1, N*w_s/Z/"
+    "n_s) with w_s = sqrt(n_s/N); the draw is the portable Knuth hash so "
+    "the sample is engine-independent and re-runnable. Determinism: sqrt "
+    "and single divides are correctly-rounded IEEE ops written with "
+    "identical association on both engines, and the stratum-weight "
+    "normalizer Z sums through DECIMAL so accumulation order cannot "
+    "perturb it. Scale shape: one tiny per-stratum agg (broadcast), then "
+    "a NARROW filter — no window, no per-stratum sort.",
+)
+def lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_s"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = counts.crossJoin(F.broadcast(n)).withColumn(
+        "w", F.sqrt(F.col("n_s").cast("double") / F.col("n_docs"))
+    )
+    z = w.agg(
+        F.sum(F.col("w").cast("decimal(28,12)")).cast("double").alias("z")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.col("n_docs") * F.col("w") / F.col("z") / F.col("n_s"),
+    )
+    bucket = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    ).cast("double") / F.lit(4294967296.0)
+    return (
+        d.join(F.broadcast(w), "lang")
+        .crossJoin(F.broadcast(z))
+        .filter(bucket < rate)
+        .select("doc_id", "lang")
+    )

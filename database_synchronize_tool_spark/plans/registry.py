@@ -91,6 +91,9 @@ _WINDOW: tuple[str, ...] = (
     "dedup_containment_banded",
     "dedup_containment_prefix",
     "ann_pq_trained_recall",
+    "decontam_cross_source_dups",
+    "source_mix_report",
+    "lang_temperature_sample",
     # --- re-verify: r3-stale analytics stranded by the r6 off-by-three ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -134,13 +137,13 @@ _WINDOW: tuple[str, ...] = (
     "q20_potential_part_promotion",
     "q5_revenue_by_nation",
     "q6_revenue_forecast",
-    "q10_returned_revenue",
-    "agg_having",
-    "agg_distinct_count",
 )
 
 _QUEUE: tuple[str, ...] = (
     # --- queued for round 8: remainder of the r5 cohort, declared order ---
+    "q10_returned_revenue",
+    "agg_having",
+    "agg_distinct_count",
     "agg_stats_moments",
     "rollup_returns",
     "cube_events",
