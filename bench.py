@@ -73,6 +73,9 @@ HEADLINE = [
     "text_quality_score",
     "text_tfidf_topk",
     "text_pack_streams",
+    # round-7 source-keyed corpus management
+    "source_mix_report",
+    "lang_temperature_sample",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but
