@@ -1903,3 +1903,52 @@ def lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < rate)
         .select("doc_id", "lang")
     )
+
+
+@declared(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({_HASHES_SQL}) AS sh FROM documents
+    ), held AS (
+      SELECT doc_id AS heldout_id, sh AS sh_h FROM sh WHERE doc_id % 7 = 0
+    ), train AS (
+      SELECT doc_id AS train_id, sh AS sh_t FROM sh WHERE doc_id % 7 <> 0
+    )
+    SELECT heldout_id, train_id, cont FROM (
+      SELECT heldout_id, train_id,
+             len(list_intersect(sh_h, sh_t)) / greatest(len(sh_h), 1) AS cont
+      FROM held CROSS JOIN train
+    ) WHERE cont >= 0.9
+    """,
+    doc="N-gram contamination screen — the production decontamination "
+    "shape (GPT-3-style n-gram overlap, generalized to shingle "
+    "containment): flag every training document whose text contains >= "
+    "90% of some held-out document's shingles. The held-out side "
+    "(doc_id % 7 == 0 here; a benchmark suite in production) is BOUNDED "
+    "by assumption, so it broadcasts and the screen is ONE scan of the "
+    "training corpus — the same bounded-side-broadcast shape as the "
+    "fused ANN scans, and the reason this survives a 100 TB corpus. "
+    "Complements decontam_cross_source_dups (exact-match) with the "
+    "near-match form that catches light paraphrase/formatting drift.",
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.functions.text import containment
+    from database_synchronize_tool_spark.operators.dedup import minhash_features
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", minhash_features(F.col("text"))["sh"].alias("sh")
+    )
+    held = sh.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("heldout_id"), F.col("sh").alias("sh_h")
+    )
+    train = sh.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("train_id"), F.col("sh").alias("sh_t")
+    )
+    return (
+        train.crossJoin(F.broadcast(held))
+        .withColumn("cont", containment(F.col("sh_h"), F.col("sh_t")))
+        .filter(F.col("cont") >= 0.9)
+        .select("heldout_id", "train_id", "cont")
+    )

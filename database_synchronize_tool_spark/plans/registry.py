@@ -92,6 +92,7 @@ _WINDOW: tuple[str, ...] = (
     "dedup_containment_prefix",
     "ann_pq_trained_recall",
     "decontam_cross_source_dups",
+    "decontam_ngram_overlap",
     "source_mix_report",
     "lang_temperature_sample",
     # --- re-verify: r3-stale analytics stranded by the r6 off-by-three ---
@@ -136,11 +137,11 @@ _WINDOW: tuple[str, ...] = (
     "q16_supplier_part_counts",
     "q20_potential_part_promotion",
     "q5_revenue_by_nation",
-    "q6_revenue_forecast",
 )
 
 _QUEUE: tuple[str, ...] = (
     # --- queued for round 8: remainder of the r5 cohort, declared order ---
+    "q6_revenue_forecast",
     "q10_returned_revenue",
     "agg_having",
     "agg_distinct_count",
