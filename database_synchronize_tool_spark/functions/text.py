@@ -116,3 +116,63 @@ def containment(a: Column, b: Column) -> Column:
     relationships that symmetric Jaccard dilutes (a 100-line doc pasted
     into a 10k-line doc scores ~1.0 here but ~0.01 on Jaccard)."""
     return F.size(F.array_intersect(a, b)) / F.greatest(F.size(a), F.lit(1))
+
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """Adjacent word n-grams (space-joined), in document order.
+
+    Built as an index transform over the token array — ``sequence`` would
+    count DOWN for short docs (Spark's sequence is bidirectional), so the
+    ``size >= n`` guard returns an empty array instead, matching DuckDB's
+    empty ``range(1, 1)``."""
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def adjacent_repeat_count(text: Column) -> Column:
+    """How many positions i have token[i] == token[i+1] — the immediate
+    word-stutter count, the cheapest of the Gopher-style repetition
+    signals. 0 for docs with fewer than two tokens."""
+    toks = tokens(text)
+    flags = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: (F.element_at(toks, i) == F.element_at(toks, i + 1)).cast(
+            "bigint"
+        ),
+    )
+    summed = F.aggregate(
+        flags, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return F.when(F.size(toks) >= 2, summed).otherwise(F.lit(0).cast("bigint"))
+
+
+def dup_token_fraction(text: Column) -> Column:
+    """1 − |distinct tokens| / |tokens| — the share of the document that is
+    repetition of earlier words (0 when every token is unique, and for
+    empty docs)."""
+    toks = tokens(text)
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks)
+    )
+
+
+def top_token_fraction(text: Column) -> Column:
+    """Share of the document taken by its single most frequent token (the
+    Gopher top-1-gram fraction). In-row mode: count each distinct token's
+    occurrences and take the max — O(distinct·n) per document, all
+    codegen. 0 for empty docs."""
+    toks = tokens(text)
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda w: F.size(F.filter(toks, lambda t: t == w)),
+    )
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.array_max(counts) / F.size(toks)
+    )

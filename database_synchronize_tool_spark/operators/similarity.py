@@ -1107,3 +1107,71 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "adist", F.col("rank").cast("int").alias("rank"))
     )
+
+def ivf_pq_refine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ shortlist + exact re-rank — the production "IVFADC+R" layout
+    (the refine stage FAISS exposes as ``IndexRefineFlat``): the composed
+    IVF+PQ stack produces a ``shortlist``-deep candidate list per query
+    from compressed codes, then ONLY those |Q|·shortlist survivors are
+    re-scored against their full-precision vectors and the true top-k is
+    taken on exact cosine.
+
+    Why this is the 100 TB answer: ADC distance is quantized, so the PQ
+    top-k can misorder near-ties — but fetching full vectors for the whole
+    corpus is exactly what PQ exists to avoid. Re-ranking a constant-depth
+    shortlist buys back almost all of the recall lost to quantization
+    while touching ``|Q|·shortlist`` full vectors instead of N. Plan
+    shape: the shortlist (bounded: |Q|·shortlist rows of ids only) is
+    BROADCAST back against the candidate table — one hash join, no
+    shuffle of the big side — the bounded query vectors broadcast-join on
+    query_id, and the exact cosine is the same Arrow ``cosine_pairs``
+    left-fold every exact operator uses, so the result is bit-identical
+    to the declared SQL oracle. The final window re-ranks |Q|·shortlist
+    rows: negligible.
+
+    ``centroids`` / ``codebooks`` pass through to :func:`ivf_pq_topk`
+    unchanged, so trained quantizers drop in with no downstream change.
+    """
+    short = ivf_pq_topk(
+        queries,
+        candidates,
+        k=shortlist,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        m=m,
+        ksub=ksub,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=centroids,
+        codebooks=codebooks,
+    ).select("query_id", "cand_id")
+    cand_vecs = candidates.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+    )
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    rescored = (
+        cand_vecs.join(F.broadcast(short), "cand_id")
+        .join(F.broadcast(q_vecs), "query_id")
+        .withColumn("sim", cosine_pairs(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cand_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "sim", F.col("rank").cast("int").alias("rank"))
+    )

@@ -1952,3 +1952,298 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cont") >= 0.9)
         .select("heldout_id", "train_id", "cont")
     )
+
+
+# --- round-7 additions: quality signals, boilerplate mining, PII, refine ----
+
+_TOKENS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+
+@declared(
+    "text_repetition_signals",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(tk) = 0 THEN 0.0
+                ELSE 1.0 - len(list_distinct(tk)) / len(tk) END AS dup_frac,
+           CAST(CASE WHEN len(tk) >= 2 THEN
+                coalesce(list_sum(list_transform(
+                    range(1, greatest(len(tk)-1, 0)+1),
+                    i -> CASE WHEN tk[i] = tk[i+1] THEN 1 ELSE 0 END)), 0)
+                ELSE 0 END AS BIGINT) AS n_adj_repeats,
+           CASE WHEN len(tk) = 0 THEN 0.0
+                ELSE list_max(list_transform(list_distinct(tk),
+                     w -> len(list_filter(tk, x -> x = w)))) / len(tk)
+           END AS top_token_frac
+    FROM t
+    """,
+    doc="Gopher-style repetition quality signals, all in-row: duplicate-"
+    "token fraction (1 − distinct/total), adjacent word-stutter count "
+    "(token[i]==token[i+1]), and top-1-gram fraction (share of the most "
+    "frequent token). Every signal is a codegen higher-order expression "
+    "over the token array — a NARROW map with no shuffle, no Python, so "
+    "the filter sweep over a 100 TB corpus is one scan. The mode "
+    "computation is in-row O(distinct·n) rather than an explode+groupBy "
+    "per document — repetition is a per-document property, so shuffling "
+    "tokens across the cluster to compute it would be the classic "
+    "anti-pattern.",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.token_count(t).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(TX.tokens(t))).cast("bigint").alias("n_distinct"),
+        TX.dup_token_fraction(t).alias("dup_frac"),
+        TX.adjacent_repeat_count(t).alias("n_adj_repeats"),
+        TX.top_token_fraction(t).alias("top_token_frac"),
+    )
+
+
+@declared(
+    "corpus_ngram_topk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+                 range(1, greatest(len(tk)-1, 0)+1),
+                 i -> tk[i] || ' ' || tk[i+1])) AS gs
+      FROM t
+    )
+    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM (SELECT doc_id, unnest(gs) AS ngram FROM g)
+    GROUP BY ngram
+    ORDER BY doc_freq DESC, ngram
+    LIMIT 30
+    """,
+    doc="Corpus boilerplate miner: top word-bigrams by DOCUMENT frequency "
+    "(each document contributes each distinct bigram once) — the phrase "
+    "table a template/boilerplate-removal pass reads. Scale shape: the "
+    "per-doc distinct happens in-row BEFORE the explode (array_distinct "
+    "then explode), so the shuffle carries at most one row per "
+    "(doc, distinct-bigram), the groupBy partial-aggregates map-side, and "
+    "the final ordering is a TakeOrderedAndProject over the tiny "
+    "ngram-frequency table, never a global sort of the corpus.",
+)
+def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        F.explode(F.array_distinct(TX.word_ngrams(F.col("text"), 2))).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "ngram")
+        .limit(30)
+    )
+
+
+@declared(
+    "corpus_quality_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, {_TOKENS_SQL} AS tk FROM documents
+    ), sig AS (
+      SELECT doc_id, lang,
+             len(tk) AS n_tok,
+             CASE WHEN len(tk) = 0 THEN 0.0
+                  ELSE 1.0 - len(list_distinct(tk)) / len(tk) END AS dup_frac,
+             CASE WHEN len(tk) >= 2 THEN
+                  coalesce(list_sum(list_transform(
+                      range(1, greatest(len(tk)-1, 0)+1),
+                      i -> CASE WHEN tk[i] = tk[i+1] THEN 1 ELSE 0 END)), 0)
+                  ELSE 0 END AS n_adj,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 x -> list_contains(['the','and','of','is','a'], x))) AS c_en,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 x -> list_contains(['der','die','das','und','ist'], x))) AS c_de,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 x -> list_contains(['le','la','les','et','est'], x))) AS c_fr,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 x -> list_contains(['el','los','las','es','y'], x))) AS c_es
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN n_tok < 12 THEN 'too_short'
+                WHEN NOT (c_en > 0 AND c_en = greatest(c_en, c_de, c_fr, c_es)
+                       OR c_de > 0 AND c_de = greatest(c_en, c_de, c_fr, c_es)
+                       OR c_fr > 0 AND c_fr = greatest(c_en, c_de, c_fr, c_es)
+                       OR c_es > 0 AND c_es = greatest(c_en, c_de, c_fr, c_es))
+                     THEN 'lang_unknown'
+                WHEN dup_frac > 0.6 THEN 'high_repetition'
+                WHEN n_adj >= 5 THEN 'word_stutter'
+                ELSE 'keep' END AS verdict,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           dup_frac
+    FROM sig
+    """,
+    doc="C4/CCNet-style quality-filter cascade with attributed verdicts: "
+    "each document gets the FIRST failing rule (too_short → lang_unknown "
+    "→ high_repetition → word_stutter) or 'keep' — the per-rule "
+    "attribution a corpus-curation report needs to tune thresholds, not "
+    "just the surviving rows. One narrow in-row CASE over the repetition "
+    "and language-marker signals (text_repetition_signals / text_lang_id "
+    "expressions composed); no shuffle at all — the 100 TB sweep is one "
+    "codegen scan, and the verdict histogram afterwards is a 5-row "
+    "aggregate.",
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tok = TX.token_count(t)
+    dup = TX.dup_token_fraction(t)
+    adj = TX.adjacent_repeat_count(t)
+    verdict = (
+        F.when(n_tok < 12, F.lit("too_short"))
+        .when(TX.lang_id(t) == "unknown", F.lit("lang_unknown"))
+        .when(dup > 0.6, F.lit("high_repetition"))
+        .when(adj >= 5, F.lit("word_stutter"))
+        .otherwise(F.lit("keep"))
+    )
+    return d.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        dup.alias("dup_frac"),
+    )
+
+
+_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+@declared(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com call +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM aug
+    """,
+    doc="PII redaction pass (email + phone patterns → typed placeholder "
+    "tokens) with per-document match counts — the scrubbing step every "
+    "training-data pipeline runs before tokenization. The corpus text is "
+    "synthetic and PII-free, so each document gets one deterministic "
+    "email/phone APPENDED inside the query (the dedup_exact "
+    "known-positives convention) and the redaction provably fires on "
+    "every row; patterns are kept in the common RE2/Java regex subset so "
+    "both engines match identically. Narrow map, no shuffle; at 100 TB "
+    "this composes into the same single quality-filter scan as the "
+    "repetition signals.",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        red.alias("redacted"),
+    )
+
+
+@declared(
+    "ann_ivf_pq_refine_topk",
+    oracle=f"""
+    WITH {_PQ_CB_SQL}, cents AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY sid) - 1 AS INT) AS cell,
+             centroid AS ccv
+      FROM (SELECT vec_id AS sid, v AS centroid FROM e
+            ORDER BY vec_id LIMIT {_IVF_CELLS})
+    ), cand_assign AS (
+      SELECT vec_id AS cand_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cosine_sql('e.v', 'c.ccv')} DESC, c.cell) AS rk
+        FROM e, cents c
+      ) WHERE rk = 1
+    ), q_assign AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cosine_sql('e.v', 'c.ccv')} DESC, c.cell) AS rk
+        FROM e, cents c WHERE e.vec_id < 10
+      ) WHERE rk <= {_IVF_PROBE}
+    ), qsub AS (
+      SELECT vec_id AS query_id, CAST(i AS INT) AS sub,
+             list_slice(v, i*(len(v)//{SIM.PQ_M})+1,
+                        (i+1)*(len(v)//{SIM.PQ_M})) AS qsv
+      FROM e, range(0, {SIM.PQ_M}) t(i) WHERE vec_id < 10
+    ), lut AS (
+      SELECT query_id, sub, code,
+             {_L2SQ_SQL.format(a="qsv", b="cv")} AS pdist
+      FROM qsub JOIN cb USING (sub)
+    ), surv AS (
+      SELECT q.query_id, c.cand_id
+      FROM cand_assign c JOIN q_assign q USING (cell)
+      WHERE c.cand_id <> q.query_id
+    ), adist AS (
+      SELECT s.query_id, s.cand_id,
+             list_reduce(list(l.pdist ORDER BY l.sub), (x, y) -> x + y) AS adist
+      FROM surv s JOIN best b ON b.vid = s.cand_id
+           JOIN lut l ON l.query_id = s.query_id AND l.sub = b.sub
+                     AND l.code = b.code
+      GROUP BY s.query_id, s.cand_id
+    ), short AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adist, cand_id) AS srk
+        FROM adist
+      ) WHERE srk <= 20
+    ), exact AS (
+      SELECT s.query_id, s.cand_id,
+             {_cosine_sql('q.v', 'c.v')} AS sim
+      FROM short s JOIN e q ON q.vec_id = s.query_id
+                   JOIN e c ON c.vec_id = s.cand_id
+    )
+    SELECT query_id, cand_id, sim, CAST(rank AS INT) AS rank FROM (
+      SELECT query_id, cand_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, cand_id) AS rank
+      FROM exact
+    ) WHERE rank <= 5
+    """,
+    doc=f"IVF-PQ shortlist + exact re-rank — the production IVFADC+R "
+    f"layout (FAISS IndexRefineFlat): the composed IVF+PQ stack emits a "
+    f"20-deep shortlist per query from {SIM.PQ_M}-byte codes, then ONLY "
+    "those |Q|·20 survivors fetch their full-precision vectors for an "
+    "exact-cosine re-rank to the true top-5. Re-ranking a constant-depth "
+    "shortlist buys back the recall lost to quantization while touching "
+    "|Q|·20 full vectors instead of N — the id-only shortlist broadcasts "
+    "back against the candidate table (one hash join, the big side never "
+    "shuffles), the bounded query vectors broadcast on query_id, and the "
+    "exact score is the shared Arrow left-fold, so the result is "
+    "bit-identical to the oracle's literal index rebuild.",
+)
+def ann_ivf_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_pq_refine_topk(
+        e.filter(F.col("vec_id") < 10), e, k=5, shortlist=20,
+        n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+    )

@@ -95,6 +95,11 @@ _WINDOW: tuple[str, ...] = (
     "decontam_ngram_overlap",
     "source_mix_report",
     "lang_temperature_sample",
+    "text_repetition_signals",
+    "corpus_ngram_topk",
+    "corpus_quality_filter",
+    "text_pii_redact",
+    "ann_ivf_pq_refine_topk",
     # --- re-verify: r3-stale analytics stranded by the r6 off-by-three ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -132,14 +137,15 @@ _WINDOW: tuple[str, ...] = (
     # --- re-verify: last green r4/r5 (stalest of the remaining cohort) ---
     "embedding_quantize_int8",
     "dedup_simhash_banded64",
+)
+
+_QUEUE: tuple[str, ...] = (
+    # --- displaced from the r7 window by the 5 late-round-7 additions ---
     "q9_product_type_profit",
     "q11_important_part_value",
     "q16_supplier_part_counts",
     "q20_potential_part_promotion",
     "q5_revenue_by_nation",
-)
-
-_QUEUE: tuple[str, ...] = (
     # --- queued for round 8: remainder of the r5 cohort, declared order ---
     "q6_revenue_forecast",
     "q10_returned_revenue",

@@ -145,3 +145,89 @@ def test_stratified_rebalance_evens_language_shares(spark, sf_dir):
     a = sorted(tuple(r) for r in df.collect())
     b_ = sorted(tuple(r) for r in get("stratified_rebalance_sample").builder(spark, sf_dir).collect())
     assert a == b_
+
+
+# --- repetition signals / n-grams / PII (round-7 additions) -----------------
+
+
+def test_word_ngrams_bigrams_and_short_docs(spark):
+    from database_synchronize_tool_spark.functions.text import word_ngrams
+
+    got = one(
+        spark,
+        word_ngrams(F.col("t"), 2),
+        [("a b c",), ("solo",), ("",), ("x  y",)],
+        "t string",
+    )
+    assert got == [["a b", "b c"], [], [], ["x y"]]
+
+
+def test_adjacent_repeat_count(spark):
+    from database_synchronize_tool_spark.functions.text import (
+        adjacent_repeat_count,
+    )
+
+    got = one(
+        spark,
+        adjacent_repeat_count(F.col("t")),
+        [("a a b b b c",), ("a b a b",), ("x",), ("",)],
+        "t string",
+    )
+    # "a a"=1, "b b"+"b b"=2 -> 3; no adjacent pairs; <2 tokens -> 0
+    assert got == [3, 0, 0, 0]
+
+
+def test_dup_and_top_token_fractions(spark):
+    from database_synchronize_tool_spark.functions.text import (
+        dup_token_fraction,
+        top_token_fraction,
+    )
+
+    rows = [("a a a b",), ("a b c d",), ("",)]
+    dup = one(spark, dup_token_fraction(F.col("t")), rows, "t string")
+    top = one(spark, top_token_fraction(F.col("t")), rows, "t string")
+    assert dup == [0.5, 0.0, 0.0]
+    assert top == [0.75, 0.25, 0.0]
+
+
+def test_pii_redact_scrubs_and_counts(spark, sf_dir):
+    from database_synchronize_tool_spark.plans.extensions import text_pii_redact
+
+    rows = text_pii_redact(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_emails"] == 1 and r["n_phones"] == 1
+        assert "<EMAIL>" in r["redacted"] and "<PHONE>" in r["redacted"]
+        assert "@" not in r["redacted"]
+        assert "+1-555-" not in r["redacted"]
+
+
+def test_quality_filter_attributes_first_failing_rule(spark, sf_dir):
+    from database_synchronize_tool_spark.plans.extensions import (
+        corpus_quality_filter,
+    )
+
+    verdicts = {
+        r["verdict"]
+        for r in corpus_quality_filter(spark, sf_dir).collect()
+    }
+    # the cascade must actually exercise keep + at least two reject rules
+    # on the synthetic corpus (thresholds were probed before pinning)
+    assert "keep" in verdicts
+    assert len(verdicts - {"keep"}) >= 2
+
+
+def test_corpus_ngram_topk_doc_frequency_semantics(spark, sf_dir):
+    from database_synchronize_tool_spark.plans.extensions import corpus_ngram_topk
+
+    rows = corpus_ngram_topk(spark, sf_dir).collect()
+    assert len(rows) == 30
+    # document frequency: repeating a bigram inside one doc counts once,
+    # so no doc_freq can exceed the corpus size
+    from database_synchronize_tool_spark.catalog import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert all(0 < r["doc_freq"] <= n_docs for r in rows)
+    # ordering: non-increasing frequency, ties broken by ngram ascending
+    freqs = [r["doc_freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
