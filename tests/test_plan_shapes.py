@@ -248,3 +248,34 @@ def test_fused_pq_scan_has_single_exchange(spark, sf_dir):
         assert "Join" not in plan, name
         assert "Generate" not in plan, name
         assert "WindowGroupLimit" in plan, name
+
+
+def test_quality_scan_queries_have_no_exchange(spark, sf_dir):
+    # the curation sweep operators are NARROW by design: one codegen scan,
+    # zero shuffles — the property that makes a 100 TB filter pass one scan
+    for name in (
+        "text_repetition_signals",
+        "corpus_quality_filter",
+        "text_pii_redact",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Exchange" not in plan, f"{name} grew a shuffle:\n{plan}"
+
+
+def test_ngram_miner_distincts_in_row_before_explode(spark, sf_dir):
+    # the per-doc dedup must happen as array_distinct BEFORE the explode
+    # (shuffle carries one row per distinct bigram), and the final top-30
+    # must be TakeOrderedAndProject, not a global sort
+    plan = plan_of(spark, sf_dir, "corpus_ngram_topk")
+    assert "array_distinct" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial agg
+
+
+def test_refine_joins_are_broadcast_never_sortmerge(spark, sf_dir):
+    # the shortlist and the query vectors are bounded metadata: both refine
+    # joins must broadcast; a SortMergeJoin here would shuffle the corpus
+    plan = plan_of(spark, sf_dir, "ann_ivf_pq_refine_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
