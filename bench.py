@@ -82,6 +82,7 @@ HEADLINE = [
     "corpus_ngram_topk",
     "text_pii_redact",
     "ann_ivf_pq_refine_topk",
+    "dedup_semantic_pairs",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

@@ -100,6 +100,7 @@ _WINDOW: tuple[str, ...] = (
     "corpus_quality_filter",
     "text_pii_redact",
     "ann_ivf_pq_refine_topk",
+    "dedup_semantic_pairs",
     # --- re-verify: r3-stale analytics stranded by the r6 off-by-three ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -136,11 +137,11 @@ _WINDOW: tuple[str, ...] = (
     "t1_incremental_replay",
     # --- re-verify: last green r4/r5 (stalest of the remaining cohort) ---
     "embedding_quantize_int8",
-    "dedup_simhash_banded64",
 )
 
 _QUEUE: tuple[str, ...] = (
-    # --- displaced from the r7 window by the 5 late-round-7 additions ---
+    # --- displaced from the r7 window by the 6 late-round-7 additions ---
+    "dedup_simhash_banded64",
     "q9_product_type_profit",
     "q11_important_part_value",
     "q16_supplier_part_counts",

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from database_synchronize_tool_spark.catalog import load_table
 from database_synchronize_tool_spark.operators import similarity as SIM
+from database_synchronize_tool_spark.functions.vectors import cosine_pairs as cosine_pairs_udf
 
 
 def _pairs(df) -> set[tuple[int, int]]:
@@ -492,3 +493,60 @@ def test_refine_empty_query_side(spark, sf_dir):
     assert (
         SIM.ivf_pq_refine_topk(none, e, k=3, n_cells=8, n_probe=2).count() == 0
     )
+
+
+# --- cluster-bounded semantic dedup (SemDeDup shape) ------------------------
+
+
+def test_semantic_dedup_finds_injected_duplicate(spark, sf_dir):
+    # an exact copy of a vector (new id) must surface as a pair with sim=1:
+    # identical vectors share an argmax cell by construction, so cluster
+    # blocking cannot lose them
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    clone = e.filter(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + n * 10).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    got = SIM.semantic_dedup_pairs(
+        e.unionByName(clone), n_cells=8, threshold=0.99
+    ).collect()
+    assert any(
+        r["vec_a"] == 3 and r["vec_b"] == 3 + n * 10 and r["sim"] >= 0.999
+        for r in got
+    )
+
+
+def test_semantic_dedup_pairs_subset_of_label_free_allpairs(spark, sf_dir):
+    # cluster blocking is a candidate PRUNE: every returned pair must also
+    # appear in the unblocked cosine pair set at the same threshold
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    blocked = {
+        (r["vec_a"], r["vec_b"])
+        for r in SIM.semantic_dedup_pairs(e, n_cells=8, threshold=0.35).collect()
+    }
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    allpairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", cosine_pairs_udf(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= 0.35)
+        .collect()
+    }
+    assert blocked <= allpairs
+    assert blocked  # non-empty at this threshold (probed before pinning)
+
+
+def test_semantic_dedup_no_cartesian_product(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    df = SIM.semantic_dedup_pairs(e, n_cells=8, threshold=0.35)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
