@@ -101,6 +101,7 @@ _WINDOW: tuple[str, ...] = (
     "text_pii_redact",
     "ann_ivf_pq_refine_topk",
     "dedup_semantic_pairs",
+    "t11_stream_stream_join",
     # --- re-verify: r3-stale analytics stranded by the r6 off-by-three ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -135,12 +136,11 @@ _WINDOW: tuple[str, ...] = (
     "f5_string_normalize_compat",
     "o1_sort_limit_topk",
     "t1_incremental_replay",
-    # --- re-verify: last green r4/r5 (stalest of the remaining cohort) ---
-    "embedding_quantize_int8",
 )
 
 _QUEUE: tuple[str, ...] = (
-    # --- displaced from the r7 window by the 6 late-round-7 additions ---
+    # --- displaced from the r7 window by the 7 late-round-7 additions ---
+    "embedding_quantize_int8",
     "dedup_simhash_banded64",
     "q9_product_type_profit",
     "q11_important_part_value",

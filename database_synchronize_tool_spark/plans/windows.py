@@ -334,3 +334,69 @@ def t10_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = session_counts(read_events_stream(spark, sf_dir))
     run_to_memory(stream, "t10_stream_session_tbl", output_mode="append")
     return spark.table("t10_stream_session_tbl")
+
+
+@declared(
+    "t11_stream_stream_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id, p.event_id AS purchase_id,
+           v.ts AS view_ts, p.ts AS purchase_ts
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '1 hour'
+    """,
+    doc="Stream-STREAM interval join — the attribution pattern (purchase "
+    "correlated to every view by the same user within the previous hour): "
+    "two watermarked event streams joined on user_id plus an event-time "
+    "range condition. This is the stateful two-sided join Structured "
+    "Streaming keeps range-bounded buffers for — the watermark + time "
+    "constraint let it evict view state older than the join window "
+    "instead of buffering both streams forever (the property that makes "
+    "a stream-stream join survive an unbounded stream). Inner joins emit "
+    "matches as they arrive, so the availableNow replay must equal the "
+    "batch self-join literally — which is exactly what the oracle "
+    "declares. Completes the streaming surface: windows, sessions, "
+    "dedup, stream-static enrichment, and now two-sided joins.",
+)
+def t11_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").cast("timestamp").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )
+    run_to_memory(joined, "t11_stream_stream_tbl", output_mode="append")
+    return spark.table("t11_stream_stream_tbl")

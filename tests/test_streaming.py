@@ -270,3 +270,44 @@ def test_stateful_sessionization_drops_late_event(spark, tmp_path):
         (1, us("2024-01-01T10:00:00"), us("2024-01-01T10:05:00"), 2),
         (1, us("2024-01-01T12:00:00"), us("2024-01-01T12:00:00"), 1),
     ]
+
+
+def test_stream_stream_join_equals_batch_self_join(spark, sf_dir):
+    # inner stream-stream interval joins emit every match exactly once, so
+    # the availableNow replay must literally equal the batch self-join
+    from database_synchronize_tool_spark.catalog import load_table
+    from database_synchronize_tool_spark.plans.windows import (
+        t11_stream_stream_join,
+    )
+    from pyspark.sql import functions as F
+
+    streamed = sorted(
+        tuple(r) for r in t11_stream_stream_join(spark, sf_dir).collect()
+    )
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = sorted(
+        tuple(r)
+        for r in v.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+        )
+        .select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+        .collect()
+    )
+    assert streamed == batch
+    assert streamed  # non-empty: the corpus has view->purchase conversions
