@@ -83,6 +83,7 @@ HEADLINE = [
     "text_pii_redact",
     "ann_ivf_pq_refine_topk",
     "dedup_semantic_pairs",
+    "dedup_substring_spans",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

@@ -2286,3 +2286,49 @@ def ann_ivf_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return SIM.semantic_dedup_pairs(e, n_cells=_IVF_CELLS, threshold=0.35)
+
+
+@declared(
+    "dedup_substring_spans",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(list_transform(
+          range(1, greatest(length(text)-23, 1)+1), i -> substr(text, i, 24)),
+          x -> length(x) = 24))) AS span
+      FROM documents
+    )
+    SELECT span, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM s GROUP BY span
+    HAVING COUNT(*) >= 2
+    ORDER BY n_docs DESC, span
+    LIMIT 50
+    """,
+    doc="Exact duplicated-substring miner — the fixed-length-window form of "
+    "exact substring deduplication (Lee et al. 2022's suffix-array dedup, "
+    "public literature, restated for a relational engine): every 24-char "
+    "sliding window is extracted IN-ROW (distinct per doc), and a hash "
+    "aggregate surfaces the spans shared across documents — the verbatim "
+    "cross-document repetition that survives shingle/minhash measures "
+    "because it is exact, positional, and shorter than a document. Scale "
+    "shape: the explode emits one row per distinct span per doc, the "
+    "groupBy partial-aggregates map-side, and the report is TakeOrdered "
+    "over the span-frequency table; at 100 TB group on a span HASH first "
+    "and re-derive the text for the survivors (two-pass), exactly as "
+    "dedup_exact documents for whole-document fingerprints.",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    spans = d.select(
+        F.explode(
+            F.filter(
+                TX.shingles(F.col("text"), 24), lambda s: F.length(s) == 24
+            )
+        ).alias("span")
+    )
+    return (
+        spans.groupBy("span")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "span")
+        .limit(50)
+    )

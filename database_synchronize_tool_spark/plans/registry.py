@@ -102,6 +102,7 @@ _WINDOW: tuple[str, ...] = (
     "ann_ivf_pq_refine_topk",
     "dedup_semantic_pairs",
     "t11_stream_stream_join",
+    "dedup_substring_spans",
     # --- re-verify: r3-stale analytics stranded by the r6 off-by-three ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -135,11 +136,11 @@ _WINDOW: tuple[str, ...] = (
     "f4_int_coercion_compat",
     "f5_string_normalize_compat",
     "o1_sort_limit_topk",
-    "t1_incremental_replay",
 )
 
 _QUEUE: tuple[str, ...] = (
-    # --- displaced from the r7 window by the 7 late-round-7 additions ---
+    # --- displaced from the r7 window by the 8 late-round-7 additions ---
+    "t1_incremental_replay",
     "embedding_quantize_int8",
     "dedup_simhash_banded64",
     "q9_product_type_profit",

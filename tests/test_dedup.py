@@ -373,3 +373,28 @@ def test_containment_prefix_length_filter(spark):
     assert set(got) == set(truth)
     for pair, cont in got.items():
         assert abs(truth[pair] - cont) < 1e-12, pair
+
+
+def test_substring_spans_are_exact_and_cross_document(spark, sf_dir):
+    from database_synchronize_tool_spark.plans.extensions import (
+        dedup_substring_spans,
+    )
+
+    rows = dedup_substring_spans(spark, sf_dir).collect()
+    assert rows
+    # every surfaced span is a full-length window shared by >= 2 docs,
+    # ordered by document frequency (ties on the span itself)
+    assert all(len(r["span"]) == 24 and r["n_docs"] >= 2 for r in rows)
+    freqs = [r["n_docs"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    # exactness: the top span really occurs verbatim in that many documents
+    from database_synchronize_tool_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    top = rows[0]
+    n = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").contains(top["span"]))
+        .count()
+    )
+    assert n == top["n_docs"]
