@@ -1196,30 +1196,70 @@ def semantic_dedup_pairs(
 
     Scale shape: cell assignment is the same one-pass Arrow argmax as IVF
     (:func:`ivf_assign_cells`, centroid matrix broadcast as collected
-    metadata), the self-join is a cell equi-join (never a cross join), and
-    the verify is the shared Arrow ``cosine_pairs`` left-fold — so the
-    result is bit-identical to the SQL oracle's literal rebuild. At 100 TB
-    raise ``n_cells`` so Σ|cell|² stays near-linear (the paper uses ~50k
-    clusters for web-scale corpora) and swap trained centroids in via
-    ``centroids`` (:func:`train_centroids_kmeans`) with no downstream
-    change.
+    metadata); the verify then shuffles each VECTOR once to its cell
+    (``groupBy(cell).applyInPandas``) and scores the whole cell blockwise
+    in numpy — pairs are materialized only where ``sim >= threshold``.
+    The naive alternative (cell self-join + per-pair scoring) moves
+    Σ|cell|² PAIR rows through a shuffle — two full vectors per candidate
+    pair, ~300× the bytes of the vectors themselves here — while this
+    form moves each vector exactly once and turns the pair scoring into
+    an in-memory block product. The block fold keeps the oracle's exact
+    left-fold order (``np.add.accumulate`` over the element-product
+    tensor), so results stay bit-identical to the SQL rebuild. At 100 TB
+    raise ``n_cells`` so Σ|cell|² stays near-linear and the largest cell
+    fits one task (the paper uses ~50k clusters web-scale; salt or
+    sub-split outlier cells); trained centroids swap in via ``centroids``
+    (:func:`train_centroids_kmeans`) with no downstream change.
     """
+    import pandas as pd
+
     cents = (
         centroids
         if centroids is not None
         else seed_centroids(vectors, n_cells, id_col, vec_col)
     )
     assign = ivf_assign_cells(vectors, cents, id_col, vec_col, top_cells=1)
-    a = assign.select(
-        F.col("vid").alias("vec_a"), F.col("v").alias("va"), "cell"
-    )
-    b = assign.select(
-        F.col("vid").alias("vec_b"), F.col("v").alias("vb"), "cell"
-    )
+
+    id_field = vectors.schema[id_col].dataType.simpleString()
+    out_schema = f"vec_a {id_field}, vec_b {id_field}, sim double"
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vid"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []})
+        x = np.array(pdf["v"].tolist(), dtype=np.float64)
+        # exact left-fold dots: accumulate adds in element order over the
+        # product tensor — same IEEE order as the oracle's list_reduce;
+        # norms are the diagonal's folds. Row-chunked so peak memory is
+        # chunk·B·d doubles even for an outlier mega-cell.
+        norms = np.sqrt(_foldsum(x * x))
+        out_a, out_b, out_s = [], [], []
+        chunk = max(1, 2**24 // (len(ids) * x.shape[1] + 1))
+        for lo in range(0, len(ids), chunk):
+            xc = x[lo : lo + chunk]
+            prod = xc[:, None, :] * x[None, :, :]
+            z = np.zeros(prod.shape[:2] + (1,))
+            dots = np.add.accumulate(
+                np.concatenate([z, prod], axis=2), axis=2
+            )[:, :, -1]
+            sims = dots / (norms[lo : lo + chunk, None] * norms[None, :])
+            ia, ib = np.nonzero(
+                (ids[lo : lo + chunk, None] < ids[None, :])
+                & (sims >= threshold)
+            )
+            out_a.append(ids[lo + ia])
+            out_b.append(ids[ib])
+            out_s.append(sims[ia, ib])
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
     return (
-        a.join(b, "cell")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("sim", cosine_pairs(F.col("va"), F.col("vb")))
-        .filter(F.col("sim") >= threshold)
-        .select("vec_a", "vec_b", "sim")
+        assign.select("vid", "v", "cell")
+        .groupBy("cell")
+        .applyInPandas(cell_pairs, out_schema)
     )
