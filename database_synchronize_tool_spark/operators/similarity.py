@@ -524,6 +524,14 @@ def cosine_neardup_pairs(
             F.col(block_col) if block_col else lsh_bucket(F.col(vec_col))
         ).alias("blk"),
     )
+    if not probes:
+        # no probe expansion → every candidate pair lives wholly inside one
+        # block, so the blockwise grouped verify applies: each vector
+        # shuffles ONCE to its block instead of twice per candidate pair
+        return _blockwise_cosine_pairs(
+            base.withColumnRenamed("blk", "cell"), embeddings, threshold,
+            id_col,
+        )
     a = base.alias("a")
     if probes:
         probe_buckets = [F.col("blk")] + [
@@ -1211,16 +1219,36 @@ def semantic_dedup_pairs(
     sub-split outlier cells); trained centroids swap in via ``centroids``
     (:func:`train_centroids_kmeans`) with no downstream change.
     """
-    import pandas as pd
-
     cents = (
         centroids
         if centroids is not None
         else seed_centroids(vectors, n_cells, id_col, vec_col)
     )
     assign = ivf_assign_cells(vectors, cents, id_col, vec_col, top_cells=1)
+    return _blockwise_cosine_pairs(
+        assign.select("vid", "v", "cell"), vectors, threshold, id_col
+    )
 
-    id_field = vectors.schema[id_col].dataType.simpleString()
+
+def _blockwise_cosine_pairs(
+    assigned: DataFrame,
+    source: DataFrame,
+    threshold: float,
+    id_col: str,
+) -> DataFrame:
+    """Grouped blockwise cosine verify shared by the cluster/block-bounded
+    dedup operators: ``assigned`` carries (vid, v, cell); each vector
+    shuffles ONCE to its cell and the whole cell is scored as a numpy
+    block product — pairs materialize only at ``sim >= threshold``. The
+    join alternative ships two full vectors per candidate pair (Σ|cell|²
+    pair rows); this form moves each vector once and keeps the pair work
+    in memory. The block fold keeps the oracle's exact left-fold order
+    (``np.add.accumulate`` over the element-product tensor, norms are the
+    diagonal folds), and the product tensor is row-chunked so peak task
+    memory stays bounded even for an outlier mega-cell."""
+    import pandas as pd
+
+    id_field = source.schema[id_col].dataType.simpleString()
     out_schema = f"vec_a {id_field}, vec_b {id_field}, sim double"
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1228,10 +1256,6 @@ def semantic_dedup_pairs(
         if len(ids) < 2:
             return pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []})
         x = np.array(pdf["v"].tolist(), dtype=np.float64)
-        # exact left-fold dots: accumulate adds in element order over the
-        # product tensor — same IEEE order as the oracle's list_reduce;
-        # norms are the diagonal's folds. Row-chunked so peak memory is
-        # chunk·B·d doubles even for an outlier mega-cell.
         norms = np.sqrt(_foldsum(x * x))
         out_a, out_b, out_s = [], [], []
         chunk = max(1, 2**24 // (len(ids) * x.shape[1] + 1))
@@ -1258,8 +1282,4 @@ def semantic_dedup_pairs(
             }
         )
 
-    return (
-        assign.select("vid", "v", "cell")
-        .groupBy("cell")
-        .applyInPandas(cell_pairs, out_schema)
-    )
+    return assigned.groupBy("cell").applyInPandas(cell_pairs, out_schema)
