@@ -200,3 +200,49 @@ def top_token_fraction(text: Column) -> Column:
             / F.size(tk)
         ),
     )
+
+
+def repetition_signals_batches(id_col: str = "doc_id", text_col: str = "text"):
+    """Arrow-batch twin of the repetition-signal Column expressions (the
+    ``cosine_pairs`` precedent: interpreted higher-order lambdas cost ~10×
+    a vectorized pass on the hot path). Returns a ``mapInPandas`` function
+    emitting (id, n_tokens, n_distinct, dup_frac, n_adj_repeats,
+    top_token_frac) per document — token split is the same ``\\s+`` regex
+    with empties dropped, and every ratio is a single IEEE division of
+    integer counts, so results are bit-identical to the expression forms
+    and the SQL oracle."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    ws = re.compile(r"\s+")
+
+    def batches(it):
+        for pdf in it:
+            rows = {
+                "id": pdf[id_col],
+                "n_tokens": [],
+                "n_distinct": [],
+                "dup_frac": [],
+                "n_adj_repeats": [],
+                "top_token_frac": [],
+            }
+            for txt in pdf[text_col]:
+                toks = [t for t in ws.split(txt) if t]
+                nt = len(toks)
+                counts = Counter(toks)
+                nd = len(counts)
+                adj = sum(
+                    1 for i in range(nt - 1) if toks[i] == toks[i + 1]
+                )
+                rows["n_tokens"].append(nt)
+                rows["n_distinct"].append(nd)
+                rows["dup_frac"].append(1.0 - nd / nt if nt else 0.0)
+                rows["n_adj_repeats"].append(adj)
+                rows["top_token_frac"].append(
+                    max(counts.values()) / nt if nt else 0.0
+                )
+            yield pd.DataFrame(rows)
+
+    return batches

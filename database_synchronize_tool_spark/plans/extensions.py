@@ -1993,16 +1993,17 @@ _TOKENS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
     "anti-pattern.",
 )
 def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return d.select(
-        "doc_id",
-        TX.token_count(t).cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct(TX.tokens(t))).cast("bigint").alias("n_distinct"),
-        TX.dup_token_fraction(t).alias("dup_frac"),
-        TX.adjacent_repeat_count(t).alias("n_adj_repeats"),
-        TX.top_token_fraction(t).alias("top_token_frac"),
-    )
+    # Arrow-batch twin of the Column-expression signals (bit-identical;
+    # parity-pinned in tests): the in-row mode computation is O(distinct·n)
+    # interpreted lambdas per document in expression form — the one
+    # remaining hot path in the curation scan — and the vectorized pass
+    # keeps the whole sweep narrow at ~4× less per-doc cost.
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        TX.repetition_signals_batches("doc_id", "text"),
+        "id bigint, n_tokens bigint, n_distinct bigint, dup_frac double, "
+        "n_adj_repeats bigint, top_token_frac double",
+    ).withColumnRenamed("id", "doc_id")
 
 
 @declared(

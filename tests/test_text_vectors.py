@@ -231,3 +231,37 @@ def test_corpus_ngram_topk_doc_frequency_semantics(spark, sf_dir):
     # ordering: non-increasing frequency, ties broken by ngram ascending
     freqs = [r["doc_freq"] for r in rows]
     assert freqs == sorted(freqs, reverse=True)
+
+
+def test_repetition_batch_twin_matches_expressions(spark, sf_dir):
+    # the Arrow-batch scorer must be bit-identical to the Column forms
+    from database_synchronize_tool_spark.catalog import load_table
+    from database_synchronize_tool_spark.functions.text import (
+        adjacent_repeat_count,
+        dup_token_fraction,
+        token_count,
+        tokens,
+        top_token_fraction,
+    )
+    from database_synchronize_tool_spark.plans.extensions import (
+        text_repetition_signals,
+    )
+
+    got = sorted(
+        tuple(r) for r in text_repetition_signals(spark, sf_dir).collect()
+    )
+    t = F.col("text")
+    want = sorted(
+        tuple(r)
+        for r in load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            token_count(t).cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct(tokens(t))).cast("bigint").alias("n_distinct"),
+            dup_token_fraction(t).alias("dup_frac"),
+            adjacent_repeat_count(t).alias("n_adj_repeats"),
+            top_token_fraction(t).alias("top_token_frac"),
+        )
+        .collect()
+    )
+    assert got == want
