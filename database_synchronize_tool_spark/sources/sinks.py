@@ -26,6 +26,7 @@ from collections.abc import Callable, Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def upsert_statement(
@@ -164,3 +165,47 @@ class ParquetMergeSink:
         os.rename(tmp, p)  # atomic: new copy goes live
         if os.path.exists(old):
             shutil.rmtree(old) if os.path.isdir(old) else os.remove(old)
+
+
+def write_curated_corpus(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = ("source",),
+    sort_within: Sequence[str] = ("doc_id",),
+    max_records_per_file: int = 1_000_000,
+    target_files_per_partition: int | None = None,
+) -> None:
+    """Write a curated corpus as the training-data layout a 100 TB consumer
+    reads: hive-partitioned parquet (one directory level per
+    ``partition_by`` column — the pruning key for per-source/per-language
+    reads), files bounded by ``max_records_per_file`` (the writer splits a
+    task's output so no file outgrows a reader's row-group budget), and
+    rows sorted WITHIN each file by ``sort_within`` (doc_id order makes
+    downstream joins and resumable reads deterministic without any global
+    sort).
+
+    Shuffle discipline: one hash repartition on the partition keys routes
+    every output partition's rows to the tasks that write it (without it,
+    EVERY task writes a file into EVERY partition directory — the
+    small-files explosion that kills object-store listings at scale);
+    ``sortWithinPartitions`` is a per-task sort, NOT a global orderBy — no
+    range exchange, no single-partition bottleneck.
+    ``target_files_per_partition`` > 1 spreads a hot partition over that
+    many tasks/files (salting the repartition key) when one writer per
+    partition would be the bottleneck.
+    """
+    keys = [F.col(c) for c in partition_by]
+    if target_files_per_partition and target_files_per_partition > 1:
+        salt = (F.crc32(F.concat_ws("\x00", *[
+            F.col(c).cast("string") for c in (list(sort_within) or ["*"])
+        ])) % target_files_per_partition)
+        parted = df.repartition(*keys, salt.alias("__salt"))
+    else:
+        parted = df.repartition(*keys)
+    (
+        parted.sortWithinPartitions(*partition_by, *sort_within)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

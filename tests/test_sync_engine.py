@@ -336,3 +336,48 @@ def test_observe_quality_metrics_piggyback(spark, sf_dir):
     assert got["rows_scanned"] == n
     assert got["max_watermark"] == ev.agg(F.max("event_id")).first()[0]
     assert got["null_props"] >= 0
+
+
+def test_write_curated_corpus_layout(spark, sf_dir, tmp_path):
+    # partitioned layout, bounded files, in-file sort order, round-trip
+    import os
+
+    from database_synchronize_tool_spark.catalog import load_table
+    from database_synchronize_tool_spark.sources.sinks import (
+        write_curated_corpus,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "corpus")
+    write_curated_corpus(
+        docs, out, partition_by=("lang",), sort_within=("doc_id",),
+        max_records_per_file=50,
+    )
+    # hive partition dirs exist per language
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    dirs = {d.split("=")[1] for d in os.listdir(out) if d.startswith("lang=")}
+    assert dirs == langs
+    # every data file respects the record bound
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    per_file = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert per_file <= 50
+    # rows inside each file are sorted by doc_id (resumable-read contract)
+    rows = (
+        back.withColumn("f", F.input_file_name())
+        .select("f", "doc_id")
+        .collect()
+    )
+    by_file: dict[str, list[int]] = {}
+    for r in rows:
+        by_file.setdefault(r["f"], []).append(r["doc_id"])
+    # collect() preserves within-file row order per parquet split
+    for ids in by_file.values():
+        assert ids == sorted(ids)
