@@ -216,7 +216,10 @@ def repetition_signals_batches(id_col: str = "doc_id", text_col: str = "text"):
 
     import pandas as pd
 
-    ws = re.compile(r"\s+")
+    # re.ASCII: Python's \s is Unicode-aware by default, but Java's (the
+    # Column form) and RE2's (the DuckDB oracle) \s match ASCII whitespace
+    # only — the ASCII flag aligns all three engines on e.g. NBSP/U+0085
+    ws = re.compile(r"\s+", re.ASCII)
 
     def batches(it):
         for pdf in it:

@@ -154,3 +154,67 @@ def test_containment_prefix_equals_bruteforce(spark, docs):
         .collect()
     }
     assert set(got) == set(truth), (set(truth) - set(got), set(got) - set(truth))
+
+
+# --- round-7 text-signal properties ------------------------------------------
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll", "Lu", "Nd"),
+                whitelist_characters=" \t\n\xa0 ",
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_repetition_batch_twin_matches_expressions_on_arbitrary_text(
+    spark, texts
+):
+    # parity must hold beyond the fixture corpus — including Unicode
+    # whitespace (NBSP, EM SPACE), where Python's \s is wider than Java's
+    # unless pinned to ASCII (the bug class this test exists for)
+    from pyspark.sql import functions as F
+
+    from database_synchronize_tool_spark.functions.text import (
+        adjacent_repeat_count,
+        dup_token_fraction,
+        repetition_signals_batches,
+        token_count,
+        tokens,
+        top_token_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in df.mapInPandas(
+            repetition_signals_batches("doc_id", "text"),
+            "id bigint, n_tokens bigint, n_distinct bigint, dup_frac double,"
+            " n_adj_repeats bigint, top_token_frac double",
+        ).collect()
+    )
+    t = F.col("text")
+    want = sorted(
+        tuple(r)
+        for r in df.select(
+            "doc_id",
+            token_count(t).cast("bigint"),
+            F.size(F.array_distinct(tokens(t))).cast("bigint"),
+            dup_token_fraction(t),
+            adjacent_repeat_count(t),
+            top_token_fraction(t),
+        ).collect()
+    )
+    assert got == want
