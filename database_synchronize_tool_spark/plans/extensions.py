@@ -2046,9 +2046,7 @@ def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared(
-    "corpus_quality_filter",
-    oracle=f"""
+_QUALITY_CASCADE_SQL = f"""
     WITH t AS (
       SELECT doc_id, lang, text, {_TOKENS_SQL} AS tk FROM documents
     ), sig AS (
@@ -2084,7 +2082,12 @@ def corpus_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_tok AS BIGINT) AS n_tokens,
            dup_frac
     FROM sig
-    """,
+"""
+
+
+@declared(
+    "corpus_quality_filter",
+    oracle=_QUALITY_CASCADE_SQL,
     doc="C4/CCNet-style quality-filter cascade with attributed verdicts: "
     "each document gets the FIRST failing rule (too_short → lang_unknown "
     "→ high_repetition → word_stutter) or 'keep' — the per-rule "
@@ -2332,4 +2335,79 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.col("n_docs").desc(), "span")
         .limit(50)
+    )
+
+
+@declared(
+    "corpus_quality_report",
+    oracle=f"""
+    SELECT verdict,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM ({_QUALITY_CASCADE_SQL})
+    GROUP BY verdict
+    """,
+    doc="The curation decision table: per-verdict document and token volume "
+    "over the quality cascade — what a threshold-tuning pass reads before "
+    "committing a filter (how much data does each rule cost?). The "
+    "cascade scan stays narrow; the rollup is a |verdicts|-row hash "
+    "aggregate with map-side partials — the histogram costs one scan at "
+    "any corpus size.",
+)
+def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        corpus_quality_filter(spark, sf_dir)
+        .groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+@declared(
+    "embedding_matryoshka_truncate",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), t AS (
+      SELECT vec_id, list_slice(v, 1, 16) AS tv FROM e
+    ), n AS (
+      SELECT vec_id, tv,
+             sqrt(list_reduce(list_transform(range(1, len(tv)+1),
+                  i -> tv[i]*tv[i]), (x, y) -> x + y)) AS nrm
+      FROM t
+    )
+    SELECT vec_id,
+           CASE WHEN nrm = 0 THEN tv
+                ELSE list_transform(tv, x -> x / nrm) END AS mrl16
+    FROM n
+    """,
+    doc="Matryoshka-style dimensionality truncation (Kusupati et al. 2022, "
+    "public literature): keep the leading 16 of 64 dimensions and "
+    "re-normalize to unit length — the 4× cheaper representation an "
+    "MRL-trained embedding stack serves for coarse retrieval, with the "
+    "full vector reserved for the refine stage (ann_ivf_pq_refine_topk's "
+    "pattern). Pure in-row slice + left-fold norm + scale: a NARROW map, "
+    "composable into the same single pass as int8 quantization; the "
+    "division is one IEEE op per element against the folded norm, so "
+    "both engines agree bitwise.",
+)
+def embedding_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.functions.vectors import as_double, dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    tv = F.slice(as_double(F.col("embedding")), 1, 16)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(tv, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return e.select(
+        "vec_id",
+        F.when(nrm == 0, tv)
+        .otherwise(F.transform(tv, lambda x: x / nrm))
+        .alias("mrl16"),
     )

@@ -103,6 +103,8 @@ _WINDOW: tuple[str, ...] = (
     "dedup_semantic_pairs",
     "t11_stream_stream_join",
     "dedup_substring_spans",
+    "corpus_quality_report",
+    "embedding_matryoshka_truncate",
     # --- re-verify: r3-stale analytics stranded by the r6 off-by-three ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -134,12 +136,12 @@ _WINDOW: tuple[str, ...] = (
     "f3_json_extract",
     "f3_json_repair",
     "f4_int_coercion_compat",
-    "f5_string_normalize_compat",
-    "o1_sort_limit_topk",
 )
 
 _QUEUE: tuple[str, ...] = (
-    # --- displaced from the r7 window by the 8 late-round-7 additions ---
+    # --- displaced from the r7 window by the 10 late-round-7 additions ---
+    "f5_string_normalize_compat",
+    "o1_sort_limit_topk",
     "t1_incremental_replay",
     "embedding_quantize_int8",
     "dedup_simhash_banded64",
