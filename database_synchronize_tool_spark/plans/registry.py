@@ -67,13 +67,15 @@ def _load_all() -> None:
 # _QUEUE holds everything else, stalest-first, and feeds future rotations.
 #
 # Round-7 window (VERDICT r6 "Next round" #1): queries whose IMPLEMENTATION
-# changes this round lead (changed code needs fresh driver evidence — the
-# in-row ADC rewrite, containment hot-bucket cap + prefix length filter,
-# trained-recall sample_mod fix, plus the new trained-residual composition),
-# then the full 32-query r3-stale cohort (the 29 sync-ops queries queued last
-# round plus the 3 analytics queries the off-by-three marker stranded), then
-# 11 from the r4/r5 queue. Names listed before their module declares them are
-# skipped harmlessly by all_queries().
+# changed or is NEW this round lead (changed code needs fresh driver
+# evidence — the fused ADC rewrite, containment hardening, trained-residual
+# composition, the corpus-curation suite, IVFADC+R refine, SemDeDup,
+# stream-stream join, substring miner, quality report, MRL truncation), then
+# as much of the r3-stale sync-ops/analytics re-verify cohort as the
+# remaining slots fit; the 10 re-verify names the late-round additions
+# displaced moved to the queue head (their local evidence is the full-sweep
+# log, per the compensating control below). Names listed before their module
+# declares them are skipped harmlessly by all_queries().
 #
 # Compensating control (ADVICE r2): curated ordering means ~half the queries
 # sit outside any single round's driver window, so EVERY round we run the full
