@@ -1250,6 +1250,10 @@ def _blockwise_cosine_pairs(
 
     id_field = source.schema[id_col].dataType.simpleString()
     out_schema = f"vec_a {id_field}, vec_b {id_field}, sim double"
+    # NULL-block rows never pair under the join form (SQL equality is never
+    # true for NULL); groupBy would lump them into one group — drop them so
+    # both physical forms share one semantics
+    assigned = assigned.filter(F.col("cell").isNotNull())
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vid"].to_numpy()

@@ -550,3 +550,18 @@ def test_semantic_dedup_no_cartesian_product(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_blocked_neardup_null_blocks_never_pair(spark):
+    # join-equality semantics: a NULL block key pairs with nothing — the
+    # grouped blockwise form must not lump NULL-labeled rows into one cell
+    rows = [
+        (1, [1.0, 0.0], "x"),
+        (2, [1.0, 0.0], None),
+        (3, [1.0, 0.0], None),
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    got = SIM.cosine_neardup_pairs(e, threshold=0.5, block_col="label")
+    assert got.count() == 0
