@@ -1,0 +1,156 @@
+"""The end-to-end corpus-curation pipeline: the graded curation operators
+composed the way a training-data build chains them —
+
+    quality filter → exact dedup → decontamination screen →
+    semantic (embedding) dedup → temperature re-sample → partitioned write
+
+Every stage is the SAME operator the declared queries grade individually
+(`corpus_quality_filter`, `dedup_exact`, `decontam_ngram_overlap`,
+`dedup_semantic_pairs`, `lang_temperature_sample`); this module only wires
+them, so correctness evidence flows from the per-operator oracles and the
+cross-stage invariants pinned in ``tests/test_curation_pipeline.py``
+(monotone shrinkage, zero screened contamination among survivors,
+determinism). Scale shape is the sum of its parts: two narrow scans, three
+small aggregates, the cell-grouped blockwise verify, and broadcast-bounded
+joins — no unbounded shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_synchronize_tool_spark.catalog import load_table
+from database_synchronize_tool_spark.functions import text as TX
+from database_synchronize_tool_spark.operators import dedup as DD
+from database_synchronize_tool_spark.operators import similarity as SIM
+
+
+@dataclass
+class CurationResult:
+    """Per-stage DataFrames plus the final curated corpus. ``counts()``
+    materializes the per-stage row counts (one count job per stage)."""
+
+    corpus: DataFrame
+    kept: DataFrame
+    deduped: DataFrame
+    clean: DataFrame
+    sem_clean: DataFrame
+    sampled: DataFrame
+    contaminated: DataFrame
+    stage_order: tuple[str, ...] = field(
+        default=(
+            "corpus",
+            "quality_kept",
+            "exact_deduped",
+            "decontaminated",
+            "semantic_deduped",
+            "sampled",
+        )
+    )
+
+    def counts(self) -> dict[str, int]:
+        dfs = (
+            self.corpus,
+            self.kept,
+            self.deduped,
+            self.clean,
+            self.sem_clean,
+            self.sampled,
+        )
+        return {name: df.count() for name, df in zip(self.stage_order, dfs)}
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    min_tokens: int = 12,
+    max_dup_frac: float = 0.6,
+    max_adjacent_repeats: int = 4,
+    contamination_threshold: float = 0.9,
+    semantic_threshold: float = 0.9,
+    semantic_cells: int = 8,
+) -> CurationResult:
+    """Run the full curation chain over the ``documents`` + ``embeddings``
+    tables of ``sf_dir``. Deterministic end to end (portable-hash sampling,
+    seeded quantizers) — rerunning yields the same survivor set."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # 1. quality cascade (keep only passing docs) — one narrow scan
+    t = F.col("text")
+    kept = docs.filter(
+        (TX.token_count(t) >= min_tokens)
+        & (TX.lang_id(t) != "unknown")
+        & (TX.dup_token_fraction(t) <= max_dup_frac)
+        & (TX.adjacent_repeat_count(t) <= max_adjacent_repeats)
+    )
+
+    # 2. exact dedup: keep the smallest doc_id per normalized fingerprint
+    fp = kept.select("doc_id", TX.fingerprint(t).alias("fp"))
+    keep_ids = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = kept.join(keep_ids.select("doc_id"), "doc_id", "left_semi")
+
+    # 3. decontamination: the decontam_ngram_overlap screen as a filter
+    #    (bounded held-out side broadcasts; ONE scan of the corpus)
+    sh = deduped.select(
+        "doc_id", DD.minhash_features(F.col("text"))["sh"].alias("sh")
+    )
+    held = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("heldout_id"),
+        DD.minhash_features(F.col("text"))["sh"].alias("sh_h"),
+    )
+    contaminated = (
+        sh.crossJoin(F.broadcast(held))
+        .withColumn("cont", TX.containment(F.col("sh_h"), F.col("sh")))
+        .filter(F.col("cont") >= contamination_threshold)
+        .select("doc_id")
+        .distinct()
+    )
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+
+    # 4. semantic dedup on the embedding side (doc_id ↔ vec_id 1:1 in the
+    #    testdata layout): drop the higher id of every near-pair
+    pairs = SIM.semantic_dedup_pairs(
+        emb.join(
+            clean.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+        ),
+        n_cells=semantic_cells,
+        threshold=semantic_threshold,
+    )
+    sem_dupes = pairs.select(F.col("vec_b").alias("doc_id")).distinct()
+    sem_clean = clean.join(sem_dupes, "doc_id", "left_anti")
+
+    # 5. temperature re-sample by language (alpha = 0.5, portable-hash draw
+    #    — the lang_temperature_sample operator applied to the survivors)
+    counts = sem_clean.groupBy("lang").agg(F.count(F.lit(1)).alias("n_s"))
+    n = sem_clean.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = counts.crossJoin(F.broadcast(n)).withColumn(
+        "w", F.sqrt(F.col("n_s").cast("double") / F.col("n_docs"))
+    )
+    z = w.agg(
+        F.sum(F.col("w").cast("decimal(28,12)")).cast("double").alias("z")
+    )
+    rate = F.least(
+        F.lit(1.0), F.col("n_docs") * F.col("w") / F.col("z") / F.col("n_s")
+    )
+    bucket = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    ).cast("double") / F.lit(4294967296.0)
+    sampled = (
+        sem_clean.join(F.broadcast(w), "lang")
+        .crossJoin(F.broadcast(z))
+        .filter(bucket < rate)
+        .select("doc_id", "lang", "source", "text")
+    )
+    return CurationResult(
+        corpus=docs,
+        kept=kept,
+        deduped=deduped,
+        clean=clean,
+        sem_clean=sem_clean,
+        sampled=sampled,
+        contaminated=contaminated,
+    )
