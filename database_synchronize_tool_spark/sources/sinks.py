@@ -199,7 +199,12 @@ def write_curated_corpus(
         salt = (F.crc32(F.concat_ws("\x00", *[
             F.col(c).cast("string") for c in (list(sort_within) or ["*"])
         ])) % target_files_per_partition)
-        parted = df.repartition(*keys, salt.alias("__salt"))
+        # explicit numPartitions: AQE's runtime coalescing merges a
+        # column-only repartition's small outputs back together, which
+        # would collapse the salt fan-out (observed: 1 partition on a
+        # small corpus); an explicit count is respected
+        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        parted = df.repartition(n_part, *keys, salt.alias("__salt"))
     else:
         parted = df.repartition(*keys)
     (

@@ -565,3 +565,32 @@ def test_blocked_neardup_null_blocks_never_pair(spark):
     )
     got = SIM.cosine_neardup_pairs(e, threshold=0.5, block_col="label")
     assert got.count() == 0
+
+
+def test_matryoshka_truncation_is_unit_norm_prefix(spark, sf_dir):
+    import math
+
+    from database_synchronize_tool_spark.plans.extensions import (
+        embedding_matryoshka_truncate,
+    )
+
+    rows = embedding_matryoshka_truncate(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        assert len(r["mrl16"]) == 16
+        nrm = math.sqrt(sum(x * x for x in r["mrl16"]))
+        assert abs(nrm - 1.0) < 1e-9
+
+
+def test_refine_composes_with_trained_quantizers(spark, sf_dir):
+    # the refine stage must accept trained centroids/codebooks unchanged
+    # (structural smoke; recall ordering is corpus-dependent by doc)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    got = SIM.ivf_pq_refine_topk(
+        q, e, k=3, shortlist=10, n_cells=8, n_probe=2,
+        centroids=SIM.train_centroids_kmeans(e, n_cells=8, seed=7),
+        codebooks=SIM.train_pq_codebooks(e, seed=7),
+    ).collect()
+    assert {r["query_id"] for r in got} == {0, 1, 2, 3, 4}
+    assert all(r["rank"] <= 3 for r in got)

@@ -381,3 +381,33 @@ def test_write_curated_corpus_layout(spark, sf_dir, tmp_path):
     # collect() preserves within-file row order per parquet split
     for ids in by_file.values():
         assert ids == sorted(ids)
+
+
+def test_write_curated_corpus_salted_hot_partition(spark, sf_dir, tmp_path):
+    # target_files_per_partition spreads one partition's rows over several
+    # writer tasks/files (the hot-partition path)
+    import os
+
+    from database_synchronize_tool_spark.catalog import load_table
+    from database_synchronize_tool_spark.sources.sinks import (
+        write_curated_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "salted")
+    write_curated_corpus(
+        docs, out, partition_by=("lang",), sort_within=("doc_id",),
+        target_files_per_partition=3,
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # the biggest partition actually fans out over >1 file
+    biggest = (
+        docs.groupBy("lang").count().orderBy("count", ascending=False).first()
+    )["lang"]
+    files = [
+        f
+        for f in os.listdir(os.path.join(out, f"lang={biggest}"))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) > 1
