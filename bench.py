@@ -215,7 +215,14 @@ def main() -> None:
     # per-query regressions are only meaningful against an artifact measured
     # at the SAME scale factor
     prev_timings = (
-        dict(prev_artifact.get("queries", {}))
+        # unpaired (ORACLE_SKIP) queries live in a separate artifact key;
+        # fold them in so they can still trigger regression flags (review
+        # finding r7: popping them before this check made a prefix-
+        # containment regression permanently invisible)
+        {
+            **prev_artifact.get("queries", {}),
+            **prev_artifact.get("unpaired_queries", {}),
+        }
         if prev_artifact.get("sf") == sf_val
         else {}
     )
@@ -223,7 +230,7 @@ def main() -> None:
         baseline_name = None
     regressions = {
         name: {"prev": prev_timings[name], "now": t}
-        for name, t in timings.items()
+        for name, t in {**timings, **unpaired}.items()
         if name in prev_timings
         and prev_timings[name] > 0
         and t > prev_timings[name] * (1 + REGRESSION_PCT / 100)

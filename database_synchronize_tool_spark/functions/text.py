@@ -232,6 +232,18 @@ def repetition_signals_batches(id_col: str = "doc_id", text_col: str = "text"):
                 "top_token_frac": [],
             }
             for txt in pdf[text_col]:
+                if txt is None:
+                    # NULL text under the expression forms: size(NULL
+                    # tokens) is NULL, the `size >= 2` WHEN is not-true so
+                    # adjacent repeats fall to the ELSE 0, and both
+                    # fractions go NULL through their ELSE branches —
+                    # mirrored here instead of crashing on split(None)
+                    rows["n_tokens"].append(None)
+                    rows["n_distinct"].append(None)
+                    rows["dup_frac"].append(None)
+                    rows["n_adj_repeats"].append(0)
+                    rows["top_token_frac"].append(None)
+                    continue
                 toks = [t for t in ws.split(txt) if t]
                 nt = len(toks)
                 counts = Counter(toks)
@@ -249,3 +261,27 @@ def repetition_signals_batches(id_col: str = "doc_id", text_col: str = "text"):
             yield pd.DataFrame(rows)
 
     return batches
+
+
+def quality_verdict(
+    text: Column,
+    min_tokens: int = 12,
+    max_dup_frac: float = 0.6,
+    max_adjacent_repeats: int = 4,
+) -> Column:
+    """The C4/CCNet-style first-failing-rule verdict (too_short →
+    lang_unknown → high_repetition → word_stutter → keep) — ONE
+    implementation shared by the declared `corpus_quality_filter` /
+    `corpus_quality_report` builders and the curation pipeline, so the
+    graded cascade and the pipeline stage cannot drift apart."""
+    n_tok = token_count(text)
+    return (
+        F.when(n_tok < min_tokens, F.lit("too_short"))
+        .when(lang_id(text) == "unknown", F.lit("lang_unknown"))
+        .when(dup_token_fraction(text) > max_dup_frac, F.lit("high_repetition"))
+        .when(
+            adjacent_repeat_count(text) > max_adjacent_repeats,
+            F.lit("word_stutter"),
+        )
+        .otherwise(F.lit("keep"))
+    )

@@ -538,9 +538,16 @@ def containment_banded_pairs(
     star = None
     if max_bucket is not None:
         wsz = Window.partitionBy("band", "key")
+        # persisted: the windowed bucket-size table feeds FIVE lazy
+        # branches (both self-join sides, the big filter, anchors, star) —
+        # uncached, the bands explode + both windows would re-execute per
+        # branch, tripling candidate-generation cost on exactly the
+        # hot-bucket corpora this guard targets. Same caller-owns-cache
+        # convention as `sigs` above (the sweep harness clears between
+        # queries).
         sized = bands.withColumn("bsz", F.count(F.lit(1)).over(wsz)).withColumn(
             "rk", F.row_number().over(wsz.orderBy("doc_id"))
-        )
+        ).persist()
         big = sized.filter(F.col("bsz") > max_bucket)
         bands = sized.filter(F.col("bsz") <= max_bucket).drop("bsz", "rk")
         anchors = big.filter(F.col("rk") == 1).select(
@@ -755,4 +762,37 @@ def containment_pairs(
             F.col("b.doc_id").alias("doc_outer"),
             F.col("cont"),
         )
+    )
+
+
+def containment_screen(
+    train: DataFrame,
+    held: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The n-gram contamination screen (GPT-3-style overlap, generalized to
+    shingle containment): every ``train`` document whose text contains
+    ``>= threshold`` of some ``held`` document's shingles. The held-out
+    side is BOUNDED by assumption, so it broadcasts and the screen is ONE
+    scan of the training corpus — shared by the declared
+    ``decontam_ngram_overlap`` query and the curation pipeline's
+    decontamination stage (one implementation, review finding r7).
+    Returns (heldout_id, train_id, cont)."""
+    from database_synchronize_tool_spark.functions.text import containment
+
+    tr = train.select(
+        F.col(id_col).alias("train_id"),
+        minhash_features(F.col(text_col))["sh"].alias("sh_t"),
+    )
+    hd = held.select(
+        F.col(id_col).alias("heldout_id"),
+        minhash_features(F.col(text_col))["sh"].alias("sh_h"),
+    )
+    return (
+        tr.crossJoin(F.broadcast(hd))
+        .withColumn("cont", containment(F.col("sh_h"), F.col("sh_t")))
+        .filter(F.col("cont") >= threshold)
+        .select("heldout_id", "train_id", "cont")
     )

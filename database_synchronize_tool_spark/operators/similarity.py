@@ -226,15 +226,30 @@ def _centroids_np(centroids: DataFrame) -> np.ndarray:
     )
 
 
-def _cell_assign_udf(cent_np: np.ndarray, top_cells: int):
+def _centroid_cell_ids(centroids: DataFrame) -> np.ndarray:
+    """The actual cell ids in the same sorted order :func:`_centroids_np`
+    lays the matrix out in — positional index i ↔ cell id ids[i]. The
+    (cell, centroid) contract does NOT require contiguous zero-based ids
+    (a trained or hand-built table may number cells sparsely), so any
+    operator that EXPOSES cell ids must map positions back through this."""
+    rows = centroids.select("cell").collect()
+    return np.array(sorted(r["cell"] for r in rows), dtype=np.int64)
+
+
+def _cell_assign_udf(cent_np: np.ndarray, top_cells: int, cell_ids=None):
     """Vectorized coarse-quantizer closure over a collected ``(n_cells,
     dim)`` centroid matrix: maps a vector column to its ``top_cells``
-    nearest cell ids, best-first.
+    nearest cell ids, best-first. ``cell_ids`` (from
+    :func:`_centroid_cell_ids`) maps matrix positions to the table's real
+    cell ids; without it, positions are returned (fine for internal use
+    where both sides share the positional scheme).
 
     The stable argsort on descending similarity breaks ties to the SMALLEST
     cell — bit-identical ranking to the former crossJoin + ``row_number()
-    OVER (ORDER BY csim DESC, cell)`` plan, with no N·n_cells row expansion
-    and no per-vector window shuffle."""
+    OVER (ORDER BY csim DESC, cell)`` plan (sorted cell-id order equals
+    ascending-position order, so the tiebreak is preserved under the
+    mapping), with no N·n_cells row expansion and no per-vector window
+    shuffle."""
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def assign_udf(vs: pd.Series) -> pd.Series:
@@ -243,6 +258,8 @@ def _cell_assign_udf(cent_np: np.ndarray, top_cells: int):
         x = np.array(vs.tolist(), dtype=np.float64)
         sim = _cosine_sim_np(x, cent_np)
         order = np.argsort(-sim, axis=1, kind="stable")[:, :top_cells]
+        if cell_ids is not None:
+            order = cell_ids[order]
         return pd.Series([o.tolist() for o in order.astype(np.int64)])
 
     return assign_udf
@@ -267,13 +284,20 @@ def ivf_assign_cells(
     to the former window ranking. Returns (vid, v, cell, cell_rank).
     """
     cent_np = _centroids_np(centroids)
+    # this operator EXPOSES cell ids (callers join them back against the
+    # centroids table, e.g. ivf_residuals), so positions must map to the
+    # table's real ids — a sparse/non-contiguous trained table would
+    # otherwise silently join wrong (round-7 review finding)
+    cell_ids = _centroid_cell_ids(centroids)
     v = vectors.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     )
     assigned = v.select(
         "vid",
         "v",
-        _cell_assign_udf(cent_np, top_cells)(as_double(F.col("v"))).alias("cells"),
+        _cell_assign_udf(cent_np, top_cells, cell_ids)(
+            as_double(F.col("v"))
+        ).alias("cells"),
     )
     return assigned.select(
         "vid",
@@ -632,6 +656,17 @@ def _codebook_np(codebooks: DataFrame) -> np.ndarray:
     by = {(r["sub"], r["code"]): r["cv"] for r in rows}
     m = max(s for s, _ in by) + 1
     ksub = max(c for _, c in by) + 1
+    missing = [
+        (s, c) for s in range(m) for c in range(ksub) if (s, c) not in by
+    ]
+    if missing:
+        raise ValueError(
+            "codebooks table is not a dense zero-based (sub, code) grid — "
+            f"missing entries {missing[:5]}{'...' if len(missing) > 5 else ''} "
+            f"of an inferred {m}x{ksub} layout (every PQ operator requires "
+            "one row per (sub, code); a partially-written trained table is "
+            "the usual cause)"
+        )
     return np.array(
         [[by[(s, c)] for c in range(ksub)] for s in range(m)],
         dtype=np.float64,
@@ -763,6 +798,14 @@ def pq_encode(
     encode cost, now all inside numpy per Arrow batch.
     Output: (vid, codes array<int>)."""
     cb_np = _codebook_np(codebooks)
+    # the collected codebook's shape is authoritative for the subvector
+    # count — a disagreeing caller value would be silently ignored by the
+    # fused encode (review finding r7), so refuse it instead
+    if m != cb_np.shape[0]:
+        raise ValueError(
+            f"m={m} disagrees with the codebooks table, which encodes "
+            f"{cb_np.shape[0]} subvectors — the codebook is authoritative"
+        )
     v = vectors.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     )
@@ -1270,7 +1313,15 @@ def _blockwise_cosine_pairs(
             dots = np.add.accumulate(
                 np.concatenate([z, prod], axis=2), axis=2
             )[:, :, -1]
-            sims = dots / (norms[lo : lo + chunk, None] * norms[None, :])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = dots / (
+                    norms[lo : lo + chunk, None] * norms[None, :]
+                )
+            # zero-norm vectors: 0/0 is NULL in DuckDB (dropped by the
+            # `>= threshold` filter) and the Arrow pandas path likewise
+            # nulls NaN out of the join form — numpy's False-on-NaN here
+            # reproduces that drop exactly (parity-pinned by
+            # test_zero_norm_vectors_drop_in_both_verify_forms)
             ia, ib = np.nonzero(
                 (ids[lo : lo + chunk, None] < ids[None, :])
                 & (sims >= threshold)

@@ -26,6 +26,7 @@ from database_synchronize_tool_spark.catalog import load_table
 from database_synchronize_tool_spark.functions import text as TX
 from database_synchronize_tool_spark.operators import dedup as DD
 from database_synchronize_tool_spark.operators import similarity as SIM
+from database_synchronize_tool_spark.operators.sampling import temperature_sample
 
 
 @dataclass
@@ -79,13 +80,17 @@ def curate_corpus(
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
 
-    # 1. quality cascade (keep only passing docs) — one narrow scan
+    # 1. quality cascade (keep only 'keep' verdicts) — one narrow scan of
+    #    the SAME verdict expression corpus_quality_filter grades
     t = F.col("text")
     kept = docs.filter(
-        (TX.token_count(t) >= min_tokens)
-        & (TX.lang_id(t) != "unknown")
-        & (TX.dup_token_fraction(t) <= max_dup_frac)
-        & (TX.adjacent_repeat_count(t) <= max_adjacent_repeats)
+        TX.quality_verdict(
+            t,
+            min_tokens=min_tokens,
+            max_dup_frac=max_dup_frac,
+            max_adjacent_repeats=max_adjacent_repeats,
+        )
+        == "keep"
     )
 
     # 2. exact dedup: keep the smallest doc_id per normalized fingerprint
@@ -94,19 +99,14 @@ def curate_corpus(
     deduped = kept.join(keep_ids.select("doc_id"), "doc_id", "left_semi")
 
     # 3. decontamination: the decontam_ngram_overlap screen as a filter
-    #    (bounded held-out side broadcasts; ONE scan of the corpus)
-    sh = deduped.select(
-        "doc_id", DD.minhash_features(F.col("text"))["sh"].alias("sh")
-    )
-    held = docs.filter(F.col("doc_id") % 7 == 0).select(
-        F.col("doc_id").alias("heldout_id"),
-        DD.minhash_features(F.col("text"))["sh"].alias("sh_h"),
-    )
+    #    (the shared containment_screen; held-out side broadcasts)
     contaminated = (
-        sh.crossJoin(F.broadcast(held))
-        .withColumn("cont", TX.containment(F.col("sh_h"), F.col("sh")))
-        .filter(F.col("cont") >= contamination_threshold)
-        .select("doc_id")
+        DD.containment_screen(
+            deduped,
+            docs.filter(F.col("doc_id") % 7 == 0),
+            threshold=contamination_threshold,
+        )
+        .select(F.col("train_id").alias("doc_id"))
         .distinct()
     )
     clean = deduped.join(contaminated, "doc_id", "left_anti")
@@ -123,28 +123,11 @@ def curate_corpus(
     sem_dupes = pairs.select(F.col("vec_b").alias("doc_id")).distinct()
     sem_clean = clean.join(sem_dupes, "doc_id", "left_anti")
 
-    # 5. temperature re-sample by language (alpha = 0.5, portable-hash draw
-    #    — the lang_temperature_sample operator applied to the survivors)
-    counts = sem_clean.groupBy("lang").agg(F.count(F.lit(1)).alias("n_s"))
-    n = sem_clean.agg(F.count(F.lit(1)).alias("n_docs"))
-    w = counts.crossJoin(F.broadcast(n)).withColumn(
-        "w", F.sqrt(F.col("n_s").cast("double") / F.col("n_docs"))
-    )
-    z = w.agg(
-        F.sum(F.col("w").cast("decimal(28,12)")).cast("double").alias("z")
-    )
-    rate = F.least(
-        F.lit(1.0), F.col("n_docs") * F.col("w") / F.col("z") / F.col("n_s")
-    )
-    bucket = (
-        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
-    ).cast("double") / F.lit(4294967296.0)
-    sampled = (
-        sem_clean.join(F.broadcast(w), "lang")
-        .crossJoin(F.broadcast(z))
-        .filter(bucket < rate)
-        .select("doc_id", "lang", "source", "text")
-    )
+    # 5. temperature re-sample by language — the SAME operator
+    #    lang_temperature_sample grades, applied to the survivors
+    sampled = temperature_sample(
+        sem_clean, strata_col="lang", id_col="doc_id"
+    ).select("doc_id", "lang", "source", "text")
     return CurationResult(
         corpus=docs,
         kept=kept,

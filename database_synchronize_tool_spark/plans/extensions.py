@@ -1881,27 +1881,13 @@ def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a NARROW filter — no window, no per-stratum sort.",
 )
 def lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.operators.sampling import (
+        temperature_sample,
+    )
+
     d = load_table(spark, sf_dir, "documents")
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_s"))
-    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    w = counts.crossJoin(F.broadcast(n)).withColumn(
-        "w", F.sqrt(F.col("n_s").cast("double") / F.col("n_docs"))
-    )
-    z = w.agg(
-        F.sum(F.col("w").cast("decimal(28,12)")).cast("double").alias("z")
-    )
-    rate = F.least(
-        F.lit(1.0),
-        F.col("n_docs") * F.col("w") / F.col("z") / F.col("n_s"),
-    )
-    bucket = (
-        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
-    ).cast("double") / F.lit(4294967296.0)
-    return (
-        d.join(F.broadcast(w), "lang")
-        .crossJoin(F.broadcast(z))
-        .filter(bucket < rate)
-        .select("doc_id", "lang")
+    return temperature_sample(d, strata_col="lang", id_col="doc_id").select(
+        "doc_id", "lang"
     )
 
 
@@ -1933,24 +1919,11 @@ def lang_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near-match form that catches light paraphrase/formatting drift.",
 )
 def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from database_synchronize_tool_spark.functions.text import containment
-    from database_synchronize_tool_spark.operators.dedup import minhash_features
-
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", minhash_features(F.col("text"))["sh"].alias("sh")
-    )
-    held = sh.filter(F.col("doc_id") % 7 == 0).select(
-        F.col("doc_id").alias("heldout_id"), F.col("sh").alias("sh_h")
-    )
-    train = sh.filter(F.col("doc_id") % 7 != 0).select(
-        F.col("doc_id").alias("train_id"), F.col("sh").alias("sh_t")
-    )
-    return (
-        train.crossJoin(F.broadcast(held))
-        .withColumn("cont", containment(F.col("sh_h"), F.col("sh_t")))
-        .filter(F.col("cont") >= 0.9)
-        .select("heldout_id", "train_id", "cont")
+    return DD.containment_screen(
+        d.filter(F.col("doc_id") % 7 != 0),
+        d.filter(F.col("doc_id") % 7 == 0),
+        threshold=0.9,
     )
 
 
@@ -2101,21 +2074,11 @@ _QUALITY_CASCADE_SQL = f"""
 def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    n_tok = TX.token_count(t)
-    dup = TX.dup_token_fraction(t)
-    adj = TX.adjacent_repeat_count(t)
-    verdict = (
-        F.when(n_tok < 12, F.lit("too_short"))
-        .when(TX.lang_id(t) == "unknown", F.lit("lang_unknown"))
-        .when(dup > 0.6, F.lit("high_repetition"))
-        .when(adj >= 5, F.lit("word_stutter"))
-        .otherwise(F.lit("keep"))
-    )
     return d.select(
         "doc_id",
-        verdict.alias("verdict"),
-        n_tok.cast("bigint").alias("n_tokens"),
-        dup.alias("dup_frac"),
+        TX.quality_verdict(t).alias("verdict"),
+        TX.token_count(t).cast("bigint").alias("n_tokens"),
+        TX.dup_token_fraction(t).alias("dup_frac"),
     )
 
 
@@ -2164,29 +2127,33 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
     )
 
-    # Match counts come from counting placeholder tokens in the REDACTED
-    # string (two literal scans) instead of two more regex traversals —
-    # 27% faster, and identical whenever the source text contains no
-    # literal placeholder; the contains() guard falls back to regexp_count
-    # for texts that do, so the equivalence is unconditional.
-    def n_matches(token: str, pattern: str) -> F.Column:
-        literal = (
-            (F.length(red) - F.length(F.replace(red, F.lit(token))))
-            / len(token)
-        ).cast("bigint")
-        return (
-            F.when(
-                F.col("text").contains(token),
-                F.regexp_count(aug, F.lit(pattern)),
-            )
-            .otherwise(literal)
-            .cast("bigint")
+    # The EMAIL count comes from counting its placeholder in the redacted
+    # string (one literal scan) instead of another regex traversal: email
+    # replacement runs FIRST on the raw string, so its token count equals
+    # the oracle's regexp_count(aug) whenever the source text contains no
+    # literal '<EMAIL>' — and the contains() guard falls back to
+    # regexp_count for texts that do, making the equivalence
+    # unconditional. The PHONE count CANNOT use the same trick: its
+    # replacement runs on the already-email-redacted string, so an email
+    # match that consumes a phone's digits (e.g. '+1-555-1234@mail.com')
+    # would make the token count diverge from the oracle's independent
+    # regexp_count over the original — it stays a regex count.
+    email_literal = (
+        (F.length(red) - F.length(F.replace(red, F.lit("<EMAIL>"))))
+        / len("<EMAIL>")
+    ).cast("bigint")
+    n_emails = (
+        F.when(
+            F.col("text").contains("<EMAIL>"),
+            F.regexp_count(aug, F.lit(_EMAIL_RE)),
         )
-
+        .otherwise(email_literal)
+        .cast("bigint")
+    )
     return d.select(
         "doc_id",
-        n_matches("<EMAIL>", _EMAIL_RE).alias("n_emails"),
-        n_matches("<PHONE>", _PHONE_RE).alias("n_phones"),
+        n_emails.alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
         red.alias("redacted"),
     )
 

@@ -196,8 +196,11 @@ def write_curated_corpus(
     """
     keys = [F.col(c) for c in partition_by]
     if target_files_per_partition and target_files_per_partition > 1:
+        # salt from the sort keys when given, else from every column — a
+        # "*" column reference would fail analysis (review finding r7)
+        salt_cols = list(sort_within) or list(df.columns)
         salt = (F.crc32(F.concat_ws("\x00", *[
-            F.col(c).cast("string") for c in (list(sort_within) or ["*"])
+            F.col(c).cast("string") for c in salt_cols
         ])) % target_files_per_partition)
         # explicit numPartitions: AQE's runtime coalescing merges a
         # column-only repartition's small outputs back together, which

@@ -594,3 +594,47 @@ def test_refine_composes_with_trained_quantizers(spark, sf_dir):
     ).collect()
     assert {r["query_id"] for r in got} == {0, 1, 2, 3, 4}
     assert all(r["rank"] <= 3 for r in got)
+
+
+def test_zero_norm_vectors_drop_in_both_verify_forms(spark):
+    # 0/0 cosine is NULL in DuckDB (dropped by `>= t`) and the Arrow
+    # pandas path nulls NaN out of the join form — the blockwise numpy
+    # form must drop those pairs identically (review finding r7: numpy's
+    # False-on-NaN is the PARITY behavior, not a bug)
+    rows = [
+        (1, [0.0, 0.0], "x"),
+        (2, [0.0, 0.0], "x"),
+        (3, [1.0, 0.0], "x"),
+        (4, [1.0, 0.0], "x"),
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in SIM.cosine_neardup_pairs(
+            e, threshold=0.35, block_col="label"
+        ).collect()
+    }
+    # only the well-normed identical pair survives; every pair touching a
+    # zero vector is dropped, exactly as the join + filter form drops it
+    assert got == {(3, 4)}
+
+
+def test_ivf_assign_cells_returns_table_cell_ids_not_positions(spark, sf_dir):
+    # a (cell, centroid) table with sparse ids: assignments must carry the
+    # table's actual ids so joins against it (ivf_residuals) line up
+    e = load_table(spark, sf_dir, "embeddings")
+    base = SIM.seed_centroids(e, 4)
+    sparse = base.select((F.col("cell") * 3 + 5).alias("cell"), "centroid")
+    got_cells = {
+        r["cell"]
+        for r in SIM.ivf_assign_cells(
+            e.filter(F.col("vec_id") < 50), sparse, top_cells=1
+        ).collect()
+    }
+    assert got_cells <= {5, 8, 11, 14}
+    # and the residual join keeps every assigned row (nothing drops from
+    # a positional/real-id mismatch)
+    res = SIM.ivf_residuals(e.filter(F.col("vec_id") < 50), sparse)
+    assert res.count() == 50

@@ -265,3 +265,41 @@ def test_repetition_batch_twin_matches_expressions(spark, sf_dir):
         .collect()
     )
     assert got == want
+
+
+def test_repetition_batch_twin_null_text_parity(spark):
+    # NULL text: expression forms yield NULL signals (and ELSE-0 adjacent
+    # repeats); the batch twin must mirror that instead of crashing
+    from database_synchronize_tool_spark.functions.text import (
+        adjacent_repeat_count,
+        dup_token_fraction,
+        repetition_signals_batches,
+        token_count,
+        tokens,
+        top_token_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "a a b")], "doc_id long, text string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in df.mapInPandas(
+            repetition_signals_batches("doc_id", "text"),
+            "id bigint, n_tokens bigint, n_distinct bigint, dup_frac double,"
+            " n_adj_repeats bigint, top_token_frac double",
+        ).collect()
+    )
+    t = F.col("text")
+    want = sorted(
+        tuple(r)
+        for r in df.select(
+            "doc_id",
+            token_count(t).cast("bigint"),
+            F.size(F.array_distinct(tokens(t))).cast("bigint"),
+            dup_token_fraction(t),
+            adjacent_repeat_count(t),
+            top_token_fraction(t),
+        ).collect()
+    )
+    assert got == want
