@@ -303,3 +303,37 @@ def test_repetition_batch_twin_null_text_parity(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_pii_counts_match_oracle_on_overlapping_matches(spark):
+    # adversarial edge (round-7 review): an email match that CONSUMES a
+    # phone's digits ('+1-555-1234@mail.com'). The oracle counts each
+    # pattern independently over the original string, so the Spark side
+    # must too — a placeholder-token count for phones would report 1
+    # where the oracle reports 2.
+    import duckdb
+    from database_synchronize_tool_spark.plans.extensions import (
+        _EMAIL_RE,
+        _PHONE_RE,
+    )
+
+    txt = "reach me at +1-555-1234@mail.com thanks"
+    d = spark.createDataFrame([(3, txt)], "doc_id long, text string")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    got = d.select(
+        F.regexp_count(aug, F.lit(_EMAIL_RE)).alias("e"),
+        F.regexp_count(aug, F.lit(_PHONE_RE)).alias("p"),
+    ).first()
+    want = duckdb.connect().execute(
+        f"""WITH aug AS (SELECT '{txt}'
+            || ' contact user3@example.com call +1-555-0003' AS t)
+        SELECT len(regexp_extract_all(t, '{_EMAIL_RE}')),
+               len(regexp_extract_all(t, '{_PHONE_RE}')) FROM aug"""
+    ).fetchone()
+    assert (got["e"], got["p"]) == want == (2, 2)
