@@ -62,6 +62,23 @@ NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 _TABLE_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
+def convert_nano_ts(df: DataFrame, name: str) -> DataFrame:
+    """Normalize any raw nanos-as-bigint timestamp columns of table ``name``
+    to ``timestamp_ntz`` — the ONE conversion rule, shared by the batch
+    catalog and the streaming reader (round-7 review: two hand-kept copies
+    would drift when NANO_TS_COLS grows or the rounding rule changes)."""
+    for col in NANO_TS_COLS.get(name, ()):
+        if col in df.columns and df.schema[col].dataType.simpleString() == "bigint":
+            from pyspark.sql import functions as F
+
+            # integer `div` keeps full precision (double division would round
+            # epoch-nanos to ~256ns granularity)
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz")
+            )
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One table as a DataFrame. Plain parquet scan: vectorized reader,
     predicate pushdown and column pruning all apply downstream."""
@@ -72,16 +89,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, name))
-    for col in NANO_TS_COLS.get(name, ()):
-        if col in df.columns and df.schema[col].dataType.simpleString() == "bigint":
-            from pyspark.sql import functions as F
-
-            # integer `div` keeps full precision (double division would round
-            # epoch-nanos to ~256ns granularity)
-            df = df.withColumn(
-                col, F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz")
-            )
+    df = convert_nano_ts(spark.read.parquet(table_path(sf_dir, name)), name)
     _TABLE_CACHE[cache_key] = df
     return df
 

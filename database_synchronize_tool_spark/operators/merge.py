@@ -66,6 +66,7 @@ def merge_upsert(
     broadcast_source: bool = False,
     order_col: str | None = None,
     collapse: bool = True,
+    null_safe_keys: bool = True,
 ) -> DataFrame:
     """Anti-join + union upsert: source wins on key collisions.
 
@@ -80,8 +81,30 @@ def merge_upsert(
     its cost is one map-side-combined aggregate, not a second full shuffle).
     """
     src = collapse_source_dups(source, keys, order_col) if collapse else source
-    probe = F.broadcast(src) if broadcast_source else src
-    kept = target.join(probe.select(*keys), on=list(keys), how="left_anti")
+    if not null_safe_keys:
+        # name-list (null-UNSAFE) anti-join: semantically identical for
+        # constraint-non-null keys (every real primary key), and the raw
+        # key expressions let a target bucketed on the key skip its
+        # Exchange entirely (plan-pinned) — null-safe keys get wrapped in
+        # coalesce/isnull pairs that no longer match the bucketing
+        probe = F.broadcast(src) if broadcast_source else src
+        kept = target.join(probe.select(*keys), on=list(keys), how="left_anti")
+        return kept.unionByName(src)
+    # eqNullSafe anti-join (default): a name-list join is null-UNSAFE, so a
+    # NULL-key target row would never match a NULL-key source row and both
+    # would survive — diverging from merge_full_outer's pinned
+    # NULLS-NOT-DISTINCT single-row semantics (round-7 review). Pass
+    # ``null_safe_keys=False`` for constraint-non-null keys to keep the
+    # bucketed-scan exchange elimination.
+    probe = src.select(*keys).alias("__p")
+    if broadcast_source:
+        probe = F.broadcast(probe)
+    t = target.alias("__t")
+    cond: Column | None = None
+    for k in keys:
+        c = F.col(f"__t.{k}").eqNullSafe(F.col(f"__p.{k}"))
+        cond = c if cond is None else (cond & c)
+    kept = t.join(probe, on=cond, how="left_anti")
     return kept.unionByName(src)
 
 

@@ -29,16 +29,17 @@ DEC6 = "decimal(18,6)"
     "under readStream+withWatermark; see streaming/windows.py).",
 )
 def t5_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the SAME batch/stream-dual aggregation t7_stream_tumbling replays
+    # through readStream — one implementation, so the t5-vs-t7 parity can't
+    # drift (round-7 review; only the column alias differs historically)
+    from database_synchronize_tool_spark.streaming.events import tumbling_counts
+
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast(DEC6)).cast("double").alias("total_value"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
-        )
+    return tumbling_counts(ev).select(
+        "window_start",
+        "event_type",
+        F.col("n_events").alias("n"),
+        "total_value",
     )
 
 
@@ -137,11 +138,18 @@ def t6_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, ts, user_id, event_type, value, props FROM target
     UNION ALL
     SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props
-    FROM events e, wm WHERE e.ts > wm.w
+    FROM events e, wm
+    -- NULL watermark (empty destination) models the T2 full-copy branch:
+    -- the engine's probe returns None and incremental_sync copies the
+    -- whole source, so the oracle must not let the NULL comparison
+    -- silently eliminate the delta (round-7 review)
+    WHERE wm.w IS NULL OR e.ts > wm.w
     """,
     doc="T1 end-to-end incremental step: probe destination watermark → "
     "strict-> delta extract → keyed merge (operators.watermark."
-    "incremental_sync). Result equals destination ∪ late data.",
+    "incremental_sync). Result equals destination ∪ late data; an empty "
+    "destination (NULL watermark) takes the full-copy branch on BOTH "
+    "sides.",
 )
 def t1_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

@@ -55,12 +55,11 @@ def read_events_stream(
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.format("parquet").load(path)
-    # same nanos conversion the catalog applies (events.ts arrives as bigint)
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("`ts` div 1000")).cast("timestamp_ntz")
-        )
-    return raw
+    # the catalog's shared nanos normalization (one rule for batch AND
+    # stream — keeps the parity promise if NANO_TS_COLS ever grows)
+    from database_synchronize_tool_spark.catalog import convert_nano_ts
+
+    return convert_nano_ts(raw, "events")
 
 
 def tumbling_counts(

@@ -62,6 +62,11 @@ def _close_sessions(
         n = 0
 
     closed: list[tuple[int, int, int, int]] = []
+    # Buffer EVERY chunk before sorting: one group can arrive as several
+    # arrow chunks, and a per-chunk sort would interleave out-of-order
+    # events into the state machine (round-7 review — a rewound last_us
+    # split sessions and emitted wrong bounds).
+    chunks = []
     for pdf in pdfs:
         # late-data policy: Spark does NOT auto-filter late input for
         # arbitrary stateful ops (unlike windowed aggregations) — the guide
@@ -69,20 +74,42 @@ def _close_sessions(
         # behind the watermark can neither rewind last_us nor inflate counts
         if watermark_us > 0:
             pdf = pdf[pdf["us"] >= watermark_us]
-        # micro-batches are unordered within the group: order by event time
+        if len(pdf):
+            chunks.append(pdf[["us", "event_id"]])
+    if chunks:
+        # global event-time order across all chunks of this invocation
         # (deterministic tiebreak on event_id)
-        pdf = pdf.sort_values(["us", "event_id"])
-        for us in pdf["us"].to_numpy():
+        batch = pd.concat(chunks).sort_values(["us", "event_id"])
+        for us in batch["us"].to_numpy():
             us = int(us)
             if start is None:
                 start, last, n = us, us, 1
-            elif us - last > gap_us:
-                closed.append((user_id, start, last, n))
-                start, last, n = us, us, 1
+            elif us > last:
+                if us - last > gap_us:
+                    closed.append((user_id, start, last, n))
+                    start, last, n = us, us, 1
+                else:
+                    last, n = us, n + 1
+            elif us >= start:
+                # CROSS-BATCH disorder inside the current session's span:
+                # the event joins the session without moving its bounds
+                n += 1
+            elif start - us <= gap_us:
+                # within gap BEFORE the session: extend it backwards
+                start, n = us, n + 1
             else:
-                last, n = us, n + 1
+                # older than the current session by more than the gap: the
+                # prior session is immutable emitted history, so the
+                # straggler becomes its own immediately-closed singleton
+                # (documented policy; unreachable when a watermark delay
+                # covers the disorder)
+                closed.append((user_id, us, us, 1))
 
-    state.update((start, last, n))
+    if start is not None:
+        state.update((start, last, n))
+    # else: every row was late-filtered and no prior state exists — writing
+    # (None, None, 0) under NoTimeout would leak a dead state entry per
+    # late-only key forever (round-7 review)
     yield pd.DataFrame(
         closed, columns=["user_id", "session_start_us", "session_end_us", "n_events"]
     )

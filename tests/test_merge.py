@@ -123,3 +123,26 @@ def test_merge_idempotent(spark):
     once = merge_upsert(target, source, ["k"])
     twice = merge_upsert(once, source, ["k"])
     assert rows(once) == rows(twice)
+
+
+def test_merge_upsert_null_key_single_row_by_default(spark):
+    # NULLS-NOT-DISTINCT parity with merge_full_outer (round-7 review): a
+    # NULL-key source row REPLACES the NULL-key target row by default
+    from database_synchronize_tool_spark.operators.merge import (
+        merge_full_outer,
+        merge_upsert,
+    )
+
+    t = spark.createDataFrame([(None, "t", 1)], "k int, v string, o int")
+    s = spark.createDataFrame([(None, "s", 2)], "k int, v string, o int")
+    got = [tuple(r) for r in merge_upsert(t, s, ["k"]).collect()]
+    assert got == [(None, "s", 2)]
+    fo = [tuple(r) for r in merge_full_outer(t, s, ["k"]).collect()]
+    assert got == fo
+    # the constraint-non-null fast path keeps the historical null-unsafe
+    # behavior (both rows survive) — callers opt in for real PKs only
+    fast = sorted(
+        tuple(r)
+        for r in merge_upsert(t, s, ["k"], null_safe_keys=False).collect()
+    )
+    assert fast == [(None, "s", 2), (None, "t", 1)]

@@ -218,8 +218,16 @@ def test_bucketed_target_merge_skips_big_side_shuffle(spark, sf_dir):
             )
             return plan.count("Exchange")
 
-        n_bucketed = exchanges(merge_upsert(bucketed, delta, ["o_orderkey"]))
-        n_plain = exchanges(merge_upsert(orders, delta, ["o_orderkey"]))
+        # null_safe_keys=False: o_orderkey is a constraint-non-null PK, and
+        # the raw-key join is what lets the bucketing satisfy the join's
+        # distribution (null-safe keys wrap in coalesce/isnull and force
+        # the Exchange back — see merge_upsert's docstring)
+        n_bucketed = exchanges(
+            merge_upsert(bucketed, delta, ["o_orderkey"], null_safe_keys=False)
+        )
+        n_plain = exchanges(
+            merge_upsert(orders, delta, ["o_orderkey"], null_safe_keys=False)
+        )
         assert n_bucketed < n_plain
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -311,3 +311,84 @@ def test_stream_stream_join_equals_batch_self_join(spark, sf_dir):
     )
     assert streamed == batch
     assert streamed  # non-empty: the corpus has view->purchase conversions
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _close_sessions directly."""
+
+    def __init__(self, value=None):
+        self._value = value
+        self.updated = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self.updated = v
+        self._value = v
+
+
+def _run_close(chunks, state, gap_us=60_000_000, wm=0):
+    import pandas as pd
+
+    from database_synchronize_tool_spark.streaming.stateful import (
+        _close_sessions,
+    )
+
+    frames = [
+        pd.DataFrame({"us": [u for u, _ in c], "event_id": [e for _, e in c]})
+        for c in chunks
+    ]
+    out = list(_close_sessions((7,), iter(frames), state, gap_us, wm))
+    return pd.concat(out) if out else None
+
+
+def test_stateful_cross_chunk_disorder_sorts_globally():
+    # events split across arrow chunks arrive out of order; a per-chunk
+    # sort would rewind last_us and split the session (round-7 review) —
+    # the global sort must yield ONE open session with correct bounds
+    state = _FakeState()
+    t0 = 1_700_000_000_000_000
+    _run_close(
+        [[(t0 + 50_000_000, 2)], [(t0, 1), (t0 + 20_000_000, 3)]], state
+    )
+    assert state.updated == (t0, t0 + 50_000_000, 3)
+
+
+def test_stateful_in_watermark_disorder_cannot_rewind_session_end():
+    # an admitted event BEHIND last_us (cross-batch disorder above the
+    # watermark) joins the session without rewinding its end
+    t0 = 1_700_000_000_000_000
+    state = _FakeState((t0, t0 + 50_000_000, 2))
+    out = _run_close([[(t0 + 10_000_000, 9)]], state)
+    assert state.updated == (t0, t0 + 50_000_000, 3)
+    assert out is None or len(out) == 0
+    # and a following event 31min after the TRUE end still closes at the
+    # true end (no bogus early split)
+    out2 = _run_close([[(t0 + 50_000_000 + 61_000_000, 10)]], state)
+    assert list(out2.iloc[0][["session_start_us", "session_end_us", "n_events"]]) == [
+        t0, t0 + 50_000_000, 3
+    ]
+
+
+def test_stateful_all_late_rows_leave_no_dead_state():
+    state = _FakeState()
+    t0 = 1_700_000_000_000_000
+    out = _run_close([[(t0, 1)]], state, wm=t0 + 1)  # everything late
+    assert state.updated is None  # no (None, None, 0) leak
+    assert out is None or len(out) == 0
+
+
+def test_stateful_pre_session_straggler_becomes_singleton():
+    # older than the current session by more than the gap: immutable
+    # emitted history cannot reopen, so the straggler closes immediately
+    t0 = 1_700_000_000_000_000
+    state = _FakeState((t0, t0 + 10_000_000, 2))
+    out = _run_close([[(t0 - 120_000_000, 9)]], state)
+    assert list(out.iloc[0]) == [7, t0 - 120_000_000, t0 - 120_000_000, 1]
+    assert state.updated == (t0, t0 + 10_000_000, 2)
