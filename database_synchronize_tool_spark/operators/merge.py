@@ -67,6 +67,7 @@ def merge_upsert(
     order_col: str | None = None,
     collapse: bool = True,
     null_safe_keys: bool = True,
+    materialize_source: bool = False,
 ) -> DataFrame:
     """Anti-join + union upsert: source wins on key collisions.
 
@@ -81,6 +82,15 @@ def merge_upsert(
     its cost is one map-side-combined aggregate, not a second full shuffle).
     """
     src = collapse_source_dups(source, keys, order_col) if collapse else source
+    if materialize_source:
+        # the collapsed source subtree is referenced TWICE in the merged
+        # plan (anti-join probe + union side) with different projections,
+        # so exchange reuse cannot merge them and the source extraction
+        # runs twice — for a JDBC-backed delta that is two remote reads
+        # per sync (round-7 review). A lazy localCheckpoint computes the
+        # delta once on first use and serves both branches from the
+        # checkpointed blocks.
+        src = src.localCheckpoint(eager=False)
     if not null_safe_keys:
         # name-list (null-UNSAFE) anti-join: semantically identical for
         # constraint-non-null keys (every real primary key), and the raw

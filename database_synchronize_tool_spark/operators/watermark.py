@@ -99,9 +99,15 @@ def incremental_sync(
     check_type: str = "timestamp",
     parity: bool = True,
     lateness: dt.timedelta | int | None = None,
+    materialize_delta: bool = False,
 ) -> DataFrame:
     """One full sync step: probe destination watermark, extract the delta,
-    merge it in (upsert). Returns the new destination state."""
+    merge it in (upsert). Returns the new destination state.
+
+    ``materialize_delta=True`` checkpoints the extracted delta so the
+    merge's two references to it (anti-join probe + union) read it once —
+    pass it whenever the source is a remote extraction (JDBC), where the
+    default lazy plan would run the remote query twice per sync."""
     from database_synchronize_tool_spark.operators.merge import merge_upsert
 
     wm = probe_watermark(target, check_column, check_type)
@@ -110,4 +116,4 @@ def incremental_sync(
         delta = delta.filter(F.col(check_column) > F.lit(0)) if parity else delta
     else:
         delta = delta_filter(source, check_column, wm, parity=parity, lateness=lateness)
-    return merge_upsert(target, delta, keys)
+    return merge_upsert(target, delta, keys, materialize_source=materialize_delta)

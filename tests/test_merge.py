@@ -146,3 +146,16 @@ def test_merge_upsert_null_key_single_row_by_default(spark):
         for r in merge_upsert(t, s, ["k"], null_safe_keys=False).collect()
     )
     assert fast == [(None, "s", 2), (None, "t", 1)]
+
+
+def test_merge_upsert_materialized_source_same_result(spark):
+    from database_synchronize_tool_spark.operators.merge import merge_upsert
+
+    t = spark.createDataFrame([(1, "t"), (2, "t")], "k int, v string")
+    s = spark.createDataFrame([(2, "s"), (3, "s")], "k int, v string")
+    plain = sorted(tuple(r) for r in merge_upsert(t, s, ["k"]).collect())
+    mat = sorted(
+        tuple(r)
+        for r in merge_upsert(t, s, ["k"], materialize_source=True).collect()
+    )
+    assert plain == mat == [(1, "t"), (2, "s"), (3, "s")]
