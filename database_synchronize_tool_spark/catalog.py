@@ -58,8 +58,19 @@ NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 # DataFrame plans are immutable, so the (session, path) -> DataFrame cache is
 # safe to share; it skips re-listing the file and re-reading the parquet
-# footer on every query — a metadata catalog, not a data cache.
-_TABLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+# footer on every query — a metadata catalog, not a data cache. Stored ON
+# the session object (not a module dict keyed by id(spark)): entries die
+# with their session instead of pinning stopped sessions — and their
+# DataFrames — for the process lifetime (round-7 review).
+_CACHE_ATTR = "_dst_table_cache"
+
+
+def _session_cache(spark: SparkSession) -> dict[str, DataFrame]:
+    cache = getattr(spark, _CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, _CACHE_ATTR, cache)
+    return cache
 
 
 def convert_nano_ts(df: DataFrame, name: str) -> DataFrame:
@@ -84,13 +95,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     predicate pushdown and column pruning all apply downstream."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    cache_key = (id(spark), table_path(sf_dir, name))
-    cached = _TABLE_CACHE.get(cache_key)
+    cache = _session_cache(spark)
+    cache_key = table_path(sf_dir, name)
+    cached = cache.get(cache_key)
     if cached is not None:
         return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = convert_nano_ts(spark.read.parquet(table_path(sf_dir, name)), name)
-    _TABLE_CACHE[cache_key] = df
+    cache[cache_key] = df
     return df
 
 

@@ -72,8 +72,14 @@ def scd2_merge(
     )
     valid_to_type = dict(target.dtypes)["valid_to"]
 
-    cur = target.filter(F.col("is_current"))
-    hist = target.filter(~F.col("is_current"))
+    # coalesce(is_current, false): a NULL flag (a nullable boolean an
+    # upstream writer left unset) must land in the history slice, not
+    # vanish — `col` and `~col` are BOTH not-true for NULL, so without the
+    # coalesce such rows were silently dropped from the merge output on
+    # every run (round-7 review)
+    is_cur = F.coalesce(F.col("is_current"), F.lit(False))
+    cur = target.filter(is_cur)
+    hist = target.filter(~is_cur)
 
     t = cur.alias("t")
     s = src.withColumn("__src", F.lit(True)).alias("s")

@@ -109,10 +109,20 @@ def s3_schema_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="P2 config-driven column pruning: ignore_columns dropped iff nullable.",
 )
 def p2_ignore_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the PRODUCTION rule, not a re-statement of it: the declared query runs
+    # prune_ignored itself so the graded surface stays pinned to the code
+    # path runner.sync_table executes (round-7 review)
+    from database_synchronize_tool_spark.sources.config import SyncConfig
+    from database_synchronize_tool_spark.sources.readers import prune_ignored
+
     df = load_table(spark, sf_dir, "orders")
-    ignore = ["o_orderdate", "o_orderpriority"]
-    droppable = [c for c in ignore if c in df.columns and df.schema[c].nullable]
-    return df.drop(*droppable)
+    cfg = SyncConfig(
+        table="orders",
+        check_column="o_orderdate",
+        check_type="timestamp",
+        ignore_columns=("o_orderdate", "o_orderpriority"),
+    )
+    return prune_ignored(df, cfg)
 
 
 @declared(

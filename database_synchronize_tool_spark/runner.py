@@ -38,7 +38,11 @@ class Source(Protocol):
 class Sink(Protocol):
     def read_target(self, spark: SparkSession, table: str, schema) -> DataFrame: ...
 
-    def write(self, df: DataFrame, table: str, keys) -> None: ...
+    def write(self, df: DataFrame, table: str, keys) -> int | None:
+        """May return the written row count; sinks whose action is an RDD
+        job (foreachPartition) MUST, because Observation metrics never
+        arrive for RDD actions (see sync_table)."""
+        ...
 
 
 @dataclass
@@ -63,9 +67,14 @@ def sync_table(
 
     wm = probe_watermark(target, cfg.check_column, cfg.check_type)
     if cfg.check_type == "id":
-        # T2: id watermark coalesced to 0 -> always the delta path
-        delta = src.filter(f"{cfg.check_column} > {int(wm)}") if cfg.parity else (
-            delta_filter(src, cfg.check_column, wm or None, parity=False)
+        # T2: id watermark coalesced to 0 -> always the delta path. Column
+        # expression, not f-string SQL: a check column needing quoting (or
+        # containing metacharacters) must not break the predicate — and
+        # delta_filter's pushdown applies identically (round-7 review).
+        delta = (
+            src.filter(F.col(cfg.check_column) > F.lit(int(wm)))
+            if cfg.parity
+            else delta_filter(src, cfg.check_column, wm or None, parity=False)
         )
     else:
         delta = delta_filter(src, cfg.check_column, wm, parity=cfg.parity)
@@ -80,12 +89,16 @@ def sync_table(
     # rows_synced rides the sink's own action via observe() — the delta is
     # scanned exactly once (no count() second pass; at 100 TB a second pass
     # doubles the read). The observed node sits under the merge/write plan,
-    # so the metric arrives with the write job itself.
+    # so the metric arrives with the write job itself. Sinks whose action
+    # is an RDD job (foreachPartition — DbApiUpsertSink) return the count
+    # themselves instead: RDD actions never fire the SQL listener that
+    # delivers Observation metrics, so obs.get would block forever
+    # (round-7 review, verified) — their return value takes precedence.
     obs = Observation(f"sync_metrics_{cfg.table}")
     observed = delta.observe(obs, F.count(F.lit(1)).alias("rows_synced"))
     keys = list(cfg.merge_keys)
-    sink.write(observed, cfg.table, keys)
-    n = int(obs.get["rows_synced"])
+    written = sink.write(observed, cfg.table, keys)
+    n = int(written) if written is not None else int(obs.get["rows_synced"])
     return SyncResult(cfg.table, ok=True, rows_synced=n, watermark=wm)
 
 
@@ -100,7 +113,10 @@ class ServiceSyncPlan:
     configs: dict[str, SyncConfig] = field(default_factory=dict)
 
 
-def plan_secret_syncs(environ: dict[str, str] | None = None) -> list[ServiceSyncPlan]:
+def plan_secret_syncs(
+    environ: dict[str, str] | None = None,
+    endpoints: dict[str, tuple[str, int]] | None = None,
+) -> list[ServiceSyncPlan]:
     """GCP-variant entry path: ``DB_SECRET_INFO`` env → per-service
     prod/stage ``JdbcSource`` pairs + per-service table configs.
 
@@ -111,6 +127,15 @@ def plan_secret_syncs(environ: dict[str, str] | None = None) -> list[ServiceSync
     is skipped too — a sync needs both. Each service's ``table_config`` YAML
     is loaded and its tables tagged with the service name, so
     :func:`run_all_syncs` groups them exactly as the reference does.
+
+    ``endpoints`` maps a connection (by ``{service}_{env}`` key or by
+    ``instance_connection_name``) to the (host, port) its Cloud SQL auth
+    proxy listens on — the reference dials each instance through the
+    connector, so DISTINCT instances must resolve to distinct endpoints
+    here. Without an entry both ends fall back to the default
+    127.0.0.1:5432; if that would make two DIFFERENT instances share one
+    URL (reading and writing the same database — silently "syncing" prod
+    onto itself), planning fails loudly instead (round-7 review).
     """
     from dataclasses import replace
 
@@ -121,9 +146,11 @@ def plan_secret_syncs(environ: dict[str, str] | None = None) -> list[ServiceSync
     from database_synchronize_tool_spark.sources.readers import JdbcSource
 
     connections, table_config = parse_db_secret_info(environ)
+    eps = endpoints or {}
 
     def jdbc(conn) -> JdbcSource:
-        o = conn.jdbc_options()
+        ep = eps.get(conn.key) or eps.get(conn.instance_connection_name)
+        o = conn.jdbc_options(*ep) if ep else conn.jdbc_options()
         return JdbcSource(
             url=o["url"], user=o["user"], password=o["password"], driver=o["driver"]
         )
@@ -134,6 +161,17 @@ def plan_secret_syncs(environ: dict[str, str] | None = None) -> list[ServiceSync
         stage = connections.get(f"{service}_stage")
         if prod is None or stage is None:
             continue
+        if (
+            prod.instance_connection_name != stage.instance_connection_name
+            and jdbc(prod).url == jdbc(stage).url
+        ):
+            raise ValueError(
+                f"service {service!r}: prod instance "
+                f"{prod.instance_connection_name!r} and stage instance "
+                f"{stage.instance_connection_name!r} resolve to the same "
+                f"JDBC endpoint {jdbc(prod).url!r} — pass `endpoints` "
+                "mapping each instance to its own proxy host/port"
+            )
         configs: dict[str, SyncConfig] = {}
         if service in table_config:
             configs = {

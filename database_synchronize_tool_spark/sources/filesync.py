@@ -70,10 +70,28 @@ def list_files_distributed(
     metadata files in lake layouts, not objects to sync. ``mtime`` is
     truncated to whole seconds for parity with the local lister.
     """
+    return _qualified_binary_listing(spark, uri, pattern, with_hash=False)
+
+
+def _qualified_binary_listing(
+    spark: SparkSession, uri: str, pattern: str | None, with_hash: bool
+) -> DataFrame:
+    """Shared core of the distributed listers (round-7 review: the two were
+    verbatim copies apart from the md5 column, so name-stripping or mtime
+    fixes could drift): qualified-root resolution, binaryFile scan, and the
+    (name, size, mtime[, md5]) projection. A NONEXISTENT root returns an
+    empty listing — the first sync into a fresh destination must behave
+    like the local lister's empty ``os.walk``, not abort the plan with
+    PATH_NOT_FOUND."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(uri)
     fs = path.getFileSystem(conf)
+    schema = "name string, size long, mtime timestamp" + (
+        ", md5 string" if with_hash else ""
+    )
+    if not fs.exists(path):
+        return spark.createDataFrame([], schema)
     # one driver-side JVM call to resolve the fully-qualified root (scheme +
     # authority), so relative names strip correctly whatever form `uri` took
     qualified = fs.makeQualified(path).toString().rstrip("/")
@@ -81,11 +99,14 @@ def list_files_distributed(
     if pattern is not None:
         reader = reader.option("pathGlobFilter", pattern)
     listing = reader.load(uri)
-    return listing.select(
+    cols = [
         F.col("path").substr(F.lit(len(qualified) + 2), F.lit(2**30)).alias("name"),
         F.col("length").alias("size"),
         F.date_trunc("second", F.col("modificationTime")).cast("timestamp").alias("mtime"),
-    )
+    ]
+    if with_hash:
+        cols.append(F.md5(F.col("content")).alias("md5"))
+    return listing.select(*cols)
 
 
 def list_files_with_hash(
@@ -104,23 +125,12 @@ def list_files_with_hash(
     ``md5(content)`` is projected immediately above the FileScan, so only
     the 32-char digest — never the content — enters the join/shuffle
     (plan-pinned in ``test_plan_shapes.py``). Each file hashes on the
-    executor that reads it; the driver sees metadata rows only.
+    executor that reads it; the driver sees metadata rows only. Shares
+    the distributed lister's documented divergences: hidden (``_``/``.``
+    prefixed) entries are skipped by Spark's file index, and a missing
+    root lists as empty.
     """
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    path = jvm.org.apache.hadoop.fs.Path(uri)
-    fs = path.getFileSystem(conf)
-    qualified = fs.makeQualified(path).toString().rstrip("/")
-    reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
-    if pattern is not None:
-        reader = reader.option("pathGlobFilter", pattern)
-    listing = reader.load(uri)
-    return listing.select(
-        F.col("path").substr(F.lit(len(qualified) + 2), F.lit(2**30)).alias("name"),
-        F.col("length").alias("size"),
-        F.date_trunc("second", F.col("modificationTime")).cast("timestamp").alias("mtime"),
-        F.md5(F.col("content")).alias("md5"),
-    )
+    return _qualified_binary_listing(spark, uri, pattern, with_hash=True)
 
 
 def list_hadoop_files(spark: SparkSession, uri: str) -> DataFrame:

@@ -46,11 +46,19 @@ def parse_copy_block(sql_text: str, table: str) -> tuple[list[str], list[list[st
     columns = [c.strip() for c in m.group(1).split(",")]
     rows: list[list[str | None]] = []
     body = sql_text[m.end() :]
-    for line in body.splitlines():
+    lines = body.splitlines()
+    # drop only the remnant of the COPY line itself (the text between
+    # 'stdin;' and its newline) — NOT every empty line: for a SINGLE-column
+    # table an empty body line is a real row whose value is the empty
+    # string (NULL would be \N), so a blanket skip silently drops data
+    # (round-7 review)
+    if lines and lines[0].strip() == "":
+        lines = lines[1:]
+    for line in lines:
         if line == "\\.":
             break
-        if not line:
-            continue
+        if not line and len(columns) != 1:
+            continue  # blank separator in a multi-column dump, not a row
         rows.append(
             [None if f == "\\N" else _unescape(f) for f in line.split("\t")]
         )

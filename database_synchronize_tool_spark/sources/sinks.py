@@ -65,18 +65,27 @@ class DbApiUpsertSink:
     batch_size: int = 1000  # reference default, utils.py:38
     coalesce_to: int | None = None
 
-    def write(self, df: DataFrame, table: str, keys: Sequence[str]) -> None:
+    def write(self, df: DataFrame, table: str, keys: Sequence[str]) -> int:
+        """Writes the frame and RETURNS the row count. foreachPartition is
+        an RDD action, which never fires the SQL listener that delivers
+        ``Observation`` metrics — a caller awaiting an observation on this
+        write would hang forever (round-7 review, verified) — so this sink
+        counts through a Spark accumulator updated by the same partitions
+        that write."""
         columns = df.columns
         stmt = upsert_statement(table, columns, keys, self.placeholder)
         connect, batch_size = self.connect, self.batch_size
+        acc = df.sparkSession.sparkContext.accumulator(0)
 
         def write_partition(rows) -> None:
             conn = connect()
+            n = 0
             try:
                 cur = conn.cursor()
                 batch = []
                 for row in rows:
                     batch.append(tuple(row))
+                    n += 1
                     if len(batch) >= batch_size:
                         cur.executemany(stmt, batch)
                         batch.clear()
@@ -85,9 +94,11 @@ class DbApiUpsertSink:
                 conn.commit()
             finally:
                 conn.close()
+            acc.add(n)
 
         out = df.coalesce(self.coalesce_to) if self.coalesce_to else df
         out.foreachPartition(write_partition)
+        return int(acc.value)
 
 
 @dataclass
@@ -205,8 +216,15 @@ def write_curated_corpus(
         # explicit numPartitions: AQE's runtime coalescing merges a
         # column-only repartition's small outputs back together, which
         # would collapse the salt fan-out (observed: 1 partition on a
-        # small corpus); an explicit count is respected
-        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        # small corpus); an explicit count is respected. Some platforms
+        # set shuffle.partitions to a non-numeric value ('auto'), so fall
+        # back to the cluster's parallelism rather than raising.
+        try:
+            n_part = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            n_part = df.sparkSession.sparkContext.defaultParallelism
         parted = df.repartition(n_part, *keys, salt.alias("__salt"))
     else:
         parted = df.repartition(*keys)

@@ -270,3 +270,18 @@ def test_plan_copy_stats_single_job(spark, tmp_path, monkeypatch):
     plan = plan_copy(s, d)
     monkeypatch.undo()
     assert plan.stats() == {"total_files": 3, "new_files": 2, "existing_files": 1}
+
+
+def test_hash_listing_of_missing_root_is_empty_not_an_error(spark, tmp_path):
+    # first sync into a fresh destination: hash mode must list empty like
+    # the local lister's empty walk, not abort with PATH_NOT_FOUND
+    from database_synchronize_tool_spark.sources.filesync import (
+        list_files_distributed,
+        list_files_with_hash,
+    )
+
+    missing = str(tmp_path / "does_not_exist_yet")
+    hashed = list_files_with_hash(spark, missing)
+    assert hashed.count() == 0
+    assert hashed.columns == ["name", "size", "mtime", "md5"]
+    assert list_files_distributed(spark, missing).count() == 0

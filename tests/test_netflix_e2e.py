@@ -185,3 +185,22 @@ def test_scd2_and_agg_maintenance_two_cycles(spark, netflix):
     assert {tuple(r) for r in state3.collect()} == {
         tuple(r) for r in state2.collect()
     }
+
+
+def test_copy_block_empty_line_is_a_row_for_single_column_tables():
+    # an empty COPY body line is a real row (empty string) when the table
+    # has ONE column — NULL would be \N (round-7 review)
+    from database_synchronize_tool_spark.sources.pgdump import parse_copy_block
+
+    sql = "COPY public.notes (body) FROM stdin;\nfirst\n\n\\N\nlast\n\\.\n"
+    cols, rows = parse_copy_block(sql, "notes")
+    assert cols == ["body"]
+    assert rows == [["first"], [""], [None], ["last"]]
+
+
+def test_copy_block_blank_lines_skipped_for_multi_column_tables():
+    from database_synchronize_tool_spark.sources.pgdump import parse_copy_block
+
+    sql = "COPY t (a, b) FROM stdin;\n1\tx\n\n2\ty\n\\.\n"
+    cols, rows = parse_copy_block(sql, "t")
+    assert rows == [["1", "x"], ["2", "y"]]

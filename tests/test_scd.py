@@ -126,3 +126,23 @@ def test_scd2_null_tracked_values_null_safe(spark):
             (3, None, 30.0, T0, None, True),
         ], key=repr
     )
+
+
+def test_scd2_null_is_current_lands_in_history_not_dropped(spark):
+    # a nullable is_current left NULL by an upstream writer must survive the
+    # merge (in the history slice) — `col` and `~col` are both not-true for
+    # NULL, so without coalesce the row silently vanished (round-7 review)
+    from database_synchronize_tool_spark.operators.scd import scd2_merge
+
+    target = spark.createDataFrame(
+        [
+            (1, "a", 10, None, None),
+            (2, "b", 10, None, True),
+        ],
+        "k int, attr string, valid_from int, valid_to int, is_current boolean",
+    )
+    source = spark.createDataFrame([(2, "b2", 20)], "k int, attr string, change_ts int")
+    out = scd2_merge(target, source, keys=["k"], tracked=["attr"], change_ts="change_ts")
+    rows = {(r["k"], r["attr"], bool(r["is_current"])) for r in out.collect()}
+    assert (1, "a", False) in rows  # NULL-flag row preserved as history
+    assert (2, "b2", True) in rows and (2, "b", False) in rows

@@ -411,3 +411,73 @@ def test_write_curated_corpus_salted_hot_partition(spark, sf_dir, tmp_path):
         if f.endswith(".parquet")
     ]
     assert len(files) > 1
+
+
+def test_dbapi_sink_returns_row_count_and_runner_uses_it(spark, tmp_path):
+    # Observation metrics never arrive for foreachPartition (an RDD
+    # action) — verified hang in round-7 review — so the DB-API sink
+    # reports its own count and sync_table prefers it
+    import sqlite3
+    from functools import partial
+
+    from database_synchronize_tool_spark.runner import sync_table
+    from database_synchronize_tool_spark.sources.config import SyncConfig
+    from database_synchronize_tool_spark.sources.sinks import DbApiUpsertSink
+
+    db = str(tmp_path / "t.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE items (k INTEGER PRIMARY KEY, v TEXT, ts INTEGER)")
+
+    class _Src:
+        def read(self, spark, table):
+            return spark.createDataFrame(
+                [(1, "a", 10), (2, "b", 20)], "k long, v string, ts long"
+            )
+
+    class _Sink(DbApiUpsertSink):
+        def read_target(self, spark, table, schema):
+            with sqlite3.connect(db) as conn:
+                rows = conn.execute("SELECT k, v, ts FROM items").fetchall()
+            return spark.createDataFrame(rows, schema)
+
+    sink = _Sink(connect=partial(sqlite3.connect, db), placeholder="?", coalesce_to=1)
+    cfg = SyncConfig(
+        table="items", check_column="ts", check_type="id", merge_keys=("k",)
+    )
+    res = sync_table(spark, cfg, _Src(), sink)
+    assert res.ok and res.rows_synced == 2
+    with sqlite3.connect(db) as conn:
+        assert conn.execute("SELECT COUNT(*) FROM items").fetchone()[0] == 2
+
+
+def test_plan_secret_syncs_rejects_colliding_instances():
+    import pytest as _pytest
+
+    from database_synchronize_tool_spark.runner import plan_secret_syncs
+
+    secret = """
+svc:
+  db:
+    prod:
+      instance-connection-name: proj:r:prod-inst
+      database-name: app
+      username: u
+      password: p
+    stage:
+      instance-connection-name: proj:r:stage-inst
+      database-name: app
+      username: u
+      password: p
+"""
+    env = {"DB_SECRET_INFO": secret}
+    with _pytest.raises(ValueError, match="same .*endpoint|endpoint"):
+        plan_secret_syncs(env)
+    # distinct endpoints resolve fine
+    plans = plan_secret_syncs(
+        env,
+        endpoints={
+            "svc_prod": ("127.0.0.1", 5001),
+            "svc_stage": ("127.0.0.1", 5002),
+        },
+    )
+    assert plans[0].prod.url != plans[0].stage.url
