@@ -154,9 +154,12 @@ def test_scd2_is_current_partitioned_target_prunes(spark, tmp_path):
     )
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     # both branches prune: the current slice keeps is_current=true partitions,
-    # the history branch keeps is_current=false (NOT is_current)
+    # the history branch the rest. The predicates are the NULL-safe
+    # coalesce(is_current, false) forms (NULL-flag rows are history, not
+    # dropped — operators/scd.py) and still evaluate per-partition, so
+    # pruning is intact on both branches.
     assert any("is_current" in l and "NOT" not in l for l in pf), plan
-    assert any("NOT is_current" in l for l in pf), pf
+    assert any("NOT" in l and "is_current" in l for l in pf), pf
 
 
 def test_tfidf_vocab_join_no_cartesian(spark, sf_dir):
