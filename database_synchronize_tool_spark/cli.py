@@ -37,16 +37,28 @@ def sync_with_confirmation(
     explicit ``y``/``Y`` answer proceeds — anything else cancels, matching
     the reference's ``response.lower() == 'y'`` check.
     """
-    from database_synchronize_tool_spark.sources.filesync import sync_file_sets
+    from database_synchronize_tool_spark.sources.filesync import (
+        execute_copy,
+        local_copier,
+        plan_file_sets,
+    )
 
-    stats = dict(sync_file_sets(spark, src_root, dst_root, dry_run=True, compare=compare))
+    # ONE plan serves the report and the execution: the to-copy set is
+    # frozen (materialized) unless this is a report-only run, so the user
+    # confirms exactly the set that gets copied and hash mode pays its
+    # full-content listing once, not twice (round-7 review)
+    plan = plan_file_sets(
+        spark, src_root, dst_root, compare=compare, freeze=not dry_run
+    )
+    copier = local_copier(src_root, dst_root)
+    stats = dict(execute_copy(plan, copier, dry_run=True))
     if dry_run:
         return {**stats, "executed": False, "cancelled": False}
     if not assume_yes:
         response = confirm(CONFIRM_PROMPT)
         if response.strip().lower() != "y":
             return {**stats, "executed": False, "cancelled": True}
-    stats = dict(sync_file_sets(spark, src_root, dst_root, dry_run=False, compare=compare))
+    stats = dict(execute_copy(plan, copier, dry_run=False))
     return {**stats, "executed": True, "cancelled": False}
 
 

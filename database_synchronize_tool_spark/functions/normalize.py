@@ -46,9 +46,13 @@ def str_compat(col: Column) -> Column:
 
 def validate_json(col: Column) -> Column:
     """F3 (standard part): NULL out strings that don't parse as JSON.
-    ``try_parse_json``-style gate via from_json to a permissive type."""
-    parsed = F.from_json(col, "map<string,string>")
-    return F.when(parsed.isNotNull(), col)
+
+    Gated on ``try_parse_json`` (VARIANT), which accepts ANY valid JSON
+    value — the reference validates with ``json.loads``, for which arrays
+    and scalars ('[1,2]', '42', 'true') are legal jsonb, and the previous
+    ``from_json(col, 'map<string,string>')`` gate silently NULLed those
+    out (round-7 review)."""
+    return F.when(F.try_parse_json(col).isNotNull(), col)
 
 
 # typed instance, not a DDL string: a DDL string would require an active
@@ -100,6 +104,11 @@ def apply_compat(df: DataFrame, type_map: dict[str, str]) -> DataFrame:
         elif t.startswith("jsonb"):
             out = out.withColumn(name, repair_json(c))
         elif "int" in t or t == "bigserial":
+            # substring match is DELIBERATE reference parity
+            # (sync_utils.py:127-132 tests `'int' in type`): a type like
+            # 'interval' takes the int branch in the reference too — the
+            # compat mode reproduces that dispatch bug-for-bug; the
+            # engine-default path (no compat) never uses this mapping
             out = out.withColumn(name, int_compat(c))
         else:
             out = out.withColumn(name, str_compat(c))

@@ -79,6 +79,26 @@ def _decode_payload(payload: bytes, width: int, height: int) -> np.ndarray:
     return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
+def _feature_vector(payload, width, height) -> list[float] | None:
+    """Shared decode → channel-stat feature math for BOTH batch APIs
+    (round-7 review: the block was copy-pasted between the pandas and
+    arrow paths, so a feature change could silently break their tested
+    equivalence). NULL payload or NULL dimensions yield a NULL feature
+    row — a malformed media row must not kill the whole job inside the
+    executor loop."""
+    if payload is None or width is None or height is None:
+        return None
+    arr = _decode_payload(bytes(payload), int(width), int(height))
+    flat = arr.reshape(-1, 3).astype(np.float64)
+    return np.concatenate(
+        [
+            flat.mean(axis=0) / 255.0,
+            flat.std(axis=0) / 255.0,
+            [arr.shape[0] / 4096.0, arr.shape[1] / 4096.0],
+        ]
+    ).tolist()
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Per-item FEATURE_DIM-vector via mapInPandas (Arrow batches, one
     decode per row, partition-parallel). Features here are channel/byte
@@ -87,19 +107,12 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = []
-            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
-                arr = _decode_payload(bytes(payload), int(w), int(h))
-                flat = arr.reshape(-1, 3).astype(np.float64)
-                feats.append(
-                    np.concatenate(
-                        [
-                            flat.mean(axis=0) / 255.0,
-                            flat.std(axis=0) / 255.0,
-                            [arr.shape[0] / 4096.0, arr.shape[1] / 4096.0],
-                        ]
-                    ).tolist()
+            feats = [
+                _feature_vector(payload, w, h)
+                for payload, w, h in zip(
+                    pdf["payload"], pdf["width"], pdf["height"]
                 )
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -120,6 +133,9 @@ def resize_images(media: DataFrame, out_width: int, out_height: int) -> DataFram
         for pdf in it:
             hashes = []
             for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                if payload is None or w is None or h is None:
+                    hashes.append(None)  # malformed row -> NULL, not a crash
+                    continue
                 arr = _decode_payload(bytes(payload), int(w), int(h))
                 ys = (np.arange(out_height) * arr.shape[0] // out_height).clip(0, arr.shape[0] - 1)
                 xs = (np.arange(out_width) * arr.shape[1] // out_width).clip(0, arr.shape[1] - 1)
@@ -181,21 +197,12 @@ def extract_features_arrow(media: DataFrame) -> DataFrame:
             payloads = batch.column("payload")
             widths = batch.column("width")
             heights = batch.column("height")
-            feats = []
-            for i in range(batch.num_rows):
-                arr = _decode_payload(
+            feats = [
+                _feature_vector(
                     payloads[i].as_py(), widths[i].as_py(), heights[i].as_py()
                 )
-                flat = arr.reshape(-1, 3).astype(np.float64)
-                feats.append(
-                    np.concatenate(
-                        [
-                            flat.mean(axis=0) / 255.0,
-                            flat.std(axis=0) / 255.0,
-                            [arr.shape[0] / 4096.0, arr.shape[1] / 4096.0],
-                        ]
-                    ).tolist()
-                )
+                for i in range(batch.num_rows)
+            ]
             yield pa.RecordBatch.from_arrays(
                 [ids, mimes, pa.array(feats, type=pa.list_(pa.float64()))],
                 names=["media_id", "mime", "features"],

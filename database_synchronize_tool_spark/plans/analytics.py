@@ -471,13 +471,24 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_subquery_above_avg",
     oracle="""
     SELECT c_custkey, c_acctbal FROM customer
-    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    WHERE c_acctbal >
+      (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE)
+              / COUNT(*) FROM customer)
     """,
-    doc="Scalar subquery threshold (broadcast single-row join).",
+    doc="Scalar subquery threshold (broadcast single-row join). The "
+    "threshold accumulates through DECIMAL and divides once — a plain "
+    "double AVG's accumulation order differs between engines, so a "
+    "boundary-row c_acctbal could flip in/out of the result (registry "
+    "determinism rule; round-7 review).",
 )
 def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    avg = c.agg(F.avg("c_acctbal").alias("__avg"))
+    avg = c.agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__avg")
+    )
     return (
         c.crossJoin(F.broadcast(avg))
         .filter(F.col("c_acctbal") > F.col("__avg"))
@@ -1226,8 +1237,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT substr(c_name, 10, 1) AS cntrycode, c_acctbal
       FROM customer c
       WHERE c_acctbal > (
-        SELECT AVG(CAST(c2.c_acctbal AS DECIMAL(18,2))) FROM customer c2
-        WHERE c2.c_acctbal > 0.0
+        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(28,10))) AS DOUBLE)
+               / COUNT(*)
+        FROM customer c2 WHERE c2.c_acctbal > 0.0
       )
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
@@ -1235,15 +1247,24 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     GROUP BY cntrycode
     """,
-    doc="TPC-H Q22 shape: uncorrelated scalar AVG subquery (decimal-exact) "
-    "+ anti-join (NOT EXISTS) + substring-derived grouping key.",
+    doc="TPC-H Q22 shape: uncorrelated scalar AVG subquery + anti-join "
+    "(NOT EXISTS) + substring-derived grouping key. The threshold is "
+    "SUM(DECIMAL)/COUNT with ONE double division on both engines — "
+    "Spark's decimal AVG and DuckDB's double-accumulated AVG round "
+    "differently at the comparison boundary (round-7 review), and a "
+    "boundary-row flip changes numcust/totacctbal.",
 )
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0.0)
-        .agg(F.avg(F.col("c_acctbal").cast(DEC2)).alias("ab"))
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("ab")
+        )
     )
     return (
         c.join(F.broadcast(avg_bal))

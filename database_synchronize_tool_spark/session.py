@@ -57,7 +57,13 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     # Respect an externally configured master (driver/cluster); default local.
-    if not os.environ.get("SPARK_MASTER_URL"):
+    master_url = os.environ.get("SPARK_MASTER_URL")
+    if master_url:
+        # apply the URL, don't just detect it: skipping .master() entirely
+        # left spark.master unset and getOrCreate() failing with "A master
+        # URL must be set" outside spark-submit (round-7 review)
+        builder = builder.master(master_url)
+    else:
         builder = builder.master(f"local[{cpus}]")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

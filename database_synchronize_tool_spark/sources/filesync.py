@@ -238,6 +238,31 @@ def local_copier(src_root: str, dst_root: str) -> Callable[[str], None]:
     return copy
 
 
+def plan_file_sets(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    compare: str = "name",
+    freeze: bool = False,
+) -> CopyPlan:
+    """Build the copy plan for a local pair. ``freeze=True`` materializes
+    the to-copy set (localCheckpoint) so a report shown to a user and the
+    execution that follows operate on the SAME set — without it, a lazy
+    plan re-lists (and in hash mode re-hashes every byte) at execute time,
+    and files that appeared in between are copied without ever having been
+    shown (round-7 review)."""
+    if compare == "hash":
+        lister = lambda root: list_files_with_hash(spark, root)  # noqa: E731
+    else:
+        lister = lambda root: list_local_files(spark, root)  # noqa: E731
+    plan = plan_copy(lister(src_root), lister(dst_root), compare=compare)
+    if freeze:
+        from dataclasses import replace
+
+        plan = replace(plan, to_copy=plan.to_copy.localCheckpoint())
+    return plan
+
+
 def sync_file_sets(
     spark: SparkSession,
     src_root: str,
@@ -250,9 +275,5 @@ def sync_file_sets(
     distributed content-hash lister (digests computed executor-side), so a
     modified-in-place file — same name and size, different bytes — is
     detected and re-copied; the name modes use the plain local lister."""
-    if compare == "hash":
-        lister = lambda root: list_files_with_hash(spark, root)  # noqa: E731
-    else:
-        lister = lambda root: list_local_files(spark, root)  # noqa: E731
-    plan = plan_copy(lister(src_root), lister(dst_root), compare=compare)
+    plan = plan_file_sets(spark, src_root, dst_root, compare=compare)
     return execute_copy(plan, local_copier(src_root, dst_root), dry_run=dry_run)

@@ -81,3 +81,28 @@ def test_map_in_arrow_equals_pandas_path(spark, sf_dir):
         for r in MM.extract_features_arrow(m).collect()
     }
     assert via_pandas == via_arrow
+
+
+def test_feature_and_resize_null_rows_become_null_not_crash(spark):
+    # a malformed media row (NULL payload/dims) must yield NULL outputs,
+    # not kill the executor task (round-7 review)
+    from database_synchronize_tool_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "image/png", None, None, None, None),
+            (2, "image/png", bytearray(b"pixels"), 16, 16, None),
+        ],
+        "media_id long, mime string, payload binary, width int, height int,"
+        " duration_ms long",
+    )
+    feats = {r["media_id"]: r["features"] for r in extract_features(media).collect()}
+    assert feats[1] is None and feats[2] is not None
+    hashes = {
+        r["media_id"]: r["content_hash"]
+        for r in resize_images(media, 8, 8).collect()
+    }
+    assert hashes[1] is None and hashes[2] is not None

@@ -86,3 +86,17 @@ def test_apply_compat_dispatch(spark):
     assert out["js"] == '{"k": "v"}'
     assert out["n"] == 41
     assert out["other"] == "7"
+
+
+def test_f3_validate_json_accepts_non_object_json(spark):
+    # arrays and scalars are valid jsonb (the reference validates with
+    # json.loads) — the old map<string,string> gate NULLed them out
+    df = spark.createDataFrame(
+        [("[1,2,3]",), ("42",), ('"x"',), ("true",), ("{bad",), ('{"k":1}',)],
+        "s string",
+    )
+    got = [
+        r["out"]
+        for r in df.select(validate_json(F.col("s")).alias("out")).collect()
+    ]
+    assert got == ["[1,2,3]", "42", '"x"', "true", None, '{"k":1}']
