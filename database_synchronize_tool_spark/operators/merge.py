@@ -154,3 +154,42 @@ def dedup_merge(target: DataFrame, source: DataFrame) -> DataFrame:
     """No-PK degenerate merge: conflict key = all columns => full-row dedup
     over the union (reference fallback, ``sync_utils.py:156-169``)."""
     return target.unionByName(source).dropDuplicates()
+
+
+def changelog_compact(
+    changelog: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    op_col: str | None = None,
+    delete_ops: Sequence[str] = ("D",),
+) -> DataFrame:
+    """Compact a CDC changelog to the latest live state per key.
+
+    The batch form of what the reference's repeated upsert cycles converge to
+    (``sync_utils.py:174-193`` applies each batch in arrival order; replaying
+    the full history through it yields exactly max-version-wins): take, per
+    key, the row with the greatest ``order_by`` tuple, and drop it entirely
+    when that newest row is a delete (``op_col`` in ``delete_ops``) — a
+    tombstone erases the key instead of surviving as a row.
+
+    ``order_by`` must be a deterministic total order within each key
+    (e.g. ``("ts", "seq_id")``); ties on a bare timestamp would make the
+    winner nondeterministic at scale.
+
+    Scale (100 TB changelog): one shuffle on the key for the per-key window;
+    no join at all — compaction is a pure window + filter, so it pipelines
+    with whatever reads the compacted state. If the changelog is already
+    bucketed by key (the natural layout for a CDC landing zone), even that
+    exchange disappears.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
+    latest = (
+        changelog.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if op_col is not None:
+        latest = latest.filter(~F.col(op_col).isin(list(delete_ops)))
+    return latest

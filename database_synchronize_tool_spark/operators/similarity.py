@@ -1338,3 +1338,83 @@ def _blockwise_cosine_pairs(
         )
 
     return assigned.groupBy("cell").applyInPandas(cell_pairs, out_schema)
+
+
+# --- binary (sign) embedding compression + Hamming search --------------------
+
+BINARY_WORD_BITS = 32  # bits packed per BIGINT word (sign bit never touched)
+
+
+def binarize_words(vec: Column, dim: int) -> Column:
+    """Sign-binarize a ``dim``-dimensional vector into ``ceil(dim/32)``
+    BIGINT words (bit r of word w set iff component ``w*32+r`` > 0).
+
+    32 bits per 64-bit word keeps every set bit out of the sign position, so
+    XOR/popcount behave identically across engines with no two's-complement
+    edge cases. Pure codegen (a sum of WHEN terms per word) — the 100 TB
+    binarization is a narrow projection on the scan, 16× smaller than the
+    float32 vector (64 dims -> 8 bytes)."""
+    words = []
+    for w in range(-(-dim // BINARY_WORD_BITS)):
+        bits = min(BINARY_WORD_BITS, dim - w * BINARY_WORD_BITS)
+        word = F.lit(0).cast("bigint")
+        for r in range(bits):
+            word = word + F.when(
+                vec[w * BINARY_WORD_BITS + r] > 0, F.lit(1 << r).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        words.append(word)
+    return F.array(*words)
+
+
+def hamming_binary_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Binary-quantized ANN: sign-binarize both sides, rank by Hamming
+    distance (popcount of XOR), top-k per query with candidate-id tiebreak.
+
+    The retrieval-compression workhorse: binary codes cost 1 bit/dim (a 32×
+    shrink vs float32), Hamming distance is integer XOR+popcount inside
+    whole-stage codegen (no Python, no floats), and sign-random-projection
+    theory makes Hamming a monotone estimator of angular distance. Scale
+    shape: candidates binarize in a narrow projection of ONE scan; the
+    bounded query side broadcasts (same |Q| assumption as bruteforce_topk);
+    the only exchange is the per-query top-k window, which WindowGroupLimit
+    prunes map-side to ~k rows per query per partition. Rerank survivors
+    with exact cosine downstream if score fidelity is needed.
+    """
+    n_words = -(-dim // BINARY_WORD_BITS)
+    cand = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        binarize_words(as_double(F.col(vec_col)), dim).alias("cw"),
+    )
+    qry = queries.select(
+        F.col(id_col).alias("query_id"),
+        binarize_words(as_double(F.col(vec_col)), dim).alias("qw"),
+    )
+    pairs = cand.crossJoin(F.broadcast(qry)).filter(
+        F.col("cand_id") != F.col("query_id")
+    )
+    hamming = F.lit(0).cast("bigint")
+    for w in range(n_words):
+        hamming = hamming + F.bit_count(
+            F.col("cw")[w].bitwiseXOR(F.col("qw")[w])
+        )
+    scored = pairs.select(
+        "query_id", "cand_id", hamming.cast("int").alias("hamming")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("hamming", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            "hamming",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -2398,3 +2398,388 @@ def embedding_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise(F.transform(tv, lambda x: x / nrm))
         .alias("mrl16"),
     )
+
+
+# --- round 8: frequency sketches, retrieval scoring, LM signals, layout -----
+
+
+@declared(
+    "text_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                    t -> t <> '')) AS term
+      FROM documents
+    ), n AS (
+      SELECT COUNT(*) AS n_total FROM toks
+    ), c AS (
+      SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+    )
+    SELECT term, cnt, n_total FROM c, n WHERE cnt * 33 >= n_total
+    """,
+    doc="Exact heavy hitters (tokens with corpus frequency >= 1/33) via the "
+    "two-phase sketch plan a 100 TB corpus needs: per-partition "
+    "Misra-Gries summaries (ONE mapInPandas pass, O(capacity) state; "
+    "capacity 66 >= den 33 gives the averaging-argument recall-1.0 "
+    "guarantee for the threshold predicate), then an exact count of ONLY "
+    "the broadcast candidate set — the full token-cardinality groupBy, "
+    "which is the thing that dies when n-gram keys reach billions, never "
+    "executes. Final filter is an integer compare (cnt*33 >= N), so the "
+    "output is exact and the oracle is a plain GROUP BY .. HAVING.",
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.operators import sketches as SK
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    return SK.heavy_hitters_exact(toks, "term", den=33, capacity=66)
+
+
+_BM25_TERMS = ("join", "vector", "stream", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@declared(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                    t -> t <> '')) AS term
+      FROM documents
+    ), dl AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 t -> t <> '')) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN {_BM25_TERMS!r}
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id,
+             ((n_docs - df + 0.5) / (df + 0.5))
+             * ((tf * {_BM25_K1 + 1.0!r})
+                / (tf + {_BM25_K1!r}
+                   * (1.0 - {_BM25_B!r}
+                      + {_BM25_B!r} * (CAST(dl AS DOUBLE) / avgdl))))
+               AS s
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN stats
+    ), agg AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE) AS bm25
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, bm25, CAST(rank AS INT) AS rank FROM (
+      SELECT doc_id, bm25,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+      FROM agg
+    ) WHERE rank <= 10
+    """,
+    doc=f"BM25 top-10 retrieval for the fixed query {_BM25_TERMS} (k1="
+    f"{_BM25_K1}, b={_BM25_B}) — the lexical-retrieval scorer of a RAG / "
+    "data-curation stack. The classical log-idf is replaced by its exact "
+    "rational core (N-df+0.5)/(df+0.5) (monotone-identical ranking per "
+    "term; libm log() is not correctly rounded cross-engine and would "
+    "flap the hash), tf normalization keeps the textbook "
+    "(tf*(k1+1))/(tf + k1*(1-b+b*dl/avgdl)) form with both engines "
+    "evaluating the identical IEEE association, and the per-document "
+    "term-score sum runs through DECIMAL(28,12) so accumulation order "
+    "cannot flap the result. Scale shape: the posting rows for 4 query "
+    "terms are a tiny filtered slice of the token stream (predicate "
+    "pushed to the term explode), doc-frequency and corpus stats "
+    "broadcast, and the global top-10 is one TakeOrdered — no "
+    "full-corpus shuffle anywhere.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    dl = d.select(
+        "doc_id", TX.token_count(F.lower(F.col("text"))).alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    tfn = (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(_BM25_K1)
+        * (
+            F.lit(1.0)
+            - F.lit(_BM25_B)
+            + F.lit(_BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * tfn).alias("s"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum(F.col("s").cast("decimal(28,12)")).cast("double").alias("bm25")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "bm25", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@declared(
+    "corpus_bigram_avg_prob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ), v AS (
+      SELECT COUNT(DISTINCT term) AS vocab
+      FROM (SELECT unnest(t) AS term FROM toks)
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS bg
+      FROM toks
+    ), bgc AS (
+      SELECT bg, COUNT(*) AS c_bg FROM bg GROUP BY bg
+    ), ctx AS (
+      SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c_w1
+      FROM bg GROUP BY 1
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST(
+             CAST(c_bg + 1 AS DOUBLE) / CAST(c_w1 + vocab AS DOUBLE)
+             AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg_prob
+    FROM bg JOIN bgc USING (bg)
+         JOIN ctx ON ctx.w1 = split_part(bg.bg, ' ', 1)
+         CROSS JOIN v
+    GROUP BY doc_id
+    """,
+    doc="Corpus-trained bigram language-model predictability score per "
+    "document — the CCNet-style quality signal (documents whose token "
+    "transitions are typical of the corpus score high; gibberish and "
+    "boilerplate-free noise score low), with add-1 smoothing: "
+    "p(w2|w1) = (C(w1 w2)+1)/(C(w1)+V). Logs are deliberately avoided "
+    "(libm is not correctly rounded cross-engine): the score is the "
+    "per-document MEAN smoothed transition probability, each term one "
+    "exact-integer-ratio IEEE divide, summed through DECIMAL(28,12) so "
+    "accumulation order cannot flap the hash. Scale shape: bigrams live "
+    "in-row until ONE explode; the bigram table (vocab², language-bounded, "
+    "not corpus-bounded) and context counts aggregate once and broadcast "
+    "back onto the stream — the same broadcast-vocabulary plan as "
+    "text_tfidf_topk, so a 100 TB corpus never shuffles its token stream.",
+)
+def corpus_bigram_avg_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens(F.lower(F.col("text"))).alias("t"))
+    vocab = toks.select(F.explode("t").alias("term")).agg(
+        F.countDistinct("term").alias("vocab")
+    )
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = toks.select("doc_id", F.explode(bigrams).alias("bg"))
+    bgc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = (
+        bg.select(F.substring_index("bg", " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_w1"))
+    )
+    p = (F.col("c_bg") + 1).cast("double") / (
+        F.col("c_w1") + F.col("vocab")
+    ).cast("double")
+    return (
+        bg.join(F.broadcast(bgc), "bg")
+        .join(
+            F.broadcast(ctx),
+            F.substring_index(F.col("bg"), " ", 1) == F.col("w1"),
+        )
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum(p.cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_prob"),
+        )
+    )
+
+
+_Z_EPOCH = "1992-01-01"
+_Z_BITS = 16
+_Z_BUCKET_SHIFT = 2 * _Z_BITS - 6  # top 6 bits -> 64 layout buckets
+
+
+def _zvalue_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@declared(
+    "layout_zorder_stats",
+    oracle=f"""
+    WITH pts AS (
+      SELECT CAST(o_custkey AS BIGINT) AS x,
+             CAST(date_diff('day', DATE '{_Z_EPOCH}',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+      FROM orders
+    ), bounds AS (
+      SELECT MIN(x) AS x0, GREATEST(MAX(x) - MIN(x), 1) AS xs,
+             MIN(y) AS y0, GREATEST(MAX(y) - MIN(y), 1) AS ys
+      FROM pts
+    ), norm AS (
+      SELECT ((x - x0) * 65535) // xs AS xn,
+             ((y - y0) * 65535) // ys AS yn,
+             x, y
+      FROM pts CROSS JOIN bounds
+    ), z AS (
+      SELECT x, y,
+             {_zvalue_sql("xn", "yn")} >> {_Z_BUCKET_SHIFT} AS bucket
+      FROM norm
+    )
+    SELECT bucket, COUNT(*) AS n,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           MIN(y) AS min_y, MAX(y) AS max_y
+    FROM z GROUP BY bucket
+    """,
+    doc="Z-order (Morton) layout assignment + per-bucket clustering stats — "
+    "the data-layout operator behind multi-dimensional file skipping "
+    "(Delta/Iceberg OPTIMIZE ZORDER): range-normalize two scan dimensions "
+    "(customer key, order date) to 16 bits off a global min/max pass "
+    "(what OPTIMIZE's range sampling does, exact integer arithmetic "
+    "here), interleave their bits into one locality-preserving key, "
+    "bucket by its top 6 bits (64 target files), and report each "
+    "bucket's per-dimension min/max — exactly the footer stats a reader "
+    "would prune on. Tight per-bucket ranges on BOTH dimensions at once "
+    "are the whole point (a 1-D sort gives tight ranges on one dimension "
+    "and full-width ranges on the other). Pure integer bit arithmetic "
+    "inside whole-stage codegen; at 100 TB this is the shuffle-once "
+    "repartitionByRange(zvalue) write layout, and the stats double as "
+    "the pruning-effectiveness audit.",
+)
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    x = F.col("o_custkey").cast("bigint")
+    y = F.datediff(
+        F.to_date("o_orderdate"), F.lit(_Z_EPOCH).cast("date")
+    ).cast("bigint")
+    pts = o.select(x.alias("x"), y.alias("y"))
+    bounds = pts.agg(
+        F.min("x").alias("x0"),
+        F.greatest(F.max("x") - F.min("x"), F.lit(1)).alias("xs"),
+        F.min("y").alias("y0"),
+        F.greatest(F.max("y") - F.min("y"), F.lit(1)).alias("ys"),
+    )
+    norm = pts.crossJoin(F.broadcast(bounds)).select(
+        "x",
+        "y",
+        F.expr("(x - x0) * 65535 div xs").alias("xn"),
+        F.expr("(y - y0) * 65535 div ys").alias("yn"),
+    )
+    zval = F.lit(0).cast("bigint")
+    for i in range(_Z_BITS):
+        zval = zval + F.shiftleft(
+            F.shiftright(F.col("xn"), i).bitwiseAND(F.lit(1)), 2 * i
+        ) + F.shiftleft(
+            F.shiftright(F.col("yn"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return (
+        norm.withColumn("bucket", F.shiftright(zval, _Z_BUCKET_SHIFT))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )
+
+
+def _binwords_sql(v: str, dim: int = 64) -> str:
+    """DuckDB mirror of operators/similarity.binarize_words: 32 bits per
+    BIGINT word, bit r of word w set iff component w*32+r > 0."""
+    words = []
+    for w in range(-(-dim // SIM.BINARY_WORD_BITS)):
+        bits = min(SIM.BINARY_WORD_BITS, dim - w * SIM.BINARY_WORD_BITS)
+        words.append(
+            "list_sum(list_transform(range(0, "
+            f"{bits}), r -> CASE WHEN {v}[{w * SIM.BINARY_WORD_BITS} + r + 1] "
+            "> 0 THEN (CAST(1 AS BIGINT) << r) ELSE CAST(0 AS BIGINT) END))"
+        )
+    return "[" + ", ".join(words) + "]"
+
+
+@declared(
+    "ann_hamming_binary_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, {_binwords_sql("v")} AS w FROM e
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             CAST(bit_count(xor(q.w[1], c.w[1]))
+                  + bit_count(xor(q.w[2], c.w[2])) AS INT) AS hamming
+      FROM b q JOIN b c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, cand_id, hamming, CAST(rank AS INT) AS rank FROM (
+      SELECT query_id, cand_id, hamming,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY hamming, cand_id) AS rank
+      FROM pairs
+    ) WHERE rank <= 5
+    """,
+    doc="Binary-quantized ANN top-5: sign-binarize embeddings to 1 bit/dim "
+    "(32x smaller than float32 — the retrieval-compression workhorse) and "
+    "rank by Hamming distance, computed as XOR + popcount over two "
+    "32-bit-packed BIGINT words entirely inside whole-stage codegen — no "
+    "floats, no Python. Sign-random-projection theory makes Hamming a "
+    "monotone estimator of angular distance, so the ordering approximates "
+    "cosine top-k at a fraction of the cost; rerank survivors with exact "
+    "cosine downstream when score fidelity matters (the ivf_pq_refine "
+    "pattern). Scale shape: candidates binarize in a narrow projection of "
+    "ONE scan, the 10-query side broadcasts, and the only exchange is the "
+    "per-query top-k window (WindowGroupLimit prunes map-side).",
+)
+def ann_hamming_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.hamming_binary_topk(
+        e.filter(F.col("vec_id") < 10), e, k=5, dim=64
+    )

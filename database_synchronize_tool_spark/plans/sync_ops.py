@@ -796,3 +796,57 @@ def j8_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         broadcast_source=True,
         collapse=False,  # the three branches are key-disjoint by construction
     )
+
+
+@declared(
+    "j9_cdc_changelog_compaction",
+    oracle="""
+    SELECT user_id,
+           ts AS last_ts,
+           event_id AS last_event_id,
+           event_type AS last_event_type,
+           value AS last_value
+    FROM (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="J9 CDC changelog compaction (engine extension): replaying the "
+    "reference's upsert loop (sync_utils.py:174-193) over a full change "
+    "history converges to max-version-wins per key — this operator "
+    "computes that fixed point in ONE pass instead of N upsert cycles. "
+    "events is read as a changelog keyed by user_id, ordered by "
+    "(ts, event_id) (the tiebreak makes the winner deterministic), with "
+    "'error' events acting as delete tombstones: a key whose newest entry "
+    "is a tombstone disappears from the compacted state entirely. Scale "
+    "shape: a single window over one shuffle on the key, no join — "
+    "compaction pipelines into downstream reads; a key-bucketed CDC "
+    "landing zone removes even that exchange.",
+)
+def j9_cdc_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.operators.merge import changelog_compact
+
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    state = changelog_compact(
+        log, keys=["user_id"], order_by=["ts", "event_id"], op_col="op"
+    )
+    return state.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )

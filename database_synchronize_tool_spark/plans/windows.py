@@ -408,3 +408,114 @@ def t11_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(joined, "t11_stream_stream_tbl", output_mode="append")
     return spark.table("t11_stream_stream_tbl")
+
+
+@declared(
+    "ts_gap_fill_interpolate",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, day, value FROM (
+        SELECT user_id, CAST(ts AS DATE) AS day, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+            FROM obs GROUP BY user_id)
+    ), j AS (
+      SELECT s.user_id, s.day, o.value
+      FROM spine s LEFT JOIN obs o USING (user_id, day)
+    ), f AS (
+      SELECT user_id, day, value,
+        LAST_VALUE(value IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        LAST_VALUE(CASE WHEN value IS NOT NULL THEN day END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        FIRST_VALUE(value IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        FIRST_VALUE(CASE WHEN value IS NOT NULL THEN day END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j
+    )
+    SELECT user_id, day,
+           CASE WHEN value IS NOT NULL THEN value
+                ELSE pv + (nv - pv) *
+                     (CAST(date_diff('day', pd, day) AS DOUBLE)
+                      / CAST(date_diff('day', pd, nd) AS DOUBLE)) END
+             AS value_filled,
+           value IS NOT NULL AS observed
+    FROM f
+    """,
+    doc="Time-series regularization: resample each user's event stream onto "
+    "a daily spine ([first obs day, last obs day] per user, generated with "
+    "sequence+explode — no driver loop) and linearly interpolate the gaps "
+    "between observed days. The per-day observation is the LAST event of "
+    "the day ((ts, event_id)-deterministic); interior gaps interpolate as "
+    "prev + (next-prev)*(gap_pos/gap_len) with both engines evaluating the "
+    "identical IEEE association. The spine endpoints are observed days, so "
+    "prev/next always exist for every gap row. Scale shape: one shuffle on "
+    "user_id shared by the per-key min/max aggregate and both "
+    "ignorenulls-window passes (forward fill + backward fill) — the "
+    "standard distributed gap-fill plan; the spine explode is a narrow "
+    "per-key generator, never a driver-side calendar table.",
+)
+def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    w_day = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    obs = (
+        daily.withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    spine = (
+        obs.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    j = spine.join(obs, ["user_id", "day"], "left")
+    w_fwd = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_bwd = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_day = F.when(F.col("value").isNotNull(), F.col("day"))
+    f = j.select(
+        "user_id",
+        "day",
+        "value",
+        F.last("value", ignorenulls=True).over(w_fwd).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(w_fwd).alias("pd"),
+        F.first("value", ignorenulls=True).over(w_bwd).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(w_bwd).alias("nd"),
+    )
+    frac = F.datediff(F.col("day"), F.col("pd")).cast("double") / F.datediff(
+        F.col("nd"), F.col("pd")
+    ).cast("double")
+    return f.select(
+        "user_id",
+        "day",
+        F.when(F.col("value").isNotNull(), F.col("value"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+        .alias("value_filled"),
+        F.col("value").isNotNull().alias("observed"),
+    )

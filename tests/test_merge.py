@@ -159,3 +159,78 @@ def test_merge_upsert_materialized_source_same_result(spark):
         for r in merge_upsert(t, s, ["k"], materialize_source=True).collect()
     )
     assert plain == mat == [(1, "t"), (2, "s"), (3, "s")]
+
+
+# --- changelog compaction (J9) ----------------------------------------------
+
+
+def _mk_changelog(spark):
+    rows = [
+        # key 1: U then U -> latest value wins
+        (1, 10, "U", 100.0),
+        (1, 20, "U", 200.0),
+        # key 2: U then D -> key disappears
+        (2, 10, "U", 50.0),
+        (2, 30, "D", 0.0),
+        # key 3: D then U -> resurrection, key survives with latest
+        (3, 10, "D", 0.0),
+        (3, 40, "U", 75.0),
+        # key 4: ts tie broken by seq (seq 2 wins)
+        (4, 50, "U", 1.0),
+        (4, 50, "U", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k INT, ts INT, op STRING, v DOUBLE")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        "seq", F.row_number().over(Window.orderBy("k", "ts", "v"))
+    )
+
+
+def test_changelog_compact_latest_wins_and_tombstones(spark):
+    from database_synchronize_tool_spark.operators.merge import changelog_compact
+
+    log = _mk_changelog(spark)
+    out = changelog_compact(
+        log, keys=["k"], order_by=["ts", "seq"], op_col="op"
+    )
+    got = {r["k"]: (r["v"], r["op"]) for r in out.collect()}
+    assert got[1] == (200.0, "U")  # latest update wins
+    assert 2 not in got  # newest entry is a tombstone -> key gone
+    assert got[3] == (75.0, "U")  # delete then re-insert survives
+    assert got[4] == (2.0, "U")  # ts tie broken by seq
+
+
+def test_changelog_compact_no_op_col_keeps_all_latest(spark):
+    from database_synchronize_tool_spark.operators.merge import changelog_compact
+
+    log = _mk_changelog(spark)
+    out = changelog_compact(log, keys=["k"], order_by=["ts", "seq"])
+    assert sorted(r["k"] for r in out.collect()) == [1, 2, 3, 4]
+
+
+def test_changelog_compact_equals_replayed_upserts(spark):
+    """Replaying the history through merge_upsert (the reference's loop)
+    converges to exactly what one-pass compaction computes."""
+    from database_synchronize_tool_spark.operators.merge import (
+        changelog_compact,
+        merge_upsert,
+    )
+
+    log = _mk_changelog(spark).filter("op <> 'D'").cache()
+    batches = sorted(
+        {(r["ts"]) for r in log.select("ts").distinct().collect()}
+    )
+    state = log.filter("1=0").select("k", "ts", "op", "v", "seq")
+    for ts in batches:
+        batch = log.filter(f"ts = {ts}")
+        state = merge_upsert(state, batch, keys=["k"], order_col="seq")
+    replayed = {r["k"]: r["v"] for r in state.collect()}
+    compacted = {
+        r["k"]: r["v"]
+        for r in changelog_compact(
+            log, keys=["k"], order_by=["ts", "seq"]
+        ).collect()
+    }
+    assert replayed == compacted

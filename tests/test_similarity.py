@@ -638,3 +638,92 @@ def test_ivf_assign_cells_returns_table_cell_ids_not_positions(spark, sf_dir):
     # a positional/real-id mismatch)
     res = SIM.ivf_residuals(e.filter(F.col("vec_id") < 50), sparse)
     assert res.count() == 50
+
+
+# --- binary (sign) quantization + Hamming top-k -------------------------------
+
+
+def test_binarize_words_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from database_synchronize_tool_spark.operators.similarity import (
+        BINARY_WORD_BITS,
+        binarize_words,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = (rng.standard_normal((20, 64)) * 2).round(3)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    got = {
+        r["vec_id"]: r["w"]
+        for r in df.select(
+            "vec_id", binarize_words(F.col("embedding"), 64).alias("w")
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        expect = []
+        for w in range(2):
+            word = 0
+            for r in range(BINARY_WORD_BITS):
+                if v[w * BINARY_WORD_BITS + r] > 0:
+                    word |= 1 << r
+            expect.append(word)
+        assert got[i] == expect
+
+
+def test_hamming_binary_topk_matches_exact_python(spark):
+    import numpy as np
+
+    from database_synchronize_tool_spark.operators.similarity import (
+        hamming_binary_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((30, 64))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    out = hamming_binary_topk(
+        df.filter("vec_id < 3"), df, k=4, dim=64
+    ).collect()
+
+    bits = (vecs > 0).astype(int)
+
+    def ham(a, b):
+        return int(np.sum(bits[a] != bits[b]))
+
+    for q in range(3):
+        expect = sorted(
+            ((ham(q, c), c) for c in range(30) if c != q)
+        )[:4]
+        got = sorted(
+            (r["hamming"], r["cand_id"]) for r in out if r["query_id"] == q
+        )
+        assert got == expect
+
+
+def test_hamming_topk_plan_broadcasts_queries(spark):
+    """The query side must broadcast (BroadcastNestedLoopJoin), and the only
+    exchange in the plan is the top-k window's."""
+    import numpy as np
+
+    from database_synchronize_tool_spark.operators.similarity import (
+        hamming_binary_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((50, 64))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    plan = hamming_binary_topk(
+        df.filter("vec_id < 2"), df, k=3, dim=64
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange") <= 2  # window shuffle (+AQE reuse), no more

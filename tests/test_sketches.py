@@ -46,3 +46,68 @@ def test_approx_percentile_within_rank_bound(spark, sf_dir):
         assert r["lo"] <= r["sketch"] <= r["hi"], (
             f"{r['o_orderstatus']}: {r['sketch']} outside [{r['lo']}, {r['hi']}]"
         )
+
+
+# --- Misra-Gries heavy hitters ------------------------------------------------
+
+
+def test_misra_gries_recall_guarantee_across_partitions(spark):
+    """Every item with global frequency >= 1/den survives candidate
+    generation when capacity >= den — even with hostile partitioning."""
+    from pyspark.sql import functions as F
+
+    from database_synchronize_tool_spark.operators.sketches import (
+        misra_gries_candidates,
+    )
+
+    # 'hot' is ~10% of the stream, drowned in 900 distinct cold keys,
+    # spread over 8 partitions.
+    rows = [("hot",)] * 100 + [(f"cold{i}",) for i in range(900)]
+    df = spark.createDataFrame(rows, "term STRING").repartition(8)
+    cands = {
+        r["term"] for r in misra_gries_candidates(df, "term", 20).collect()
+    }
+    assert "hot" in cands  # freq 0.1 > 1/(20+1): guaranteed present
+
+
+def test_heavy_hitters_exact_matches_plain_groupby(spark):
+    from pyspark.sql import functions as F
+
+    from database_synchronize_tool_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    rows = (
+        [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 15 + [("d",)] * 5
+    )  # N=100
+    df = spark.createDataFrame(rows, "term STRING").repartition(4)
+    got = {
+        (r["term"], r["cnt"], r["n_total"])
+        for r in heavy_hitters_exact(df, "term", den=5).collect()
+    }
+    # threshold: cnt*5 >= 100  =>  cnt >= 20  =>  a and b only
+    assert got == {("a", 50, 100), ("b", 30, 100)}
+
+
+def test_heavy_hitters_capacity_below_den_raises(spark):
+    import pytest as _pytest
+
+    from database_synchronize_tool_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    df = spark.createDataFrame([("x",)], "term STRING")
+    with _pytest.raises(ValueError, match="recall guarantee"):
+        heavy_hitters_exact(df, "term", den=10, capacity=5)
+
+
+def test_misra_gries_nulls_ignored(spark):
+    from database_synchronize_tool_spark.operators.sketches import (
+        misra_gries_candidates,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), (None,)], "term STRING"
+    )
+    cands = {r["term"] for r in misra_gries_candidates(df, "term", 4).collect()}
+    assert cands == {"a"}
