@@ -1,0 +1,324 @@
+"""Event-behavior analytics and curation layout queries (round 8).
+
+Product-analytics shapes a sync'd events table feeds downstream — funnels,
+retention cohorts, time-range rolling features, mergeable exact distinct
+rollups — plus a per-source corpus cap. The reference ships the events data
+path (db-sync-gcp syncs an append-only event log); these are the queries a
+warehouse consumer runs on top of it, re-expressed Spark-first.
+
+Scale notes (100 TB):
+- The funnel and cohort queries reduce events to one row per user (or per
+  user x week) with a single hash aggregate before any join — the shuffled
+  key is ``user_id``, never the raw event stream.
+- The rolling-feature window partitions by ``user_id``; no global window
+  (WindowExec "no partition" single-partition collapse) anywhere.
+- ``bitmap_rollup_distinct`` is the mergeable-sketch pattern for exact
+  COUNT(DISTINCT) maintenance: daily (type, bucket) bitmaps OR-merge to the
+  type level, so a new day's partition updates the rollup without rescanning
+  history — the same partial-merge shape HLL sketches give approximately,
+  but exact.
+- ``curation_source_cap`` ranks within each source partition only (hash
+  partition by source, no global sort); skewed mega-sources are the known
+  hazard and the cap itself bounds the output, while the rank window is
+  per-source and AQE splits skewed partitions.
+
+Determinism: integer day arithmetic for cohorts; DECIMAL sums before any
+double division; md5-hex ranking (identical in Spark and DuckDB); strict
+``>`` timestamp comparisons on microsecond-resolution data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from database_synchronize_tool_spark.catalog import load_table
+from database_synchronize_tool_spark.plans.registry import declared
+
+_FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+@declared(
+    "events_funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    ), stages AS (
+      SELECT
+        (t_signup IS NOT NULL) AS r1,
+        (t_signup IS NOT NULL AND t_view > t_signup) AS r2,
+        (t_signup IS NOT NULL AND t_view > t_signup AND t_click > t_view) AS r3,
+        (t_signup IS NOT NULL AND t_view > t_signup AND t_click > t_view
+         AND t_purchase > t_click) AS r4
+      FROM per_user
+    )
+    SELECT 1 AS step, 'signup' AS step_name,
+           CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS users FROM stages
+    UNION ALL
+    SELECT 2, 'view', CAST(SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) FROM stages
+    UNION ALL
+    SELECT 3, 'click', CAST(SUM(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) FROM stages
+    UNION ALL
+    SELECT 4, 'purchase', CAST(SUM(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT) FROM stages
+    """,
+    doc="Strict-sequence conversion funnel signup -> view -> click -> "
+    "purchase: a user reaches step k only if the first occurrence of step "
+    "k's event is strictly after the first occurrence of step k-1's. One "
+    "hash aggregate to a per-user row (min-ts per step via conditional "
+    "MIN), then a 4-row rollup — the event stream is shuffled once, keyed "
+    "by user_id. Strict `>` on microsecond timestamps is tie-safe on this "
+    "data and identical in both engines.",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+            for s in _FUNNEL_STEPS
+        ]
+    )
+    reached = [F.col("t_signup").isNotNull()]
+    for prev, cur in zip(_FUNNEL_STEPS, _FUNNEL_STEPS[1:]):
+        reached.append(reached[-1] & (F.col(f"t_{cur}") > F.col(f"t_{prev}")))
+    stages = per_user.select(
+        *[r.alias(f"r{i+1}") for i, r in enumerate(reached)]
+    )
+    counts = stages.agg(
+        *[
+            F.sum(F.when(F.col(f"r{i+1}"), 1).otherwise(0))
+            .cast("long")
+            .alias(f"u{i+1}")
+            for i in range(len(_FUNNEL_STEPS))
+        ]
+    )
+    # 4-row unpivot of a single aggregated row: stack() is driver-free.
+    return counts.selectExpr(
+        "stack(4, 1, 'signup', u1, 2, 'view', u2, 3, 'click', u3, "
+        "4, 'purchase', u4) AS (step, step_name, users)"
+    )
+
+
+@declared(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_diff('day', DATE '2024-01-01',
+                            CAST(MIN(ts) AS DATE)) // 7 AS INTEGER) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('day', DATE '2024-01-01',
+                            CAST(e.ts AS DATE)) // 7 AS INTEGER)
+               - f.cohort_week AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+    doc="Weekly retention cohorts: cohort = integer week (7-day buckets "
+    "anchored at 2024-01-01) of each user's first event; for every later "
+    "event, the week offset from that cohort. Counts distinct users per "
+    "(cohort, offset) cell. All-integer day arithmetic (datediff / 7 with "
+    "truncating integer division on non-negative values) — no engine "
+    "week-truncation semantics involved. Shuffles are keyed by user_id "
+    "(first-event agg + the join back) then by the small (cohort, offset) "
+    "pair; at 100 TB the firsts side is one row per user and the join is "
+    "a plain shuffled hash join on the same user_id partitioning Spark "
+    "reuses from the aggregate.",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    week = lambda c: F.floor(F.datediff(c, F.lit("2024-01-01")) / 7).cast("int")  # noqa: E731
+    firsts = e.groupBy("user_id").agg(
+        week(F.min("ts").cast("date")).alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (week(F.col("ts").cast("date")) - F.col("cohort_week")).alias(
+                "week_offset"
+            ),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").cast("long").alias("active_users")
+    )
+
+
+@declared(
+    "ts_rolling_features",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, value, epoch(ts) AS sec FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+    FROM t
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600.0 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Per-user rolling 1-hour features (event count + value sum) via a "
+    "RANGE window over fractional epoch seconds — the value-based frame "
+    "Spark and DuckDB define identically, with microsecond-exact doubles "
+    "(< 2^53) so there are no truncation ties. The window partitions by "
+    "user_id: state per partition is one user's hour of events, never a "
+    "global sort. The windowed sum goes through DECIMAL so frame "
+    "accumulation order can't flap the double.",
+)
+def ts_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("ts").cast("timestamp").cast("double").alias("sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("long").alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+        .cast("double")
+        .alias("sum_1h"),
+    )
+
+
+@declared(
+    "bitmap_rollup_distinct",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact COUNT(DISTINCT) by mergeable bitmaps: per (event_type, day, "
+    "bucket) partial bitmaps (bitmap_construct_agg over "
+    "bitmap_bit_position), OR-merged across days per (type, bucket), then "
+    "summed bitmap_count per type. The oracle recomputes the plain exact "
+    "distinct — values must match exactly. This is the incremental-"
+    "maintenance shape for distinct counts at 100 TB: a new day's "
+    "partition contributes new partial bitmaps that OR into the rollup "
+    "without rescanning history, and the shuffled payload is fixed-size "
+    "bitmap bytes per (type, day, bucket), not the distinct keys "
+    "themselves.",
+)
+def bitmap_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm")
+    )
+    return merged.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("distinct_users")
+    )
+
+
+@declared(
+    "outlier_mad_orders",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS m
+      FROM orders GROUP BY o_orderpriority
+    ), dev AS (
+      SELECT o.o_orderpriority,
+             quantile_cont(abs(o.o_totalprice - med.m), 0.5) AS mad
+      FROM orders o JOIN med ON o.o_orderpriority = med.o_orderpriority
+      GROUP BY o.o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN abs(0.6745 * (o.o_totalprice - med.m) / dev.mad)
+                              > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM orders o
+    JOIN med ON o.o_orderpriority = med.o_orderpriority
+    JOIN dev ON o.o_orderpriority = dev.o_orderpriority
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Robust outlier detection per order priority: modified z-score "
+    "0.6745*(x - median)/MAD with the classic 3.5 cutoff. Two broadcast-"
+    "joined scalar-per-group stats passes (median, then MAD) and a final "
+    "aggregate — the stats side is 5 rows, so both joins broadcast and "
+    "the orders fact is never shuffled by the stats. The double "
+    "expression is written with identical association in both engines "
+    "(single multiply, single subtract, single divide), so the cutoff "
+    "comparison sees bit-identical values.",
+)
+def outlier_mad_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("m")
+    )
+    dev = (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(abs(o_totalprice - m), 0.5)").alias("mad")
+        )
+    )
+    z = F.abs(
+        F.lit(0.6745) * (F.col("o_totalprice") - F.col("m")) / F.col("mad")
+    )
+    return (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .join(F.broadcast(dev), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.when(z > 3.5, 1).otherwise(0)).cast("long").alias("n_outliers"),
+        )
+    )
+
+
+@declared(
+    "curation_source_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 10
+    """,
+    doc="Per-source document cap (RefinedWeb/C4-style host capping): keep "
+    "at most K=10 docs per source, selected by a deterministic md5 "
+    "shuffle order (identical hex in Spark and DuckDB) with doc_id as "
+    "the unique tiebreak. The rank window partitions by source — no "
+    "global sort — and the cap bounds each partition's output; at 100 TB "
+    "a mega-source is one skewed window partition, which AQE splits, and "
+    "the K rows survive regardless of source size.",
+)
+def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 10)
+    )

@@ -53,6 +53,7 @@ def _load_all() -> None:
     # Import side effects populate the registry.
     from database_synchronize_tool_spark.plans import (  # noqa: F401
         analytics,
+        behavior,
         extensions,
         sync_ops,
         windows,

@@ -1,0 +1,137 @@
+"""Unit + plan-shape tests for plans/behavior.py (round 8).
+
+Value correctness is driver/oracle territory (all six queries are
+oracle-paired); these tests pin the semantics edges the oracle can't see
+(strict-sequence funnel ordering, tombstone-free bitmap merge equivalence,
+cap determinism) and the plan shapes the 100 TB story depends on
+(partitioned windows, broadcast stat joins, no global sort).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from database_synchronize_tool_spark.plans.registry import all_queries
+from tests.test_plan_shapes import plan_of
+
+
+def _ts(day, h=0, m=0):
+    return dt.datetime(2024, 1, day, h, m)
+
+
+def test_funnel_requires_strict_order(spark):
+    # user 1 completes the funnel in order; user 2 has every event but
+    # clicked BEFORE viewing -> reaches only step 2; user 3 never signed up.
+    rows = [
+        Row(user_id=1, event_type="signup", ts=_ts(1)),
+        Row(user_id=1, event_type="view", ts=_ts(2)),
+        Row(user_id=1, event_type="click", ts=_ts(3)),
+        Row(user_id=1, event_type="purchase", ts=_ts(4)),
+        Row(user_id=2, event_type="signup", ts=_ts(1)),
+        Row(user_id=2, event_type="click", ts=_ts(2)),
+        Row(user_id=2, event_type="view", ts=_ts(3)),
+        Row(user_id=2, event_type="purchase", ts=_ts(4)),
+        Row(user_id=3, event_type="view", ts=_ts(1)),
+        Row(user_id=3, event_type="purchase", ts=_ts(2)),
+    ]
+    df = spark.createDataFrame(rows)
+    df.createOrReplaceTempView("events")
+
+    from database_synchronize_tool_spark.plans import behavior
+
+    steps = {s: None for s in behavior._FUNNEL_STEPS}
+    per_user = df.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+            for s in steps
+        ]
+    )
+    # replicate the builder's reach chain on the tiny frame
+    reached = [F.col("t_signup").isNotNull()]
+    names = list(steps)
+    for prev, cur in zip(names, names[1:]):
+        reached.append(reached[-1] & (F.col(f"t_{cur}") > F.col(f"t_{prev}")))
+    got = per_user.select(
+        "user_id", *[r.alias(f"r{i+1}") for i, r in enumerate(reached)]
+    ).collect()
+    by_user = {r.user_id: (r.r1, r.r2, r.r3, r.r4) for r in got}
+    assert by_user[1] == (True, True, True, True)
+    # first click (day 2) precedes first view (day 3): chain breaks at step 3
+    assert by_user[2] == (True, True, False, False)
+    assert by_user[3][0] is False
+
+
+def test_rolling_features_window_is_partitioned(spark, sf_dir):
+    # the 1-hour RANGE window must partition by user_id — a global window
+    # (WindowExec "no partition defined") single-partitions 100 TB of events
+    plan = plan_of(spark, sf_dir, "ts_rolling_features")
+    assert "Window" in plan
+    window_lines = [l for l in plan.splitlines() if "PartitionSpecification" in l or "windowspecdefinition" in l.lower()]
+    assert any("user_id" in l for l in window_lines), window_lines
+
+
+def test_outlier_mad_broadcasts_stats(spark, sf_dir):
+    # both per-group stats (5 rows each) broadcast — the orders fact must
+    # not be shuffled by the stats joins
+    plan = plan_of(spark, sf_dir, "outlier_mad_orders")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_source_cap_no_global_sort(spark, sf_dir):
+    # rank window partitions by source; a global Sort (no partition) would
+    # be the scale bug
+    plan = plan_of(spark, sf_dir, "curation_source_cap")
+    assert "row_number" in plan
+    assert any(
+        "source" in l
+        for l in plan.splitlines()
+        if "windowspecdefinition" in l.lower() or "PartitionSpecification" in l
+    )
+
+
+def test_bitmap_rollup_matches_exact_distinct(spark, sf_dir):
+    # bitmap OR-merge across days must reproduce plain COUNT(DISTINCT)
+    q = all_queries()["bitmap_rollup_distinct"]
+    got = {r.event_type: r.distinct_users for r in q.builder(spark, sf_dir).collect()}
+    from database_synchronize_tool_spark.catalog import load_table
+
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exact
+
+
+def test_curation_cap_is_deterministic_and_bounded(spark, sf_dir):
+    q = all_queries()["curation_source_cap"]
+    a = sorted(map(tuple, q.builder(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q.builder(spark, sf_dir).collect()))
+    assert a == b  # md5 order is run-stable
+    per_source = {}
+    for source, _doc, rk in a:
+        per_source[source] = max(per_source.get(source, 0), rk)
+        assert rk <= 10
+    assert all(v <= 10 for v in per_source.values())
+
+
+def test_retention_cohort_week_arithmetic(spark):
+    # a user first seen on day 8 (week 1) active on day 16 (week 2)
+    # lands in cohort 1 offset 1 — integer day arithmetic, no ISO-week
+    rows = [
+        Row(user_id=9, event_type="view", ts=_ts(9)),   # day idx 8 -> week 1
+        Row(user_id=9, event_type="view", ts=_ts(17)),  # day idx 16 -> week 2
+    ]
+    df = spark.createDataFrame(rows)
+    week = F.floor(F.datediff(F.col("d"), F.lit("2024-01-01")) / 7).cast("int")
+    got = (
+        df.select(F.col("ts").cast("date").alias("d"))
+        .select(week.alias("w"))
+        .collect()
+    )
+    assert sorted(r.w for r in got) == [1, 2]
