@@ -1691,3 +1691,140 @@ def q20_potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(
         F.broadcast(qualifying), s.s_suppkey == qualifying.l_suppkey, "left_semi"
     ).select("s_name", "s_acctbal")
+
+
+@declared(
+    "stats_grouped_ols_trend",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 AS BIGINT)) AS sx,
+             SUM(CAST(value AS DECIMAL(18,6))) AS sy,
+             SUM(CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 AS BIGINT) * CAST(value AS DECIMAL(18,6))) AS sxy,
+             SUM(CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 AS BIGINT) * CAST(date_diff('day', DATE '2024-01-01',
+                 CAST(ts AS DATE)) AS BIGINT)) AS sxx
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE) AS slope
+    FROM s
+    """,
+    doc="Grouped OLS trend (closed-form least squares): per event_type, the "
+    "slope of value over days-since-2024-01-01 via the single-pass "
+    "sufficient statistics (n, Sx, Sy, Sxy, Sxx) — the map-side-combinable "
+    "form that replaces any iterative fit at 100 TB (one aggregate, no "
+    "second pass, mergeable partials). Every sum is integer or DECIMAL "
+    "(order-exact); only the final slope division happens in doubles, with "
+    "identical association on both engines. Spark's built-in regr_slope "
+    "would sum doubles in partition order and flap the hash — this is the "
+    "deterministic equivalent.",
+)
+def stats_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    x = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01")).cast("long")
+    y = F.col("value").cast("decimal(18,6)")
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (num / den).cast("double").alias("slope"),
+    )
+
+
+@declared(
+    "stats_pearson_exact",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS DOUBLE)
+             AS pearson_r
+    FROM s
+    """,
+    doc="Exact Pearson correlation (quantity vs extended price per return "
+    "flag) from DECIMAL sufficient statistics — same single-pass mergeable "
+    "shape as the OLS trend. The only floating-point steps are two sqrt "
+    "calls (IEEE 754 requires sqrt correctly rounded, so both engines "
+    "agree bit-for-bit), one multiply, one divide, written with identical "
+    "association. Spark's corr() sums doubles in partition order — "
+    "nondeterministic at the hash level; this is the order-exact form.",
+)
+def stats_pearson_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    deny = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        (num / (denx * deny)).cast("double").alias("pearson_r"),
+    )
+
+
+@declared(
+    "agg_argmax_showcase",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) * 10000000000
+                               + o_orderkey) AS max_price_orderkey,
+           arg_min(o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) * 10000000000
+                               + o_orderkey) AS min_price_orderkey,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Argmax/argmin without a sort or window: max_by/min_by (DuckDB "
+    "arg_max/arg_min) per priority — one hash aggregate with map-side "
+    "partials, the way to fetch the extreme row's payload at 100 TB "
+    "(a rank-1 window would shuffle AND sort every partition). Prices tie "
+    "across orders, and both engines break ties arbitrarily — so the "
+    "ordering value is the DECIMAL pack price*1e10 + orderkey, which is "
+    "collision-free and makes the winner unique and portable.",
+)
+def agg_argmax_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pack = F.col("o_totalprice").cast("decimal(18,2)") * F.lit(10000000000).cast(
+        "decimal(18,0)"
+    ) + F.col("o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", pack).alias("max_price_orderkey"),
+        F.min_by("o_orderkey", pack).alias("min_price_orderkey"),
+        F.max(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("max_price"),
+    )

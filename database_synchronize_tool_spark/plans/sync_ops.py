@@ -324,6 +324,73 @@ def j7_sync_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "j10_merkle_range_diff",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DECIMAL(18,2))
+               + CASE WHEN o_orderkey % 9973 = 0 THEN CAST(1.00 AS DECIMAL(18,2))
+                      ELSE CAST(0.00 AS DECIMAL(18,2)) END AS price,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 7417 <> 0
+    ), s AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             o_orderstatus
+      FROM orders
+    ), th AS (
+      SELECT CAST(o_orderkey // 4096 AS BIGINT) AS bucket,
+             COUNT(*) AS target_rows,
+             bit_xor(CAST('0x' || substr(md5(concat_ws('|',
+               CAST(o_orderkey AS VARCHAR), CAST(price AS VARCHAR),
+               o_orderstatus)), 1, 15) AS BIGINT)) AS target_digest
+      FROM t GROUP BY 1
+    ), sh AS (
+      SELECT CAST(o_orderkey // 4096 AS BIGINT) AS bucket,
+             COUNT(*) AS source_rows,
+             bit_xor(CAST('0x' || substr(md5(concat_ws('|',
+               CAST(o_orderkey AS VARCHAR), CAST(price AS VARCHAR),
+               o_orderstatus)), 1, 15) AS BIGINT)) AS source_digest
+      FROM s GROUP BY 1
+    )
+    SELECT COALESCE(th.bucket, sh.bucket) AS bucket,
+           target_rows, target_digest, source_rows, source_digest
+    FROM th FULL OUTER JOIN sh ON th.bucket = sh.bucket
+    WHERE target_rows IS DISTINCT FROM source_rows
+       OR target_digest IS DISTINCT FROM source_digest
+    """,
+    doc="Anti-entropy range reconciliation (merkle buckets): both replicas "
+    "reduce to #buckets rows (count + order-insensitive bit_xor of 60-bit "
+    "md5 row fingerprints, map-side combined), and only DIVERGING buckets "
+    "emerge — the 100 TB way to find WHERE two tables drifted without "
+    "shuffling either one. The mutation plants a rare price bump "
+    "(key % 9973) and rare deletes (key % 7417); the row-level j7 diff "
+    "then needs to scan only the flagged ranges. Fingerprints render "
+    "through DECIMAL(18,2) so both engines hash identical canonical "
+    "strings; the 60-bit hex prefix parses identically via Spark conv() "
+    "and DuckDB CAST('0x...').",
+)
+def j10_merkle_range_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.operators.diff import merkle_bucket_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    target = orders.filter(F.col("o_orderkey") % 7417 != 0).select(
+        "o_orderkey",
+        (
+            price
+            + F.when(F.col("o_orderkey") % 9973 == 0, F.lit("1.00")).otherwise(
+                F.lit("0.00")
+            ).cast("decimal(18,2)")
+        ).alias("price"),
+        "o_orderstatus",
+    )
+    source = orders.select("o_orderkey", price.alias("price"), "o_orderstatus")
+    return merkle_bucket_diff(
+        target, source, "o_orderkey", ["o_orderkey", "price", "o_orderstatus"]
+    )
+
+
+@declared(
     "j4_dedup_full_row",
     oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     doc="J4 no-PK degenerate merge key: all columns form the key => full-row "

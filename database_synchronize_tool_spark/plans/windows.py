@@ -519,3 +519,48 @@ def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_filled"),
         F.col("value").isNotNull().alias("observed"),
     )
+
+
+@declared(
+    "t12_stream_changelog_compact",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id,
+             arg_max(event_id, CAST(epoch_us(ts) AS HUGEINT) * 10000000
+                               + event_id) AS event_id,
+             arg_max(event_type, CAST(epoch_us(ts) AS HUGEINT) * 10000000
+                               + event_id) AS event_type,
+             COUNT(*) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, event_id, event_type, CAST(n_events AS BIGINT) AS n_events
+    FROM latest
+    """,
+    doc="Streaming CDC compaction via applyInPandasWithState: per-user state "
+    "carries the (us, event_id)-max winner plus a running row count across "
+    "micro-batches; every batch re-emits changed keys (update mode) and "
+    "the final frame keeps each key's last emission (max n_events — the "
+    "counter strictly increases, so the winner is unique). The oracle "
+    "checks BOTH the compacted winner and the per-key total count, so "
+    "broken state carry between batches (a lost or reset state row) "
+    "fails the hash even when some batch's local winner happens to be "
+    "the global one. Batch twin: j9_cdc_changelog_compaction.",
+)
+def t12_stream_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from database_synchronize_tool_spark.streaming.stateful import (
+        compact_latest_stateful,
+    )
+
+    stream = compact_latest_stateful(read_events_stream(spark, sf_dir))
+    run_to_memory(stream, "t12_stream_compact_tbl", output_mode="update")
+    emitted = spark.table("t12_stream_compact_tbl")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_id", "event_type", "n_events")
+    )

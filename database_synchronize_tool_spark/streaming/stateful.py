@@ -23,7 +23,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -160,5 +162,98 @@ def sessionize_stateful(
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+COMPACT_STATE_SCHEMA = StructType(
+    [
+        StructField("us", LongType()),
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+COMPACT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def compact_latest_stateful(events: DataFrame) -> DataFrame:
+    """Streaming CDC compaction: per-key latest row via applyInPandasWithState.
+
+    The streaming twin of :func:`...operators.merge.changelog_compact`: state
+    per user_id holds (latest (us, event_id) winner's payload, total rows
+    seen), each micro-batch emits the key's CURRENT latest row plus the
+    running count. The count is the state-integrity witness — if state were
+    lost between batches, the final emission's ``n_events`` could not equal
+    the batch COUNT(*) per key, so the declared query's oracle (which checks
+    both the winner and the count) detects broken state carry, not just a
+    wrong final argmax.
+
+    Winner order is the total order (us, event_id) — same tiebreak contract
+    as the batch compactor. Output mode is update (every batch re-emits
+    changed keys); the final frame takes each key's max-``n_events`` emission.
+
+    Scale: state is O(keys) scalars, never O(events); a watermark-evicting
+    production variant would add a timeout to drop idle keys (state machine
+    identical).
+    """
+    from pyspark.sql import functions as F
+
+    prepared = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            us, eid, etype, val, n = state.get
+        else:
+            us, eid, etype, val, n = -1, -1, None, None, 0
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            n += len(pdf)
+            # batch-local winner by the (us, event_id) total order
+            idx = (
+                pdf[["us", "event_id"]]
+                .apply(tuple, axis=1)
+                .idxmax()
+            )
+            row = pdf.loc[idx]
+            cand = (int(row["us"]), int(row["event_id"]))
+            if cand > (us, eid):
+                us, eid = cand
+                etype, val = row["event_type"], float(row["value"])
+        state.update((us, eid, etype, val, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_id": [eid],
+                "event_type": [etype],
+                "value": [val],
+                "n_events": [n],
+            }
+        )
+
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=COMPACT_OUTPUT_SCHEMA,
+        stateStructType=COMPACT_STATE_SCHEMA,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
