@@ -84,6 +84,21 @@ HEADLINE = [
     "ann_ivf_pq_refine_topk",
     "dedup_semantic_pairs",
     "dedup_substring_spans",
+    # round-8 additions, benched from the round they land
+    "text_bm25_topk",
+    "text_heavy_hitters",
+    "corpus_bigram_avg_prob",
+    "ann_hamming_binary_topk",
+    "j9_cdc_changelog_compaction",
+    "j10_merkle_range_diff",
+    "ts_gap_fill_interpolate",
+    "ts_rolling_features",
+    "layout_zorder_stats",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "bitmap_rollup_distinct",
+    "outlier_mad_orders",
+    "stats_pearson_exact",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

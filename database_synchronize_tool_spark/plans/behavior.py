@@ -322,3 +322,114 @@ def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= 10)
     )
+
+
+@declared(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    doc="First-order behavioral transition matrix: per user, each adjacent "
+    "event pair (ordered by ts with event_id tiebreak) counts one "
+    "from_type -> to_type transition — the Markov-chain sufficient "
+    "statistic for session modeling. One window partitioned by user_id "
+    "(lead) + one small hash aggregate (|types|² rows); the event stream "
+    "shuffles once on user_id and the aggregate's partials combine "
+    "map-side.",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    return seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").cast("long").alias("n"))
+
+
+@declared(
+    "market_basket_pairs",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+    doc="Market-basket co-occurrence: the top part pairs that appear in the "
+    "same order (distinct per order first, then the ordered a<b self-join "
+    "on the order key, then a pair count + top-k). The self-join is an "
+    "equi-join on l_orderkey — both sides co-partition on the same key, "
+    "so at 100 TB it's one shuffle each side (or zero if the table is "
+    "bucketed by order key) and the per-order pair fan-out is bounded by "
+    "basket size, never N². Top-k is TakeOrdered with the (part_a, "
+    "part_b) tiebreak making it deterministic.",
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@declared(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label, i - 1 AS dim,
+           CAST(CAST(SUM(CAST(CAST(embedding AS DOUBLE[])[i]
+                              AS DECIMAL(18,9))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS centroid
+    FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
+    GROUP BY label, i
+    """,
+    doc="Per-label embedding centroids (class prototypes — the nearest-"
+    "centroid classifier / SemDeDup seed): posexplode each vector to "
+    "(label, dim, value), sum per cell through DECIMAL (float32 -> "
+    "float64 is exact, and both engines round double -> DECIMAL(18,9) "
+    "identically on non-midpoint binary values), then one final double "
+    "division by the class count. One shuffle keyed by (label, dim) — "
+    "|labels|·d cells regardless of corpus size, with map-side partials "
+    "doing the reduction; the transpose-free alternative (array-typed "
+    "zip_with fold) would be order-dependent in floats.",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select(
+        "label",
+        F.col("pos").alias("dim"),
+        F.col("col").cast("decimal(18,9)").alias("v"),
+    )
+    return cells.groupBy("label", "dim").agg(
+        (F.sum("v").cast("double") / F.count("*")).cast("double").alias("centroid")
+    )

@@ -67,16 +67,18 @@ def _load_all() -> None:
 # r6 #1, stranding three analytics queries outside the window unnoticed);
 # _QUEUE holds everything else, stalest-first, and feeds future rotations.
 #
-# Round-7 window (VERDICT r6 "Next round" #1): queries whose IMPLEMENTATION
-# changed or is NEW this round lead (changed code needs fresh driver
-# evidence — the fused ADC rewrite, containment hardening, trained-residual
-# composition, the corpus-curation suite, IVFADC+R refine, SemDeDup,
-# stream-stream join, substring miner, quality report, MRL truncation), then
-# as much of the r3-stale sync-ops/analytics re-verify cohort as the
-# remaining slots fit; the 10 re-verify names the late-round additions
-# displaced moved to the queue head (their local evidence is the full-sweep
-# log, per the compensating control below). Names listed before their module
-# declares them are skipped harmlessly by all_queries().
+# Round-8 window: NEW queries lead (changed code needs fresh driver
+# evidence) — the 21 round-8 additions (heavy hitters, BM25, bigram LM,
+# z-order, Hamming ANN, CDC compaction batch + streaming, gap-fill, rolling
+# features, funnel, cohorts, bitmap rollup, MAD outliers, source cap, merkle
+# range diff, OLS/Pearson exact stats, argmax, transition matrix, market
+# basket, label centroids) — followed by the 21 round-7
+# additions, which were ALSO never driver-attested because no r7 driver
+# correctness run landed in the repo; the remaining 8 slots re-verify the
+# stalest r3 cohort (analytics trio + sync-ops head). The 21 re-verify names
+# displaced by the r8 additions moved to the queue head (local evidence:
+# the full r8 sweep, per the compensating control below). Names listed
+# before their module declares them are skipped harmlessly by all_queries().
 #
 # Compensating control (ADVICE r2): curated ordering means ~half the queries
 # sit outside any single round's driver window, so EVERY round we run the full
@@ -86,7 +88,29 @@ def _load_all() -> None:
 # sweep reports 0 FAIL; the sweep output is the local evidence for the
 # rotated-out set.
 _WINDOW: tuple[str, ...] = (
-    # --- changed or new in round 7: fresh driver evidence required ---
+    # --- new in round 8: fresh driver evidence required (never attested) ---
+    "text_heavy_hitters",
+    "text_bm25_topk",
+    "corpus_bigram_avg_prob",
+    "layout_zorder_stats",
+    "ann_hamming_binary_topk",
+    "j9_cdc_changelog_compaction",
+    "ts_gap_fill_interpolate",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "ts_rolling_features",
+    "bitmap_rollup_distinct",
+    "outlier_mad_orders",
+    "curation_source_cap",
+    "j10_merkle_range_diff",
+    "stats_grouped_ols_trend",
+    "stats_pearson_exact",
+    "agg_argmax_showcase",
+    "t12_stream_changelog_compact",
+    "events_transition_matrix",
+    "market_basket_pairs",
+    "embedding_label_centroids",
+    # --- new in round 7, never driver-attested (no r7 driver run landed) ---
     "ann_pq_adc_topk",
     "ann_ivf_pq_topk",
     "ann_ivf_pq_residual_topk",
@@ -108,16 +132,20 @@ _WINDOW: tuple[str, ...] = (
     "dedup_substring_spans",
     "corpus_quality_report",
     "embedding_matryoshka_truncate",
-    # --- re-verify: r3-stale analytics stranded by the r6 off-by-three ---
+    # --- re-verify: r3-stale analytics + sync-ops (as many as fit) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
     "agg_approx_percentile",
-    # --- re-verify: r3-stale sync-ops cohort (queued since round 6) ---
     "j7_sync_diff_audit",
     "catalog_live_columns_sql",
     "s7_file_listing_distributed",
     "s1_full_scan_projection",
     "s2_delta_scan_ts",
+)
+
+_QUEUE: tuple[str, ...] = (
+    # --- re-verify cohort displaced from the r8 window by the 21 new queries
+    # (local evidence: the full r8 sweep, per the compensating control) ---
     "s2_delta_scan_id",
     "s3_schema_discovery",
     "s4_primary_keys",
@@ -139,9 +167,6 @@ _WINDOW: tuple[str, ...] = (
     "f3_json_extract",
     "f3_json_repair",
     "f4_int_coercion_compat",
-)
-
-_QUEUE: tuple[str, ...] = (
     # --- displaced from the r7 window by the 10 late-round-7 additions ---
     "f5_string_normalize_compat",
     "o1_sort_limit_topk",

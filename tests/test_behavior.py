@@ -135,3 +135,43 @@ def test_retention_cohort_week_arithmetic(spark):
         .collect()
     )
     assert sorted(r.w for r in got) == [1, 2]
+
+
+def test_transition_matrix_window_partitioned_by_user(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "events_transition_matrix")
+    assert "lead(" in plan.lower()
+    assert any(
+        "user_id" in l
+        for l in plan.splitlines()
+        if "windowspecdefinition" in l.lower() or "PartitionSpecification" in l
+    )
+
+
+def test_market_basket_is_equijoin_topk(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "market_basket_pairs")
+    # the a<b self-join must hash/merge on the order-key equi condition,
+    # never a nested-loop cross product over parts
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_label_centroids_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    from database_synchronize_tool_spark.catalog import load_table
+
+    got = {
+        (r.label, r.dim): r.centroid
+        for r in all_queries()["embedding_label_centroids"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    rows = load_table(spark, sf_dir, "embeddings").select("label", "embedding").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(np.array(r.embedding, dtype=np.float64))
+    for label, vecs in by_label.items():
+        mean = np.mean(np.stack(vecs), axis=0)
+        for d in range(len(mean)):
+            assert abs(got[(label, d)] - mean[d]) < 1e-9
