@@ -99,6 +99,9 @@ HEADLINE = [
     "bitmap_rollup_distinct",
     "outlier_mad_orders",
     "stats_pearson_exact",
+    "corpus_divergence_chi2",
+    "events_attribution_last_touch",
+    "market_basket_pairs",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

@@ -433,3 +433,110 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.groupBy("label", "dim").agg(
         (F.sum("v").cast("double") / F.count("*")).cast("double").alias("centroid")
     )
+
+
+@declared(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH seq AS (
+      SELECT event_id, user_id, event_type, ts,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_id END IGNORE NULLS)
+               OVER w AS touch_id,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN ts END IGNORE NULLS)
+               OVER w AS touch_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id, touch_id,
+           CAST(epoch_us(ts) - epoch_us(touch_ts) AS BIGINT) AS lag_us
+    FROM seq
+    WHERE event_type = 'purchase' AND touch_id IS NOT NULL
+      AND epoch_us(ts) - epoch_us(touch_ts) <= CAST(604800000000 AS BIGINT)
+    """,
+    doc="Last-touch attribution: each purchase credits the user's latest "
+    "STRICTLY-prior view/click within 7 days — the carry-forward as-of "
+    "pattern (one window per user with an ignorenulls last over the "
+    "preceding-rows frame), not a join: at 100 TB the event stream sorts "
+    "once per user partition and both the touch id and its timestamp ride "
+    "the same WindowExec, so attribution costs one shuffle total. "
+    "Integer-microsecond lag arithmetic on both engines.",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    seq = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("touch_id"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    lag_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("touch_ts").cast("timestamp")
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("touch_id").isNotNull()
+            & (lag_us <= F.lit(604800000000))
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "touch_id",
+            lag_us.cast("long").alias("lag_us"),
+        )
+    )
+
+
+@declared(
+    "events_debounce",
+    oracle="""
+    WITH g AS (
+      SELECT event_id, user_id, event_type, ts,
+             LAG(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT event_id, user_id, event_type
+    FROM g
+    WHERE prev_ts IS NULL
+       OR epoch_us(ts) - epoch_us(prev_ts) > CAST(86400000000 AS BIGINT)
+    """,
+    doc="Debounce / burst suppression: keep only the FIRST event of each "
+    "burst per (user, type) — a row survives when the previous raw event "
+    "of the same key is more than 1 day older (island starts of the "
+    "gaps-and-islands decomposition). One lag window per (user_id, "
+    "event_type) partition, integer-microsecond gap compare; the "
+    "telemetry dedup shape that cuts a 100 TB event firehose before "
+    "anything downstream shuffles it again.",
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("prev_ts").cast("timestamp")
+    )
+    return g.filter(
+        F.col("prev_ts").isNull() | (gap_us > F.lit(86400000000))
+    ).select("event_id", "user_id", "event_type")

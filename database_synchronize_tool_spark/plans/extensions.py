@@ -2783,3 +2783,93 @@ def ann_hamming_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.hamming_binary_topk(
         e.filter(F.col("vec_id") < 10), e, k=5, dim=64
     )
+
+
+@declared(
+    "corpus_divergence_chi2",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(list_filter(
+               regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''))
+             AS token
+      FROM documents
+    ), vocab AS (
+      SELECT token, COUNT(*) AS c_t FROM tok GROUP BY token
+      ORDER BY c_t DESC, token LIMIT 1000
+    ), totals AS (
+      SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM vocab
+    ), src_tok AS (
+      SELECT t.source, t.token, COUNT(*) AS c_st
+      FROM tok t JOIN vocab v ON t.token = v.token
+      GROUP BY t.source, t.token
+    ), src_totals AS (
+      SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s
+      FROM src_tok GROUP BY source
+    ), grid AS (
+      SELECT s.source, v.token, v.c_t, s.n_s,
+             COALESCE(st.c_st, 0) AS c_st
+      FROM src_totals s CROSS JOIN vocab v
+      LEFT JOIN src_tok st ON st.source = s.source AND st.token = v.token
+    ), terms AS (
+      SELECT source,
+             CAST(POWER(CAST(c_st AS DOUBLE) / n_s
+                        - CAST(c_t AS DOUBLE) / (SELECT n FROM totals), 2)
+                  / (CAST(c_t AS DOUBLE) / (SELECT n FROM totals))
+                  AS DECIMAL(28,15)) AS term
+      FROM grid
+    )
+    SELECT source, CAST(SUM(term) AS DOUBLE) AS chi2
+    FROM terms GROUP BY source
+    """,
+    doc="Per-source distribution drift (chi-square divergence of the "
+    "source's unigram distribution against the corpus distribution over "
+    "the global top-1000 vocabulary) — the curation metric that flags a "
+    "source whose language shifted from the corpus mix. Everything is "
+    "exact-count arithmetic until one division chain per (source, token) "
+    "cell, written with identical association in both engines, and the "
+    "per-cell terms round through DECIMAL(28,15) before the "
+    "order-insensitive sum — no double accumulation anywhere. Scale: the "
+    "grid is |sources| x |capped vocab| (bounded by design — top-K vocab "
+    "is the published practice for drift dashboards), token counting is "
+    "one map-side-combined aggregate over the corpus, and the vocab/"
+    "totals sides broadcast.",
+)
+def corpus_divergence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+            )
+        ).alias("token"),
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("c_t"))
+        .orderBy(F.col("c_t").desc(), "token")
+        .limit(1000)
+    )
+    n = vocab.agg(F.sum("c_t").cast("long").alias("n"))
+    src_tok = (
+        tok.join(F.broadcast(vocab.select("token")), "token")
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c_st"))
+    )
+    src_totals = src_tok.groupBy("source").agg(
+        F.sum("c_st").cast("long").alias("n_s")
+    )
+    grid = (
+        src_totals.crossJoin(F.broadcast(vocab))
+        .join(src_tok, ["source", "token"], "left")
+        .withColumn("c_st", F.coalesce(F.col("c_st"), F.lit(0)))
+        .crossJoin(F.broadcast(n))
+    )
+    q = F.col("c_t").cast("double") / F.col("n")
+    p = F.col("c_st").cast("double") / F.col("n_s")
+    term = (F.pow(p - q, F.lit(2)) / q).cast("decimal(28,15)")
+    return (
+        grid.select("source", term.alias("term"))
+        .groupBy("source")
+        .agg(F.sum("term").cast("double").alias("chi2"))
+    )

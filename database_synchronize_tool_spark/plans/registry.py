@@ -68,14 +68,15 @@ def _load_all() -> None:
 # _QUEUE holds everything else, stalest-first, and feeds future rotations.
 #
 # Round-8 window: NEW queries lead (changed code needs fresh driver
-# evidence) — the 21 round-8 additions (heavy hitters, BM25, bigram LM,
+# evidence) — the 24 round-8 additions (heavy hitters, BM25, bigram LM,
 # z-order, Hamming ANN, CDC compaction batch + streaming, gap-fill, rolling
 # features, funnel, cohorts, bitmap rollup, MAD outliers, source cap, merkle
 # range diff, OLS/Pearson exact stats, argmax, transition matrix, market
-# basket, label centroids) — followed by the 21 round-7
+# basket, label centroids, chi-square source drift, last-touch attribution,
+# debounce) — followed by the 21 round-7
 # additions, which were ALSO never driver-attested because no r7 driver
-# correctness run landed in the repo; the remaining 8 slots re-verify the
-# stalest r3 cohort (analytics trio + sync-ops head). The 21 re-verify names
+# correctness run landed in the repo; the remaining 5 slots re-verify the
+# stalest r3 cohort (analytics trio + sync-ops head). The 24 re-verify names
 # displaced by the r8 additions moved to the queue head (local evidence:
 # the full r8 sweep, per the compensating control below). Names listed
 # before their module declares them are skipped harmlessly by all_queries().
@@ -110,6 +111,9 @@ _WINDOW: tuple[str, ...] = (
     "events_transition_matrix",
     "market_basket_pairs",
     "embedding_label_centroids",
+    "corpus_divergence_chi2",
+    "events_attribution_last_touch",
+    "events_debounce",
     # --- new in round 7, never driver-attested (no r7 driver run landed) ---
     "ann_pq_adc_topk",
     "ann_ivf_pq_topk",
@@ -138,14 +142,14 @@ _WINDOW: tuple[str, ...] = (
     "agg_approx_percentile",
     "j7_sync_diff_audit",
     "catalog_live_columns_sql",
-    "s7_file_listing_distributed",
-    "s1_full_scan_projection",
-    "s2_delta_scan_ts",
 )
 
 _QUEUE: tuple[str, ...] = (
-    # --- re-verify cohort displaced from the r8 window by the 21 new queries
+    # --- re-verify cohort displaced from the r8 window by the 24 new queries
     # (local evidence: the full r8 sweep, per the compensating control) ---
+    "s7_file_listing_distributed",
+    "s1_full_scan_projection",
+    "s2_delta_scan_ts",
     "s2_delta_scan_id",
     "s3_schema_discovery",
     "s4_primary_keys",
