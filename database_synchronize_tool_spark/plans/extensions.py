@@ -2844,18 +2844,28 @@ def corpus_divergence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("token"),
     )
+    # ONE corpus scan: the (source, token) count table is the sufficient
+    # statistic — vocab, global counts, and source totals all derive from
+    # it by reaggregating |sources|·|tokens| rows, never the corpus again
+    # (the naive formulation re-tokenizes the 100 TB scan three times).
+    # lazy localCheckpoint: three consumers (vocab, src_tok, totals) would
+    # otherwise re-run the corpus scan each — plan-identical subtrees do not
+    # reliably hit ReuseExchange across the limit/broadcast boundaries
+    # (measured: 6 scans without it, 1 with). Same pattern as
+    # merge_upsert(materialize_source=True).
+    st = (
+        tok.groupBy("source", "token")
+        .agg(F.count("*").alias("c_st"))
+        .localCheckpoint(eager=False)
+    )
     vocab = (
-        tok.groupBy("token")
-        .agg(F.count("*").alias("c_t"))
+        st.groupBy("token")
+        .agg(F.sum("c_st").cast("long").alias("c_t"))
         .orderBy(F.col("c_t").desc(), "token")
         .limit(1000)
     )
     n = vocab.agg(F.sum("c_t").cast("long").alias("n"))
-    src_tok = (
-        tok.join(F.broadcast(vocab.select("token")), "token")
-        .groupBy("source", "token")
-        .agg(F.count("*").alias("c_st"))
-    )
+    src_tok = st.join(F.broadcast(vocab.select("token")), "token")
     src_totals = src_tok.groupBy("source").agg(
         F.sum("c_st").cast("long").alias("n_s")
     )
