@@ -218,3 +218,84 @@ def test_repetition_batch_twin_matches_expressions_on_arbitrary_text(
         ).collect()
     )
     assert got == want
+
+
+# --- round-8 properties: merkle diff + changelog compaction ---------------
+
+merkle_rows = st.lists(
+    st.tuples(st.integers(0, 63), st.integers(-50, 50)), min_size=1, max_size=20
+)
+
+
+@given(rows_=merkle_rows, mutate_idx=st.integers(0, 100), drop_idx=st.integers(0, 100))
+@settings(**SETTINGS)
+def test_merkle_diff_detects_any_single_mutation_or_delete(
+    spark, rows_, mutate_idx, drop_idx
+):
+    from database_synchronize_tool_spark.operators.diff import merkle_bucket_diff
+
+    base = list({k: (k, v) for k, v in rows_}.values())  # unique keys
+    target = spark.createDataFrame(base, "k int, v int")
+
+    mutated = [(k, v + 1) if i == mutate_idx % len(base) else (k, v)
+               for i, (k, v) in enumerate(base)]
+    changed = mutated != base
+    source = spark.createDataFrame(mutated, "k int, v int")
+    d = merkle_bucket_diff(target, source, "k", ["k", "v"], bucket_size=8)
+    got = d.collect()
+    if changed:
+        # the mutated key's bucket (and only buckets) must be flagged
+        mk = base[mutate_idx % len(base)][0]
+        assert mk // 8 in {r.bucket for r in got}
+    else:
+        assert got == []
+
+    if len(base) > 1:
+        dropped = [kv for i, kv in enumerate(base) if i != drop_idx % len(base)]
+        source2 = spark.createDataFrame(dropped, "k int, v int")
+        d2 = merkle_bucket_diff(target, source2, "k", ["k", "v"], bucket_size=8)
+        dk = base[drop_idx % len(base)][0]
+        flagged = {r.bucket: r for r in d2.collect()}
+        assert dk // 8 in flagged
+        b = flagged[dk // 8]
+        assert b.target_rows == (b.source_rows or 0) + 1
+
+
+changelog = st.lists(
+    st.tuples(
+        st.integers(0, 5),          # key
+        st.integers(0, 30),         # version (order_by)
+        st.integers(-99, 99),       # payload
+        st.booleans(),              # is_delete
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(log=changelog)
+@settings(**SETTINGS)
+def test_changelog_compact_equals_sequential_replay(spark, log):
+    from database_synchronize_tool_spark.operators.merge import changelog_compact
+
+    # make (key, version) unique: order_by must be a total order per key
+    log = list({(k, ver): (k, ver, p, d) for k, ver, p, d in log}.values())
+    df = spark.createDataFrame(
+        [(k, ver, p, "D" if d else "U") for k, ver, p, d in log],
+        "k int, ver int, payload int, op string",
+    )
+    got = {
+        (r.k, r.ver, r.payload)
+        for r in changelog_compact(df, ["k"], ["ver"], op_col="op").collect()
+    }
+    # reference: newest op per key wins; a tombstone as the newest op
+    # erases the key (same contract the unit suite pins against replay)
+    expect = set()
+    by_key = {}
+    for k, ver, p, d in log:
+        by_key.setdefault(k, []).append((ver, p, d))
+    for k, entries in by_key.items():
+        ver, p, d = max(entries)
+        if not d:
+            expect.add((k, ver, p))
+    assert got == expect
