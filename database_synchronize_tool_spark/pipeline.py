@@ -26,7 +26,10 @@ from database_synchronize_tool_spark.catalog import load_table
 from database_synchronize_tool_spark.functions import text as TX
 from database_synchronize_tool_spark.operators import dedup as DD
 from database_synchronize_tool_spark.operators import similarity as SIM
-from database_synchronize_tool_spark.operators.sampling import temperature_sample
+from database_synchronize_tool_spark.operators.sampling import (
+    cap_per_group,
+    temperature_sample,
+)
 
 
 @dataclass
@@ -73,6 +76,7 @@ def curate_corpus(
     contamination_threshold: float = 0.9,
     semantic_threshold: float = 0.9,
     semantic_cells: int = 8,
+    source_cap: int | None = None,
 ) -> CurationResult:
     """Run the full curation chain over the ``documents`` + ``embeddings``
     tables of ``sf_dir``. Deterministic end to end (portable-hash sampling,
@@ -110,6 +114,12 @@ def curate_corpus(
         .distinct()
     )
     clean = deduped.join(contaminated, "doc_id", "left_anti")
+
+    # 3b. optional per-source cap (RefinedWeb-style host capping) — the
+    #     SAME deterministic md5-rank rule curation_source_cap grades;
+    #     default off so existing survivor-count pins stay exact
+    if source_cap is not None:
+        clean = cap_per_group(clean, "source", "doc_id", source_cap)
 
     # 4. semantic dedup on the embedding side (doc_id ↔ vec_id 1:1 in the
     #    testdata layout): drop the higher id of every near-pair

@@ -314,14 +314,15 @@ def outlier_mad_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the K rows survive regardless of source size.",
 )
 def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.operators.sampling import cap_per_group
+
     d = load_table(spark, sf_dir, "documents")
+    capped = cap_per_group(d.select("source", "doc_id"), "source", "doc_id", 10)
+    # re-derive the rank for the graded output (the operator drops it)
     w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
     )
-    return (
-        d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") <= 10)
-    )
+    return capped.select("source", "doc_id", F.row_number().over(w).alias("rk"))
 
 
 @declared(

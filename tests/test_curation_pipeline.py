@@ -58,3 +58,20 @@ def test_pipeline_writes_partitioned_output(spark, curated, tmp_path):
     dirs = {d.split("=")[1] for d in os.listdir(out) if d.startswith("lang=")}
     assert dirs == langs
     assert spark.read.parquet(out).count() == curated.sampled.count()
+
+
+def test_source_cap_stage_bounds_and_preserves_determinism(spark, sf_dir):
+    from database_synchronize_tool_spark.pipeline import curate_corpus
+
+    capped = curate_corpus(spark, sf_dir, source_cap=5)
+    per_source = (
+        capped.sampled.groupBy("source").count().collect()
+    )
+    assert all(r["count"] <= 5 for r in per_source)
+    # the capped clean pool is a subset of the uncapped clean pool (the
+    # guaranteed relation — sem_clean is NOT monotone under capping, since
+    # removing a near-dup's partner can let the survivor flip)
+    uncapped = curate_corpus(spark, sf_dir)
+    a = {r.doc_id for r in capped.clean.select("doc_id").collect()}
+    b = {r.doc_id for r in uncapped.clean.select("doc_id").collect()}
+    assert a <= b and len(a) <= len(b)
