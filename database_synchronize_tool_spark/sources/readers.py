@@ -22,6 +22,7 @@ from dataclasses import dataclass
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from database_synchronize_tool_spark.sources.config import SyncConfig
 
@@ -174,3 +175,47 @@ class JdbcSource:
         callers should fall back to :func:`columns_fallback_sql` columns when
         this returns empty (``sync_utils.py:153-166``)."""
         return self._read_sql(spark, primary_keys_catalog_sql(table))
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines ingestion with corrupt-record quarantine — the raw-text
+    landing format of every training-data pipeline.
+
+    Returns ``(good, quarantined)``: rows that parsed against ``schema``
+    and rows that did not (carrying the raw line in ``corrupt_col`` for
+    replay/debugging). Rules that matter at 100 TB:
+
+    - ``schema`` is REQUIRED (a DDL string). Schema inference reads the
+      whole dataset once before the real job — never acceptable at scale,
+      and non-deterministic under sampling.
+    - ``multiLine`` stays False: JSONL is newline-delimited, so the input
+      splits at line boundaries and every executor reads its own range; a
+      multi-line JSON array is one unsplittable record.
+    - PERMISSIVE mode + corrupt column beats FAILFAST (one bad line among
+      billions should quarantine, not kill the job) and beats DROPMALFORMED
+      (silent data loss is unauditable — the quarantine count is the audit).
+
+    Both returned frames are lazy single-scan projections of the same read;
+    Spark requires a cache/filter split on the corrupt column (SPARK-38954:
+    referencing only the corrupt column is disallowed on the raw reader),
+    so the quarantine frame selects the raw line alongside a parse marker.
+    """
+    full_schema = f"{schema}, {corrupt_col} STRING"
+    raw = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("multiLine", "false")
+        .json(path)
+        .cache()  # one scan serves both splits; SPARK-38954 requires it
+    )
+    good = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantined = raw.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return good, quarantined
