@@ -105,10 +105,14 @@ def merkle_bucket_diff(
     """
     def summarize(df: DataFrame, side: str) -> DataFrame:
         # 60-bit row fingerprint: md5 over the '|'-joined canonical strings,
-        # hex-parsed identically by Spark conv() and DuckDB CAST('0x...')
+        # hex-parsed identically by Spark conv() and DuckDB CAST('0x...').
+        # NULLs render as chr(0) — concat_ws SKIPS nulls in both engines,
+        # which would make ('a', NULL, 'b') and ('a', 'b', NULL) collide.
         h = F.expr(
             "cast(conv(substring(md5(concat_ws('|', "
-            + ", ".join(f"cast({c} as string)" for c in fingerprint_cols)
+            + ", ".join(
+                f"coalesce(cast({c} as string), chr(0))" for c in fingerprint_cols
+            )
             + ")), 1, 15), 16, 10) as bigint)"
         )
         return (

@@ -341,15 +341,17 @@ def j7_sync_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(o_orderkey // 4096 AS BIGINT) AS bucket,
              COUNT(*) AS target_rows,
              bit_xor(CAST('0x' || substr(md5(concat_ws('|',
-               CAST(o_orderkey AS VARCHAR), CAST(price AS VARCHAR),
-               o_orderstatus)), 1, 15) AS BIGINT)) AS target_digest
+               COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)),
+               COALESCE(CAST(price AS VARCHAR), chr(0)),
+               COALESCE(o_orderstatus, chr(0)))), 1, 15) AS BIGINT)) AS target_digest
       FROM t GROUP BY 1
     ), sh AS (
       SELECT CAST(o_orderkey // 4096 AS BIGINT) AS bucket,
              COUNT(*) AS source_rows,
              bit_xor(CAST('0x' || substr(md5(concat_ws('|',
-               CAST(o_orderkey AS VARCHAR), CAST(price AS VARCHAR),
-               o_orderstatus)), 1, 15) AS BIGINT)) AS source_digest
+               COALESCE(CAST(o_orderkey AS VARCHAR), chr(0)),
+               COALESCE(CAST(price AS VARCHAR), chr(0)),
+               COALESCE(o_orderstatus, chr(0)))), 1, 15) AS BIGINT)) AS source_digest
       FROM s GROUP BY 1
     )
     SELECT COALESCE(th.bucket, sh.bucket) AS bucket,

@@ -146,3 +146,12 @@ def test_batch_and_stream_compaction_agree(spark, sf_dir):
         "user_id", "event_id"
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_merkle_null_column_shift_is_detected(spark):
+    # concat_ws alone would collide ('a', NULL, 'b') with ('a', 'b', NULL);
+    # the chr(0) sentinel keeps the canonical strings distinct
+    a = spark.createDataFrame([(1, "a", None, "b")], "k int, x string, y string, z string")
+    b = spark.createDataFrame([(1, "a", "b", None)], "k int, x string, y string, z string")
+    d = merkle_bucket_diff(a, b, "k", ["k", "x", "y", "z"], 16).collect()
+    assert len(d) == 1 and d[0].target_digest != d[0].source_digest
