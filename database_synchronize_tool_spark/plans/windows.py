@@ -548,14 +548,17 @@ def ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t12_stream_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_synchronize_tool_spark.streaming.events import (
-        read_events_stream,
+        read_events_stream_multibatch,
         run_to_memory,
     )
     from database_synchronize_tool_spark.streaming.stateful import (
         compact_latest_stateful,
     )
 
-    stream = compact_latest_stateful(read_events_stream(spark, sf_dir))
+    # 4 time-ordered micro-batches (maxFilesPerTrigger=1 over staged
+    # chunks): the oracle comparison only holds if per-key state truly
+    # carries across batches — single-batch replay would mask lost state
+    stream = compact_latest_stateful(read_events_stream_multibatch(spark, sf_dir))
     run_to_memory(stream, "t12_stream_compact_tbl", output_mode="update")
     emitted = spark.table("t12_stream_compact_tbl")
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())

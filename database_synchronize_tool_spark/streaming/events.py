@@ -147,3 +147,78 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     )
     q.awaitTermination()
     return q
+
+
+def read_events_stream_multibatch(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> DataFrame:
+    """Events stream that REALLY arrives as ``n_chunks`` micro-batches.
+
+    The testdata table is one parquet file, so the plain stream drains in a
+    single batch and cross-batch state carry is only unit-tested. This
+    helper splits the table into ``n_chunks`` time-ordered files under a
+    deterministic /tmp staging dir (chunk i = rows in the i-th ts range,
+    file mtimes ascending so the file source replays them oldest-first)
+    and reads them back with ``maxFilesPerTrigger=1`` — availableNow then
+    processes one file per micro-batch, so a stateful operator must carry
+    state across batches to answer correctly and the DRIVER's oracle
+    comparison attests it, not just the unit suite.
+
+    Staging is idempotent per (sf_dir, n_chunks): re-runs reuse the files
+    (atomic rename on first write). Chunk boundaries are percentiles of
+    event time, i.e. arrival order == event-time order, the realistic
+    replay of an append-only log.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{n_chunks}".encode()).hexdigest()[:12]
+    stage = os.path.join("/tmp", f"spark_graft_replay_{key}")
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        tmp = stage + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        from database_synchronize_tool_spark.catalog import load_table
+
+        batch = load_table(spark, sf_dir, "events")
+        # percentile split on event time: equal-ish row counts, time-ordered
+        qs = [i / n_chunks for i in range(1, n_chunks)]
+        cuts = batch.select(
+            F.expr(
+                "percentile(unix_micros(cast(ts as timestamp)), array("
+                + ", ".join(str(q) for q in qs)
+                + "))"
+            ).alias("c")
+        ).collect()[0]["c"]
+        bounds = [float("-inf"), *cuts, float("inf")]
+        for i in range(n_chunks):
+            lo, hi = bounds[i], bounds[i + 1]
+            chunk = batch.filter(
+                (F.unix_micros(F.col("ts").cast("timestamp")) > F.lit(lo))
+                if lo != float("-inf")
+                else F.lit(True)
+            ).filter(
+                (F.unix_micros(F.col("ts").cast("timestamp")) <= F.lit(hi))
+                if hi != float("inf")
+                else F.lit(True)
+            )
+            path = os.path.join(tmp, f"chunk_{i}")
+            chunk.coalesce(1).write.mode("overwrite").parquet(path)
+            # one data file per chunk dir; pin ascending mtimes for replay order
+            for root_, _dirs, files in os.walk(path):
+                for f in files:
+                    os.utime(os.path.join(root_, f), (1_000_000 + i, 1_000_000 + i))
+        open(os.path.join(tmp, "_STAGED"), "w").write("ok")
+        shutil.rmtree(stage, ignore_errors=True)
+        os.rename(tmp, stage)
+    schema = spark.read.parquet(os.path.join(stage, "chunk_0")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )

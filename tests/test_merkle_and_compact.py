@@ -155,3 +155,16 @@ def test_merkle_null_column_shift_is_detected(spark):
     b = spark.createDataFrame([(1, "a", "b", None)], "k int, x string, y string, z string")
     d = merkle_bucket_diff(a, b, "k", ["k", "x", "y", "z"], 16).collect()
     assert len(d) == 1 and d[0].target_digest != d[0].source_digest
+
+
+def test_declared_t12_replay_is_truly_multibatch(spark, sf_dir):
+    # the staged replay must produce MORE update-mode emissions than keys —
+    # i.e., keys re-emitted across micro-batches; single-batch replay would
+    # emit exactly one row per key and mask state loss
+    from database_synchronize_tool_spark.plans.registry import all_queries
+
+    all_queries()["t12_stream_changelog_compact"].builder(spark, sf_dir).collect()
+    emitted = spark.table("t12_stream_compact_tbl")
+    n_emissions = emitted.count()
+    n_keys = emitted.select("user_id").distinct().count()
+    assert n_emissions > n_keys
