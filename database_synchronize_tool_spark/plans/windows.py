@@ -216,12 +216,12 @@ def agg_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t7_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_synchronize_tool_spark.streaming.events import (
-        read_events_stream,
+        read_events_stream_multibatch,
         run_to_memory,
         tumbling_counts,
     )
 
-    stream = tumbling_counts(read_events_stream(spark, sf_dir))
+    stream = tumbling_counts(read_events_stream_multibatch(spark, sf_dir))
     run_to_memory(stream, "t7_stream_tumbling_tbl", output_mode="complete")
     return spark.table("t7_stream_tumbling_tbl")
 
@@ -237,12 +237,12 @@ def t7_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t8_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_synchronize_tool_spark.streaming.events import (
-        read_events_stream,
+        read_events_stream_multibatch,
         run_to_memory,
     )
 
     stream = (
-        read_events_stream(spark, sf_dir)
+        read_events_stream_multibatch(spark, sf_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark(["event_id"])
@@ -272,7 +272,7 @@ def t8_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t9_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_synchronize_tool_spark.streaming.events import (
-        read_events_stream,
+        read_events_stream_multibatch,
         run_to_memory,
     )
 
@@ -287,7 +287,7 @@ def t9_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, category string",
     )
     stream = (
-        read_events_stream(spark, sf_dir)
+        read_events_stream_multibatch(spark, sf_dir)
         .join(F.broadcast(dim), "event_type")
         .groupBy("category")
         .agg(
@@ -334,12 +334,12 @@ def t9_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t10_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_synchronize_tool_spark.streaming.events import (
-        read_events_stream,
+        read_events_stream_multibatch,
         run_to_memory,
         session_counts,
     )
 
-    stream = session_counts(read_events_stream(spark, sf_dir))
+    stream = session_counts(read_events_stream_multibatch(spark, sf_dir))
     run_to_memory(stream, "t10_stream_session_tbl", output_mode="append")
     return spark.table("t10_stream_session_tbl")
 
@@ -370,12 +370,12 @@ def t10_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t11_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_synchronize_tool_spark.streaming.events import (
-        read_events_stream,
+        read_events_stream_multibatch,
         run_to_memory,
     )
 
     views = (
-        read_events_stream(spark, sf_dir)
+        read_events_stream_multibatch(spark, sf_dir)
         .filter(F.col("event_type") == "view")
         .select(
             "user_id",
@@ -385,7 +385,7 @@ def t11_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("view_ts", "2 hours")
     )
     purchases = (
-        read_events_stream(spark, sf_dir)
+        read_events_stream_multibatch(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user_id"),
