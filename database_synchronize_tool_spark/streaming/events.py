@@ -214,7 +214,14 @@ def read_events_stream_multibatch(
                     os.utime(os.path.join(root_, f), (1_000_000 + i, 1_000_000 + i))
         open(os.path.join(tmp, "_STAGED"), "w").write("ok")
         shutil.rmtree(stage, ignore_errors=True)
-        os.rename(tmp, stage)
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            # concurrent stager won the rename; its staged copy is
+            # byte-identical (deterministic cuts), use it
+            if not os.path.exists(done):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
     schema = spark.read.parquet(os.path.join(stage, "chunk_0")).schema
     return (
         spark.readStream.schema(schema)
