@@ -272,7 +272,13 @@ def main() -> None:
         "would measure oracle pathology, not Spark",
         "regression_note": f">{REGRESSION_PCT}% slower than the previous "
         "artifact; sub-second queries swing that much run-to-run at sf0.1, "
-        "so treat flags as re-measure prompts",
+        "so treat flags as re-measure prompts. While the newest prior "
+        "artifact is BENCH_r06.json (no r07 driver artifact landed), flags "
+        "on result-heavy queries (j3_merge_upsert, t6_sessionization, "
+        "text_quality_score) are the round-7 methodology change — r6 timed "
+        "Spark count(), the current artifact times full collect() — not "
+        "plan regressions (profiled: plans unchanged, broadcast anti-join "
+        "pinned)",
         "methodology": "both sides: hot in-memory tables, plan/warm once, "
         "best-of-3, FULL result materialization (collect/fetchall — from "
         "round 7; earlier rounds timed Spark count(), which pruned narrow "
