@@ -102,6 +102,9 @@ HEADLINE = [
     "corpus_divergence_chi2",
     "events_attribution_last_touch",
     "market_basket_pairs",
+    "j11_referential_integrity_audit",
+    "corpus_drift_ks",
+    "skew_key_diagnostics",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

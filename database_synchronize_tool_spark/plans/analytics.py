@@ -1828,3 +1828,37 @@ def agg_argmax_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("max_price"),
     )
+
+
+@declared(
+    "skew_key_diagnostics",
+    oracle="""
+    WITH k AS (
+      SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey
+    ), t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM k)
+    SELECT l_orderkey, CAST(cnt AS BIGINT) AS cnt,
+           CAST(CAST(cnt AS DOUBLE) / (SELECT total FROM t) AS DOUBLE) AS share
+    FROM k ORDER BY cnt DESC, l_orderkey LIMIT 10
+    """,
+    doc="Join-key skew diagnostics: the top-10 heaviest l_orderkey values "
+    "with their row share — what you run BEFORE choosing a salting factor "
+    "or trusting AQE's skew-join split on a 100 TB join. One "
+    "map-side-combined aggregate + TakeOrdered(10); the share division is "
+    "a single double op. The operational complement to "
+    "skew_salted_twophase_agg (which fixes the skew this query "
+    "localizes).",
+)
+def skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
+    total = k.agg(F.sum("cnt").cast("long").alias("total"))
+    return (
+        k.crossJoin(F.broadcast(total))
+        .select(
+            "l_orderkey",
+            F.col("cnt").cast("long").alias("cnt"),
+            (F.col("cnt").cast("double") / F.col("total")).cast("double").alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), "l_orderkey")
+        .limit(10)
+    )

@@ -2883,3 +2883,87 @@ def corpus_divergence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.sum("term").cast("double").alias("chi2"))
     )
+
+
+@declared(
+    "corpus_drift_ks",
+    oracle="""
+    WITH g AS (
+      SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY n_chars
+    ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM g),
+    gcum AS (
+      SELECT n_chars,
+             SUM(c) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum
+      FROM g
+    ), sc AS (
+      SELECT source, n_chars, COUNT(*) AS c_s
+      FROM documents GROUP BY source, n_chars
+    ), st AS (
+      SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_s FROM sc GROUP BY source
+    ), grid AS (
+      SELECT st.source, st.n_s, gcum.n_chars, gcum.cum,
+             COALESCE(sc.c_s, 0) AS c_s
+      FROM st CROSS JOIN gcum
+      LEFT JOIN sc ON sc.source = st.source AND sc.n_chars = gcum.n_chars
+    ), cdf AS (
+      SELECT source, n_s, cum,
+             SUM(c_s) OVER (PARTITION BY source ORDER BY n_chars
+                            ROWS UNBOUNDED PRECEDING) AS cum_s
+      FROM grid
+    )
+    SELECT source,
+           CAST(MAX(abs(CAST(cum_s AS DOUBLE) / n_s
+                        - CAST(cum AS DOUBLE) / (SELECT n FROM tot)))
+                AS DOUBLE) AS ks,
+           CAST(MAX(n_s) AS BIGINT) AS n_docs
+    FROM cdf GROUP BY source
+    """,
+    doc="Kolmogorov-Smirnov drift per source: the max gap between each "
+    "source's document-length CDF and the corpus CDF, evaluated on the "
+    "global grid of distinct lengths — the continuous-distribution "
+    "complement to the categorical chi-square drift. All counting is "
+    "exact; each CDF point is ONE integer division to double (identical "
+    "association both engines), so the max is over bit-identical values. "
+    "Scale: the raw table reduces to |distinct lengths| and "
+    "|sources|x|distinct lengths| aggregates first; the global cumulative "
+    "window runs over the TINY aggregated length table (bounded by "
+    "distinct lengths, not rows — the single-partition window is on "
+    "thousands of rows) and the per-source cumulative partitions by "
+    "source.",
+)
+def corpus_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    g = d.groupBy("n_chars").agg(F.count("*").alias("c"))
+    n = g.agg(F.sum("c").cast("long").alias("n"))
+    wg = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    gcum = g.select("n_chars", F.sum("c").over(wg).alias("cum"))
+    sc = d.groupBy("source", "n_chars").agg(F.count("*").alias("c_s"))
+    st = sc.groupBy("source").agg(F.sum("c_s").cast("long").alias("n_s"))
+    grid = (
+        st.crossJoin(F.broadcast(gcum))
+        .join(sc, ["source", "n_chars"], "left")
+        .withColumn("c_s", F.coalesce(F.col("c_s"), F.lit(0)))
+        .crossJoin(F.broadcast(n))
+    )
+    ws = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = grid.select(
+        "source",
+        "n_s",
+        "cum",
+        "n",
+        F.sum("c_s").over(ws).alias("cum_s"),
+    )
+    gap = F.abs(
+        F.col("cum_s").cast("double") / F.col("n_s")
+        - F.col("cum").cast("double") / F.col("n")
+    )
+    return cdf.groupBy("source").agg(
+        F.max(gap).cast("double").alias("ks"),
+        F.max("n_s").cast("long").alias("n_docs"),
+    )

@@ -68,15 +68,16 @@ def _load_all() -> None:
 # _QUEUE holds everything else, stalest-first, and feeds future rotations.
 #
 # Round-8 window: NEW queries lead (changed code needs fresh driver
-# evidence) — the 24 round-8 additions (heavy hitters, BM25, bigram LM,
+# evidence) — the 27 round-8 additions (heavy hitters, BM25, bigram LM,
 # z-order, Hamming ANN, CDC compaction batch + streaming, gap-fill, rolling
 # features, funnel, cohorts, bitmap rollup, MAD outliers, source cap, merkle
 # range diff, OLS/Pearson exact stats, argmax, transition matrix, market
 # basket, label centroids, chi-square source drift, last-touch attribution,
-# debounce) — followed by the 21 round-7
+# debounce, referential-integrity audit, KS drift, skew diagnostics) —
+# followed by the 21 round-7
 # additions, which were ALSO never driver-attested because no r7 driver
-# correctness run landed in the repo; the remaining 5 slots re-verify the
-# stalest r3 cohort (analytics trio + sync-ops head). The 24 re-verify names
+# correctness run landed in the repo; the remaining 2 slots re-verify the
+# stalest r3 cohort (the two analytics queries the r6 off-by-three stranded). The 27 re-verify names
 # displaced by the r8 additions moved to the queue head (local evidence:
 # the full r8 sweep, per the compensating control below). Names listed
 # before their module declares them are skipped harmlessly by all_queries().
@@ -114,6 +115,9 @@ _WINDOW: tuple[str, ...] = (
     "corpus_divergence_chi2",
     "events_attribution_last_touch",
     "events_debounce",
+    "j11_referential_integrity_audit",
+    "corpus_drift_ks",
+    "skew_key_diagnostics",
     # --- new in round 7, never driver-attested (no r7 driver run landed) ---
     "ann_pq_adc_topk",
     "ann_ivf_pq_topk",
@@ -139,14 +143,14 @@ _WINDOW: tuple[str, ...] = (
     # --- re-verify: r3-stale analytics + sync-ops (as many as fit) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "agg_approx_percentile",
-    "j7_sync_diff_audit",
-    "catalog_live_columns_sql",
 )
 
 _QUEUE: tuple[str, ...] = (
-    # --- re-verify cohort displaced from the r8 window by the 24 new queries
+    # --- re-verify cohort displaced from the r8 window by the 27 new queries
     # (local evidence: the full r8 sweep, per the compensating control) ---
+    "agg_approx_percentile",
+    "j7_sync_diff_audit",
+    "catalog_live_columns_sql",
     "s7_file_listing_distributed",
     "s1_full_scan_projection",
     "s2_delta_scan_ts",

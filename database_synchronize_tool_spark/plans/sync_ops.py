@@ -919,3 +919,55 @@ def j9_cdc_changelog_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_event_type"),
         F.col("value").alias("last_value"),
     )
+
+
+@declared(
+    "j11_referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS relationship,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'supplier->nation',
+           CAST((SELECT COUNT(*) FROM supplier s
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = s.s_nationkey)) AS BIGINT)
+    """,
+    doc="Referential-integrity audit after a sync: orphan counts for each FK "
+    "relationship of the star schema (child rows whose parent key is "
+    "missing — what a partial or out-of-order table sync leaves behind; "
+    "the reference syncs tables independently with no cross-table check, "
+    "``db-sync-local/sync_utils.py`` ends at per-table execution). Each "
+    "relationship is one left-anti join: the parent key column broadcasts "
+    "when small, and the child table is scanned once per relationship "
+    "with only its FK column read (pruned scan). Zero rows is the healthy "
+    "answer; the counts localize which table pair drifted.",
+)
+def j11_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    out = None
+    for rel, child, fk, parent, pk in pairs:
+        c = load_table(spark, sf_dir, child).select(F.col(fk).alias("k"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        orphans = c.join(p, "k", "left_anti").agg(
+            F.count("*").cast("long").alias("orphans")
+        ).select(F.lit(rel).alias("relationship"), "orphans")
+        out = orphans if out is None else out.unionByName(orphans)
+    return out
