@@ -175,3 +175,42 @@ def test_label_centroids_match_numpy(spark, sf_dir):
         mean = np.mean(np.stack(vecs), axis=0)
         for d in range(len(mean)):
             assert abs(got[(label, d)] - mean[d]) < 1e-9
+
+
+def test_funnel_counts_are_monotone(spark, sf_dir):
+    rows = {
+        r.step: r.users
+        for r in all_queries()["events_funnel_conversion"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert rows[1] >= rows[2] >= rows[3] >= rows[4] >= 0
+
+
+def test_drift_metrics_are_bounded(spark, sf_dir):
+    ks = all_queries()["corpus_drift_ks"].builder(spark, sf_dir).collect()
+    assert all(0.0 <= r.ks <= 1.0 for r in ks)
+    chi2 = all_queries()["corpus_divergence_chi2"].builder(spark, sf_dir).collect()
+    assert all(r.chi2 >= 0.0 for r in chi2)
+
+
+def test_referential_audit_clean_on_consistent_testdata(spark, sf_dir):
+    rows = (
+        all_queries()["j11_referential_integrity_audit"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    # driver testdata is internally consistent: every FK resolves
+    assert {r.relationship: r.orphans for r in rows} == {
+        "lineitem->orders": 0,
+        "orders->customer": 0,
+        "customer->nation": 0,
+        "supplier->nation": 0,
+    }
+
+
+def test_skew_shares_sum_below_one(spark, sf_dir):
+    rows = all_queries()["skew_key_diagnostics"].builder(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert sum(r.share for r in rows) < 1.0
+    assert all(rows[i].cnt >= rows[i + 1].cnt for i in range(9))
