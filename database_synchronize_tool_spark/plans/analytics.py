@@ -1850,8 +1850,18 @@ def agg_argmax_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    k = li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
-    total = k.agg(F.sum("cnt").cast("long").alias("total"))
+    # one scan: rollup emits the per-key counts AND the grand-total row
+    # (NULL key) from a single two-level aggregate — no second scan, and
+    # nothing the size of the key histogram is ever materialized
+    r = (
+        li.rollup("l_orderkey")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)  # two consumers; blocks = the histogram
+    )
+    k = r.filter(F.col("l_orderkey").isNotNull())
+    total = r.filter(F.col("l_orderkey").isNull()).select(
+        F.col("cnt").cast("long").alias("total")
+    )
     return (
         k.crossJoin(F.broadcast(total))
         .select(

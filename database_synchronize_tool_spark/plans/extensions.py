@@ -2935,11 +2935,18 @@ def corpus_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
-    g = d.groupBy("n_chars").agg(F.count("*").alias("c"))
+    # one corpus scan: the (source, n_chars) count table is the sufficient
+    # statistic (|sources| x |distinct lengths| rows); global counts,
+    # totals, and per-source totals all reaggregate it — the chi2 pattern
+    sc = (
+        d.groupBy("source", "n_chars")
+        .agg(F.count("*").alias("c_s"))
+        .localCheckpoint(eager=False)
+    )
+    g = sc.groupBy("n_chars").agg(F.sum("c_s").alias("c"))
     n = g.agg(F.sum("c").cast("long").alias("n"))
     wg = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
     gcum = g.select("n_chars", F.sum("c").over(wg).alias("cum"))
-    sc = d.groupBy("source", "n_chars").agg(F.count("*").alias("c_s"))
     st = sc.groupBy("source").agg(F.sum("c_s").cast("long").alias("n_s"))
     grid = (
         st.crossJoin(F.broadcast(gcum))
