@@ -228,13 +228,9 @@ def compact_latest_stateful(events: DataFrame) -> DataFrame:
             if pdf.empty:
                 continue
             n += len(pdf)
-            # batch-local winner by the (us, event_id) total order
-            idx = (
-                pdf[["us", "event_id"]]
-                .apply(tuple, axis=1)
-                .idxmax()
-            )
-            row = pdf.loc[idx]
+            # batch-local winner by the (us, event_id) total order —
+            # vectorized lexicographic sort, no per-row Python tuples
+            row = pdf.sort_values(["us", "event_id"]).iloc[-1]
             cand = (int(row["us"]), int(row["event_id"]))
             if cand > (us, eid):
                 us, eid = cand

@@ -204,3 +204,30 @@ def test_copy_block_blank_lines_skipped_for_multi_column_tables():
     sql = "COPY t (a, b) FROM stdin;\n1\tx\n\n2\ty\n\\.\n"
     cols, rows = parse_copy_block(sql, "t")
     assert rows == [["1", "x"], ["2", "y"]]
+
+
+def test_merkle_audit_after_sync_cycle(spark, netflix):
+    """Sync-then-audit on the reference's own data: after a full upsert
+    cycle the merkle range summaries agree bucket-for-bucket; a single
+    mutated row (the drift the high-watermark model can't see) flags
+    exactly one bucket, which localizes the row-level re-diff."""
+    from pyspark.sql import functions as F
+
+    from database_synchronize_tool_spark.operators.diff import merkle_bucket_diff
+
+    src = netflix.select("show_id", "title", "release_year").withColumn(
+        "k", F.expr("cast(substring(show_id, 2) as bigint)")
+    )
+    target = merge_upsert(
+        src.limit(0), src, ["k"], order_col=None, collapse=False
+    )
+    fp = ["k", "title", "release_year"]
+    assert merkle_bucket_diff(target, src, "k", fp, 512).count() == 0
+
+    drifted = src.withColumn(
+        "title",
+        F.when(F.col("k") == 42, F.lit("DRIFTED")).otherwise(F.col("title")),
+    )
+    flagged = merkle_bucket_diff(target, drifted, "k", fp, 512).collect()
+    assert len(flagged) == 1
+    assert flagged[0].bucket == 42 // 512
