@@ -117,3 +117,45 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     that is the clearer form (same Catalyst plan either way)."""
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def schema_diff(expected, observed):
+    """Schema-drift report between an expected schema (what the last sync
+    created, reference ``sync_utils.py`` re-derives the target DDL from the
+    source every run) and an observed one: rows of ``(column, status,
+    expected_type, observed_type)`` with status in {added, removed,
+    type_changed, nullability_changed}. Matching columns emit nothing —
+    like the row-level diff, the report is the divergence set.
+
+    Pure metadata comparison (no jobs, no scans): drift detection belongs
+    BEFORE the 100 TB read, where a silently widened column or a dropped
+    field can be rejected or auto-migrated instead of poisoning a sync.
+    """
+    exp = {f.name: f for f in expected.fields}
+    obs = {f.name: f for f in observed.fields}
+    out: list[tuple[str, str, str | None, str | None]] = []
+    for name in sorted(set(exp) | set(obs)):
+        e, o = exp.get(name), obs.get(name)
+        if e is None:
+            out.append((name, "added", None, o.dataType.simpleString()))
+        elif o is None:
+            out.append((name, "removed", e.dataType.simpleString(), None))
+        elif e.dataType != o.dataType:
+            out.append(
+                (
+                    name,
+                    "type_changed",
+                    e.dataType.simpleString(),
+                    o.dataType.simpleString(),
+                )
+            )
+        elif e.nullable != o.nullable:
+            out.append(
+                (
+                    name,
+                    "nullability_changed",
+                    f"nullable={e.nullable}",
+                    f"nullable={o.nullable}",
+                )
+            )
+    return out

@@ -80,3 +80,39 @@ def test_declared_golden_query_matches_generators(spark):
         assert rows[(t, "columns")] == columns_catalog_sql(t)
         assert rows[(t, "primary_keys")] == primary_keys_catalog_sql(t)
         assert rows[(t, "columns_fallback")] == columns_fallback_sql(t)
+
+
+def test_schema_diff_reports_only_divergence(spark):
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from database_synchronize_tool_spark.catalog import schema_diff
+
+    expected = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("name", StringType(), True),
+            StructField("age", IntegerType(), True),
+            StructField("gone", StringType(), True),
+        ]
+    )
+    observed = StructType(
+        [
+            StructField("id", LongType(), True),       # nullability drift
+            StructField("name", StringType(), True),   # unchanged -> silent
+            StructField("age", LongType(), True),      # widened int->bigint
+            StructField("extra", StringType(), True),  # new column
+        ]
+    )
+    got = schema_diff(expected, observed)
+    assert got == [
+        ("age", "type_changed", "int", "bigint"),
+        ("extra", "added", None, "string"),
+        ("gone", "removed", "string", None),
+        ("id", "nullability_changed", "nullable=False", "nullable=True"),
+    ]
