@@ -2812,8 +2812,10 @@ def ann_hamming_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN src_tok st ON st.source = s.source AND st.token = v.token
     ), terms AS (
       SELECT source,
-             CAST(POWER(CAST(c_st AS DOUBLE) / n_s
-                        - CAST(c_t AS DOUBLE) / (SELECT n FROM totals), 2)
+             CAST((CAST(c_st AS DOUBLE) / n_s
+                    - CAST(c_t AS DOUBLE) / (SELECT n FROM totals))
+                   * (CAST(c_st AS DOUBLE) / n_s
+                    - CAST(c_t AS DOUBLE) / (SELECT n FROM totals))
                   / (CAST(c_t AS DOUBLE) / (SELECT n FROM totals))
                   AS DECIMAL(28,15)) AS term
       FROM grid
@@ -2877,7 +2879,10 @@ def corpus_divergence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = F.col("c_t").cast("double") / F.col("n")
     p = F.col("c_st").cast("double") / F.col("n_s")
-    term = (F.pow(p - q, F.lit(2)) / q).cast("decimal(28,15)")
+    # explicit multiply, not pow(x, 2): Math.pow / C pow are only
+    # 1-ulp-accurate and not guaranteed to agree across engines; x*x is an
+    # exact IEEE operation both sides
+    term = ((p - q) * (p - q) / q).cast("decimal(28,15)")
     return (
         grid.select("source", term.alias("term"))
         .groupBy("source")

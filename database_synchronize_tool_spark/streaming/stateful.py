@@ -234,7 +234,9 @@ def compact_latest_stateful(events: DataFrame) -> DataFrame:
             cand = (int(row["us"]), int(row["event_id"]))
             if cand > (us, eid):
                 us, eid = cand
-                etype, val = row["event_type"], float(row["value"])
+                etype = row["event_type"]
+                # NULL-safe: a changelog payload may carry NULLs
+                val = None if pd.isna(row["value"]) else float(row["value"])
         state.update((us, eid, etype, val, n))
         yield pd.DataFrame(
             {

@@ -11,12 +11,10 @@ from __future__ import annotations
 
 import os
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 from pyspark.sql import Row
-from pyspark.sql import functions as F
 
 from database_synchronize_tool_spark.operators.diff import merkle_bucket_diff
 
