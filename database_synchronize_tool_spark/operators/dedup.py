@@ -641,11 +641,47 @@ def containment_prefix_pairs(
     sh, cand = _containment_prefix_candidates(
         docs, text_col, id_col, threshold_num, threshold_den
     )
-    ha = sh.select(F.col("doc_id").alias("doc_inner"), F.col("sh").alias("sh_a"))
-    hb = sh.select(F.col("doc_id").alias("doc_outer"), F.col("sh").alias("sh_b"))
+    # 256-bit shingle bitmap + collision slack: a SOUND cheap screen before
+    # the exact verify. Every x in A∩B sets a common bit, but in-set hash
+    # collisions can merge intersection elements into one bit, so the AND
+    # popcount alone is NOT an upper bound — the fix is the slack term:
+    #   |A∩B| <= popcount(bm_a & bm_b) + (|A| - popcount(bm_a))
+    # (each undercounted intersection element consumes one of A's own
+    # collisions). Pairs with bound < ceil(t·|A|) can't reach the
+    # threshold and skip the O(|A|+|B|) array_intersect entirely — ~10
+    # long ops per pair instead; on the adversarial template corpus this
+    # prunes the bulk of the candidate set the prefix bounds let through.
+    bm = F.expr(
+        "aggregate(sh, array(0L, 0L, 0L, 0L), (acc, s) -> "
+        "transform(acc, (a, i) -> CASE WHEN int(pmod(s, 256) div 64) = i "
+        "THEN a | shiftleft(1L, int(pmod(s, 64))) ELSE a END))"
+    )
+    nbits = F.expr(
+        "bit_count(bm[0]) + bit_count(bm[1]) + bit_count(bm[2]) + bit_count(bm[3])"
+    )
+    shb = sh.withColumn("bm", bm).withColumn("nbits", nbits)
+    ha = shb.select(
+        F.col("doc_id").alias("doc_inner"),
+        F.col("sh").alias("sh_a"),
+        F.col("bm").alias("bm_a"),
+        (F.size("sh") - F.col("nbits")).alias("slack_a"),
+    )
+    hb = shb.select(
+        F.col("doc_id").alias("doc_outer"),
+        F.col("sh").alias("sh_b"),
+        F.col("bm").alias("bm_b"),
+    )
+    req = F.ceil(
+        (F.lit(threshold_num) * F.size("sh_a")) / F.lit(threshold_den)
+    ).cast("bigint")
+    ub = F.expr(
+        "bit_count(bm_a[0] & bm_b[0]) + bit_count(bm_a[1] & bm_b[1]) + "
+        "bit_count(bm_a[2] & bm_b[2]) + bit_count(bm_a[3] & bm_b[3])"
+    )
     return (
         cand.join(ha, "doc_inner")
         .join(hb, "doc_outer")
+        .filter(ub + F.col("slack_a") >= req)
         .withColumn("cont", containment(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("cont") >= float(threshold_num) / float(threshold_den))
         .select("doc_inner", "doc_outer", "cont")
