@@ -626,7 +626,8 @@ def containment_prefix_pairs(
     is the adversarial case for prefix filtering — heavy template reuse
     makes even rarest-prefix shingles common (the TRUE output is 160k
     directional pairs from 5k docs), so candidates stay ~12M after both
-    bounds and the exact verify dominates (~25 s on local[32]; DuckDB
+    bounds and the exact verify dominates (the 256-bit bitmap screen below
+    halves it — 180 s -> 86 s cold on local[32]; DuckDB
     needs >120 s for the identical computation, and AQE-on measures 5×
     slower than the static plan — both measured, not assumed). On natural
     corpora the rare-in-both requirement is the bound that bites.
