@@ -175,7 +175,17 @@ def read_events_stream_multibatch(
 
     from pyspark.sql import functions as F
 
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{n_chunks}".encode()).hexdigest()[:12]
+    src_path = table_path(sf_dir, "events")
+    try:
+        st = os.stat(src_path)
+        sig = f"{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        sig = "dir"  # directory layouts re-stage per size below
+    # the source file's identity is part of the key: regenerated testdata
+    # must re-stage, or the replay would serve stale rows
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{n_chunks}|{sig}".encode()
+    ).hexdigest()[:12]
     stage = os.path.join("/tmp", f"spark_graft_replay_{key}")
     done = os.path.join(stage, "_STAGED")
     if not os.path.exists(done):
