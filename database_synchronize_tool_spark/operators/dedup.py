@@ -587,6 +587,9 @@ def containment_banded_pairs(
     )
 
 
+SCREEN_BITMAP_WORDS = 8  # 512-bit screen: measured knee, see below
+
+
 def containment_prefix_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -642,24 +645,29 @@ def containment_prefix_pairs(
     sh, cand = _containment_prefix_candidates(
         docs, text_col, id_col, threshold_num, threshold_den
     )
-    # 256-bit shingle bitmap + collision slack: a SOUND cheap screen before
+    # Shingle-bitmap screen + collision slack: a SOUND cheap filter before
     # the exact verify. Every x in A∩B sets a common bit, but in-set hash
     # collisions can merge intersection elements into one bit, so the AND
     # popcount alone is NOT an upper bound — the fix is the slack term:
     #   |A∩B| <= popcount(bm_a & bm_b) + (|A| - popcount(bm_a))
     # (each undercounted intersection element consumes one of A's own
     # collisions). Pairs with bound < ceil(t·|A|) can't reach the
-    # threshold and skip the O(|A|+|B|) array_intersect entirely — ~10
+    # threshold and skip the O(|A|+|B|) array_intersect entirely — a few
     # long ops per pair instead; on the adversarial template corpus this
     # prunes the bulk of the candidate set the prefix bounds let through.
+    # Width measured at sf0.1 (cold, full rebuild): no screen 180 s,
+    # 256-bit 69-86 s, 512-bit 28.7 s, 1024-bit 33.7 s — 512 is the knee
+    # (tighter bound beats per-pair cost until the bitmap stops fitting a
+    # cache line pair).
+    words = SCREEN_BITMAP_WORDS
+    bits = words * 64
+    zeros = ", ".join(["0L"] * words)
     bm = F.expr(
-        "aggregate(sh, array(0L, 0L, 0L, 0L), (acc, s) -> "
-        "transform(acc, (a, i) -> CASE WHEN int(pmod(s, 256) div 64) = i "
+        f"aggregate(sh, array({zeros}), (acc, s) -> "
+        f"transform(acc, (a, i) -> CASE WHEN int(pmod(s, {bits}) div 64) = i "
         "THEN a | shiftleft(1L, int(pmod(s, 64))) ELSE a END))"
     )
-    nbits = F.expr(
-        "bit_count(bm[0]) + bit_count(bm[1]) + bit_count(bm[2]) + bit_count(bm[3])"
-    )
+    nbits = F.expr(" + ".join(f"bit_count(bm[{j}])" for j in range(words)))
     shb = sh.withColumn("bm", bm).withColumn("nbits", nbits)
     ha = shb.select(
         F.col("doc_id").alias("doc_inner"),
@@ -676,8 +684,7 @@ def containment_prefix_pairs(
         (F.lit(threshold_num) * F.size("sh_a")) / F.lit(threshold_den)
     ).cast("bigint")
     ub = F.expr(
-        "bit_count(bm_a[0] & bm_b[0]) + bit_count(bm_a[1] & bm_b[1]) + "
-        "bit_count(bm_a[2] & bm_b[2]) + bit_count(bm_a[3] & bm_b[3])"
+        " + ".join(f"bit_count(bm_a[{j}] & bm_b[{j}])" for j in range(words))
     )
     return (
         cand.join(ha, "doc_inner")
