@@ -590,6 +590,33 @@ def containment_banded_pairs(
 SCREEN_BITMAP_WORDS = 8  # 512-bit screen: measured knee, see below
 
 
+def _shingle_bitmap(df: DataFrame, sh_col: str = "sh"):
+    """Add the screen's per-doc columns: ``bm`` (SCREEN_BITMAP_WORDS-long
+    bitmap of shingle hashes) and ``nbits`` (its popcount). See the sound
+    collision-slack bound documented in :func:`containment_prefix_pairs`."""
+    words = SCREEN_BITMAP_WORDS
+    bits = words * 64
+    zeros = ", ".join(["0L"] * words)
+    bm = F.expr(
+        f"aggregate({sh_col}, array({zeros}), (acc, s) -> "
+        f"transform(acc, (a, i) -> CASE WHEN int(pmod(s, {bits}) div 64) = i "
+        "THEN a | shiftleft(1L, int(pmod(s, 64))) ELSE a END))"
+    )
+    out = df.withColumn("bm", bm)
+    nbits = F.expr(" + ".join(f"bit_count(bm[{j}])" for j in range(words)))
+    return out.withColumn("nbits", nbits)
+
+
+def _screen_ub(a_bm: str, b_bm: str) -> Column:
+    """popcount(bm_a & bm_b) — the shared-bits term of the screen bound."""
+    return F.expr(
+        " + ".join(
+            f"bit_count({a_bm}[{j}] & {b_bm}[{j}])"
+            for j in range(SCREEN_BITMAP_WORDS)
+        )
+    )
+
+
 def containment_prefix_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -659,16 +686,7 @@ def containment_prefix_pairs(
     # 256-bit 69-86 s, 512-bit 28.7 s, 1024-bit 33.7 s — 512 is the knee
     # (tighter bound beats per-pair cost until the bitmap stops fitting a
     # cache line pair).
-    words = SCREEN_BITMAP_WORDS
-    bits = words * 64
-    zeros = ", ".join(["0L"] * words)
-    bm = F.expr(
-        f"aggregate(sh, array({zeros}), (acc, s) -> "
-        f"transform(acc, (a, i) -> CASE WHEN int(pmod(s, {bits}) div 64) = i "
-        "THEN a | shiftleft(1L, int(pmod(s, 64))) ELSE a END))"
-    )
-    nbits = F.expr(" + ".join(f"bit_count(bm[{j}])" for j in range(words)))
-    shb = sh.withColumn("bm", bm).withColumn("nbits", nbits)
+    shb = _shingle_bitmap(sh)
     ha = shb.select(
         F.col("doc_id").alias("doc_inner"),
         F.col("sh").alias("sh_a"),
@@ -683,9 +701,7 @@ def containment_prefix_pairs(
     req = F.ceil(
         (F.lit(threshold_num) * F.size("sh_a")) / F.lit(threshold_den)
     ).cast("bigint")
-    ub = F.expr(
-        " + ".join(f"bit_count(bm_a[{j}] & bm_b[{j}])" for j in range(words))
-    )
+    ub = _screen_ub("bm_a", "bm_b")
     return (
         cand.join(ha, "doc_inner")
         .join(hb, "doc_outer")
@@ -792,13 +808,23 @@ def containment_pairs(
     sh = spread.select(
         "doc_id", "blk", minhash_features(F.col("__text"))["sh"].alias("sh")
     )
+    sh = _shingle_bitmap(sh)
     a, b = sh.alias("a"), sh.alias("b")
+    # sound bitmap screen before the exact verify (same bound as the
+    # prefix-filter variant); the 1e-9 guard keeps a float t*|A| that lands
+    # exactly on an integer from over-ceiling and pruning a boundary pair
+    required = F.ceil(F.lit(threshold) * F.size("a.sh") - F.lit(1e-9))
+    screen = (
+        _screen_ub("a.bm", "b.bm") + (F.size("a.sh") - F.col("a.nbits"))
+        >= required
+    )
     return (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
+        .filter(screen)
         .withColumn("cont", containment(F.col("a.sh"), F.col("b.sh")))
         .filter(F.col("cont") >= threshold)
         .select(
