@@ -387,12 +387,28 @@ def ngram_jaccard_pairs(
         F.col(text_col).alias("__text"),
     )
     spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
-    sh = spread.select(
-        "doc_id", "blk", minhash_features(F.col("__text"))["sh"].alias("sh")
+    sh = _shingle_bitmap(
+        spread.select(
+            "doc_id", "blk", minhash_features(F.col("__text"))["sh"].alias("sh")
+        )
     )
     a, b = sh.alias("a"), sh.alias("b")
+    # Jaccard form of the sound bitmap screen: J >= t  <=>  |A∩B| >=
+    # t·(|A|+|B|)/(1+t); the intersection upper bound here takes the
+    # LEAST of the two slacks (a collision inside A∩B counts against both
+    # sides' slack). 1e-9 ceil guard as in the containment screens.
+    i_ub = _screen_ub("a.bm", "b.bm") + F.least(
+        F.size("a.sh") - F.col("a.nbits"), F.size("b.sh") - F.col("b.nbits")
+    )
+    required = F.ceil(
+        F.lit(threshold)
+        * (F.size("a.sh") + F.size("b.sh"))
+        / F.lit(1.0 + threshold)
+        - F.lit(1e-9)
+    )
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(i_ub >= required)
         .withColumn("jacc", jaccard(F.col("a.sh"), F.col("b.sh")))
         .filter(F.col("jacc") >= threshold)
         .select(
