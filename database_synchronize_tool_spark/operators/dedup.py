@@ -583,9 +583,28 @@ def containment_banded_pairs(
     if star is not None:
         cand = cand.unionByName(star)
     cand = cand.distinct()
-    ha = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    hb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sigb = _shingle_bitmap(sigs)
+    ha = sigb.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("bm").alias("bm_a"),
+        (F.size("sh") - F.col("nbits")).alias("slack_a"),
+    )
+    hb = sigb.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("bm").alias("bm_b"),
+        (F.size("sh") - F.col("nbits")).alias("slack_b"),
+    )
     joined = cand.join(ha, "doc_a").join(hb, "doc_b")
+    # sound bitmap screen (see containment_prefix_pairs): keep the pair if
+    # EITHER direction could still reach the threshold; the exact
+    # per-direction filter below remains the authority
+    ub = _screen_ub("bm_a", "bm_b")
+    guard = F.lit(1e-9)
+    dir_a = ub + F.col("slack_a") >= F.ceil(F.lit(threshold) * F.size("sh_a") - guard)
+    dir_b = ub + F.col("slack_b") >= F.ceil(F.lit(threshold) * F.size("sh_b") - guard)
+    joined = joined.filter(dir_a | dir_b)
     # each unordered candidate yields two directional facts (A-in-B, B-in-A)
     directed = joined.select(
         F.col("doc_a").alias("doc_inner"),
