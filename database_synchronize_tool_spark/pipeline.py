@@ -69,7 +69,7 @@ class CurationResult:
 
 def curate_corpus(
     spark: SparkSession,
-    sf_dir: str,
+    sf_dir: str | None = None,
     min_tokens: int = 12,
     max_dup_frac: float = 0.6,
     max_adjacent_repeats: int = 4,
@@ -77,12 +77,29 @@ def curate_corpus(
     semantic_threshold: float = 0.9,
     semantic_cells: int = 8,
     source_cap: int | None = None,
+    docs: DataFrame | None = None,
+    emb: DataFrame | None = None,
+    held_out: DataFrame | None = None,
 ) -> CurationResult:
-    """Run the full curation chain over the ``documents`` + ``embeddings``
-    tables of ``sf_dir``. Deterministic end to end (portable-hash sampling,
-    seeded quantizers) — rerunning yields the same survivor set."""
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
+    """Run the full curation chain. Deterministic end to end (portable-hash
+    sampling, seeded quantizers) — rerunning yields the same survivor set.
+
+    Input is either ``sf_dir`` (the testdata layout: ``documents`` +
+    ``embeddings`` tables) or explicit frames — ``docs`` with (doc_id,
+    text, lang, source) from ANY source (e.g. ``read_jsonl``), and
+    optionally ``emb`` with (vec_id, embedding). Without ``emb`` the
+    semantic-dedup stage is skipped (``sem_clean == clean``) — a raw-text
+    corpus has no embeddings yet; every other stage is text-only.
+    ``held_out`` is the decontamination benchmark set (doc_id, text);
+    default is the demo convention (the corpus's own %7 slice) — real
+    deployments pass their eval sets here.
+    """
+    if docs is None:
+        if sf_dir is None:
+            raise ValueError("pass sf_dir or an explicit docs frame")
+        docs = load_table(spark, sf_dir, "documents")
+        if emb is None:
+            emb = load_table(spark, sf_dir, "embeddings")
 
     # 1. quality cascade (keep only 'keep' verdicts) — one narrow scan of
     #    the SAME verdict expression corpus_quality_filter grades
@@ -104,10 +121,12 @@ def curate_corpus(
 
     # 3. decontamination: the decontam_ngram_overlap screen as a filter
     #    (the shared containment_screen; held-out side broadcasts)
+    if held_out is None:
+        held_out = docs.filter(F.col("doc_id") % 7 == 0)
     contaminated = (
         DD.containment_screen(
             deduped,
-            docs.filter(F.col("doc_id") % 7 == 0),
+            held_out,
             threshold=contamination_threshold,
         )
         .select(F.col("train_id").alias("doc_id"))
@@ -122,16 +141,20 @@ def curate_corpus(
         clean = cap_per_group(clean, "source", "doc_id", source_cap)
 
     # 4. semantic dedup on the embedding side (doc_id ↔ vec_id 1:1 in the
-    #    testdata layout): drop the higher id of every near-pair
-    pairs = SIM.semantic_dedup_pairs(
-        emb.join(
-            clean.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
-        ),
-        n_cells=semantic_cells,
-        threshold=semantic_threshold,
-    )
-    sem_dupes = pairs.select(F.col("vec_b").alias("doc_id")).distinct()
-    sem_clean = clean.join(sem_dupes, "doc_id", "left_anti")
+    #    testdata layout): drop the higher id of every near-pair; skipped
+    #    (sem_clean == clean) when the corpus has no embeddings
+    if emb is not None:
+        pairs = SIM.semantic_dedup_pairs(
+            emb.join(
+                clean.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+            ),
+            n_cells=semantic_cells,
+            threshold=semantic_threshold,
+        )
+        sem_dupes = pairs.select(F.col("vec_b").alias("doc_id")).distinct()
+        sem_clean = clean.join(sem_dupes, "doc_id", "left_anti")
+    else:
+        sem_clean = clean
 
     # 5. temperature re-sample by language — the SAME operator
     #    lang_temperature_sample grades, applied to the survivors

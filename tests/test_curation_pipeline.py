@@ -75,3 +75,44 @@ def test_source_cap_stage_bounds_and_preserves_determinism(spark, sf_dir):
     a = {r.doc_id for r in capped.clean.select("doc_id").collect()}
     b = {r.doc_id for r in uncapped.clean.select("doc_id").collect()}
     assert a <= b and len(a) <= len(b)
+
+
+def test_pipeline_accepts_jsonl_corpus_without_embeddings(spark, tmp_path):
+    import json
+
+    from database_synchronize_tool_spark.pipeline import curate_corpus
+    from database_synchronize_tool_spark.sources.readers import read_jsonl
+
+    lines = []
+    for i in range(40):
+        lines.append(
+            json.dumps(
+                {
+                    "doc_id": i,
+                    "text": f"alpha beta gamma delta epsilon zeta eta theta "
+                    f"iota kappa lambda mu document number {i} with enough "
+                    f"distinct tokens to pass the quality cascade easily",
+                    "lang": "en" if i % 2 == 0 else "fr",
+                    "source": f"host{i % 4}",
+                }
+            )
+        )
+    # exact duplicate pair (41 duplicates 0's text) + one garbage line
+    lines.append(lines[0].replace('"doc_id": 0', '"doc_id": 41'))
+    lines.append("not json")
+    p = tmp_path / "corpus.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+
+    good, bad = read_jsonl(
+        spark, str(p), "doc_id BIGINT, text STRING, lang STRING, source STRING"
+    )
+    assert bad.count() == 1
+    result = curate_corpus(spark, docs=good)
+    counts = result.counts()
+    assert counts["corpus"] == 41
+    # the duplicate of doc 0 is removed by exact dedup (min doc_id wins)
+    dd_ids = {r.doc_id for r in result.deduped.select("doc_id").collect()}
+    assert 0 in dd_ids and 41 not in dd_ids
+    # no embeddings => semantic stage is a no-op
+    assert counts["semantic_deduped"] == counts["decontaminated"]
+    assert counts["sampled"] <= counts["semantic_deduped"]

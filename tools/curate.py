@@ -3,6 +3,11 @@ corpus as partitioned parquet — the runnable demo of the engine's
 training-data path.
 
 Usage: python tools/curate.py [sf_dir] [out_dir]
+       python tools/curate.py --jsonl corpus.jsonl [out_dir]
+
+With --jsonl the corpus comes from a JSON-lines file (schema doc_id BIGINT,
+text STRING, lang STRING, source STRING; bad lines are quarantined and
+counted) and the semantic-dedup stage is skipped (no embeddings yet).
 
 Prints ONE JSON line: per-stage row counts plus the output layout, e.g.
     {"stages": {"corpus": 500, ..., "sampled": 318},
@@ -23,11 +28,26 @@ from database_synchronize_tool_spark.sources.sinks import write_curated_corpus
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curated_corpus"
+    args = sys.argv[1:]
     spark = get_spark("curate")
-    result = curate_corpus(spark, sf_dir)
+    quarantined = None
+    if args and args[0] == "--jsonl":
+        from database_synchronize_tool_spark.sources.readers import read_jsonl
+
+        path = args[1]
+        out = args[2] if len(args) > 2 else "/tmp/curated_corpus"
+        good, bad = read_jsonl(
+            spark, path, "doc_id BIGINT, text STRING, lang STRING, source STRING"
+        )
+        quarantined = bad.count()
+        result = curate_corpus(spark, docs=good)
+    else:
+        sf_dir = args[0] if args else "/root/testdata/sf0.01"
+        out = args[1] if len(args) > 1 else "/tmp/curated_corpus"
+        result = curate_corpus(spark, sf_dir)
     stages = result.counts()
+    if quarantined is not None:
+        stages["quarantined_lines"] = quarantined
     write_curated_corpus(
         result.sampled, out, partition_by=("lang",), sort_within=("doc_id",)
     )
