@@ -146,6 +146,11 @@ _WINDOW: tuple[str, ...] = (
 )
 
 _QUEUE: tuple[str, ...] = (
+    # ROUND-9 ROTATION PLAN: lead the r9 window with whatever is new or
+    # changed in round 9, then drain THIS queue head (the r8-displaced
+    # re-verify cohort below, stalest first — s7/s1/s2 sync-ops, then the
+    # a1/a2/j1-j6/f1-f5 block) into the remaining slots. Run the full
+    # sweep before committing the rotation, per the protocol above.
     # --- re-verify cohort displaced from the r8 window by the 27 new queries
     # (local evidence: the full r8 sweep, per the compensating control) ---
     "agg_approx_percentile",
