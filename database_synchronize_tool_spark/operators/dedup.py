@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
+from database_synchronize_tool_spark.caching import scoped_persist
 from database_synchronize_tool_spark.functions.text import jaccard, shingles
 
 # Portable 31-base polynomial hash of a 3-char shingle (ascii inputs).
@@ -157,9 +158,9 @@ def minhash_lsh_pairs(
     # verify-Jaccard runs over the hashed (bigint) sets — cheaper compares
     # than 3-char strings, same value (the oracle hashes identically).
     feats = minhash_features(F.col("__text"))
-    sigs = spread.select(
+    sigs = scoped_persist(spread.select(
         "doc_id", feats["sh"].alias("sh"), feats["sig"].alias("sig")
-    ).persist()
+    ))
     bands = sigs.select(
         "doc_id",
         "sig",
@@ -519,20 +520,21 @@ def containment_banded_pairs(
     exactly the swallowed-doc pairs this measure exists for). For guaranteed
     recall within a natural partition, use the blocked form.
 
-    Caching note: the shingle/signature table is ``persist()``-ed because
-    the returned lazy plan references it three times; the cache entry lives
-    until the session ends or ``spark.catalog.clearCache()`` — a long-lived
-    process running many such queries should clear between them (the
-    differential sweep harness does).
+    Caching note: the shingle/signature table is cached via
+    ``scoped_persist`` because the returned lazy plan references it three
+    times. Consumers wrap build+collect in ``caching.cache_scope()`` (the
+    sweep and bench harnesses do) so the entry is released after the
+    action; outside a scope the historical session-lifetime behavior
+    applies (``spark.catalog.clearCache()`` between queries).
     """
     from database_synchronize_tool_spark.functions.text import containment
 
     spread = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
     spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
     feats = minhash_features(F.col("__text"))
-    sigs = spread.select(
+    sigs = scoped_persist(spread.select(
         "doc_id", feats["sh"].alias("sh"), feats["sig"].alias("sig")
-    ).persist()
+    ))
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -558,12 +560,13 @@ def containment_banded_pairs(
         # branches (both self-join sides, the big filter, anchors, star) —
         # uncached, the bands explode + both windows would re-execute per
         # branch, tripling candidate-generation cost on exactly the
-        # hot-bucket corpora this guard targets. Same caller-owns-cache
-        # convention as `sigs` above (the sweep harness clears between
-        # queries).
-        sized = bands.withColumn("bsz", F.count(F.lit(1)).over(wsz)).withColumn(
-            "rk", F.row_number().over(wsz.orderBy("doc_id"))
-        ).persist()
+        # hot-bucket corpora this guard targets. Same scoped-release
+        # convention as `sigs` above (cache_scope frees it post-action).
+        sized = scoped_persist(
+            bands.withColumn("bsz", F.count(F.lit(1)).over(wsz)).withColumn(
+                "rk", F.row_number().over(wsz.orderBy("doc_id"))
+            )
+        )
         big = sized.filter(F.col("bsz") > max_bucket)
         bands = sized.filter(F.col("bsz") <= max_bucket).drop("bsz", "rk")
         anchors = big.filter(F.col("rk") == 1).select(
@@ -697,10 +700,10 @@ def containment_prefix_pairs(
     slower than the static plan — both measured, not assumed). On natural
     corpora the rare-in-both requirement is the bound that bites.
 
-    Caching note: the shingle table is ``persist()``-ed (three references
-    in the returned lazy plan); long-lived multi-query processes should
-    ``spark.catalog.clearCache()`` between queries (the differential sweep
-    harness does).
+    Caching note: the shingle table is cached via ``scoped_persist``
+    (three references in the returned lazy plan); consumers wrap
+    build+collect in ``caching.cache_scope()`` for release-after-action
+    (the sweep and bench harnesses do).
     """
     from database_synchronize_tool_spark.functions.text import containment
 
@@ -765,9 +768,9 @@ def _containment_prefix_candidates(
         raise ValueError("threshold must be a rational in (0, 1]")
     spread = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
     spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
-    sh = spread.select(
+    sh = scoped_persist(spread.select(
         "doc_id", minhash_features(F.col("__text"))["sh"].alias("sh")
-    ).persist()
+    ))
     ex = sh.select("doc_id", F.explode("sh").alias("h"))
     dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     # prefix size p = n - ceil(t*n) + 1, integer ceiling

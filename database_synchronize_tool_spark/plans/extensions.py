@@ -2364,11 +2364,21 @@ def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              sqrt(list_reduce(list_transform(range(1, len(tv)+1),
                   i -> tv[i]*tv[i]), (x, y) -> x + y)) AS nrm
       FROM t
+    ), m AS (
+      SELECT vec_id,
+             CASE WHEN nrm = 0 THEN tv
+                  ELSE list_transform(tv, x -> x / nrm) END AS mrl16
+      FROM n
     )
     SELECT vec_id,
-           CASE WHEN nrm = 0 THEN tv
-                ELSE list_transform(tv, x -> x / nrm) END AS mrl16
-    FROM n
+           CAST(u.pos AS INT) AS pos,
+           u.val AS value
+    FROM (
+      SELECT vec_id,
+             unnest(list_transform(range(1, len(mrl16)+1),
+                    i -> struct_pack(pos := i - 1, val := mrl16[i]))) AS u
+      FROM m
+    )
     """,
     doc="Matryoshka-style dimensionality truncation (Kusupati et al. 2022, "
     "public literature): keep the leading 16 of 64 dimensions and "
@@ -2378,10 +2388,13 @@ def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pattern). Pure in-row slice + left-fold norm + scale: a NARROW map, "
     "composable into the same single pass as int8 quantization; the "
     "division is one IEEE op per element against the folded norm, so "
-    "both engines agree bitwise.",
+    "both engines agree bitwise. Output is posexploded to "
+    "(vec_id, pos, value) rows — the differential harness canonicalizes "
+    "scalar columns only (array cells are unhashable in its pandas sort), "
+    "the same reshaping discipline as ann_pq_encode's string codes.",
 )
 def embedding_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from database_synchronize_tool_spark.functions.vectors import as_double, dot
+    from database_synchronize_tool_spark.functions.vectors import as_double
 
     e = load_table(spark, sf_dir, "embeddings")
     tv = F.slice(as_double(F.col("embedding")), 1, 16)
@@ -2392,12 +2405,8 @@ def embedding_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame
             lambda acc, x: acc + x,
         )
     )
-    return e.select(
-        "vec_id",
-        F.when(nrm == 0, tv)
-        .otherwise(F.transform(tv, lambda x: x / nrm))
-        .alias("mrl16"),
-    )
+    mrl = F.when(nrm == 0, tv).otherwise(F.transform(tv, lambda x: x / nrm))
+    return e.select("vec_id", F.posexplode(mrl).alias("pos", "value"))
 
 
 # --- round 8: frequency sketches, retrieval scoring, LM signals, layout -----

@@ -67,20 +67,22 @@ def _load_all() -> None:
 # r6 #1, stranding three analytics queries outside the window unnoticed);
 # _QUEUE holds everything else, stalest-first, and feeds future rotations.
 #
-# Round-8 window: NEW queries lead (changed code needs fresh driver
-# evidence) — the 27 round-8 additions (heavy hitters, BM25, bigram LM,
-# z-order, Hamming ANN, CDC compaction batch + streaming, gap-fill, rolling
-# features, funnel, cohorts, bitmap rollup, MAD outliers, source cap, merkle
-# range diff, OLS/Pearson exact stats, argmax, transition matrix, market
-# basket, label centroids, chi-square source drift, last-touch attribution,
-# debounce, referential-integrity audit, KS drift, skew diagnostics) —
-# followed by the 21 round-7
-# additions, which were ALSO never driver-attested because no r7 driver
-# correctness run landed in the repo; the remaining 2 slots re-verify the
-# stalest r3 cohort (the two analytics queries the r6 off-by-three stranded). The 27 re-verify names
-# displaced by the r8 additions moved to the queue head (local evidence:
-# the full r8 sweep, per the compensating control below). Names listed
-# before their module declares them are skipped harmlessly by all_queries().
+# Round-9 window: changed code leads (fresh driver evidence) —
+# embedding_matryoshka_truncate's output was reshaped to posexploded
+# (vec_id, pos, value) rows so the driver's pandas canonicalizer can hash
+# it (r8 "what's wrong" #1: array cells are unhashable in its sort), and
+# the three dedup queries whose candidate-generation operators moved from
+# bare persist() to the scoped_persist/cache_scope release contract (r8
+# "what's wrong" #2). The rest of the window drains the queue head: the
+# 27-name re-verify cohort the r8 additions displaced (s1-s7/p2-p4/a1-a2/
+# j1-j6/f1-f4 sync-ops core), then the stalest r5 cohort as slots allow.
+# The two permanently rows-only trained-PQ queries
+# (ann_pq_trained_recall, ann_ivf_pq_residual_trained: k-means training is
+# not SQL-expressible, the driver reports err:no_oracle forever) are
+# rotated OUT of the window for good — window slots only hold
+# hash-gradeable queries (r8 "what's wrong" #3); their rows-run stays
+# attested by the full local sweep every round. Names listed before their
+# module declares them are skipped harmlessly by all_queries().
 #
 # Compensating control (ADVICE r2): curated ordering means ~half the queries
 # sit outside any single round's driver window, so EVERY round we run the full
@@ -90,69 +92,12 @@ def _load_all() -> None:
 # sweep reports 0 FAIL; the sweep output is the local evidence for the
 # rotated-out set.
 _WINDOW: tuple[str, ...] = (
-    # --- new in round 8: fresh driver evidence required (never attested) ---
-    "text_heavy_hitters",
-    "text_bm25_topk",
-    "corpus_bigram_avg_prob",
-    "layout_zorder_stats",
-    "ann_hamming_binary_topk",
-    "j9_cdc_changelog_compaction",
-    "ts_gap_fill_interpolate",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "ts_rolling_features",
-    "bitmap_rollup_distinct",
-    "outlier_mad_orders",
-    "curation_source_cap",
-    "j10_merkle_range_diff",
-    "stats_grouped_ols_trend",
-    "stats_pearson_exact",
-    "agg_argmax_showcase",
-    "t12_stream_changelog_compact",
-    "events_transition_matrix",
-    "market_basket_pairs",
-    "embedding_label_centroids",
-    "corpus_divergence_chi2",
-    "events_attribution_last_touch",
-    "events_debounce",
-    "j11_referential_integrity_audit",
-    "corpus_drift_ks",
-    "skew_key_diagnostics",
-    # --- new in round 7, never driver-attested (no r7 driver run landed) ---
-    "ann_pq_adc_topk",
-    "ann_ivf_pq_topk",
-    "ann_ivf_pq_residual_topk",
-    "ann_ivf_pq_residual_trained",
+    # --- changed in round 9: fresh driver evidence required ---
+    "embedding_matryoshka_truncate",
+    "dedup_minhash_lsh",
     "dedup_containment_banded",
     "dedup_containment_prefix",
-    "ann_pq_trained_recall",
-    "decontam_cross_source_dups",
-    "decontam_ngram_overlap",
-    "source_mix_report",
-    "lang_temperature_sample",
-    "text_repetition_signals",
-    "corpus_ngram_topk",
-    "corpus_quality_filter",
-    "text_pii_redact",
-    "ann_ivf_pq_refine_topk",
-    "dedup_semantic_pairs",
-    "t11_stream_stream_join",
-    "dedup_substring_spans",
-    "corpus_quality_report",
-    "embedding_matryoshka_truncate",
-    # --- re-verify: r3-stale analytics + sync-ops (as many as fit) ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-)
-
-_QUEUE: tuple[str, ...] = (
-    # ROUND-9 ROTATION PLAN: lead the r9 window with whatever is new or
-    # changed in round 9, then drain THIS queue head (the r8-displaced
-    # re-verify cohort below, stalest first — s7/s1/s2 sync-ops, then the
-    # a1/a2/j1-j6/f1-f5 block) into the remaining slots. Run the full
-    # sweep before committing the rotation, per the protocol above.
-    # --- re-verify cohort displaced from the r8 window by the 27 new queries
-    # (local evidence: the full r8 sweep, per the compensating control) ---
+    # --- re-verify: queue head, stalest first (r8-displaced cohort) ---
     "agg_approx_percentile",
     "j7_sync_diff_audit",
     "catalog_live_columns_sql",
@@ -180,7 +125,7 @@ _QUEUE: tuple[str, ...] = (
     "f3_json_extract",
     "f3_json_repair",
     "f4_int_coercion_compat",
-    # --- displaced from the r7 window by the 10 late-round-7 additions ---
+    # --- re-verify: r7-displaced cohort ---
     "f5_string_normalize_compat",
     "o1_sort_limit_topk",
     "t1_incremental_replay",
@@ -191,7 +136,7 @@ _QUEUE: tuple[str, ...] = (
     "q16_supplier_part_counts",
     "q20_potential_part_promotion",
     "q5_revenue_by_nation",
-    # --- queued for round 8: remainder of the r5 cohort, declared order ---
+    # --- re-verify: r5-cohort remainder, declared order ---
     "q6_revenue_forecast",
     "q10_returned_revenue",
     "agg_having",
@@ -201,6 +146,11 @@ _QUEUE: tuple[str, ...] = (
     "cube_events",
     "pivot_status_by_year",
     "window_topk_per_group",
+)
+
+_QUEUE: tuple[str, ...] = (
+    # Head = next re-verify cohort for round 10 (continue the r5 remainder),
+    # after whatever round-10 adds or changes takes the lead slots.
     "window_running_sum",
     "window_lag_lead",
     "set_except_nations",
@@ -235,7 +185,7 @@ _QUEUE: tuple[str, ...] = (
     "q13_customer_order_distribution",
     "q21_sole_supplier_orders",
     "dedup_exact",
-    # --- freshest greens: verified round 6 ---
+    # --- greens verified round 6 ---
     "j8_scd2_merge",
     "ann_pq_encode",
     "dedup_containment",
@@ -244,7 +194,6 @@ _QUEUE: tuple[str, ...] = (
     "stratified_rebalance_sample",
     "split_dedup_safe",
     "text_pack_streams",
-    "dedup_minhash_lsh",
     "dedup_simhash_banded",
     "dedup_cluster_assign",
     "ann_lsh_bucket_topk",
@@ -280,6 +229,58 @@ _QUEUE: tuple[str, ...] = (
     "t8_stream_dedup",
     "t9_stream_static_join",
     "t10_stream_session_window",
+    # --- freshest greens: driver-attested round 8 (CORRECTNESS_r08) ---
+    "text_heavy_hitters",
+    "text_bm25_topk",
+    "corpus_bigram_avg_prob",
+    "layout_zorder_stats",
+    "ann_hamming_binary_topk",
+    "j9_cdc_changelog_compaction",
+    "ts_gap_fill_interpolate",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "ts_rolling_features",
+    "bitmap_rollup_distinct",
+    "outlier_mad_orders",
+    "curation_source_cap",
+    "j10_merkle_range_diff",
+    "stats_grouped_ols_trend",
+    "stats_pearson_exact",
+    "agg_argmax_showcase",
+    "t12_stream_changelog_compact",
+    "events_transition_matrix",
+    "market_basket_pairs",
+    "embedding_label_centroids",
+    "corpus_divergence_chi2",
+    "events_attribution_last_touch",
+    "events_debounce",
+    "j11_referential_integrity_audit",
+    "corpus_drift_ks",
+    "skew_key_diagnostics",
+    "ann_pq_adc_topk",
+    "ann_ivf_pq_topk",
+    "ann_ivf_pq_residual_topk",
+    "decontam_cross_source_dups",
+    "decontam_ngram_overlap",
+    "source_mix_report",
+    "lang_temperature_sample",
+    "text_repetition_signals",
+    "corpus_ngram_topk",
+    "corpus_quality_filter",
+    "text_pii_redact",
+    "ann_ivf_pq_refine_topk",
+    "dedup_semantic_pairs",
+    "t11_stream_stream_join",
+    "dedup_substring_spans",
+    "corpus_quality_report",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    # --- permanently rows-only (k-means training ∉ SQL): kept OUT of the
+    # 50-slot window forever — the driver can only report err:no_oracle for
+    # them; their rows-run is attested by the full local sweep each round
+    # and their structure is unit-pinned (tests/test_similarity.py) ---
+    "ann_pq_trained_recall",
+    "ann_ivf_pq_residual_trained",
 )
 
 _PRIORITY: tuple[str, ...] = _WINDOW + _QUEUE

@@ -576,9 +576,15 @@ def test_matryoshka_truncation_is_unit_norm_prefix(spark, sf_dir):
 
     rows = embedding_matryoshka_truncate(spark, sf_dir).collect()
     assert rows
-    for r in rows[:50]:
-        assert len(r["mrl16"]) == 16
-        nrm = math.sqrt(sum(x * x for x in r["mrl16"]))
+    # output is posexploded (vec_id, pos, value): regroup and check each
+    # truncated vector has exactly 16 positions and unit norm
+    by_vec: dict = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], {})[r["pos"]] = r["value"]
+    for vec_id in sorted(by_vec)[:50]:
+        vals = by_vec[vec_id]
+        assert sorted(vals) == list(range(16))
+        nrm = math.sqrt(sum(x * x for x in vals.values()))
         assert abs(nrm - 1.0) < 1e-9
 
 

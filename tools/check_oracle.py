@@ -17,6 +17,7 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
+from database_synchronize_tool_spark.caching import cache_scope
 from database_synchronize_tool_spark.catalog import TABLES, table_path
 from database_synchronize_tool_spark.plans.registry import all_queries
 from database_synchronize_tool_spark.session import get_spark
@@ -59,21 +60,22 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            sdf = q.builder(spark, sf_dir)
-            s_cols = sorted(sdf.columns)
-            s_rows = [
-                tuple(canon(r[c]) for c in s_cols) for r in sdf.collect()
-            ]
+            # cache_scope releases operator-internal scoped_persist entries
+            # (minhash signatures, shingle sets) right after the collect;
+            # the belt-and-suspenders clearCache below also frees anything
+            # persisted outside the scoped convention (ADVICE r6 #3).
+            with cache_scope():
+                sdf = q.builder(spark, sf_dir)
+                s_cols = sorted(sdf.columns)
+                s_rows = [
+                    tuple(canon(r[c]) for c in s_cols) for r in sdf.collect()
+                ]
         except Exception:
             print(f"FAIL  {name}: spark raised")
             traceback.print_exc()
             n_fail += 1
             continue
         finally:
-            # several operators persist() intermediate feature tables that
-            # the lazy result references repeatedly (minhash signatures,
-            # shingle sets); the cache entries outlive the query, so this
-            # long-lived 132-query process must release them (ADVICE r6 #3)
             spark.catalog.clearCache()
         if q.oracle is None:
             print(f"ROWS  {name}: {len(s_rows)} rows (no oracle)")
