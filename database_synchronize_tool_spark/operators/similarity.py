@@ -1377,8 +1377,10 @@ def hamming_binary_topk(
     """Binary-quantized ANN: sign-binarize both sides, rank by Hamming
     distance (popcount of XOR), top-k per query with candidate-id tiebreak.
 
-    The retrieval-compression workhorse: binary codes cost 1 bit/dim (a 32×
-    shrink vs float32), Hamming distance is integer XOR+popcount inside
+    The retrieval-compression workhorse: the code itself is 1 bit/dim, and
+    this representation packs 32 bits into each 64-bit BIGINT word — 2
+    bits/dim effective storage, a 16× shrink vs float32 (64 dims → two
+    8-byte words vs 256 bytes). Hamming distance is integer XOR+popcount inside
     whole-stage codegen (no Python, no floats), and sign-random-projection
     theory makes Hamming a monotone estimator of angular distance. Scale
     shape: candidates binarize in a narrow projection of ONE scan; the

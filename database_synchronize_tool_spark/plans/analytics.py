@@ -1801,9 +1801,9 @@ def stats_pearson_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_argmax_showcase",
     oracle="""
     SELECT o_orderpriority,
-           arg_max(o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) * 10000000000
+           arg_max(o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) * 1000000000000
                                + o_orderkey) AS max_price_orderkey,
-           arg_min(o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) * 10000000000
+           arg_min(o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) * 1000000000000
                                + o_orderkey) AS min_price_orderkey,
            CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
     FROM orders GROUP BY o_orderpriority
@@ -1813,12 +1813,14 @@ def stats_pearson_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partials, the way to fetch the extreme row's payload at 100 TB "
     "(a rank-1 window would shuffle AND sort every partition). Prices tie "
     "across orders, and both engines break ties arbitrarily — so the "
-    "ordering value is the DECIMAL pack price*1e10 + orderkey, which is "
-    "collision-free and makes the winner unique and portable.",
+    "ordering value is the DECIMAL pack price*1e12 + orderkey — "
+    "collision-free while o_orderkey < 1e10 (adjacent 0.01 price steps "
+    "differ by 1e10 pack units; TPC-H sf1000 tops out near 6e9 orderkeys), "
+    "making the winner unique and portable across engines.",
 )
 def agg_argmax_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    pack = F.col("o_totalprice").cast("decimal(18,2)") * F.lit(10000000000).cast(
+    pack = F.col("o_totalprice").cast("decimal(18,2)") * F.lit(1000000000000).cast(
         "decimal(18,0)"
     ) + F.col("o_orderkey")
     return o.groupBy("o_orderpriority").agg(

@@ -2775,8 +2775,9 @@ def _binwords_sql(v: str, dim: int = 64) -> str:
       FROM pairs
     ) WHERE rank <= 5
     """,
-    doc="Binary-quantized ANN top-5: sign-binarize embeddings to 1 bit/dim "
-    "(32x smaller than float32 — the retrieval-compression workhorse) and "
+    doc="Binary-quantized ANN top-5: sign-binarize embeddings to 1-bit "
+    "codes packed 32-per-BIGINT-word (2 bits/dim effective, a 16x shrink "
+    "vs float32 — the retrieval-compression workhorse) and "
     "rank by Hamming distance, computed as XOR + popcount over two "
     "32-bit-packed BIGINT words entirely inside whole-stage codegen — no "
     "floats, no Python. Sign-random-projection theory makes Hamming a "

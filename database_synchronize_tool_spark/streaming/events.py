@@ -178,10 +178,20 @@ def read_events_stream_multibatch(
     src_path = table_path(sf_dir, "events")
     try:
         st = os.stat(src_path)
-        sig = f"{st.st_mtime_ns}|{st.st_size}"
+        if os.path.isdir(src_path):
+            # directory layout: fold every file's (name, size, mtime) into
+            # the signature so regenerated multi-file testdata re-stages
+            parts = []
+            for root_, _dirs, files in os.walk(src_path):
+                for f in sorted(files):
+                    fst = os.stat(os.path.join(root_, f))
+                    parts.append(f"{f}:{fst.st_size}:{fst.st_mtime_ns}")
+            sig = "dir|" + "|".join(parts)
+        else:
+            sig = f"{st.st_mtime_ns}|{st.st_size}"
     except OSError:
-        sig = "dir"  # directory layouts re-stage per size below
-    # the source file's identity is part of the key: regenerated testdata
+        sig = "missing"
+    # the source's identity is part of the key: regenerated testdata
     # must re-stage, or the replay would serve stale rows
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|{n_chunks}|{sig}".encode()
@@ -205,17 +215,18 @@ def read_events_stream_multibatch(
             ).alias("c")
         ).collect()[0]["c"]
         bounds = [float("-inf"), *cuts, float("inf")]
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
         for i in range(n_chunks):
             lo, hi = bounds[i], bounds[i + 1]
-            chunk = batch.filter(
-                (F.unix_micros(F.col("ts").cast("timestamp")) > F.lit(lo))
-                if lo != float("-inf")
-                else F.lit(True)
-            ).filter(
-                (F.unix_micros(F.col("ts").cast("timestamp")) <= F.lit(hi))
-                if hi != float("inf")
-                else F.lit(True)
-            )
+            # chunk 0 also takes NULL-ts rows explicitly: us(NULL) makes
+            # every range predicate NULL, which would silently drop them
+            # from all chunks and diverge the replay from the batch reader
+            lo_pred = F.lit(True) if lo == float("-inf") else us > F.lit(lo)
+            hi_pred = F.lit(True) if hi == float("inf") else us <= F.lit(hi)
+            pred = lo_pred & hi_pred
+            if i == 0:
+                pred = F.col("ts").isNull() | pred
+            chunk = batch.filter(pred)
             path = os.path.join(tmp, f"chunk_{i}")
             chunk.coalesce(1).write.mode("overwrite").parquet(path)
             # one data file per chunk dir; pin ascending mtimes for replay order

@@ -228,6 +228,13 @@ def compact_latest_stateful(events: DataFrame) -> DataFrame:
             if pdf.empty:
                 continue
             n += len(pdf)
+            # NULL us/event_id rows count toward n_events but can never be
+            # the winner (same as the batch compactor's NULLS-FIRST sort);
+            # without this dropna, pandas sort_values puts NaN LAST and a
+            # NULL-ts row would win — then int(row["us"]) raises
+            pdf = pdf.dropna(subset=["us", "event_id"])
+            if pdf.empty:
+                continue
             # batch-local winner by the (us, event_id) total order —
             # vectorized lexicographic sort, no per-row Python tuples
             row = pdf.sort_values(["us", "event_id"]).iloc[-1]

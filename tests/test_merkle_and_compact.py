@@ -166,3 +166,51 @@ def test_declared_t12_replay_is_truly_multibatch(spark, sf_dir):
     n_emissions = emitted.count()
     n_keys = emitted.select("user_id").distinct().count()
     assert n_emissions > n_keys
+
+
+def test_stateful_compaction_null_ts_counts_but_never_wins(spark, tmp_path):
+    """A NULL-ts changelog row must not crash the compactor or be chosen as
+    the winner (pandas sort_values puts NaN LAST, so without the dropna
+    guard it WOULD win and int(us) would raise); it still counts toward
+    n_events, matching the batch compactor's NULLS-FIRST ordering."""
+    import datetime as dt
+
+    from database_synchronize_tool_spark.streaming.stateful import (
+        compact_latest_stateful,
+    )
+
+    src = tmp_path / "compact_null_src"
+    src.mkdir()
+    tbl = pa.table(
+        {
+            "event_id": pa.array([10, 11], pa.int64()),
+            "ts": pa.array(
+                [dt.datetime(2024, 1, 1, 12), None], pa.timestamp("us")
+            ),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "event_type": pa.array(["purchase", "ghost"], pa.string()),
+            "value": pa.array([1.0, None], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(src / "f1.parquet"))
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+        .parquet(str(src))
+    )
+    out = compact_latest_stateful(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("compact_null_tbl")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.table("compact_null_tbl").toPandas()
+    final = emitted.sort_values("n_events").iloc[-1]
+    assert int(final["n_events"]) == 2  # NULL-ts row counted
+    assert int(final["event_id"]) == 10  # ...but the non-null row won
+    assert final["event_type"] == "purchase"
