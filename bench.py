@@ -138,8 +138,13 @@ def _current_round() -> int | None:
 
 
 def _previous_artifact() -> tuple[str | None, dict[str, float]]:
-    """Latest BENCH_r{N}.json strictly BEFORE the current round, for
-    per-query regression flags. Caveat carried in the artifact: at sf0.1
+    """Latest bench artifact strictly BEFORE the current round, for
+    per-query regression flags. Two sources, newest round wins:
+    driver-recorded ``BENCH_r{N}.json`` (stdout tail only — per-query
+    timings usually truncated away) and builder-committed
+    ``bench_artifacts/BENCH_LOCAL_r{N}.json`` (the FULL JSON line, kept
+    in-repo precisely so round-over-round per-query comparison survives
+    the driver's 2000-char cap). Caveat carried in the artifact: at sf0.1
     sub-second queries swing tens of percent run-to-run (VERDICT r5:
     identical code measured ±30%), so a flag is a prompt to re-measure,
     not proof of a regression."""
@@ -147,30 +152,41 @@ def _previous_artifact() -> tuple[str | None, dict[str, float]]:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    arts = glob.glob(os.path.join(here, "BENCH_r*.json"))
+    arts = glob.glob(os.path.join(here, "BENCH_r*.json")) + glob.glob(
+        os.path.join(here, "bench_artifacts", "BENCH_LOCAL_r*.json")
+    )
 
     def round_no(p: str) -> int:
-        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        m = re.search(r"BENCH(?:_LOCAL)?_r(\d+)\.json$", p)
         return int(m.group(1)) if m else -1
 
     cur = _current_round()
+    # rounds < 7 timed Spark count() instead of full collect(); comparing
+    # against them re-flags wide-result queries forever (r8 verdict), so
+    # the baseline floor is the first collect-methodology round
     arts = [
         p
         for p in arts
-        if round_no(p) >= 0 and (cur is None or round_no(p) < cur)
+        if round_no(p) >= 7 and (cur is None or round_no(p) < cur)
     ]
-    if not arts:
-        return None, {}
-    latest = max(arts, key=round_no)
-    try:
-        with open(latest) as f:
-            prev = json.load(f)
+    # newest round first; in a same-round tie the LOCAL (full) artifact
+    # sorts ahead of the driver's truncated one. First artifact that
+    # actually yields per-query timings wins — a driver artifact whose
+    # "parsed" got truncated away must not mask an older usable baseline.
+    for latest in sorted(
+        arts, key=lambda p: (round_no(p), "LOCAL" in p), reverse=True
+    ):
+        try:
+            with open(latest) as f:
+                prev = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
         # driver artifacts wrap the bench's JSON line under "parsed"
-        if "parsed" in prev and isinstance(prev["parsed"], dict):
-            prev = prev["parsed"]
-        return os.path.basename(latest), prev
-    except (OSError, json.JSONDecodeError):
-        return None, {}
+        if "parsed" in prev:
+            prev = prev["parsed"] if isinstance(prev["parsed"], dict) else {}
+        if isinstance(prev, dict) and isinstance(prev.get("queries"), dict):
+            return os.path.basename(latest), prev
+    return None, {}
 
 
 def main() -> None:

@@ -225,8 +225,8 @@ def execute_copy(
 
 
 def local_copier(src_root: str, dst_root: str) -> Callable[[str], None]:
-    """Filesystem copier used by tests; a GCS copier has the same shape
-    around ``source_bucket.copy_blob`` (server-side, gcs_sync.py:52-57)."""
+    """Filesystem copier used by tests; :func:`gcs_copier` is the
+    object-store twin around server-side ``copy_blob``."""
 
     def copy(name: str) -> None:
         import shutil
@@ -234,6 +234,45 @@ def local_copier(src_root: str, dst_root: str) -> Callable[[str], None]:
         dst = os.path.join(dst_root, name)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         shutil.copyfile(os.path.join(src_root, name), dst)
+
+    return copy
+
+
+def gcs_copier(
+    src_bucket: str,
+    dst_bucket: str,
+    client_factory: Callable[[], object] | None = None,
+) -> Callable[[str], None]:
+    """Server-side GCS object copier (reference ``gcs_sync.py:52-57``):
+    ``source_bucket.copy_blob(blob, destination_bucket)`` moves bytes
+    entirely inside the storage service — executors never stream payloads.
+
+    The returned callable is picklable and lazy: each executor builds its
+    OWN client on first use (clients hold sockets and cannot ride the
+    closure), then reuses it for every object in its partitions. Pass
+    ``client_factory`` (a picklable zero-arg callable) to inject a fake in
+    tests or a custom-credentialed client in production; the default
+    factory imports ``google.cloud.storage`` on the executor and raises
+    ImportError there if the library is absent (the library is optional —
+    nothing imports it at module load).
+    """
+
+    cell: list = []  # per-process client cache; empty until executor-side
+
+    def copy(name: str) -> None:
+        # foreachPartition calls this per row; the socket/handshake cost
+        # is paid once per python worker, then the client is reused
+        if not cell:
+            if client_factory is not None:
+                cell.append(client_factory())
+            else:
+                from google.cloud import storage  # executor-side import
+
+                cell.append(storage.Client())
+        client = cell[0]
+        src = client.bucket(src_bucket)
+        dst = client.bucket(dst_bucket)
+        src.copy_blob(src.blob(name), dst)
 
     return copy
 

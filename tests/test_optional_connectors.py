@@ -1,0 +1,223 @@
+"""Optional-dependency connectors: GCS server-side copier (faked client),
+Delta Lake MERGE sink (skip-if-no-delta), live-Postgres E2E
+(skip-if-no-DSN). These close the reference's environment-bound paths
+(`gcs_sync.py:52-57` copy_blob, the two-Postgres production sync of
+`docker-compose.yml` + `sync_utils.py:239-287`) with tests that run the
+real code wherever the sandbox allows and skip cleanly where it can't.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+
+from database_synchronize_tool_spark.sources.filesync import (
+    execute_copy,
+    gcs_copier,
+    plan_file_sets,
+)
+
+
+# --- GCS copier: fake client, REAL executor path -------------------------
+# The fakes are file-backed: buckets are directories, copy_blob is a
+# cross-directory file copy — so the test drives gcs_copier through
+# foreachPartition on actual python workers and observes effects on the
+# shared filesystem, exactly the shape the real google-cloud client runs
+# in. They are defined INSIDE the test so cloudpickle serializes them by
+# value (a test module isn't importable on executors).
+
+
+def _make_fake_gcs_factory(root: str):
+    class FakeBlob:
+        def __init__(self, name: str):
+            self.name = name
+
+    class FakeBucket:
+        def __init__(self, broot: str):
+            self.root = broot
+
+        def blob(self, name: str):
+            return FakeBlob(name)
+
+        def copy_blob(self, blob, dst_bucket) -> None:
+            import os as _os
+            import shutil
+
+            dst = _os.path.join(dst_bucket.root, blob.name)
+            _os.makedirs(_os.path.dirname(dst), exist_ok=True)
+            shutil.copyfile(_os.path.join(self.root, blob.name), dst)
+
+    class FakeClient:
+        def bucket(self, name: str):
+            import os as _os
+
+            return FakeBucket(_os.path.join(root, name))
+
+    def factory():
+        return FakeClient()
+
+    return factory
+
+
+def _seed(root: str, files: dict[str, str]) -> None:
+    for name, content in files.items():
+        p = os.path.join(root, name)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            f.write(content)
+
+
+def test_gcs_copier_executes_plan_server_side(spark, tmp_path):
+    store = tmp_path / "store"
+    src, dst = store / "src-bucket", store / "dst-bucket"
+    _seed(str(src), {"a.txt": "1", "sub/b.txt": "22", "c.txt": "3"})
+    _seed(str(dst), {"a.txt": "1"})
+
+    plan = plan_file_sets(spark, str(src), str(dst))
+    copier = gcs_copier(
+        "src-bucket",
+        "dst-bucket",
+        client_factory=_make_fake_gcs_factory(str(store)),
+    )
+    stats = execute_copy(plan, copier)
+    assert stats == {"total_files": 3, "new_files": 2, "existing_files": 1}
+    assert open(dst / "sub" / "b.txt").read() == "22"
+    assert open(dst / "c.txt").read() == "3"
+    # idempotent re-sync: nothing left to copy
+    plan2 = plan_file_sets(spark, str(src), str(dst))
+    stats2 = execute_copy(plan2, copier)
+    assert stats2["new_files"] == 0
+
+
+def test_gcs_copier_default_factory_needs_google_cloud():
+    """Without an injected factory the import happens lazily at first call
+    — constructing the copier never imports google.cloud."""
+    copier = gcs_copier("a", "b")
+    if importlib.util.find_spec("google") is not None:  # pragma: no cover
+        pytest.skip("google namespace present; lazy-import check is moot")
+    with pytest.raises(ImportError):
+        copier("x.txt")
+
+
+# --- Delta MERGE sink ----------------------------------------------------
+
+HAS_DELTA = importlib.util.find_spec("delta") is not None
+
+
+def test_delta_sink_protocol_shape(tmp_path):
+    """Constructing the sink and resolving paths needs no delta-spark; the
+    optional import is deferred to write()."""
+    from database_synchronize_tool_spark.sources.sinks import (
+        DeltaMergeSink,
+        ParquetMergeSink,
+    )
+
+    sink = DeltaMergeSink(str(tmp_path))
+    assert sink.path("events").endswith("events.delta")
+    # same Sink protocol as the parquet sink
+    for attr in ("path", "read_target", "write"):
+        assert callable(getattr(sink, attr))
+        assert callable(getattr(ParquetMergeSink(str(tmp_path)), attr))
+
+
+def test_delta_sink_read_target_empty_without_delta(spark, tmp_path):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from database_synchronize_tool_spark.sources.sinks import DeltaMergeSink
+
+    sink = DeltaMergeSink(str(tmp_path))
+    schema = StructType([StructField("id", LongType())])
+    out = sink.read_target(spark, "nothing_yet", schema)
+    assert out.count() == 0 and out.schema == schema
+
+
+@pytest.mark.skipif(not HAS_DELTA, reason="delta-spark not installed")
+def test_delta_sink_j3_upsert_semantics(spark, tmp_path):  # pragma: no cover
+    from database_synchronize_tool_spark.sources.sinks import DeltaMergeSink
+
+    sink = DeltaMergeSink(str(tmp_path))
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    sink.write(base, "t", ["id"])
+    delta = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    sink.write(delta, "t", ["id"])
+    got = {
+        (r["id"], r["v"])
+        for r in sink.read_target(spark, "t", base.schema).collect()
+    }
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+@pytest.mark.skipif(not HAS_DELTA, reason="delta-spark not installed")
+def test_delta_sink_j4_fullrow_dedup_semantics(spark, tmp_path):  # pragma: no cover
+    from database_synchronize_tool_spark.sources.sinks import DeltaMergeSink
+
+    sink = DeltaMergeSink(str(tmp_path))
+    base = spark.createDataFrame([(1, "a")], "id long, v string")
+    sink.write(base, "t", [])
+    delta = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    sink.write(delta, "t", [])  # duplicate full row must not re-insert
+    got = sink.read_target(spark, "t", base.schema).collect()
+    assert {(r["id"], r["v"]) for r in got} == {(1, "a"), (2, "b")}
+    assert len(got) == 2
+
+
+# --- Live Postgres E2E ---------------------------------------------------
+
+PG_DSN = os.environ.get("SPARK_GRAFT_PG_DSN", "")
+_pg_driver = next(
+    (m for m in ("psycopg2", "pg8000") if importlib.util.find_spec(m)), None
+)
+
+
+@pytest.mark.skipif(
+    not (PG_DSN and _pg_driver),
+    reason="set SPARK_GRAFT_PG_DSN and install psycopg2/pg8000 for the "
+    "live-Postgres E2E (the reference's production path)",
+)
+def test_postgres_live_upsert_roundtrip(spark):  # pragma: no cover
+    """The reference's actual production shape (sync_utils.py:239-287):
+    batched ON CONFLICT upsert over a real Postgres wire connection,
+    idempotent on replay."""
+    import importlib as _il
+
+    drv = _il.import_module(_pg_driver)
+
+    def connect():
+        if _pg_driver == "psycopg2":
+            return drv.connect(PG_DSN)
+        # pg8000 wants keyword args: postgresql://user:pw@host:port/db
+        from urllib.parse import urlparse
+
+        u = urlparse(PG_DSN)
+        return drv.dbapi.connect(
+            user=u.username,
+            password=u.password,
+            host=u.hostname,
+            port=u.port or 5432,
+            database=u.path.lstrip("/"),
+        )
+
+    from database_synchronize_tool_spark.sources.sinks import DbApiUpsertSink
+
+    con = connect()
+    cur = con.cursor()
+    cur.execute("DROP TABLE IF EXISTS spark_graft_e2e")
+    cur.execute(
+        "CREATE TABLE spark_graft_e2e (id bigint PRIMARY KEY, v text)"
+    )
+    con.commit()
+
+    sink = DbApiUpsertSink(connect=connect)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    sink.write(df, "spark_graft_e2e", ["id"])
+    df2 = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    sink.write(df2, "spark_graft_e2e", ["id"])
+    sink.write(df2, "spark_graft_e2e", ["id"])  # replay: idempotent
+
+    cur.execute("SELECT id, v FROM spark_graft_e2e ORDER BY id")
+    assert cur.fetchall() == [(1, "a"), (2, "B"), (3, "c")]
+    cur.execute("DROP TABLE spark_graft_e2e")
+    con.commit()
+    con.close()
