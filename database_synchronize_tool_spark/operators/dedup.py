@@ -130,6 +130,22 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ).select("canonical_id", "n_copies")
 
 
+def _wide_pair_dedup(pairs: DataFrame, *keys: str) -> DataFrame:
+    """Deduplicate candidate pairs behind an EXPLICIT-width exchange.
+
+    Candidate-pair rows are tiny (two bigints), but each surviving pair
+    pays an array_intersect/union over full shingle sets downstream. A
+    plain ``distinct()`` exchange is byte-small, so AQE's coalescing merges
+    it to very few partitions — serializing the verify, the dominant CPU
+    stage (measured at sf1: minhash 14.9 s vs 1.1 s; containment-prefix
+    >590 s vs 102 s). ``repartition(n, keys)`` is REPARTITION_BY_NUM,
+    which AQE never coalesces, and hash-partitioning on the pair key lets
+    ``dropDuplicates`` aggregate in place without a second exchange.
+    """
+    n = pairs.sparkSession.sparkContext.defaultParallelism
+    return pairs.repartition(n, *keys).dropDuplicates()
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -228,7 +244,7 @@ def minhash_lsh_pairs(
     )
     if star is not None:
         pre = pre.unionByName(star)
-    pre = pre.distinct()
+    pre = _wide_pair_dedup(pre, "doc_a", "doc_b")
     ha = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     hb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
@@ -273,6 +289,49 @@ def simhash(hashes: Column, bits: int = SIMHASH_BITS) -> Column:
     return sig
 
 
+def _simhash_udf(bits: int):
+    """Arrow-vectorized twin of ``simhash(shingle_hashes(text))``: same
+    integer math (codepoint poly-31 occurrence hashes — frequency-weighted,
+    NOT distinct — per-group affine whitening mod the Mersenne prime, sign
+    of the ±1 bit-contribution sum), computed in numpy. The Column form
+    nests ~31 ``F.aggregate`` folds per 32-bit group; at 50k docs that
+    expression measured >300 s while this path is sub-second, and the two
+    are bit-identical (pinned by test) so the DuckDB oracle still matches.
+    """
+    groups = []
+    for g in range(-(-bits // 32)):
+        a, b = SIMHASH_AFFINE[g]
+        n_rows = min(31, bits - g * 32)
+        groups.append((g, a, b, n_rows))
+
+    @F.pandas_udf("bigint")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None or len(t) < 3:
+                out.append(0)
+                continue
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(
+                np.int64
+            )
+            h = cp[:-2] * 961 + cp[1:-1] * 31 + cp[2:]
+            sig = 0
+            for g, a, b, n_rows in groups:
+                white = (a * h + b) % MINHASH_PRIME
+                r = np.arange(n_rows, dtype=np.int64)
+                contrib = (
+                    2 * ((white[:, None] >> r[None, :]) & 1) - 1
+                ).sum(axis=0)
+                bits_set = np.where(contrib > 0)[0]
+                sig += int(
+                    np.sum(np.int64(1) << (bits_set + 32 * g))
+                ) if bits_set.size else 0
+            out.append(sig)
+        return pd.Series(out, dtype="int64")
+
+    return _simhash
+
+
 def simhash_banded_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -296,7 +355,7 @@ def simhash_banded_pairs(
     width = -(-bits // n_bands)  # ceil division
     sigs = docs.select(
         F.col(id_col).alias("doc_id"),
-        simhash(shingle_hashes(F.col(text_col)), bits=bits).alias("sig"),
+        _simhash_udf(bits)(F.col(text_col)).alias("sig"),
     )
     chunks = [
         F.shiftright(F.col("sig"), i * width).bitwiseAND(F.lit((1 << width) - 1))
@@ -347,7 +406,7 @@ def simhash_pairs(
     sigs = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(block_col).alias("blk"),
-        simhash(shingle_hashes(F.col(text_col)), bits=bits).alias("sig"),
+        _simhash_udf(bits)(F.col(text_col)).alias("sig"),
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     cond = (F.col("a.doc_id") < F.col("b.doc_id")) & (
@@ -585,7 +644,7 @@ def containment_banded_pairs(
     )
     if star is not None:
         cand = cand.unionByName(star)
-    cand = cand.distinct()
+    cand = _wide_pair_dedup(cand, "doc_a", "doc_b")
     sigb = _shingle_bitmap(sigs)
     ha = sigb.select(
         F.col("doc_id").alias("doc_a"),
@@ -812,7 +871,9 @@ def _containment_prefix_candidates(
     elif length_filter:
         # |A∩B| >= ceil(t|A|) and A∩B ⊆ B force |B| >= ceil(t|A|)
         cand = cand.filter(F.col("n_out") >= F.col("req"))
-    return sh, cand.select("doc_inner", "doc_outer").distinct()
+    return sh, _wide_pair_dedup(
+        cand.select("doc_inner", "doc_outer"), "doc_inner", "doc_outer"
+    )
 
 
 def containment_pairs(

@@ -73,7 +73,13 @@ def _load_all() -> None:
 # it (r8 "what's wrong" #1: array cells are unhashable in its sort), and
 # the three dedup queries whose candidate-generation operators moved from
 # bare persist() to the scoped_persist/cache_scope release contract (r8
-# "what's wrong" #2). The rest of the window drains the queue head: the
+# "what's wrong" #2), the simhash family (signature computation moved to
+# the Arrow-vectorized UDF after the sf1 scale probe measured the nested
+# F.aggregate expression form at >300 s for 50k docs; bit-parity pinned
+# by test + oracle), minhash (candidate dedup now an explicit-width
+# repartition so AQE's coalescing can't serialize the Jaccard verify),
+# and agg_argmax_showcase (pack multiplier widened to 1e12 on BOTH
+# engines, r8 advice). The rest of the window drains the queue head: the
 # 27-name re-verify cohort the r8 additions displaced (s1-s7/p2-p4/a1-a2/
 # j1-j6/f1-f4 sync-ops core), then the stalest r5 cohort as slots allow.
 # The two permanently rows-only trained-PQ queries
@@ -97,6 +103,9 @@ _WINDOW: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_containment_banded",
     "dedup_containment_prefix",
+    "dedup_simhash",
+    "dedup_simhash_banded",
+    "agg_argmax_showcase",
     # --- re-verify: queue head, stalest first (r8-displaced cohort) ---
     "agg_approx_percentile",
     "j7_sync_diff_audit",
@@ -143,12 +152,12 @@ _WINDOW: tuple[str, ...] = (
     "agg_distinct_count",
     "agg_stats_moments",
     "rollup_returns",
-    "cube_events",
-    "pivot_status_by_year",
-    "window_topk_per_group",
 )
 
 _QUEUE: tuple[str, ...] = (
+    "cube_events",
+    "pivot_status_by_year",
+    "window_topk_per_group",
     # Head = next re-verify cohort for round 10 (continue the r5 remainder),
     # after whatever round-10 adds or changes takes the lead slots.
     "window_running_sum",
@@ -194,7 +203,6 @@ _QUEUE: tuple[str, ...] = (
     "stratified_rebalance_sample",
     "split_dedup_safe",
     "text_pack_streams",
-    "dedup_simhash_banded",
     "dedup_cluster_assign",
     "ann_lsh_bucket_topk",
     "q12_priority_by_linestatus",
@@ -214,7 +222,6 @@ _QUEUE: tuple[str, ...] = (
     "train_val_test_split",
     "dedup_normalized",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "dedup_embedding_cosine",
     "ann_bruteforce_topk",
     "embedding_norm_stats",
@@ -246,7 +253,6 @@ _QUEUE: tuple[str, ...] = (
     "j10_merkle_range_diff",
     "stats_grouped_ols_trend",
     "stats_pearson_exact",
-    "agg_argmax_showcase",
     "t12_stream_changelog_compact",
     "events_transition_matrix",
     "market_basket_pairs",

@@ -398,3 +398,24 @@ def test_substring_spans_are_exact_and_cross_document(spark, sf_dir):
         .count()
     )
     assert n == top["n_docs"]
+
+
+def test_simhash_udf_bit_identical_to_column_form(spark, sf_dir):
+    """The Arrow-vectorized simhash (the pair-function fast path) must be
+    bit-identical to the Column expression form on real corpus text for
+    both widths — the DuckDB oracle derives from the Column loop."""
+    from database_synchronize_tool_spark.catalog import load_table
+    from database_synchronize_tool_spark.operators.dedup import (
+        _simhash_udf,
+        shingle_hashes,
+        simhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    for bits in (32, 64):
+        both = docs.select(
+            simhash(shingle_hashes(F.col("text")), bits=bits).alias("col_sig"),
+            _simhash_udf(bits)(F.col("text")).alias("udf_sig"),
+        )
+        bad = both.filter(F.col("col_sig") != F.col("udf_sig")).count()
+        assert bad == 0, f"{bad} mismatches at bits={bits}"

@@ -1,0 +1,184 @@
+"""sf1 scale probe for the dedup/ANN family (round-8 verdict, next #8).
+
+The driver ships testdata only up to sf0.1; the 512-bit containment
+screen, LSH band parameters, and IVF cell counts were all tuned there.
+This tool checks the knees hold one order of magnitude up by generating a
+DETERMINISTIC sf1-equivalent corpus under the repo (never touching
+/root/testdata) and timing the scale-sensitive queries against it.
+
+Scale-up construction (seeded, idempotent):
+
+- ``documents``: 10 replicas of the sf0.1 table. Each replica applies its
+  own random PERMUTATION CIPHER over [a-z]/[A-Z] to every text. A letter
+  bijection maps 3-char shingles bijectively, so within a replica every
+  pairwise Jaccard/containment value is EXACTLY the sf0.1 value — the
+  dup/near-dup structure replicates 10x. Across replicas the trigram
+  spaces are (pseudo-randomly) disjoint, so replicas don't collide in
+  bands/buckets/posting lists. Net: candidate volume scales ~linearly
+  with corpus size, which is the honest 10x — naive row duplication would
+  instead grow every LSH bucket 10x and measure a fabricated quadratic
+  blow-up that real fresh data doesn't have.
+- ``embeddings``: 10 replicas, each through its own seeded Haar-random
+  ORTHOGONAL rotation. A rotation preserves every within-replica pairwise
+  cosine exactly (the semantic-dup/ANN structure replicates 10x verbatim,
+  same argument as the letter cipher), while cross-replica cosines are
+  ~N(0, 1/sqrt(dim)) — below the 0.35 semantic threshold for all but
+  ~0.3% of pairs. Gaussian noise can't do this: at unit norms, noise big
+  enough to separate replicas (sigma 0.15+) also wrecks the within-replica
+  geometry the probe is supposed to replicate.
+
+Replica 0 is byte-identical to sf0.1 (identity cipher, identity
+rotation), so sf0.1 results embed verbatim in the sf1 corpus.
+
+Usage:  python tools/scale_probe.py [--regen]
+Prints one JSON line with per-query wall times at sf0.1 and sf1 and the
+scaling exponent log10(t1/t0.1); records go to SCALE.md by hand.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(REPO, ".scaledata", "sf1")
+N_REPLICAS = 10
+ID_STRIDE = 10_000_000
+
+# the scale-sensitive queries the verdict names; everything else in the
+# registry is sub-second at sf0.1 and linear by construction
+PROBE = (
+    "dedup_minhash_lsh",
+    "dedup_simhash_banded64",
+    "dedup_containment_banded",
+    "dedup_containment_prefix",
+    "ann_ivf_pq_topk",
+    "ann_ivf_pq_residual_topk",
+    "ann_ivf_pq_refine_topk",
+    "dedup_semantic_pairs",
+)
+
+
+def _cipher_table(replica: int) -> dict[int, str]:
+    """Per-replica letter bijection; replica 0 = identity."""
+    rng = np.random.RandomState(42_000 + replica)
+    lo = list("abcdefghijklmnopqrstuvwxyz")
+    hi = [c.upper() for c in lo]
+    if replica == 0:
+        plo, phi = lo, hi
+    else:
+        plo = [lo[i] for i in rng.permutation(26)]
+        phi = [hi[i] for i in rng.permutation(26)]
+    return str.maketrans(
+        "".join(lo) + "".join(hi), "".join(plo) + "".join(phi)
+    )
+
+
+def generate(force: bool = False) -> None:
+    done = os.path.join(DST, "_GENERATED")
+    if os.path.exists(done) and not force:
+        return
+    os.makedirs(DST, exist_ok=True)
+
+    docs = pq.read_table(os.path.join(SRC, "documents.parquet"))
+    d = docs.to_pandas()
+    out = []
+    for k in range(N_REPLICAS):
+        r = d.copy()
+        r["doc_id"] = r["doc_id"] + k * ID_STRIDE
+        tab = _cipher_table(k)
+        r["text"] = r["text"].map(lambda s, t=tab: s.translate(t))
+        out.append(r)
+    import pandas as pd
+
+    big = pd.concat(out, ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(big, preserve_index=False, schema=docs.schema),
+        os.path.join(DST, "documents.parquet"),
+    )
+
+    emb = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    e = emb.to_pandas()
+    mat = np.stack(e["embedding"].to_numpy())  # (n, dim) float32
+    eout = []
+    dim = mat.shape[1]
+    for k in range(N_REPLICAS):
+        if k == 0:
+            rotated = mat
+        else:
+            rng = np.random.RandomState(99_000 + k)
+            # Haar-ish orthogonal matrix: QR of a Gaussian, sign-fixed
+            g = rng.normal(size=(dim, dim))
+            q, r_ = np.linalg.qr(g)
+            q *= np.sign(np.diag(r_))
+            rotated = (mat.astype(np.float64) @ q).astype(np.float32)
+        r = e.copy()
+        r["vec_id"] = r["vec_id"] + k * ID_STRIDE
+        r["embedding"] = list(rotated)
+        eout.append(r)
+    bige = pd.concat(eout, ignore_index=True)
+    bige["embedding"] = bige["embedding"].map(
+        lambda a: a.astype(np.float32).tolist()
+    )
+    pq.write_table(
+        pa.Table.from_pandas(bige, preserve_index=False, schema=emb.schema),
+        os.path.join(DST, "embeddings.parquet"),
+    )
+
+    # the probe queries read only documents/embeddings; the rest of the
+    # star schema links to the sf0.1 copies so load_table never 404s
+    for t in (
+        "region nation customer supplier part orders lineitem events".split()
+    ):
+        link = os.path.join(DST, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(SRC, f"{t}.parquet"), link)
+    open(done, "w").write("ok")
+
+
+def main() -> None:
+    force = "--regen" in sys.argv
+    generate(force=force)
+
+    from database_synchronize_tool_spark.caching import cache_scope
+    from database_synchronize_tool_spark.catalog import load_table
+    from database_synchronize_tool_spark.plans.registry import all_queries
+    from database_synchronize_tool_spark.session import get_spark
+
+    # deliberately the PRODUCTION session posture (AQE on): the probe must
+    # measure what ships, and the r9 minhash fix exists precisely because
+    # an AQE-off probe would have hidden the coalesce-serialization knee
+    spark = get_spark("scale_probe", shuffle_partitions=32)
+    qs = all_queries()
+    result: dict[str, dict[str, float]] = {}
+    for sf_name, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+        for t in ("documents", "embeddings"):
+            load_table(spark, sf_dir, t).cache().count()
+        for name in PROBE:
+            with cache_scope():
+                df = qs[name].builder(spark, sf_dir)
+                df.collect()  # warm: plan + codegen
+                t0 = time.perf_counter()
+                n = len(df.collect())
+                el = round(time.perf_counter() - t0, 3)
+            result.setdefault(name, {})[sf_name] = el
+            result[name][f"{sf_name}_rows"] = n
+            print(f"# {sf_name} {name}: {el:.3f}s ({n} rows)", file=sys.stderr)
+        spark.catalog.clearCache()
+
+    for name, r in result.items():
+        r["scaling_x"] = round(r["sf1"] / max(r["sf0.1"], 1e-3), 2)
+    print(json.dumps({"probe": result, "replicas": N_REPLICAS}))
+
+
+if __name__ == "__main__":
+    main()
