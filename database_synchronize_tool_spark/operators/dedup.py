@@ -256,6 +256,87 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_join(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental near-dup check: which NEW documents near-duplicate an
+    EXISTING corpus document? Returns (doc_new, doc_old, jacc).
+
+    This is the shape a training-data pipeline actually runs every
+    ingestion batch — a BIPARTITE band join, not the self-join of
+    :func:`minhash_lsh_pairs`. The difference matters at 100 TB: the new
+    batch is orders of magnitude smaller than the corpus, so its banded
+    signature table broadcasts and the corpus side streams through a
+    broadcast-hash probe with NO shuffle of corpus bands at all. (The
+    self-join would shuffle the full corpus by band key just to compare a
+    sliver of it against the batch.) Corpus signatures should be
+    precomputed/stored in practice; here they are derived in the same job
+    for a self-contained declared query.
+    """
+
+    def banded(docs: DataFrame, side: str) -> DataFrame:
+        spread = docs.select(
+            F.col(id_col).alias(f"doc_{side}"), F.col(text_col).alias("__text")
+        )
+        feats = minhash_features(F.col("__text"))
+        sigs = spread.select(
+            f"doc_{side}",
+            feats["sh"].alias(f"sh_{side}"),
+            feats["sig"].alias(f"sig_{side}"),
+        )
+        return sigs.select(
+            f"doc_{side}",
+            f"sh_{side}",
+            f"sig_{side}",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.element_at(
+                                    F.col(f"sig_{side}"), b * LSH_ROWS + r + 1
+                                ).cast("string")
+                                for r in range(LSH_ROWS)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(LSH_BANDS)
+                ])
+            ).alias("bk"),
+        ).select(
+            f"doc_{side}",
+            f"sh_{side}",
+            f"sig_{side}",
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
+        )
+
+    nb = banded(new_docs, "new")
+    cb = banded(corpus, "old")
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("sig_new"), F.col("sig_old"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        cb.join(F.broadcast(nb), ["band", "key"])
+        .filter(agree >= MIN_SIG_MATCHES)
+        .withColumn("jacc", jaccard(F.col("sh_new"), F.col("sh_old")))
+        .filter(F.col("jacc") >= threshold)
+        .select("doc_new", "doc_old", "jacc")
+    )
+    return cand.dropDuplicates(["doc_new", "doc_old"])
+
+
 SIMHASH_BITS = 32
 
 # One affine whitening map per 32-bit signature group (classic public LCG
@@ -783,26 +864,47 @@ def containment_prefix_pairs(
     # 256-bit 69-86 s, 512-bit 28.7 s, 1024-bit 33.7 s — 512 is the knee
     # (tighter bound beats per-pair cost until the bitmap stops fitting a
     # cache line pair).
+    # Screen-FIRST join order (round-9 sf1 probe finding): the candidate
+    # volume here is the quadratic term (~12M rows at sf0.1, ~120M at sf1
+    # by linear replication), and joining the full shingle arrays onto
+    # every candidate row shuffles kilobytes per candidate — at sf0.1 the
+    # per-doc side still broadcasts and hides it, but one order of
+    # magnitude up the join flips to sort-merge and the wide-array shuffle
+    # (candidates × ~2 KB) dominates everything (measured: the probe's
+    # sf1 run exceeded 390 s). So the screen joins ONLY the 64-byte
+    # bitmaps + two counters per side, prunes the bulk, and the survivors
+    # (≈ the true-pair count) are the only rows that ever touch the full
+    # arrays for the exact verify. At 100 TB this is the difference
+    # between shuffling candidate_count × bitmap (GBs) and
+    # candidate_count × document shingle set (TBs).
     shb = _shingle_bitmap(sh)
-    ha = shb.select(
+    meta_a = shb.select(
         F.col("doc_id").alias("doc_inner"),
-        F.col("sh").alias("sh_a"),
+        F.ceil(
+            (F.lit(threshold_num) * F.size("sh")) / F.lit(threshold_den)
+        ).cast("bigint").alias("req"),
         F.col("bm").alias("bm_a"),
         (F.size("sh") - F.col("nbits")).alias("slack_a"),
     )
-    hb = shb.select(
-        F.col("doc_id").alias("doc_outer"),
-        F.col("sh").alias("sh_b"),
-        F.col("bm").alias("bm_b"),
+    meta_b = shb.select(
+        F.col("doc_id").alias("doc_outer"), F.col("bm").alias("bm_b")
     )
-    req = F.ceil(
-        (F.lit(threshold_num) * F.size("sh_a")) / F.lit(threshold_den)
-    ).cast("bigint")
     ub = _screen_ub("bm_a", "bm_b")
+    survivors = (
+        cand.join(meta_a, "doc_inner")
+        .join(meta_b, "doc_outer")
+        .filter(ub + F.col("slack_a") >= F.col("req"))
+        .select("doc_inner", "doc_outer")
+    )
+    arr_a = sh.select(
+        F.col("doc_id").alias("doc_inner"), F.col("sh").alias("sh_a")
+    )
+    arr_b = sh.select(
+        F.col("doc_id").alias("doc_outer"), F.col("sh").alias("sh_b")
+    )
     return (
-        cand.join(ha, "doc_inner")
-        .join(hb, "doc_outer")
-        .filter(ub + F.col("slack_a") >= req)
+        survivors.join(arr_a, "doc_inner")
+        .join(arr_b, "doc_outer")
         .withColumn("cont", containment(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("cont") >= float(threshold_num) / float(threshold_den))
         .select("doc_inner", "doc_outer", "cont")

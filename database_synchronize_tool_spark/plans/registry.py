@@ -55,6 +55,7 @@ def _load_all() -> None:
         analytics,
         behavior,
         extensions,
+        sketch_graph,
         sync_ops,
         windows,
     )
@@ -106,6 +107,15 @@ _WINDOW: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_simhash_banded",
     "agg_argmax_showcase",
+    # --- NEW in round 9 (never driver-attested -> outrank re-verify) ---
+    "sketch_cms_part_freq",
+    "sketch_bloom_decontam",
+    "sketch_hll_distinct_orders",
+    "graph_triangle_parts",
+    "graph_pagerank_parts",
+    "link_fuzzy_noisy_docs",
+    "pareto_order_frontier",
+    "dedup_minhash_incremental",
     # --- re-verify: queue head, stalest first (r8-displaced cohort) ---
     "agg_approx_percentile",
     "j7_sync_diff_audit",
@@ -143,18 +153,18 @@ _WINDOW: tuple[str, ...] = (
     "q9_product_type_profit",
     "q11_important_part_value",
     "q16_supplier_part_counts",
+)
+
+_QUEUE: tuple[str, ...] = (
+    # r9-displaced by the 8 new sketch/graph/linkage queries:
     "q20_potential_part_promotion",
     "q5_revenue_by_nation",
-    # --- re-verify: r5-cohort remainder, declared order ---
     "q6_revenue_forecast",
     "q10_returned_revenue",
     "agg_having",
     "agg_distinct_count",
     "agg_stats_moments",
     "rollup_returns",
-)
-
-_QUEUE: tuple[str, ...] = (
     "cube_events",
     "pivot_status_by_year",
     "window_topk_per_group",

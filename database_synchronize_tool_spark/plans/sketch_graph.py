@@ -1,0 +1,559 @@
+"""Declared queries: deterministic sketches, graph analytics, record
+linkage, skyline, and incremental dedup.
+
+Round-9 extension wave. Everything here follows the repo's parity
+contract (registry.py header): md5-hex 60-bit hashes parse identically in
+both engines, all sketch state is integer, every division that feeds a
+hash-compared column is either explicit floor (integer) or a single IEEE
+double op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from database_synchronize_tool_spark.catalog import load_table
+from database_synchronize_tool_spark.operators import dedup as DD
+from database_synchronize_tool_spark.operators import graph as G
+from database_synchronize_tool_spark.operators import membership as MB
+from database_synchronize_tool_spark.plans.registry import declared
+
+# 60-bit md5-hex hash, DuckDB side (parity twin of membership.hash60).
+def _h60_sql(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+# --- count-min sketch -------------------------------------------------------
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 512
+
+
+@declared(
+    "sketch_cms_part_freq",
+    oracle=f"""
+    WITH occ AS (SELECT l_partkey AS k FROM lineitem),
+    b AS (
+      SELECT k, r,
+             {_h60_sql("'cms' || CAST(r AS VARCHAR) || chr(1) || CAST(k AS VARCHAR)")}
+               % {_CMS_WIDTH} AS bucket
+      FROM occ CROSS JOIN range({_CMS_DEPTH}) t(r)
+    ),
+    sketch AS (
+      SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY r, bucket
+    ),
+    exact AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM occ
+      GROUP BY k ORDER BY exact_cnt DESC, k LIMIT 30
+    ),
+    pb AS (
+      SELECT k, exact_cnt, r,
+             {_h60_sql("'cms' || CAST(r AS VARCHAR) || chr(1) || CAST(k AS VARCHAR)")}
+               % {_CMS_WIDTH} AS bucket
+      FROM exact CROSS JOIN range({_CMS_DEPTH}) t(r)
+    )
+    SELECT pb.k AS l_partkey, pb.exact_cnt, MIN(s.cnt) AS cms_est
+    FROM pb JOIN sketch s ON s.r = pb.r AND s.bucket = pb.bucket
+    GROUP BY pb.k, pb.exact_cnt
+    """,
+    doc=f"Count-min sketch ({_CMS_DEPTH}x{_CMS_WIDTH}, md5-seeded hash "
+    "family) of part order-frequencies, point-estimated for the exact "
+    "top-30 parts. The sketch is the bounded-state alternative to a "
+    "full-cardinality groupBy: counters partial-aggregate map-side, the "
+    "shuffle carries at most depth*width rows per partition no matter how "
+    "many distinct keys stream through, and the lookup join broadcasts "
+    "the (bounded) sketch. est >= exact always — the overcount IS the "
+    "measured quantity. At 100 TB the exact top-30 comes from a prior "
+    "heavy-hitters pass (operators/sketches.py); it is exact groupBy here "
+    "only because the declared query must be self-contained.",
+)
+def sketch_cms_part_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("k")
+    )
+    sketch = MB.cms_build(li, "k", _CMS_DEPTH, _CMS_WIDTH)
+    exact = (
+        li.groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "k")
+        .limit(30)
+    )
+    est = MB.cms_point_estimate(sketch, exact, "k", _CMS_DEPTH, _CMS_WIDTH)
+    return est.select(
+        F.col("k").alias("l_partkey"), "exact_cnt", "cms_est"
+    )
+
+
+# --- Bloom filter -----------------------------------------------------------
+
+_BLOOM_M, _BLOOM_K = 4096, 3
+
+
+@declared(
+    "sketch_bloom_decontam",
+    oracle=f"""
+    WITH bits AS (
+      SELECT doc_id, lang, text, j,
+             {_h60_sql("'bf' || CAST(j AS VARCHAR) || chr(1) || text")}
+               % {_BLOOM_M} AS bit
+      FROM documents CROSS JOIN range({_BLOOM_K}) t(j)
+    ),
+    flt AS (
+      SELECT bit // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INT)) AS mask
+      FROM bits WHERE doc_id % 100 < 3 GROUP BY 1
+    ),
+    hits AS (
+      SELECT b.doc_id, b.lang, b.text,
+             CASE WHEN (coalesce(f.mask, 0)
+                        & (CAST(1 AS BIGINT) << CAST(b.bit % 32 AS INT))) <> 0
+                  THEN 1 ELSE 0 END AS hit
+      FROM bits b LEFT JOIN flt f ON b.bit // 32 = f.word
+    ),
+    perdoc AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN SUM(hit) = {_BLOOM_K} THEN 1 ELSE 0 END AS flagged
+      FROM hits GROUP BY doc_id, lang, text
+    ),
+    truth AS (
+      SELECT p.*, CASE WHEN p.text IN (
+               SELECT text FROM documents WHERE doc_id % 100 < 3
+             ) THEN 1 ELSE 0 END AS member
+      FROM perdoc p
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(member) AS BIGINT) AS n_members,
+           CAST(SUM(flagged) AS BIGINT) AS n_flagged,
+           CAST(SUM(CASE WHEN flagged = 1 AND member = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN flagged = 1 AND member = 0 THEN 1 ELSE 0 END)
+                AS DOUBLE)
+             / CAST(COUNT(*) - SUM(member) AS DOUBLE) AS fp_rate
+    FROM truth GROUP BY lang
+    """,
+    doc=f"Bloom-filter decontamination screen: an {_BLOOM_M}-bit / "
+    f"{_BLOOM_K}-hash filter over a held-out document set (doc_id%100<3), "
+    "probed by the full corpus, rolled up per language as a confusion "
+    "report (members / flagged / false-positives / measured FP rate). "
+    "Zero false negatives by construction — Bloom's guarantee — so the "
+    "filter is a SOUND pre-screen: at 100 TB the ~16 KB filter broadcasts "
+    "to every executor and prunes the corpus before the exact "
+    "decontamination join ever shuffles (decontam_* queries); the FP rate "
+    "column is the knob-tuning feedback. Packs 32 bits/word because "
+    "DuckDB's BIGINT shift overflows at bit 63 (repo packing convention).",
+)
+def sketch_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    members = d.filter(F.col("doc_id") % 100 < 3)
+    bloom = MB.bloom_build(members, "text", _BLOOM_M, _BLOOM_K)
+    probed = MB.bloom_probe(bloom, d, "text", _BLOOM_M, _BLOOM_K)
+    member_texts = members.select("text").distinct()
+    truth = probed.join(
+        F.broadcast(member_texts.withColumn("__m", F.lit(1))), "text", "left"
+    ).select(
+        "lang",
+        F.col("bloom_hit").cast("int").alias("flagged"),
+        F.coalesce(F.col("__m"), F.lit(0)).alias("member"),
+    )
+    fp = F.sum(
+        F.when((F.col("flagged") == 1) & (F.col("member") == 0), 1).otherwise(0)
+    )
+    return truth.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("member").cast("bigint").alias("n_members"),
+        F.sum("flagged").cast("bigint").alias("n_flagged"),
+        fp.cast("bigint").alias("n_false_pos"),
+        (
+            fp.cast("double")
+            / (F.count(F.lit(1)) - F.sum("member")).cast("double")
+        ).alias("fp_rate"),
+    )
+
+
+# --- HyperLogLog ------------------------------------------------------------
+
+
+@declared(
+    "sketch_hll_distinct_orders",
+    oracle=f"""
+    WITH h AS (
+      SELECT l_returnflag,
+             {_h60_sql("CAST(l_orderkey AS VARCHAR)")} AS h
+      FROM lineitem
+    ),
+    r AS (
+      SELECT l_returnflag, h % {MB.HLL_M} AS reg,
+             CASE WHEN h // {MB.HLL_M} = 0 THEN {MB.HLL_W + 1}
+                  ELSE {MB.HLL_W + 1} - length(bin(h // {MB.HLL_M}))
+             END AS rho
+      FROM h
+    ),
+    m AS (SELECT l_returnflag, reg, MAX(rho) AS mx FROM r GROUP BY 1, 2),
+    s AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(1 AS BIGINT) << CAST({MB.HLL_W + 1} - mx AS INT))
+                  AS BIGINT)
+               + ({MB.HLL_M} - COUNT(*))
+                 * (CAST(1 AS BIGINT) << {MB.HLL_W + 1}) AS denom,
+             CAST(COUNT(*) AS BIGINT) AS n_registers_hit
+      FROM m GROUP BY l_returnflag
+    ),
+    x AS (
+      SELECT l_returnflag,
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT s.l_returnflag, x.exact_distinct,
+           {MB.HLL_NUMERATOR!r} / CAST(s.denom AS DOUBLE) AS hll_est,
+           s.n_registers_hit
+    FROM s JOIN x ON x.l_returnflag = s.l_returnflag
+    """,
+    doc=f"HyperLogLog distinct-order estimate per return flag ({MB.HLL_M} "
+    "registers, raw Flajolet estimator) next to the exact count. The "
+    "whole estimator is reproducible: 60-bit md5 hash, register/suffix "
+    "split by integer shifts, rho from minimal-binary-string length "
+    "(identical in both engines), harmonic sum kept in scaled integers "
+    "(2^(53-rho) terms, empty registers folded in algebraically), ONE "
+    "double division at the end. No linear-counting branch — ln() is not "
+    "bit-reproducible cross-engine; n_registers_hit is exposed so a "
+    "consumer can apply it. Scale: per-group state is <= 256 rows merged "
+    "by max() map-side — estimating distinct ids over 100 TB shuffles "
+    "kilobytes per group instead of the id set.",
+)
+def sketch_hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    regs = MB.hll_registers(li, "l_orderkey", ["l_returnflag"])
+    est = MB.hll_estimate(regs, ["l_returnflag"])
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "l_returnflag").select(
+        "l_returnflag", "exact_distinct", "hll_est", "n_registers_hit"
+    )
+
+
+# --- graph analytics --------------------------------------------------------
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct same-order part pairs (a < b) — the co-purchase graph's
+    edge list. Lines-per-order is bounded (<= 7 in TPC-H), so the
+    per-order self-join is a bounded in-group expansion, not a skew
+    risk."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
+    return (
+        a.join(b, "o").filter(F.col("a") < F.col("b")).select("a", "b")
+    )
+
+
+_COPURCHASE_EDGES_SQL = """
+    e AS (
+      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    )
+"""
+
+
+@declared(
+    "graph_triangle_parts",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_SQL},
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    nodes AS (SELECT unnest([a, b, c]) AS p_partkey FROM tri)
+    SELECT p_partkey, CAST(COUNT(*) AS BIGINT) AS n_tri
+    FROM nodes GROUP BY p_partkey
+    ORDER BY n_tri DESC, p_partkey LIMIT 20
+    """,
+    doc="Top-20 parts by triangle participation in the co-purchase graph "
+    "(parts sharing an order). Spark runs the DEGREE-ORDERED orientation "
+    "(Chiba-Nishizeki 'forward' counting): each undirected edge oriented "
+    "low-degree -> high-degree, wedges closed by an oriented-edge "
+    "equi-join — out-degree is bounded by O(sqrt(2m)) so the wedge "
+    "fan-out survives power-law hubs that would explode the naive "
+    "highest-id orientation. The oracle uses the naive a<b<c formulation: "
+    "the triangle SET is identical, so the hash check proves the "
+    "optimized orientation changes nothing.",
+)
+def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = G.undirected_edges(_copurchase_pairs(spark, sf_dir))
+    return (
+        G.triangle_counts(edges)
+        .select(F.col("node").alias("p_partkey"), "n_tri")
+        .orderBy(F.col("n_tri").desc(), "p_partkey")
+        .limit(20)
+    )
+
+
+@declared(
+    "graph_pagerank_parts",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_SQL},
+    ed AS (
+      SELECT a AS src, b AS dst FROM e
+      UNION ALL SELECT b AS src, a AS dst FROM e
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM ed GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM deg),
+    base AS (SELECT ((1000000000000 * {G.PR_DAMP_DEN - G.PR_DAMP_NUM})
+                     // {G.PR_DAMP_DEN}) // n AS b FROM n),
+    r0 AS (SELECT node, deg, 1000000000000 // n.n AS rank FROM deg, n),
+    c1 AS (SELECT ed.dst AS node, CAST(SUM(r0.rank // r0.deg) AS BIGINT) AS s
+           FROM r0 JOIN ed ON ed.src = r0.node GROUP BY 1),
+    r1 AS (SELECT d.node, d.deg,
+                  base.b + ({G.PR_DAMP_NUM} * coalesce(c1.s, 0))
+                           // {G.PR_DAMP_DEN} AS rank
+           FROM deg d CROSS JOIN base LEFT JOIN c1 ON c1.node = d.node),
+    c2 AS (SELECT ed.dst AS node, CAST(SUM(r1.rank // r1.deg) AS BIGINT) AS s
+           FROM r1 JOIN ed ON ed.src = r1.node GROUP BY 1),
+    r2 AS (SELECT d.node, d.deg,
+                  base.b + ({G.PR_DAMP_NUM} * coalesce(c2.s, 0))
+                           // {G.PR_DAMP_DEN} AS rank
+           FROM deg d CROSS JOIN base LEFT JOIN c2 ON c2.node = d.node),
+    c3 AS (SELECT ed.dst AS node, CAST(SUM(r2.rank // r2.deg) AS BIGINT) AS s
+           FROM r2 JOIN ed ON ed.src = r2.node GROUP BY 1),
+    r3 AS (SELECT d.node,
+                  base.b + ({G.PR_DAMP_NUM} * coalesce(c3.s, 0))
+                           // {G.PR_DAMP_DEN} AS rank
+           FROM deg d CROSS JOIN base LEFT JOIN c3 ON c3.node = d.node)
+    SELECT node AS p_partkey, CAST(rank AS BIGINT) AS rank_scaled
+    FROM r3 ORDER BY rank DESC, node LIMIT 20
+    """,
+    doc="Top-20 parts by 3-iteration PageRank (damping 85/100) over the "
+    "co-purchase graph, in scaled-integer arithmetic (units of 1e-12, "
+    "every division explicit floor) so the iterative computation is "
+    "bit-identical across engines AND across partitionings — no float "
+    "accumulation-order drift, the classic reason distributed PageRank "
+    "results don't reproduce. Each iteration is one edges-ranks equi-join "
+    "+ one groupBy (rank table O(V), reuses edge partitioning); the "
+    "floor leak is bounded (< deg(u) units/vertex/iter, ~1e-9 of mass) "
+    "and documented. Spark runs a DataFrame loop; the oracle unrolls the "
+    "same three iterations as chained CTEs.",
+)
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = G.undirected_edges(_copurchase_pairs(spark, sf_dir))
+    return (
+        G.pagerank_scaled(edges, iterations=3)
+        .select(F.col("node").alias("p_partkey"), "rank_scaled")
+        .orderBy(F.col("rank_scaled").desc(), "p_partkey")
+        .limit(20)
+    )
+
+
+# --- record linkage ---------------------------------------------------------
+
+_OCR_FROM, _OCR_TO = "aeos", "@30$"
+_LINK_PREFIX, _LINK_LEV_MAX = 40, 15
+
+
+@declared(
+    "link_fuzzy_noisy_docs",
+    oracle=f"""
+    WITH dirty AS (
+      SELECT doc_id + 1000000 AS rec_id, lang,
+             translate(substr(text, 1, {_LINK_PREFIX}),
+                       '{_OCR_FROM}', '{_OCR_TO}') AS key,
+             length(text) // 32 AS lb
+      FROM documents
+    ),
+    clean AS (
+      SELECT doc_id AS rec_id, lang, substr(text, 1, {_LINK_PREFIX}) AS key,
+             length(text) // 32 AS lb
+      FROM documents
+    )
+    SELECT c.rec_id AS doc_clean, d.rec_id AS doc_noisy,
+           CAST(levenshtein(c.key, d.key) AS INT) AS lev_dist
+    FROM clean c JOIN dirty d ON c.lang = d.lang AND c.lb = d.lb
+    WHERE levenshtein(c.key, d.key) <= {_LINK_LEV_MAX}
+    """,
+    doc="Blocked fuzzy record linkage through a noisy channel: the corpus "
+    "is re-rendered with a deterministic OCR-style character corruption "
+    f"(translate {_OCR_FROM!r} -> {_OCR_TO!r}, same doubled-corpus device "
+    "as dedup_exact), and clean records link to noisy ones by Levenshtein "
+    f"distance <= {_LINK_LEV_MAX} on the {_LINK_PREFIX}-char key, inside "
+    "(language, length-band) blocks. The scale shape is the linkage "
+    "standard: candidate generation is an equi-join on the blocking key "
+    "(never all-pairs), the O(k^2)-per-pair edit distance runs only "
+    "inside blocks, and both engines' levenshtein are the plain "
+    "Wagner-Fischer distance so the verify is exact integer parity.",
+)
+def link_fuzzy_noisy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    key = F.substring(F.col("text"), 1, _LINK_PREFIX)
+    lb = F.expr("length(text) div 32")
+    clean = d.select(
+        F.col("doc_id").alias("rec_id"), "lang", key.alias("key"), lb.alias("lb")
+    )
+    dirty = d.select(
+        (F.col("doc_id") + 1000000).alias("rec_id"),
+        "lang",
+        F.translate(key, _OCR_FROM, _OCR_TO).alias("key"),
+        lb.alias("lb"),
+    )
+    c, n = clean.alias("c"), dirty.alias("n")
+    lev = F.levenshtein(F.col("c.key"), F.col("n.key"))
+    return (
+        c.join(n, (F.col("c.lang") == F.col("n.lang")) & (F.col("c.lb") == F.col("n.lb")))
+        .filter(lev <= _LINK_LEV_MAX)
+        .select(
+            F.col("c.rec_id").alias("doc_clean"),
+            F.col("n.rec_id").alias("doc_noisy"),
+            lev.cast("int").alias("lev_dist"),
+        )
+    )
+
+
+# --- skyline / Pareto frontier ----------------------------------------------
+
+
+@declared(
+    "pareto_order_frontier",
+    oracle="""
+    WITH pl AS (
+      SELECT o_orderpriority, o_totalprice AS p, MAX(o_orderdate) AS dmax
+      FROM orders GROUP BY 1, 2
+    ),
+    run AS (
+      SELECT o_orderpriority, p, dmax,
+             MAX(dmax) OVER (
+               PARTITION BY o_orderpriority ORDER BY p DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS better
+      FROM pl
+    )
+    SELECT o.o_orderpriority, o.o_orderkey, o.o_totalprice, o.o_orderdate
+    FROM orders o
+    JOIN run r ON r.o_orderpriority = o.o_orderpriority
+              AND r.p = o.o_totalprice
+    WHERE (r.better IS NULL OR o.o_orderdate > r.better)
+      AND o.o_orderdate = r.dmax
+    """,
+    doc="2D Pareto frontier (skyline) per order priority: orders not "
+    "dominated in (totalprice, orderdate) — maximize both — by any other "
+    "order of the same priority. Implemented as the O(n log n) sort-based "
+    "sweep, NOT the naive O(n^2) NOT-EXISTS: collapse to distinct price "
+    "levels (groupBy max-date), one window pass takes the running "
+    "max-date over strictly-higher price levels, and a row survives iff "
+    "it beats that running max and its own price level's max. Both "
+    "engines run the identical sweep, so dominance tie semantics "
+    "(equal price+date pairs are mutually non-dominated) agree by "
+    "construction. Scale: the window sorts price LEVELS per priority "
+    "group, not raw rows, and the join back is an equi-join on "
+    "(priority, price).",
+)
+def pareto_order_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pl = o.groupBy("o_orderpriority", F.col("o_totalprice").alias("p")).agg(
+        F.max("o_orderdate").alias("dmax")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("p").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = pl.withColumn("better", F.max("dmax").over(w)).alias("r")
+    oa = o.alias("o")
+    return (
+        oa.join(
+            run,
+            (F.col("o.o_orderpriority") == F.col("r.o_orderpriority"))
+            & (F.col("o.o_totalprice") == F.col("r.p")),
+        )
+        .filter(
+            (
+                F.col("r.better").isNull()
+                | (F.col("o.o_orderdate") > F.col("r.better"))
+            )
+            & (F.col("o.o_orderdate") == F.col("r.dmax"))
+        )
+        .select(
+            F.col("o.o_orderpriority"),
+            F.col("o.o_orderkey"),
+            F.col("o.o_totalprice"),
+            F.col("o.o_orderdate"),
+        )
+    )
+
+
+# --- incremental dedup ------------------------------------------------------
+
+
+def _incremental_minhash_oracle() -> str:
+    from database_synchronize_tool_spark.plans.extensions import (
+        _band_union_sql,
+        _HASHES_SQL,
+        _minhash_cols_sql,
+        _sig_matches_sql,
+    )
+
+    jacc = (
+        "len(list_intersect(sa.sh, sb.sh)) "
+        "/ greatest(len(list_distinct(list_concat(sa.sh, sb.sh))), 1)"
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({_HASHES_SQL}) AS sh, {_HASHES_SQL} AS hs
+      FROM documents
+    ), sigs AS (
+      SELECT doc_id, {_minhash_cols_sql()} FROM sh
+    ), bands AS (
+      {_band_union_sql()}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+    ), pre AS (
+      SELECT doc_new, doc_old
+      FROM cand JOIN sigs ga ON ga.doc_id = cand.doc_new
+                JOIN sigs gb ON gb.doc_id = cand.doc_old
+      WHERE ({_sig_matches_sql()}) >= {DD.MIN_SIG_MATCHES}
+    )
+    SELECT doc_new, doc_old, jacc FROM (
+      SELECT doc_new, doc_old, {jacc} AS jacc
+      FROM pre JOIN sh sa ON sa.doc_id = pre.doc_new
+               JOIN sh sb ON sb.doc_id = pre.doc_old
+    ) WHERE jacc >= 0.8
+    """
+
+
+@declared(
+    "dedup_minhash_incremental",
+    oracle=None,  # assigned below — needs extensions' SQL builders loaded
+    doc="Incremental ingestion dedup: which documents of a NEW batch "
+    "(doc_id%10=7) near-duplicate the EXISTING corpus? The bipartite "
+    "MinHash-LSH band join a training pipeline runs per batch — the new "
+    "side's banded signatures BROADCAST, the corpus streams through the "
+    "probe with no corpus-side shuffle at all (vs. the self-join, which "
+    "shuffles the entire corpus by band key to compare a sliver of it). "
+    "Same signature family and Jaccard >= 0.8 verify as dedup_minhash_lsh "
+    "so the oracle reuses its hash SQL with a side split.",
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 7)
+    corpus = d.filter(F.col("doc_id") % 10 != 7)
+    return DD.minhash_lsh_join(new, corpus, threshold=0.8)
+
+
+def _patch_incremental_oracle() -> None:
+    """Late-bind the incremental oracle: its SQL builders live in
+    extensions.py, which is loaded by the same registry sweep that loads
+    this module — a direct import at decoration time would cycle."""
+    from database_synchronize_tool_spark.plans import registry
+
+    q = registry._REGISTRY["dedup_minhash_incremental"]
+    registry._REGISTRY["dedup_minhash_incremental"] = registry.Declared(
+        q.name, q.builder, _incremental_minhash_oracle(), q.doc
+    )
+
+
+_patch_incremental_oracle()

@@ -1,0 +1,150 @@
+"""Unit tests for the round-9 sketch / graph / linkage operators on
+crafted inputs where the exact answer is known by hand."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database_synchronize_tool_spark.operators.graph import (
+    pagerank_scaled,
+    triangle_counts,
+    undirected_edges,
+)
+from database_synchronize_tool_spark.operators.membership import (
+    bloom_build,
+    bloom_probe,
+    cms_build,
+    cms_point_estimate,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def test_cms_estimate_upper_bounds_exact_counts(spark):
+    # 100 occurrences of 'a', 10 of 'b', 1 of 'c'
+    rows = [("a",)] * 100 + [("b",)] * 10 + [("c",)]
+    items = spark.createDataFrame(rows, "k string")
+    sketch = cms_build(items, "k", depth=4, width=64)
+    probes = spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
+    est = {
+        r["k"]: r["cms_est"]
+        for r in cms_point_estimate(sketch, probes, "k", 4, 64).collect()
+    }
+    assert est["a"] >= 100 and est["b"] >= 10 and est["c"] >= 1
+    # a tiny key space in a 4x64 sketch should not collide at all
+    assert est == {"a": 100, "b": 10, "c": 1}
+
+
+def test_cms_sketch_is_bounded(spark):
+    items = spark.createDataFrame(
+        [(f"key{i}",) for i in range(5000)], "k string"
+    )
+    sketch = cms_build(items, "k", depth=4, width=32)
+    assert sketch.count() <= 4 * 32
+
+
+def test_bloom_no_false_negatives(spark):
+    members = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(200)], "key string"
+    )
+    others = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(200)], "key string"
+    )
+    bloom = bloom_build(members, "key")
+    flagged = {
+        r["key"]: r["bloom_hit"]
+        for r in bloom_probe(bloom, members, "key").collect()
+    }
+    assert all(flagged.values()), "Bloom filters must never miss a member"
+    fp = sum(
+        1
+        for r in bloom_probe(bloom, others, "key").collect()
+        if r["bloom_hit"]
+    )
+    # 200 keys in 4096 bits / 3 hashes -> expected FP rate ~0.3%
+    assert fp <= 10
+
+
+def test_hll_estimate_within_expected_error(spark):
+    items = spark.createDataFrame(
+        [(f"v{i}", "g") for i in range(20000)], "k string, g string"
+    )
+    regs = hll_registers(items, "k", ["g"])
+    assert regs.count() <= 256
+    est = hll_estimate(regs, ["g"]).collect()[0]["hll_est"]
+    # 256 registers -> relative std error ~1.04/sqrt(256) = 6.5%; 3 sigma
+    assert abs(est - 20000) / 20000 < 0.20
+
+
+def test_triangle_counts_on_known_graph(spark):
+    # K4 on {1,2,3,4} plus pendant 5: C(4,3)=4 triangles, each K4 vertex
+    # in exactly 3, vertex 5 in none.
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "a bigint, b bigint",
+    )
+    got = {
+        r["node"]: r["n_tri"]
+        for r in triangle_counts(undirected_edges(pairs)).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_undirected_edges_dedups_and_drops_self_loops(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (3, 3)], "a bigint, b bigint"
+    )
+    e = undirected_edges(pairs).collect()
+    assert len(e) == 2  # one undirected edge, both directions
+    assert {(r["src"], r["dst"]) for r in e} == {(1, 2), (2, 1)}
+
+
+def test_pagerank_symmetry_and_mass(spark):
+    # On a 4-cycle every vertex is symmetric: ranks must all be equal and
+    # total mass must stay within the floor-leak bound of SCALE.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "a bigint, b bigint"
+    )
+    ranks = pagerank_scaled(undirected_edges(pairs), iterations=3).collect()
+    vals = {r["rank_scaled"] for r in ranks}
+    assert len(vals) == 1, f"symmetric graph must give equal ranks: {ranks}"
+    total = sum(r["rank_scaled"] for r in ranks)
+    # every division is exact on this graph, so the floor leak is zero
+    assert 0 <= 10**12 - total < 4 * 3 * 10
+
+
+def test_pagerank_star_center_dominates(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5)], "a bigint, b bigint"
+    )
+    ranks = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_scaled(undirected_edges(pairs), 3).collect()
+    }
+    assert ranks[1] > max(ranks[k] for k in (2, 3, 4, 5))
+    assert len({ranks[k] for k in (2, 3, 4, 5)}) == 1  # leaves symmetric
+
+
+def test_minhash_incremental_join_matches_self_join_restriction(spark, sf_dir):
+    """The bipartite LSH join must find exactly the cross-side pairs the
+    self-join finds (restricted to new-vs-old), with identical Jaccard."""
+    from database_synchronize_tool_spark.catalog import load_table
+    from database_synchronize_tool_spark.operators.dedup import (
+        minhash_lsh_join,
+        minhash_lsh_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 7)
+    old = d.filter(F.col("doc_id") % 10 != 7)
+    got = {
+        (r["doc_new"], r["doc_old"]): round(r["jacc"], 9)
+        for r in minhash_lsh_join(new, old, threshold=0.8).collect()
+    }
+    want = {}
+    for r in minhash_lsh_pairs(d, threshold=0.8).collect():
+        a, b = r["doc_a"], r["doc_b"]
+        if (a % 10 == 7) != (b % 10 == 7):
+            n, o = (a, b) if a % 10 == 7 else (b, a)
+            want[(n, o)] = round(r["jacc"], 9)
+    assert got == want

@@ -12,12 +12,19 @@ Scale-up construction (seeded, idempotent):
   own random PERMUTATION CIPHER over [a-z]/[A-Z] to every text. A letter
   bijection maps 3-char shingles bijectively, so within a replica every
   pairwise Jaccard/containment value is EXACTLY the sf0.1 value — the
-  dup/near-dup structure replicates 10x. Across replicas the trigram
-  spaces are (pseudo-randomly) disjoint, so replicas don't collide in
-  bands/buckets/posting lists. Net: candidate volume scales ~linearly
-  with corpus size, which is the honest 10x — naive row duplication would
-  instead grow every LSH bucket 10x and measure a fabricated quadratic
-  blow-up that real fresh data doesn't have.
+  dup/near-dup structure replicates 10x, while cross-replica texts are
+  unrelated word salad (no new near-dup pairs: measured, output counts
+  are exactly 10x sf0.1 for every dedup query). NOTE on shingle spaces:
+  the ciphers do NOT make replica trigram SETS disjoint — all replicas
+  draw from the same 26-letter alphabet, so every shingle's document
+  frequency sums across replicas (~10x per shingle). That is the
+  REALISTIC model for character-n-gram shingling: the trigram space
+  saturates on natural corpora too, so posting lists grow linearly with
+  corpus size and posting-list-join candidate volume grows superlinearly.
+  The probe therefore measures the saturated-shingle-space regime —
+  the regime a 100 TB corpus is actually in — not an artificially
+  collision-free one. (Naive row duplication would be WORSE — it would
+  also multiply every LSH band bucket and duplicate-pair count 10x.)
 - ``embeddings``: 10 replicas, each through its own seeded Haar-random
   ORTHOGONAL rotation. A rotation preserves every within-replica pairwise
   cosine exactly (the semantic-dup/ANN structure replicates 10x verbatim,
@@ -55,16 +62,18 @@ N_REPLICAS = 10
 ID_STRIDE = 10_000_000
 
 # the scale-sensitive queries the verdict names; everything else in the
-# registry is sub-second at sf0.1 and linear by construction
+# registry is sub-second at sf0.1 and linear by construction.
+# containment_prefix LAST: it is the saturated-shingle-space quadratic
+# case (hundreds of seconds at sf1) and must not starve the others.
 PROBE = (
     "dedup_minhash_lsh",
     "dedup_simhash_banded64",
     "dedup_containment_banded",
-    "dedup_containment_prefix",
     "ann_ivf_pq_topk",
     "ann_ivf_pq_residual_topk",
     "ann_ivf_pq_refine_topk",
     "dedup_semantic_pairs",
+    "dedup_containment_prefix",
 )
 
 
@@ -147,6 +156,10 @@ def generate(force: bool = False) -> None:
 
 def main() -> None:
     force = "--regen" in sys.argv
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = tuple(a.split("=", 1)[1].split(","))
     generate(force=force)
 
     from database_synchronize_tool_spark.caching import cache_scope
@@ -164,11 +177,15 @@ def main() -> None:
         for t in ("documents", "embeddings"):
             load_table(spark, sf_dir, t).cache().count()
         for name in PROBE:
+            if only is not None and name not in only:
+                continue
+            # ONE timed collect per (sf, query): the table cache above
+            # removes IO noise, and at sf1 the heavy queries run minutes —
+            # a warm-up pass would double the probe cost for a knee
+            # measurement that cares about 2x-vs-20x, not 2%.
             with cache_scope():
-                df = qs[name].builder(spark, sf_dir)
-                df.collect()  # warm: plan + codegen
                 t0 = time.perf_counter()
-                n = len(df.collect())
+                n = len(qs[name].builder(spark, sf_dir).collect())
                 el = round(time.perf_counter() - t0, 3)
             result.setdefault(name, {})[sf_name] = el
             result[name][f"{sf_name}_rows"] = n
@@ -176,7 +193,8 @@ def main() -> None:
         spark.catalog.clearCache()
 
     for name, r in result.items():
-        r["scaling_x"] = round(r["sf1"] / max(r["sf0.1"], 1e-3), 2)
+        if "sf1" in r and "sf0.1" in r:
+            r["scaling_x"] = round(r["sf1"] / max(r["sf0.1"], 1e-3), 2)
     print(json.dumps({"probe": result, "replicas": N_REPLICAS}))
 
 
