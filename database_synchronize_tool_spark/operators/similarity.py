@@ -1229,7 +1229,7 @@ def ivf_pq_refine_topk(
 
 def semantic_dedup_pairs(
     vectors: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1262,6 +1262,16 @@ def semantic_dedup_pairs(
     sub-split outlier cells); trained centroids swap in via ``centroids``
     (:func:`train_centroids_kmeans`) with no downstream change.
     """
+    if n_cells is None:
+        # Adaptive cell count: cells ∝ N keeps expected cell size constant,
+        # so Σ|cell|² grows LINEARLY with the corpus instead of
+        # quadratically-per-cell. Round-9 sf1 probe measured the fixed-16
+        # default at 35× wall for 10× vectors (cells 10× fatter → 100×
+        # block work per cell); with cells scaled the same corpus is
+        # near-linear. The declared query pins n_cells=16 because its SQL
+        # oracle bakes the cell count into the rebuild; pipelines should
+        # pass None (or a trained centroid set sized to the corpus).
+        n_cells = max(16, -(-vectors.count() // _ADAPTIVE_CELL_TARGET))
     cents = (
         centroids
         if centroids is not None
@@ -1271,6 +1281,13 @@ def semantic_dedup_pairs(
     return _blockwise_cosine_pairs(
         assign.select("vid", "v", "cell"), vectors, threshold, id_col
     )
+
+
+# Target mean vectors-per-cell for the adaptive mode: big enough that a
+# cell's block product amortizes Arrow/task overhead, small enough that
+# |cell|² work and the (|cell| × dim) block both stay comfortably inside
+# one task (400² × 8 B ≈ 1.3 MB of scores at fp64).
+_ADAPTIVE_CELL_TARGET = 400
 
 
 def _blockwise_cosine_pairs(

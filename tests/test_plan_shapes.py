@@ -290,3 +290,40 @@ def test_refine_joins_are_broadcast_never_sortmerge(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cms_lookup_broadcasts_sketch(spark, sf_dir):
+    # the bounded sketch side must broadcast into the probe join; no
+    # CartesianProduct anywhere in the pipeline
+    plan = plan_of(spark, sf_dir, "sketch_cms_part_freq")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_broadcasts_filter(spark, sf_dir):
+    # the <=128-row filter table joins the probe stream as a broadcast
+    plan = plan_of(spark, sf_dir, "sketch_bloom_decontam")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_partial_aggregates_registers(spark, sf_dir):
+    # register max() must partial-aggregate map-side: the shuffle carries
+    # <= 256 register rows per group per partition, never the id stream
+    plan = plan_of(spark, sf_dir, "sketch_hll_distinct_orders")
+    assert "partial_max" in plan
+
+
+def test_graph_queries_never_cartesian(spark, sf_dir):
+    for q in ("graph_triangle_parts", "graph_pagerank_parts"):
+        plan = plan_of(spark, sf_dir, q)
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_linkage_candidates_are_equi_join(spark, sf_dir):
+    # blocking must produce a hash/broadcast equi-join on the block key;
+    # levenshtein must be a post-join filter, never a join-free cross
+    plan = plan_of(spark, sf_dir, "link_fuzzy_noisy_docs")
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan

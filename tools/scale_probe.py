@@ -172,20 +172,35 @@ def main() -> None:
     # an AQE-off probe would have hidden the coalesce-serialization knee
     spark = get_spark("scale_probe", shuffle_partitions=32)
     qs = all_queries()
+
+    # Probe-only variant: the declared dedup_semantic_pairs pins
+    # n_cells=16 (its SQL oracle bakes the cell count in), which is the
+    # measured quadratic-per-cell case at sf1. The adaptive mode
+    # (cells ∝ N) is the documented 100 TB path — measure it too.
+    def _semantic_adaptive(spark, sf_dir):
+        from database_synchronize_tool_spark.operators.similarity import (
+            semantic_dedup_pairs,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return semantic_dedup_pairs(emb, n_cells=None)
+
+    extra = {"dedup_semantic_pairs_adaptive": _semantic_adaptive}
     result: dict[str, dict[str, float]] = {}
     for sf_name, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
         for t in ("documents", "embeddings"):
             load_table(spark, sf_dir, t).cache().count()
-        for name in PROBE:
+        for name in PROBE + tuple(extra):
             if only is not None and name not in only:
                 continue
+            builder = extra[name] if name in extra else qs[name].builder
             # ONE timed collect per (sf, query): the table cache above
             # removes IO noise, and at sf1 the heavy queries run minutes —
             # a warm-up pass would double the probe cost for a knee
             # measurement that cares about 2x-vs-20x, not 2%.
             with cache_scope():
                 t0 = time.perf_counter()
-                n = len(qs[name].builder(spark, sf_dir).collect())
+                n = len(builder(spark, sf_dir).collect())
                 el = round(time.perf_counter() - t0, 3)
             result.setdefault(name, {})[sf_name] = el
             result[name][f"{sf_name}_rows"] = n
