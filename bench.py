@@ -106,6 +106,15 @@ HEADLINE = [
     "j11_referential_integrity_audit",
     "corpus_drift_ks",
     "skew_key_diagnostics",
+    # round-9 additions, benched from the round they land
+    "sketch_cms_part_freq",
+    "sketch_bloom_decontam",
+    "sketch_hll_distinct_orders",
+    "graph_triangle_parts",
+    "graph_pagerank_parts",
+    "link_fuzzy_noisy_docs",
+    "pareto_order_frontier",
+    "dedup_minhash_incremental",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

@@ -399,15 +399,47 @@ def link_fuzzy_noisy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.translate(key, _OCR_FROM, _OCR_TO).alias("key"),
         lb.alias("lb"),
     )
-    c, n = clean.alias("c"), dirty.alias("n")
-    lev = F.levenshtein(F.col("c.key"), F.col("n.key"))
+    # Per-RECORD character-frequency vectors (computed once per record,
+    # never per pair): each edit operation changes the combined character
+    # counts by at most 2 (a substitution decrements one class and
+    # increments another), so  Σ_c |freq_a(c) - freq_b(c)| <= 2·lev  is a
+    # SOUND screen — candidates failing L1 <= 2·max can never pass the
+    # verify. The screen is ~30 integer ops per pair vs the O(k²)=1600-cell
+    # DP, and as the FIRST conjunct of the pair predicate it short-circuits
+    # the DP away for the bulk of the block-candidates (bench: 4.4 s ->
+    # sub-second; same pattern as the dedup bitmap screens — result-neutral,
+    # so the oracle stays the plain blocked-levenshtein form).
+    charset = "abcdefghijklmnopqrstuvwxyz @30$"
+    freq = F.array(
+        *[
+            (
+                F.length(F.col("key"))
+                - F.length(F.translate(F.col("key"), ch, ""))
+            ).cast("int")
+            for ch in charset
+        ]
+    )
+    c = clean.withColumn("fv", freq).alias("c")
+    n = dirty.withColumn("fv", freq).alias("n")
+    l1 = F.aggregate(
+        F.zip_with(F.col("c.fv"), F.col("n.fv"), lambda x, y: F.abs(x - y)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
     return (
-        c.join(n, (F.col("c.lang") == F.col("n.lang")) & (F.col("c.lb") == F.col("n.lb")))
-        .filter(lev <= _LINK_LEV_MAX)
+        c.join(
+            n,
+            (F.col("c.lang") == F.col("n.lang"))
+            & (F.col("c.lb") == F.col("n.lb"))
+            & (l1 <= 2 * _LINK_LEV_MAX)
+            & (F.levenshtein(F.col("c.key"), F.col("n.key")) <= _LINK_LEV_MAX),
+        )
         .select(
             F.col("c.rec_id").alias("doc_clean"),
             F.col("n.rec_id").alias("doc_noisy"),
-            lev.cast("int").alias("lev_dist"),
+            F.levenshtein(F.col("c.key"), F.col("n.key"))
+            .cast("int")
+            .alias("lev_dist"),
         )
     )
 
