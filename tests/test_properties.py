@@ -299,3 +299,120 @@ def test_changelog_compact_equals_sequential_replay(spark, log):
         if not d:
             expect.add((k, ver, p))
     assert got == expect
+
+
+# --- round-9 sketch/graph invariants ---------------------------------------
+
+
+@given(
+    st.lists(st.sampled_from("abcdef"), min_size=1, max_size=40),
+    st.lists(st.sampled_from("abcdef"), max_size=10),
+)
+@settings(**SETTINGS)
+def test_cms_never_undercounts(spark, items, probes):
+    """Count-min's one-sided error: est(x) >= true count(x) for EVERY x,
+    on arbitrary multisets (including keys absent from the sketch input —
+    their estimate is whatever collisions yield, still >= 0 = truth)."""
+    from collections import Counter
+
+    from database_synchronize_tool_spark.operators.membership import (
+        cms_build,
+        cms_point_estimate,
+    )
+
+    truth = Counter(items)
+    df = spark.createDataFrame([(x,) for x in items], "k string")
+    sketch = cms_build(df, "k", depth=3, width=8)  # tiny width forces collisions
+    pr = spark.createDataFrame(
+        [(x,) for x in set(probes) | set(items)], "k string"
+    )
+    for r in cms_point_estimate(sketch, pr, "k", 3, 8).collect():
+        assert r["cms_est"] >= truth.get(r["k"], 0), (r, truth)
+
+
+@given(st.sets(st.integers(0, 500), min_size=1, max_size=60))
+@settings(**SETTINGS)
+def test_bloom_membership_is_complete(spark, members):
+    """No false negatives on arbitrary member sets, even when the filter
+    is overloaded (m small relative to n)."""
+    from database_synchronize_tool_spark.operators.membership import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    df = spark.createDataFrame([(str(x),) for x in members], "key string")
+    bloom = bloom_build(df, "key", m_bits=128, k=3)
+    got = bloom_probe(bloom, df, "key", m_bits=128, k=3).collect()
+    assert all(r["bloom_hit"] for r in got)
+
+
+@given(
+    st.sets(
+        st.tuples(st.integers(1, 9), st.integers(1, 9)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        max_size=16,
+    )
+)
+@settings(**SETTINGS)
+def test_triangle_counts_match_bruteforce(spark, pairs):
+    """Degree-ordered counting equals the O(n^3) definition on arbitrary
+    small graphs (including multi-edges / both orientations in input)."""
+    from itertools import combinations
+
+    from database_synchronize_tool_spark.operators.graph import (
+        triangle_counts,
+        undirected_edges,
+    )
+
+    if not pairs:
+        return
+    edges = {tuple(sorted(p)) for p in pairs}
+    nodes = sorted({v for e in edges for v in e})
+    want = {}
+    for a, b, c in combinations(nodes, 3):
+        if (
+            (a, b) in edges and (a, c) in edges and (b, c) in edges
+        ):
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    df = spark.createDataFrame(list(pairs), "a bigint, b bigint")
+    got = {
+        r["node"]: r["n_tri"]
+        for r in triangle_counts(undirected_edges(df)).collect()
+    }
+    assert got == want
+
+
+@given(
+    st.sets(
+        st.tuples(st.integers(1, 8), st.integers(1, 8)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_pagerank_mass_leak_bounded(spark, pairs):
+    """Scaled-integer PageRank loses at most deg(u) units per vertex per
+    iteration to floor division — total mass stays within that bound and
+    never grows."""
+    from database_synchronize_tool_spark.operators.graph import (
+        PR_SCALE,
+        pagerank_scaled,
+        undirected_edges,
+    )
+
+    e = undirected_edges(
+        spark.createDataFrame(list(pairs), "a bigint, b bigint")
+    )
+    n_edges_directed = e.count()
+    iters = 2
+    ranks = pagerank_scaled(e, iterations=iters).collect()
+    total = sum(r["rank_scaled"] for r in ranks)
+    n_nodes = len(ranks)
+    # initial floor: N * (SCALE div N) <= SCALE; per iteration each vertex
+    # floors its contribution (deg units) and the damp+base floors (2 more)
+    bound = n_nodes + iters * (n_edges_directed + 2 * n_nodes) + 2 * n_nodes
+    assert 0 <= PR_SCALE - total <= bound, (total, bound)
