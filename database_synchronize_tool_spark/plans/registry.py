@@ -91,6 +91,16 @@ def _load_all() -> None:
 # attested by the full local sweep every round. Names listed before their
 # module declares them are skipped harmlessly by all_queries().
 #
+# Late-r9 addition: the 8 new sketch/graph/linkage/skyline/incremental
+# queries (never driver-attested) took slots directly after the
+# changed-code lead, displacing the tail of the re-verify cohort
+# (q20/q5/q6/q10/agg_having/agg_distinct_count/agg_stats_moments/
+# rollup_returns/cube_events/pivot_status_by_year/window_topk_per_group
+# now head the queue). Round-10 rotation plan: lead with whatever r10
+# changes, then the 11-name displaced cohort above, then continue the r5
+# remainder (window_running_sum onward). All 182 declared queries are
+# sweep-green as of SWEEP_r09.log (180 pass / 2 rows-only by design).
+#
 # Compensating control (ADVICE r2): curated ordering means ~half the queries
 # sit outside any single round's driver window, so EVERY round we run the full
 # local sweep over ALL declared queries before the round ends:
