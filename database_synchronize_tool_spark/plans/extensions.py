@@ -11,7 +11,7 @@ operators use).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from database_synchronize_tool_spark.catalog import load_table
@@ -659,6 +659,127 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_synchronize_tool_spark.operators import multimodal as MM
 
     return MM.sample_frames(MM.synth_media_table(spark, sf_dir), n_frames=3)
+
+
+_AHASH_HAMMING_MAX = 15
+
+
+@declared(
+    "multimodal_payload_ahash_pairs",
+    oracle=f"""
+    WITH ch AS (
+      SELECT doc_id, lang, length(text) AS L,
+             unnest(range(1, length(text)+1)) AS i, text
+      FROM documents
+    ), b AS (
+      SELECT doc_id, lang, L, ((i-1)*64) // L AS seg,
+             ascii(substr(text, CAST(i AS INT), 1)) AS a
+      FROM ch
+    ), segs AS (
+      SELECT doc_id, lang, L, seg, CAST(SUM(a) AS BIGINT) AS ssum,
+             CAST(COUNT(*) AS BIGINT) AS scnt
+      FROM b GROUP BY 1, 2, 3, 4
+    ), tot AS (
+      SELECT doc_id, CAST(SUM(ssum) AS BIGINT) AS tsum FROM segs GROUP BY 1
+    ), bits AS (
+      SELECT s.doc_id, s.lang, s.seg,
+             CASE WHEN s.ssum * s.L >= t.tsum * s.scnt THEN 1 ELSE 0 END AS bit
+      FROM segs s JOIN tot t USING (doc_id)
+    ), words AS (
+      SELECT doc_id, lang,
+             CAST(SUM(CASE WHEN seg < 32
+                  THEN CAST(bit AS BIGINT) << CAST(seg AS INT)
+                  ELSE 0 END) AS BIGINT) AS w0,
+             CAST(SUM(CASE WHEN seg >= 32
+                  THEN CAST(bit AS BIGINT) << CAST(seg - 32 AS INT)
+                  ELSE 0 END) AS BIGINT) AS w1
+      FROM bits GROUP BY 1, 2
+    )
+    SELECT media_a, media_b, hamming FROM (
+      SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+             CAST(bit_count(xor(a.w0, b.w0))
+                  + bit_count(xor(a.w1, b.w1)) AS INT) AS hamming
+      FROM words a JOIN words b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    ) WHERE hamming <= {_AHASH_HAMMING_MAX}
+    """,
+    doc="Perceptual block-mean hash (aHash family) over OPAQUE payload "
+    "bytes: the payload byte stream splits into 64 equal segments, each "
+    "segment's bit is mean(segment) >= mean(payload) — compared by "
+    "integer cross-multiplication (seg_sum*L >= total*seg_cnt), so the "
+    "64-bit fingerprint is exact integer math end to end, packed as two "
+    "32-bit words (the repo packing convention; DuckDB's BIGINT shift "
+    "overflows at 63). Near-dup candidates = XOR+popcount Hamming <= "
+    f"{_AHASH_HAMMING_MAX} inside mime/lang blocks. This is the "
+    "byte-level dedup fingerprint for media blobs the codec-stubbed "
+    "multimodal family can grade exactly — unlike the decoded-pixel "
+    "features (PRNG stub, rows-only). Scale: the char explode keeps the "
+    "oracle exact at test SF; at 100 TB compute the two words in one "
+    "Arrow pass per payload (the simhash-UDF precedent) and band the "
+    "64-bit signature (pigeonhole) instead of lang-blocking.",
+)
+def multimodal_payload_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("L"),
+        F.posexplode(F.split(F.col("text"), "")).alias("pos", "c"),
+    ).filter(F.col("c") != "")
+    segs = (
+        ch.select(
+            "doc_id",
+            "lang",
+            "L",
+            F.expr("(pos * 64) div L").alias("seg"),
+            F.ascii("c").alias("a"),
+        )
+        .groupBy("doc_id", "lang", "L", "seg")
+        .agg(
+            F.sum("a").cast("bigint").alias("ssum"),
+            F.count(F.lit(1)).cast("bigint").alias("scnt"),
+        )
+    )
+    wdoc = Window.partitionBy("doc_id")
+    bits = segs.withColumn("tsum", F.sum("ssum").over(wdoc)).select(
+        "doc_id",
+        "lang",
+        "seg",
+        F.when(
+            F.col("ssum") * F.col("L") >= F.col("tsum") * F.col("scnt"), 1
+        ).otherwise(0).alias("bit"),
+    )
+    words = bits.groupBy("doc_id", "lang").agg(
+        F.sum(
+            F.when(
+                F.col("seg") < 32,
+                F.expr("shiftleft(cast(bit as bigint), cast(seg as int))"),
+            ).otherwise(0)
+        ).cast("bigint").alias("w0"),
+        F.sum(
+            F.when(
+                F.col("seg") >= 32,
+                F.expr("shiftleft(cast(bit as bigint), cast(seg - 32 as int))"),
+            ).otherwise(0)
+        ).cast("bigint").alias("w1"),
+    )
+    a, b = words.alias("a"), words.alias("b")
+    ham = (
+        F.bit_count(F.col("a.w0").bitwiseXOR(F.col("b.w0")))
+        + F.bit_count(F.col("a.w1").bitwiseXOR(F.col("b.w1")))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("media_a"),
+            F.col("b.doc_id").alias("media_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _AHASH_HAMMING_MAX)
+    )
 
 
 @declared(

@@ -126,6 +126,7 @@ _WINDOW: tuple[str, ...] = (
     "link_fuzzy_noisy_docs",
     "pareto_order_frontier",
     "dedup_minhash_incremental",
+    "multimodal_payload_ahash_pairs",
     # --- re-verify: queue head, stalest first (r8-displaced cohort) ---
     "agg_approx_percentile",
     "j7_sync_diff_audit",
@@ -162,11 +163,11 @@ _WINDOW: tuple[str, ...] = (
     "dedup_simhash_banded64",
     "q9_product_type_profit",
     "q11_important_part_value",
-    "q16_supplier_part_counts",
 )
 
 _QUEUE: tuple[str, ...] = (
-    # r9-displaced by the 8 new sketch/graph/linkage queries:
+    # r9-displaced by the 9 new sketch/graph/linkage/multimodal queries:
+    "q16_supplier_part_counts",
     "q20_potential_part_promotion",
     "q5_revenue_by_nation",
     "q6_revenue_forecast",
