@@ -115,6 +115,7 @@ HEADLINE = [
     "link_fuzzy_noisy_docs",
     "pareto_order_frontier",
     "dedup_minhash_incremental",
+    "multimodal_payload_ahash_pairs",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

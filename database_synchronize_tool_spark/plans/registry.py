@@ -91,15 +91,16 @@ def _load_all() -> None:
 # attested by the full local sweep every round. Names listed before their
 # module declares them are skipped harmlessly by all_queries().
 #
-# Late-r9 addition: the 8 new sketch/graph/linkage/skyline/incremental
-# queries (never driver-attested) took slots directly after the
-# changed-code lead, displacing the tail of the re-verify cohort
-# (q20/q5/q6/q10/agg_having/agg_distinct_count/agg_stats_moments/
+# Late-r9 addition: the 10 new sketch/graph/linkage/skyline/incremental/
+# multimodal queries (never driver-attested) took slots directly after
+# the changed-code lead, displacing the tail of the re-verify cohort
+# (q9/q16/q20/q5/q6/q10/agg_having/agg_distinct_count/agg_stats_moments/
 # rollup_returns/cube_events/pivot_status_by_year/window_topk_per_group
 # now head the queue). Round-10 rotation plan: lead with whatever r10
-# changes, then the 11-name displaced cohort above, then continue the r5
-# remainder (window_running_sum onward). All 182 declared queries are
-# sweep-green as of SWEEP_r09.log (180 pass / 2 rows-only by design).
+# changes, then the 13-name displaced cohort above, then continue the r5
+# remainder (window_running_sum onward). All 184 declared queries are
+# sweep-green as of SWEEP_r09.log + the targeted post-sweep checks for
+# the two late additions (both sf0.001 and sf0.01).
 #
 # Compensating control (ADVICE r2): curated ordering means ~half the queries
 # sit outside any single round's driver window, so EVERY round we run the full
@@ -127,6 +128,7 @@ _WINDOW: tuple[str, ...] = (
     "pareto_order_frontier",
     "dedup_minhash_incremental",
     "multimodal_payload_ahash_pairs",
+    "sketch_hll_register_merge",
     # --- re-verify: queue head, stalest first (r8-displaced cohort) ---
     "agg_approx_percentile",
     "j7_sync_diff_audit",
@@ -161,12 +163,12 @@ _WINDOW: tuple[str, ...] = (
     "t1_incremental_replay",
     "embedding_quantize_int8",
     "dedup_simhash_banded64",
-    "q9_product_type_profit",
     "q11_important_part_value",
 )
 
 _QUEUE: tuple[str, ...] = (
-    # r9-displaced by the 9 new sketch/graph/linkage/multimodal queries:
+    # r9-displaced by the 10 new sketch/graph/linkage/multimodal queries:
+    "q9_product_type_profit",
     "q16_supplier_part_counts",
     "q20_potential_part_promotion",
     "q5_revenue_by_nation",

@@ -233,6 +233,81 @@ def sketch_hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declared(
+    "sketch_hll_register_merge",
+    oracle=f"""
+    WITH h AS (
+      SELECT l_returnflag,
+             {_h60_sql("CAST(l_orderkey AS VARCHAR)")} AS h
+      FROM lineitem
+    ),
+    r AS (
+      SELECT l_returnflag, h % {MB.HLL_M} AS reg,
+             CASE WHEN h // {MB.HLL_M} = 0 THEN {MB.HLL_W + 1}
+                  ELSE {MB.HLL_W + 1} - length(bin(h // {MB.HLL_M}))
+             END AS rho
+      FROM h
+    ),
+    grp AS (SELECT l_returnflag, reg, MAX(rho) AS mx FROM r GROUP BY 1, 2),
+    merged AS (SELECT reg, MAX(mx) AS mx FROM grp GROUP BY reg),
+    direct AS (SELECT reg, MAX(rho) AS mx FROM r GROUP BY reg),
+    me AS (
+      SELECT {MB.HLL_NUMERATOR!r} / CAST(
+               CAST(SUM(CAST(1 AS BIGINT) << CAST({MB.HLL_W + 1} - mx AS INT))
+                    AS BIGINT)
+               + ({MB.HLL_M} - COUNT(*))
+                 * (CAST(1 AS BIGINT) << {MB.HLL_W + 1}) AS DOUBLE)
+             AS est
+      FROM merged
+    ),
+    de AS (
+      SELECT {MB.HLL_NUMERATOR!r} / CAST(
+               CAST(SUM(CAST(1 AS BIGINT) << CAST({MB.HLL_W + 1} - mx AS INT))
+                    AS BIGINT)
+               + ({MB.HLL_M} - COUNT(*))
+                 * (CAST(1 AS BIGINT) << {MB.HLL_W + 1}) AS DOUBLE)
+             AS est
+      FROM direct
+    ),
+    x AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+          FROM lineitem)
+    SELECT me.est AS merged_est, de.est AS direct_est,
+           me.est = de.est AS merge_exact, x.exact_distinct
+    FROM me, de, x
+    """,
+    doc="HLL mergeability, self-certified: per-return-flag register tables "
+    "merged by register-wise max must estimate EXACTLY what a direct "
+    "global pass estimates — max is the sketch's merge monoid, so "
+    "merge_exact is provably true, and the oracle hash-checks the proof. "
+    "This is the property that makes HLL the 100 TB distinct-count "
+    "structure: per-partition/per-day/per-source registers roll up "
+    "without ever revisiting the data (the same union that would cost a "
+    "full re-scan with exact distinct sets).",
+)
+def sketch_hll_register_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    grp = MB.hll_registers(li, "l_orderkey", ["l_returnflag"])
+    merged_regs = grp.groupBy("reg").agg(F.max("mx").alias("mx"))
+    direct_regs = MB.hll_registers(li, "l_orderkey", [])
+    me = MB.hll_estimate(
+        merged_regs.withColumn("g", F.lit(1)), ["g"]
+    ).select(F.col("hll_est").alias("merged_est"))
+    de = MB.hll_estimate(
+        direct_regs.withColumn("g", F.lit(1)), ["g"]
+    ).select(F.col("hll_est").alias("direct_est"))
+    exact = li.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        me.crossJoin(de)
+        .withColumn(
+            "merge_exact", F.col("merged_est") == F.col("direct_est")
+        )
+        .crossJoin(exact)
+        .select("merged_est", "direct_est", "merge_exact", "exact_distinct")
+    )
+
+
 # --- graph analytics --------------------------------------------------------
 
 
