@@ -92,7 +92,7 @@ def _load_all() -> None:
 # module declares them are skipped harmlessly by all_queries().
 #
 # Late-r9 addition: the 10 new sketch/graph/linkage/skyline/incremental/
-# multimodal queries (never driver-attested) took slots directly after
+# multimodal/streaming queries (never driver-attested) took slots after
 # the changed-code lead, displacing the tail of the re-verify cohort
 # (q9/q16/q20/q5/q6/q10/agg_having/agg_distinct_count/agg_stats_moments/
 # rollup_returns/cube_events/pivot_status_by_year/window_topk_per_group
@@ -129,6 +129,7 @@ _WINDOW: tuple[str, ...] = (
     "dedup_minhash_incremental",
     "multimodal_payload_ahash_pairs",
     "sketch_hll_register_merge",
+    "t13_stream_heavy_hitters",
     # --- re-verify: queue head, stalest first (r8-displaced cohort) ---
     "agg_approx_percentile",
     "j7_sync_diff_audit",
@@ -163,11 +164,11 @@ _WINDOW: tuple[str, ...] = (
     "t1_incremental_replay",
     "embedding_quantize_int8",
     "dedup_simhash_banded64",
-    "q11_important_part_value",
 )
 
 _QUEUE: tuple[str, ...] = (
-    # r9-displaced by the 10 new sketch/graph/linkage/multimodal queries:
+    # r9-displaced by the 11 new sketch/graph/streaming queries:
+    "q11_important_part_value",
     "q9_product_type_profit",
     "q16_supplier_part_counts",
     "q20_potential_part_promotion",

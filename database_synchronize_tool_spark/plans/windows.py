@@ -567,3 +567,68 @@ def t12_stream_changelog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "event_id", "event_type", "n_events")
     )
+
+
+_HH_DEN = 100  # heavy hitter = user with > 1/100 of a type's events
+
+
+@declared(
+    "t13_stream_heavy_hitters",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, COUNT(*) AS n FROM events
+      WHERE user_id IS NOT NULL GROUP BY 1
+    )
+    SELECT c.event_type, c.user_id, c.cnt
+    FROM c JOIN t USING (event_type)
+    WHERE c.cnt * {_HH_DEN} >= t.n
+    """,
+    doc="Streaming heavy hitters, exactly answered: a TRUE 4-micro-batch "
+    "replay maintains per-event-type Misra-Gries state (O(capacity) "
+    "counters, recall-1.0 candidate superset for any threshold <= "
+    "capacity via the batched-MG merge lemma), then the bounded "
+    "candidate set broadcast-joins the static events table for the "
+    "exact count verify — so the final output is EXACT and the oracle "
+    "is a plain GROUP BY / HAVING. The running n_total carried in state "
+    "is the integrity witness: the verify only counts candidates from "
+    "the max-total emission per type, so lost state between batches "
+    "surfaces as a hash mismatch. This is the streaming twin of "
+    "operators/sketches.py's two-phase heavy hitters — the shape that "
+    "answers 'which keys dominate this 100 TB stream' without ever "
+    "holding per-key state for the full key space.",
+)
+def t13_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.streaming.events import (
+        read_events_stream_multibatch,
+        run_to_memory,
+    )
+    from database_synchronize_tool_spark.streaming.stateful import (
+        heavy_hitter_candidates_stateful,
+    )
+
+    stream = heavy_hitter_candidates_stateful(
+        read_events_stream_multibatch(spark, sf_dir), capacity=2 * _HH_DEN
+    )
+    run_to_memory(stream, "t13_stream_hh_tbl", output_mode="update")
+    emitted = spark.table("t13_stream_hh_tbl")
+    w = Window.partitionBy("event_type").orderBy(F.col("n_total").desc())
+    cands = (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_type", F.explode("cands").alias("user_id"))
+    )
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    totals = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ev.join(F.broadcast(cands), ["event_type", "user_id"])
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .join(F.broadcast(totals), "event_type")
+        .filter(F.col("cnt") * _HH_DEN >= F.col("n"))
+        .select("event_type", "user_id", "cnt")
+    )

@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -259,6 +260,89 @@ def compact_latest_stateful(events: DataFrame) -> DataFrame:
         fn,
         outputStructType=COMPACT_OUTPUT_SCHEMA,
         stateStructType=COMPACT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+HH_STATE_SCHEMA = StructType(
+    [
+        StructField("keys", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("n_total", LongType()),
+    ]
+)
+HH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("cands", ArrayType(LongType())),
+        StructField("n_total", LongType()),
+    ]
+)
+
+
+def heavy_hitter_candidates_stateful(
+    events: DataFrame, capacity: int
+) -> DataFrame:
+    """Streaming Misra-Gries per event_type: bounded-state heavy-hitter
+    CANDIDATES over an unbounded stream.
+
+    The streaming face of ``operators/sketches.py``: state per key group is
+    at most ``capacity`` (user, counter) pairs plus one total — O(capacity),
+    never O(distinct users) — merged across micro-batches with the batched
+    MG step (add the batch's counts, then subtract the (capacity+1)-th
+    largest counter from all and evict non-positives; the Agarwal et al.
+    merge lemma keeps the guarantee: every user with global count
+    > n_total/(capacity+1) survives). Each batch re-emits the group's
+    current candidate array plus the running total (update mode); the
+    running total is the state-integrity witness, exactly as in
+    :func:`compact_latest_stateful` — the final selection takes the
+    max-total emission per group, so lost state shows up as a wrong
+    total/candidate set, not silently.
+
+    The candidate set is a recall-1.0 SUPERSET for any threshold
+    den <= capacity; the declared query's exact batch verify prunes false
+    positives, so the end-to-end output is EXACT and oracle-gradeable —
+    a streaming sketch with a hash-checked answer.
+    """
+    prepared = events.select("event_type", "user_id").dropna()
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            keys, counts, n_total = state.get
+            counters = dict(zip(keys, counts))
+        else:
+            counters, n_total = {}, 0
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            n_total += len(pdf)
+            for uid, cnt in pdf["user_id"].value_counts().items():
+                counters[int(uid)] = counters.get(int(uid), 0) + int(cnt)
+            if len(counters) > capacity:
+                # batched decrement: subtract the (capacity+1)-th largest
+                # count, evict non-positive counters
+                thresh = sorted(counters.values(), reverse=True)[capacity]
+                counters = {
+                    k: v - thresh for k, v in counters.items() if v > thresh
+                }
+        state.update(
+            (list(counters.keys()), list(counters.values()), n_total)
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "cands": [sorted(counters.keys())],
+                "n_total": [n_total],
+            }
+        )
+
+    return prepared.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -148,3 +148,44 @@ def test_minhash_incremental_join_matches_self_join_restriction(spark, sf_dir):
             n, o = (a, b) if a % 10 == 7 else (b, a)
             want[(n, o)] = round(r["jacc"], 9)
     assert got == want
+
+
+def test_streaming_mg_survives_eviction_pressure(spark, tmp_path):
+    """With capacity FAR below the distinct-key count, the dominant key
+    must still survive the batched Misra-Gries evictions across real
+    micro-batches (the recall guarantee under state pressure)."""
+    import pandas as pd
+
+    from database_synchronize_tool_spark.streaming.stateful import (
+        heavy_hitter_candidates_stateful,
+    )
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    # 3 files -> 3 micro-batches; key 999 owns ~40% of every batch,
+    # 60 noise keys split the rest
+    for b in range(3):
+        rows = [{"event_type": "t", "user_id": 999}] * 40 + [
+            {"event_type": "t", "user_id": 100 + ((b * 17 + i) % 60)}
+            for i in range(60)
+        ]
+        pd.DataFrame(rows).to_parquet(src / f"b{b}.parquet")
+    stream = (
+        spark.readStream.schema("event_type string, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = heavy_hitter_candidates_stateful(stream, capacity=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mg_evict_tbl")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.table("mg_evict_tbl").toPandas()
+    final = emitted.sort_values("n_total").iloc[-1]
+    assert final["n_total"] == 300
+    assert 999 in list(final["cands"])
+    assert len(final["cands"]) <= 4
