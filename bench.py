@@ -116,6 +116,9 @@ HEADLINE = [
     "pareto_order_frontier",
     "dedup_minhash_incremental",
     "multimodal_payload_ahash_pairs",
+    "sketch_hll_register_merge",
+    # t13_stream_heavy_hitters excluded like t7-t12: a true micro-batch
+    # replay's wall time is trigger orchestration, not data-volume work
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

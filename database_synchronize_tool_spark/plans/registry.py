@@ -91,16 +91,17 @@ def _load_all() -> None:
 # attested by the full local sweep every round. Names listed before their
 # module declares them are skipped harmlessly by all_queries().
 #
-# Late-r9 addition: the 10 new sketch/graph/linkage/skyline/incremental/
+# Late-r9 addition: the 11 new sketch/graph/linkage/skyline/incremental/
 # multimodal/streaming queries (never driver-attested) took slots after
 # the changed-code lead, displacing the tail of the re-verify cohort
 # (q9/q16/q20/q5/q6/q10/agg_having/agg_distinct_count/agg_stats_moments/
 # rollup_returns/cube_events/pivot_status_by_year/window_topk_per_group
 # now head the queue). Round-10 rotation plan: lead with whatever r10
-# changes, then the 13-name displaced cohort above, then continue the r5
-# remainder (window_running_sum onward). All 184 declared queries are
-# sweep-green as of SWEEP_r09.log + the targeted post-sweep checks for
-# the two late additions (both sf0.001 and sf0.01).
+# changes, then the 14-name displaced cohort above, then continue the r5
+# remainder (window_running_sum onward). All 185 declared queries are
+# sweep-green: SWEEP_r09.log covered the first 182; the three late
+# additions (ahash, hll merge, t13) were each checked at BOTH sf0.001
+# and sf0.01 post-sweep, and the end-of-round sweep re-covers all 185.
 #
 # Compensating control (ADVICE r2): curated ordering means ~half the queries
 # sit outside any single round's driver window, so EVERY round we run the full
