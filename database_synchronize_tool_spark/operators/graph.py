@@ -111,6 +111,8 @@ def pagerank_scaled(
         F.count(F.lit(1)).alias("deg")
     )
     n_nodes = deg.count()  # bounded metadata: one scalar to the driver
+    if n_nodes == 0:
+        return deg.select("node", F.lit(0).cast("bigint").alias("rank_scaled"))
     base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN) // n_nodes
     ranks = deg.select(
         "node", "deg", F.lit(PR_SCALE // n_nodes).cast("bigint").alias("rank")

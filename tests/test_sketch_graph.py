@@ -189,3 +189,30 @@ def test_streaming_mg_survives_eviction_pressure(spark, tmp_path):
     assert final["n_total"] == 300
     assert 999 in list(final["cands"])
     assert len(final["cands"]) <= 4
+
+
+def test_graph_and_sketch_ops_tolerate_degenerate_inputs(spark):
+    """Empty graphs and NULL keys must yield empty/NULL-safe results, not
+    crashes — the guard a 100 TB run with an empty partition or dirty
+    column hits eventually."""
+    from database_synchronize_tool_spark.operators.membership import (
+        bloom_build,
+        bloom_probe,
+        cms_build,
+    )
+
+    empty_pairs = spark.createDataFrame([], "a bigint, b bigint")
+    assert triangle_counts(undirected_edges(empty_pairs)).count() == 0
+    assert pagerank_scaled(undirected_edges(empty_pairs), 3).count() == 0
+
+    nulls = spark.createDataFrame(
+        [("x",), (None,), ("y",), (None,)], "key string"
+    )
+    bloom = bloom_build(nulls, "key")  # NULL hashes to NULL -> dropped bits
+    probed = {
+        r["key"]: r["bloom_hit"]
+        for r in bloom_probe(bloom, nulls, "key").collect()
+        if r["key"] is not None
+    }
+    assert probed == {"x": True, "y": True}
+    assert cms_build(nulls, "key", depth=2, width=8).count() <= 2 * 8
