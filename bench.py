@@ -119,6 +119,14 @@ HEADLINE = [
     "sketch_hll_register_merge",
     # t13_stream_heavy_hitters excluded like t7-t12: a true micro-batch
     # replay's wall time is trigger orchestration, not data-volume work
+    # round-9 second wave (plans/approx.py + j12)
+    "sample_weighted_reservoir",
+    "sketch_histogram_quantiles",
+    "layout_zonemap_pruning",
+    "stats_join_cardinality_estimate",
+    "j12_delta_join_maintenance",
+    "sample_weighted_stratified",
+    "layout_bloom_skipping",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

@@ -50,13 +50,21 @@ def hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
-def seeded_bucket(col: Column, seed: str, modulus: int) -> Column:
-    """``hash60(seed ⊕ value) % modulus`` — one member of a hash family.
+def seeded_hash60(col: Column, seed: str) -> Column:
+    """Full 60-bit seeded hash (no modulus) — the uniform draw behind
+    priority sampling and the hash-family base of ``seeded_bucket``.
 
     The value is cast to string first: integer→string rendering is
-    identical in Spark and DuckDB (``||`` casts implicitly there).
+    identical in Spark and DuckDB (``||`` casts implicitly there). Parity
+    twin: ``CAST('0x' || substr(md5(seed || chr(1) || CAST(x AS VARCHAR)),
+    1, 15) AS BIGINT)``.
     """
-    return hash60(F.concat(F.lit(seed + _SEP), col.cast("string"))) % modulus
+    return hash60(F.concat(F.lit(seed + _SEP), col.cast("string")))
+
+
+def seeded_bucket(col: Column, seed: str, modulus: int) -> Column:
+    """``hash60(seed ⊕ value) % modulus`` — one member of a hash family."""
+    return seeded_hash60(col, seed) % modulus
 
 
 # --- count-min sketch -------------------------------------------------------
@@ -103,6 +111,29 @@ def cms_point_estimate(
         .groupBy(*probes.columns)
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+def cms_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """AMS-style join-size estimate from two count-min sketches built over
+    the SAME hash family: for each hash row r the bucket-wise inner
+    product Σ_b A[r][b]·B[r][b] upper-bounds the true join size
+    Σ_k cA(k)·cB(k) — colliding keys only ever ADD cross terms — so the
+    min over rows is the tightest available estimate and still >= exact.
+    Expected overcount is n_a·n_b/width per row (Cormode & Muthukrishnan
+    2005, §4.2), the knob a planner turns when sizing width.
+
+    Both sketches are bounded (depth×width rows), so the pairing join
+    broadcasts and the estimate costs O(depth·width) post-scan: the
+    optimizer-statistics primitive — size a join's output BEFORE paying
+    its shuffle. Returns one row: ``cms_est`` BIGINT.
+    """
+    per_row = (
+        sketch_a.alias("a")
+        .join(F.broadcast(sketch_b.alias("b")), ["r", "bucket"])
+        .groupBy("r")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip"))
+    )
+    return per_row.agg(F.min("ip").cast("bigint").alias("cms_est"))
 
 
 # --- Bloom filter -----------------------------------------------------------

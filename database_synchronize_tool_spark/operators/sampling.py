@@ -77,3 +77,122 @@ def cap_per_group(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    seed: str = "ps",
+) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup, JACM 2007): a
+    weight-proportional sample WITHOUT replacement whose Horvitz–Thompson
+    estimator is unbiased for the total weight of ANY subset predicate.
+    Each row draws priority ``w / u`` with the portable uniform
+    ``u = hash60(seed ⊕ id) + 1`` (the 2^60 scale constant cancels in the
+    ordering); the sample is the top-k by priority, ``tau`` is the
+    (k+1)-th priority, and each sampled row's HT contribution is
+    ``max(w, tau)`` — summing contributions over rows matching a filter
+    estimates that filter's true weight sum.
+
+    Determinism: the only float ops are one IEEE division per row
+    (bigint→double conversion is correctly rounded in both engines) and a
+    greatest() comparison, so the sample and every output column are
+    bit-reproducible against the SQL-oracle twin.
+
+    Scale: top-(k+1) is a TakeOrderedAndProject — per-partition heaps of
+    k+1 rows, no global sort, no shuffle beyond the k+1 survivors — and
+    tau comes from a 1-row aggregate broadcast back. This is the
+    bounded-state answer to "give me a weighted 10k-document sample of a
+    100 TB corpus with calibrated estimates", where A-Res-style
+    exponential-key sampling would need log()/pow() that cross-engine
+    float semantics cannot pin.
+
+    Returns the k sampled rows plus ``priority, smp_rank, tau,
+    ht_contrib``.
+    """
+    from pyspark.sql import Window
+
+    from database_synchronize_tool_spark.operators.membership import (
+        seeded_hash60,
+    )
+
+    h = seeded_hash60(F.col(id_col), seed)
+    pri = F.col(weight_col).cast("double") / (h + F.lit(1)).cast("double")
+    topk1 = (
+        df.withColumn("priority", pri)
+        .orderBy(F.col("priority").desc(), F.col(id_col))
+        .limit(k + 1)
+    )
+    w = Window.orderBy(F.col("priority").desc(), F.col(id_col))
+    ranked = topk1.withColumn(
+        "smp_rank", F.row_number().over(w).cast("int")
+    )
+    # tau = the (k+1)-th priority; 0.0 when the input has <= k rows (then
+    # every row is sampled and HT contribution degenerates to the weight).
+    tau = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("smp_rank") == k + 1, F.col("priority"))),
+            F.lit(0.0),
+        ).alias("tau")
+    )
+    return (
+        ranked.filter(F.col("smp_rank") <= k)
+        .crossJoin(F.broadcast(tau))
+        .withColumn(
+            "ht_contrib",
+            F.greatest(F.col(weight_col).cast("double"), F.col("tau")),
+        )
+    )
+
+
+def priority_sample_stratified(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    stratum_col: str,
+    k: int,
+    seed: str = "pss",
+) -> DataFrame:
+    """Per-stratum priority sampling: an independent Duffield–Lund–Thorup
+    weighted sample of size k inside EVERY stratum, each with its own tau
+    and Horvitz–Thompson contributions — the calibrated version of
+    per-language / per-source corpus sampling (cf. temperature_sample,
+    which resamples by stratum share but offers no estimator).
+
+    Scale: one rank window PARTITIONED by the stratum (no global sort;
+    AQE splits a mega-stratum's window partition) and a tiny per-stratum
+    tau aggregate that broadcasts back. Same draw/priority formula as
+    ``priority_sample`` so the two stay parity-twins of one SQL form.
+    """
+    from pyspark.sql import Window
+
+    from database_synchronize_tool_spark.operators.membership import (
+        seeded_hash60,
+    )
+
+    h = seeded_hash60(F.col(id_col), seed)
+    pri = F.col(weight_col).cast("double") / (h + F.lit(1)).cast("double")
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col("priority").desc(), F.col(id_col)
+    )
+    ranked = (
+        df.withColumn("priority", pri)
+        .withColumn("smp_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("smp_rank") <= k + 1)
+    )
+    tau = ranked.groupBy(stratum_col).agg(
+        F.coalesce(
+            F.max(F.when(F.col("smp_rank") == k + 1, F.col("priority"))),
+            F.lit(0.0),
+        ).alias("tau")
+    )
+    return (
+        ranked.filter(F.col("smp_rank") <= k)
+        .join(F.broadcast(tau), stratum_col)
+        .withColumn(
+            "ht_contrib",
+            F.greatest(F.col(weight_col).cast("double"), F.col("tau")),
+        )
+    )

@@ -1,0 +1,719 @@
+"""Declared queries: sampling theory, mergeable histogram quantiles,
+storage-layout zone-map pruning, and sketch-based join-size estimation.
+
+Round-9 second wave. These fill the "planner/statistics" quadrant of a
+100 TB engine: a calibrated weighted sample (priority sampling), a
+mergeable distribution summary (fixed-bin histogram -> quantiles, with a
+merge-exactness proof like sketch_hll_register_merge's), a layout
+evaluator (zone-map prunability of two physical orders under the same
+predicates), and a join-output-size estimate from bounded sketches (the
+statistic a cost-based planner consults before picking a join strategy).
+
+All follow the repo parity contract (registry.py header): integer
+arithmetic everywhere hash-compared values flow, explicit floor division
+(`div` / `//`), and at most a chain of identically-written IEEE double
+ops for the final ratio columns.
+
+Reference parity note: the reference system (bxljoy/database-synchronize-
+tool) has no statistics layer — these extend the engine the same way the
+sketch/membership family does (operators/membership.py header).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from database_synchronize_tool_spark.catalog import load_table
+from database_synchronize_tool_spark.operators import membership as MB
+from database_synchronize_tool_spark.operators import sampling as SA
+from database_synchronize_tool_spark.plans.registry import declared
+
+
+# 60-bit md5-hex hash, DuckDB side (parity twin of membership.hash60).
+def _h60_sql(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+# --- priority sampling ------------------------------------------------------
+
+_PS_K = 50
+
+
+@declared(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH p AS (
+      SELECT o_orderkey, o_totalprice AS weight,
+             o_totalprice / CAST(
+               {_h60_sql("'ps' || chr(1) || CAST(o_orderkey AS VARCHAR)")}
+               + 1 AS DOUBLE) AS priority
+      FROM orders
+    ),
+    r AS (
+      SELECT o_orderkey, weight, priority,
+             CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, o_orderkey)
+                  AS INT) AS smp_rank
+      FROM p
+    ),
+    tau AS (
+      SELECT coalesce(
+               MAX(CASE WHEN smp_rank = {_PS_K + 1} THEN priority END),
+               0.0) AS tau
+      FROM r
+    )
+    SELECT r.o_orderkey, r.weight, r.priority, r.smp_rank, tau.tau,
+           greatest(r.weight, tau.tau) AS ht_contrib
+    FROM r, tau WHERE r.smp_rank <= {_PS_K}
+    """,
+    doc=f"Weighted reservoir via priority sampling (Duffield-Lund-Thorup): "
+    f"the top-{_PS_K} orders by priority w/u with the portable md5 uniform "
+    "draw, plus tau (the (k+1)-th priority) and each row's "
+    "Horvitz-Thompson contribution max(w, tau) — summing contributions "
+    "over any filter unbiasedly estimates that filter's total weight. "
+    "Spark's plan is a TakeOrderedAndProject (per-partition (k+1)-heaps, "
+    "no global sort) + a broadcast 1-row tau aggregate; the oracle ranks "
+    "the same priorities with a window. The draw divides the raw weight "
+    "by (hash+1) once — ranking is scale-invariant so no transcendental "
+    "(log/pow) ever enters, which is what keeps a weighted sample "
+    "bit-reproducible across engines AND cluster sizes.",
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("weight")
+    )
+    s = SA.priority_sample(o, "weight", "o_orderkey", _PS_K, seed="ps")
+    return s.select(
+        "o_orderkey", "weight", "priority", "smp_rank", "tau", "ht_contrib"
+    )
+
+
+# --- mergeable histogram quantiles ------------------------------------------
+
+_HQ_BIN = 512  # price units per bin: ~205 bins over l_extendedprice
+_HQ_QS = (25, 50, 75, 90, 99)
+
+
+@declared(
+    "sketch_histogram_quantiles",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT CAST(floor(l_extendedprice) AS BIGINT) // {_HQ_BIN} AS bin,
+             l_returnflag, l_extendedprice, l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    parts AS (
+      SELECT l_returnflag, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM rows_ GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt FROM parts GROUP BY 1
+    ),
+    direct AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM rows_ GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rows_),
+    t AS (
+      SELECT q, n, (n * q + 99) // 100 AS rank_target
+      FROM n CROSS JOIN (SELECT unnest([{", ".join(map(str, _HQ_QS))}]) AS q)
+    ),
+    mc AS (
+      SELECT bin, cnt, SUM(cnt) OVER (
+        ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS cum FROM merged
+    ),
+    dc AS (
+      SELECT bin, SUM(cnt) OVER (
+        ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS cum FROM direct
+    ),
+    em AS (
+      SELECT t.q, t.n, t.rank_target, MIN(mc.bin) AS mbin
+      FROM t JOIN mc ON mc.cum >= t.rank_target GROUP BY 1, 2, 3
+    ),
+    ed AS (
+      SELECT t.q, MIN(dc.bin) AS dbin
+      FROM t JOIN dc ON dc.cum >= t.rank_target GROUP BY 1
+    ),
+    off_ AS (
+      SELECT em.q, em.n, em.rank_target, em.mbin,
+             em.rank_target - (mc.cum - mc.cnt) AS off
+      FROM em JOIN mc ON mc.bin = em.mbin
+    ),
+    rn AS (
+      SELECT bin, l_extendedprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY bin
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ) AS rn
+      FROM rows_
+    ),
+    ex AS (
+      SELECT o.q, o.n, o.rank_target, o.mbin,
+             r.l_extendedprice AS exact_price
+      FROM off_ o JOIN rn r ON r.bin = o.mbin AND r.rn = o.off
+    )
+    SELECT ex.q, ex.n, ex.rank_target,
+           ex.mbin * {_HQ_BIN} AS est_price,
+           (ex.mbin = ed.dbin) AS merge_exact,
+           ex.exact_price,
+           CAST(ex.mbin * {_HQ_BIN} AS DOUBLE) - ex.exact_price AS est_err
+    FROM ex JOIN ed ON ed.q = ex.q
+    """,
+    doc=f"Mergeable fixed-bin histogram quantiles of l_extendedprice "
+    f"(bin width {_HQ_BIN}): p25/50/75/90/99 estimated as the lower edge "
+    "of the bin containing the ceil-rank target, with three attestations "
+    "per row — merge_exact proves the per-returnflag histograms summed "
+    "bin-wise give IDENTICAL estimates to a direct global histogram "
+    "(count-vector addition is the merge monoid, the property that lets "
+    "per-day/per-source histograms roll up at 100 TB without re-scanning), "
+    "exact_price is the true rank-target value, and est_err the signed "
+    f"error (|err| < {_HQ_BIN} by construction). The exact value itself "
+    "is found HISTOGRAM-GUIDED: the cumulative bin counts locate the "
+    "target bin and in-bin offset, so the rank lookup sorts one ~n/205 "
+    "bin partition instead of a global single-partition window — the "
+    "two-phase exact-quantile shape that survives scale. All state is "
+    "integer; the only float op is the final err subtraction.",
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.expr(f"CAST(floor(l_extendedprice) AS BIGINT) div {_HQ_BIN}").alias(
+            "bin"
+        ),
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    parts = rows.groupBy("l_returnflag", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    merged = parts.groupBy("bin").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+    direct = rows.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    n = rows.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    targets = n.select(
+        "n", F.explode(F.array(*[F.lit(q) for q in _HQ_QS])).alias("q")
+    ).withColumn("rank_target", F.expr("(n * q + 99) div 100"))
+    # Cumulative counts: a single-partition window over BIN rows — bounded
+    # at ~205 rows no matter the data size (the histogram IS the summary).
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    mc = merged.withColumn("cum", F.sum("cnt").over(wcum))
+    dc = direct.withColumn("cum", F.sum("cnt").over(wcum))
+    em = (
+        mc.join(F.broadcast(targets), F.col("cum") >= F.col("rank_target"))
+        .groupBy("q", "n", "rank_target")
+        .agg(F.min("bin").alias("mbin"))
+    )
+    ed = (
+        dc.join(
+            F.broadcast(targets.select("q", "rank_target")),
+            F.col("cum") >= F.col("rank_target"),
+        )
+        .groupBy("q")
+        .agg(F.min("bin").alias("dbin"))
+    )
+    off = em.join(mc, em.mbin == mc.bin).select(
+        "q",
+        "n",
+        "rank_target",
+        "mbin",
+        (F.col("rank_target") - (F.col("cum") - F.col("cnt"))).alias("off"),
+    )
+    wb = Window.partitionBy("bin").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    rn = rows.withColumn("rn", F.row_number().over(wb))
+    ex = rn.join(
+        F.broadcast(off),
+        (F.col("bin") == F.col("mbin")) & (F.col("rn") == F.col("off")),
+    ).select(
+        "q", "n", "rank_target", "mbin",
+        F.col("l_extendedprice").alias("exact_price"),
+    )
+    return ex.join(F.broadcast(ed), "q").select(
+        "q",
+        "n",
+        "rank_target",
+        (F.col("mbin") * _HQ_BIN).alias("est_price"),
+        (F.col("mbin") == F.col("dbin")).alias("merge_exact"),
+        "exact_price",
+        (
+            (F.col("mbin") * _HQ_BIN).cast("double") - F.col("exact_price")
+        ).alias("est_err"),
+    )
+
+
+# --- zone-map layout pruning ------------------------------------------------
+
+_ZM_CHUNK = 2048
+_ZM_SHIP_LO, _ZM_SHIP_HI = "1995-01-01", "1995-04-01"
+_ZM_PRICE = 90000
+
+
+@declared(
+    "layout_zonemap_pruning",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+      FROM lineitem
+    ),
+    ing AS (
+      SELECT 'ingest_order' AS layout, l_orderkey // {_ZM_CHUNK} AS chunk,
+             l_shipdate, l_extendedprice
+      FROM li
+    ),
+    srt AS (
+      SELECT 'shipdate_sorted' AS layout,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ) - 1 AS BIGINT) // {_ZM_CHUNK} AS chunk,
+             l_shipdate, l_extendedprice
+      FROM li
+    ),
+    bo AS (
+      SELECT * FROM ing UNION ALL SELECT * FROM srt
+    ),
+    st AS (
+      SELECT layout, chunk, CAST(COUNT(*) AS BIGINT) AS cnt,
+             MIN(l_shipdate) AS smin, MAX(l_shipdate) AS smax,
+             MAX(l_extendedprice) AS pmax,
+             CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '{_ZM_SHIP_LO}'
+                            AND l_shipdate <  TIMESTAMP '{_ZM_SHIP_HI}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS m_ship,
+             CAST(SUM(CASE WHEN l_extendedprice > {_ZM_PRICE}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS m_price
+      FROM bo GROUP BY 1, 2
+    ),
+    ship AS (
+      SELECT layout, 'ship_1995q1' AS predicate,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(CASE WHEN smax < TIMESTAMP '{_ZM_SHIP_LO}'
+                             OR smin >= TIMESTAMP '{_ZM_SHIP_HI}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+             CAST(SUM(CASE WHEN smax < TIMESTAMP '{_ZM_SHIP_LO}'
+                             OR smin >= TIMESTAMP '{_ZM_SHIP_HI}'
+                           THEN 0 ELSE cnt END) AS BIGINT) AS rows_scanned,
+             CAST(SUM(m_ship) AS BIGINT) AS rows_matching
+      FROM st GROUP BY 1
+    ),
+    price AS (
+      SELECT layout, 'price_gt_90k' AS predicate,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(CASE WHEN pmax <= {_ZM_PRICE}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+             CAST(SUM(CASE WHEN pmax <= {_ZM_PRICE}
+                           THEN 0 ELSE cnt END) AS BIGINT) AS rows_scanned,
+             CAST(SUM(m_price) AS BIGINT) AS rows_matching
+      FROM st GROUP BY 1
+    ),
+    u AS (SELECT * FROM ship UNION ALL SELECT * FROM price)
+    SELECT layout, predicate, n_chunks, n_pruned, rows_scanned,
+           rows_matching,
+           CAST(n_pruned AS DOUBLE) / CAST(n_chunks AS DOUBLE)
+             AS frac_pruned,
+           CAST(rows_scanned AS DOUBLE)
+             / CAST(greatest(rows_matching, 1) AS DOUBLE) AS scan_amp
+    FROM u
+    """,
+    doc=f"Zone-map prunability of two physical layouts under the same two "
+    f"predicates: {_ZM_CHUNK}-row chunks carry (min,max) per column — the "
+    "parquet row-group / Delta file-stats model — and a chunk is skipped "
+    "iff its range cannot intersect the predicate (SOUND: a skipped chunk "
+    "provably holds zero matches). Rows report chunks pruned, rows still "
+    "scanned, true matching rows, and scan amplification for the ingest "
+    "order (clustered by orderkey, so the shipdate predicate prunes "
+    "almost nothing) vs a shipdate-sorted layout (time predicate prunes "
+    "to the knee; the price predicate shows sorting on ONE key does not "
+    "help another — the motivation for layout_zorder_stats' space-filling "
+    "curve). This is the WRITE-time decision evaluator: at 100 TB the "
+    "sorted layout comes from repartitionByRange at ingest "
+    "(sinks.write_curated), and the declared query uses a deterministic "
+    "row_number chunking only so both engines assign bit-identical "
+    "chunks. Min/max state is 2 values per chunk per column — the zone "
+    "map itself is the bounded summary.",
+)
+def layout_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"
+    )
+    ingest = li.select(
+        F.lit("ingest_order").alias("layout"),
+        F.expr(f"l_orderkey div {_ZM_CHUNK}").alias("chunk"),
+        "l_shipdate",
+        "l_extendedprice",
+    )
+    wsort = Window.orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    srt = (
+        li.withColumn("rn", F.row_number().over(wsort))
+        .select(
+            F.lit("shipdate_sorted").alias("layout"),
+            F.expr(f"CAST(rn - 1 AS BIGINT) div {_ZM_CHUNK}").alias("chunk"),
+            "l_shipdate",
+            "l_extendedprice",
+        )
+    )
+    lo = F.expr(f"timestamp'{_ZM_SHIP_LO}'")
+    hi = F.expr(f"timestamp'{_ZM_SHIP_HI}'")
+    in_ship = (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    st = (
+        ingest.unionByName(srt)
+        .groupBy("layout", "chunk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.min("l_shipdate").alias("smin"),
+            F.max("l_shipdate").alias("smax"),
+            F.max("l_extendedprice").alias("pmax"),
+            F.sum(in_ship.cast("int")).cast("bigint").alias("m_ship"),
+            F.sum((F.col("l_extendedprice") > _ZM_PRICE).cast("int"))
+            .cast("bigint")
+            .alias("m_price"),
+        )
+    )
+
+    def roll(pred_label: str, pruned, match_col: str) -> DataFrame:
+        return (
+            st.withColumn("pruned", pruned.cast("int"))
+            .groupBy("layout")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+                F.sum("pruned").cast("bigint").alias("n_pruned"),
+                F.sum(
+                    F.when(F.col("pruned") == 0, F.col("cnt")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                .cast("bigint")
+                .alias("rows_scanned"),
+                F.sum(match_col).cast("bigint").alias("rows_matching"),
+            )
+            .withColumn("predicate", F.lit(pred_label))
+        )
+
+    ship = roll(
+        "ship_1995q1",
+        (F.col("smax") < lo) | (F.col("smin") >= hi),
+        "m_ship",
+    )
+    price = roll("price_gt_90k", F.col("pmax") <= _ZM_PRICE, "m_price")
+    return ship.unionByName(price).select(
+        "layout",
+        "predicate",
+        "n_chunks",
+        "n_pruned",
+        "rows_scanned",
+        "rows_matching",
+        (
+            F.col("n_pruned").cast("double") / F.col("n_chunks").cast("double")
+        ).alias("frac_pruned"),
+        (
+            F.col("rows_scanned").cast("double")
+            / F.greatest(F.col("rows_matching"), F.lit(1)).cast("double")
+        ).alias("scan_amp"),
+    )
+
+
+# --- sketch join-cardinality estimate ---------------------------------------
+
+_JC_DEPTH, _JC_WIDTH = 4, 1024
+
+
+def _jc_side_sql(src: str, key: str) -> str:
+    return f"""
+      SELECT r,
+             {_h60_sql(f"'cms' || CAST(r AS VARCHAR) || chr(1) || CAST({key} AS VARCHAR)")}
+               % {_JC_WIDTH} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM {src} CROSS JOIN range({_JC_DEPTH}) t(r)
+      GROUP BY 1, 2
+    """
+
+
+@declared(
+    "stats_join_cardinality_estimate",
+    oracle=f"""
+    WITH sa AS ({_jc_side_sql("lineitem", "l_orderkey")}),
+    sb AS ({_jc_side_sql("orders", "o_orderkey")}),
+    ip AS (
+      SELECT sa.r, CAST(SUM(sa.cnt * sb.cnt) AS BIGINT) AS ip
+      FROM sa JOIN sb ON sa.r = sb.r AND sa.bucket = sb.bucket
+      GROUP BY 1
+    ),
+    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS cms_est FROM ip),
+    ex AS (
+      SELECT CAST(SUM(ca.c * cb.c) AS BIGINT) AS exact_join_rows
+      FROM (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY 1) ca
+      JOIN (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+            FROM orders GROUP BY 1) cb ON ca.k = cb.k
+    )
+    SELECT ex.exact_join_rows, est.cms_est,
+           CAST(est.cms_est AS DOUBLE) / CAST(ex.exact_join_rows AS DOUBLE)
+             AS over_ratio
+    FROM ex, est
+    """,
+    doc=f"Join-output-size estimation WITHOUT running the join: count-min "
+    f"sketches ({_JC_DEPTH}x{_JC_WIDTH}, shared hash family) of each "
+    "side's join key, inner-producted bucket-wise per hash row, min over "
+    "rows (always >= exact; expected overcount n_a*n_b/width — the width "
+    "knob). Next to it the exact size Sigma_k cA(k)*cB(k) from the "
+    "per-key count profiles — itself computed WITHOUT materializing join "
+    "output (the count-profile join shuffles one row per distinct key, "
+    "not one per output row). This is the cost-based-planner primitive: "
+    "at 100 TB the sketches build in one pass each, merge map-side "
+    "(counter addition), broadcast at depth*width counters, and tell the "
+    "planner whether the join's output explodes (skewed fanout) BEFORE "
+    "it commits to a shuffle strategy; over_ratio is the sketch's "
+    "measured honesty. Cf. skew_key_diagnostics for the per-key version.",
+)
+def stats_join_cardinality_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    lk = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    ok = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    ca = lk.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("ca"))
+    cb = ok.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+    exact = ca.join(cb, "k").agg(
+        F.sum(F.col("ca") * F.col("cb"))
+        .cast("bigint")
+        .alias("exact_join_rows")
+    )
+    ska = MB.cms_build(lk, "k", _JC_DEPTH, _JC_WIDTH)
+    skb = MB.cms_build(ok, "k", _JC_DEPTH, _JC_WIDTH)
+    est = MB.cms_inner_product(ska, skb)
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            "exact_join_rows",
+            "cms_est",
+            (
+                F.col("cms_est").cast("double")
+                / F.col("exact_join_rows").cast("double")
+            ).alias("over_ratio"),
+        )
+    )
+
+
+# --- stratified priority sampling -------------------------------------------
+
+_PSS_K = 10
+
+
+@declared(
+    "sample_weighted_stratified",
+    oracle=f"""
+    WITH p AS (
+      SELECT lang, doc_id, CAST(length(text) AS BIGINT) AS weight,
+             CAST(length(text) AS BIGINT) / CAST(
+               {_h60_sql("'pss' || chr(1) || CAST(doc_id AS VARCHAR)")}
+               + 1 AS DOUBLE) AS priority
+      FROM documents
+    ),
+    r AS (
+      SELECT lang, doc_id, weight, priority,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY priority DESC, doc_id
+             ) AS INT) AS smp_rank
+      FROM p
+    ),
+    tau AS (
+      SELECT lang,
+             coalesce(
+               MAX(CASE WHEN smp_rank = {_PSS_K + 1} THEN priority END),
+               0.0) AS tau
+      FROM r WHERE smp_rank <= {_PSS_K + 1} GROUP BY 1
+    )
+    SELECT r.lang, r.doc_id, r.weight, r.priority, r.smp_rank, tau.tau,
+           greatest(CAST(r.weight AS DOUBLE), tau.tau) AS ht_contrib
+    FROM r JOIN tau ON tau.lang = r.lang
+    WHERE r.smp_rank <= {_PSS_K}
+    """,
+    doc=f"Per-language priority sample of documents weighted by text "
+    f"length: an independent top-{_PSS_K} weighted sample inside every "
+    "language stratum, each with its own tau and Horvitz-Thompson "
+    "contributions — summing ht_contrib within a stratum (over any "
+    "filter) unbiasedly estimates that stratum's total text volume. The "
+    "calibrated counterpart of lang_temperature_sample: temperature "
+    "resampling balances stratum SHARES, this balances stratum sample "
+    "SIZES while keeping estimates unbiased per stratum. One rank window "
+    "partitioned by lang (no global sort), tau from a per-stratum "
+    "aggregate that broadcasts back — the same shape as "
+    "curation_source_cap with an estimator attached.",
+)
+def sample_weighted_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.length("text").cast("bigint").alias("weight")
+    )
+    s = SA.priority_sample_stratified(
+        d, "weight", "doc_id", "lang", _PSS_K, seed="pss"
+    )
+    return s.select(
+        "lang", "doc_id", "weight", "priority", "smp_rank", "tau",
+        "ht_contrib",
+    )
+
+
+# --- per-chunk Bloom skipping -----------------------------------------------
+
+_BS_CHUNK = 2048
+_BS_M, _BS_K = 1024, 2
+_BS_PROBES = 5
+
+
+@declared(
+    "layout_bloom_skipping",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey // {_BS_CHUNK} AS chunk, l_partkey FROM lineitem
+    ),
+    bits AS (
+      SELECT chunk, l_partkey, j,
+             {_h60_sql("'cb' || CAST(j AS VARCHAR) || chr(1) || CAST(l_partkey AS VARCHAR)")}
+               % {_BS_M} AS bit
+      FROM li CROSS JOIN range({_BS_K}) t(j)
+    ),
+    flt AS (
+      SELECT chunk, bit // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INT)) AS fmask
+      FROM bits GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM lineitem GROUP BY 1
+      ORDER BY exact_cnt DESC, l_partkey LIMIT {_BS_PROBES}
+    ),
+    pb AS (
+      SELECT p.l_partkey, p.exact_cnt, j,
+             {_h60_sql("'cb' || CAST(j AS VARCHAR) || chr(1) || CAST(p.l_partkey AS VARCHAR)")}
+               % {_BS_M} AS bit
+      FROM probes p CROSS JOIN range({_BS_K}) t(j)
+    ),
+    chunks AS (SELECT DISTINCT chunk FROM li),
+    g AS (
+      SELECT c.chunk, pb.l_partkey, pb.exact_cnt, pb.bit
+      FROM chunks c CROSS JOIN pb
+    ),
+    h AS (
+      SELECT g.l_partkey, g.exact_cnt, g.chunk,
+             CASE WHEN (coalesce(f.fmask, 0)
+                        & (CAST(1 AS BIGINT) << CAST(g.bit % 32 AS INT)))
+                       <> 0
+                  THEN 1 ELSE 0 END AS hit
+      FROM g LEFT JOIN flt f
+        ON f.chunk = g.chunk AND f.word = g.bit // 32
+    ),
+    perchunk AS (
+      SELECT l_partkey, exact_cnt, chunk,
+             CASE WHEN SUM(hit) = {_BS_K} THEN 1 ELSE 0 END AS chunk_hit
+      FROM h GROUP BY 1, 2, 3
+    ),
+    truth AS (
+      SELECT DISTINCT chunk, l_partkey FROM li
+    )
+    SELECT pc.l_partkey, pc.exact_cnt,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(pc.chunk_hit) AS BIGINT) AS n_hit_chunks,
+           CAST(SUM(CASE WHEN t.l_partkey IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_true_chunks,
+           CAST(SUM(CASE WHEN pc.chunk_hit = 1 AND t.l_partkey IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(COUNT(*) - SUM(pc.chunk_hit) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS frac_skipped
+    FROM perchunk pc
+    LEFT JOIN truth t ON t.chunk = pc.chunk AND t.l_partkey = pc.l_partkey
+    GROUP BY 1, 2
+    """,
+    doc=f"Per-chunk Bloom-filter data skipping for POINT predicates — the "
+    "index zone maps cannot be: a part key is high-cardinality and "
+    "uncorrelated with ingest order, so every chunk's (min,max) straddles "
+    "it and layout_zonemap_pruning skips nothing; a ~"
+    f"{_BS_M // 8} B Bloom filter per {_BS_CHUNK}-row chunk "
+    "(parquet bloom_filter_enabled / Delta file-level Bloom, modeled "
+    "engine-side) answers 'can this chunk contain key X' with zero false "
+    "negatives, so skipping non-hit chunks is SOUND. Probing the exact "
+    f"top-{_BS_PROBES} part keys reports hit/true/false-positive chunk "
+    "counts and the skip fraction a point-lookup would enjoy. Build is "
+    "one bit_or-monoid aggregate (map-side combined, <= m/32 words per "
+    "chunk); the probe grid is chunks x (probes*k) with the bounded "
+    "probe side broadcast. Cf. sketch_bloom_decontam for the corpus-"
+    "membership use of the same filter algebra.",
+)
+def layout_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(f"l_orderkey div {_BS_CHUNK}").alias("chunk"), "l_partkey"
+    )
+    bits = F.array(
+        *[
+            MB.seeded_bucket(F.col("l_partkey"), f"cb{j}", _BS_M)
+            for j in range(_BS_K)
+        ]
+    )
+    flt = (
+        li.select("chunk", F.explode(bits).alias("bit"))
+        .select(
+            "chunk",
+            F.expr("bit div 32").alias("word"),
+            F.expr("shiftleft(cast(1 as bigint), cast(bit % 32 as int))")
+            .alias("mask"),
+        )
+        .groupBy("chunk", "word")
+        .agg(F.bit_or("mask").alias("fmask"))
+    )
+    probes = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "l_partkey")
+        .limit(_BS_PROBES)
+    )
+    pb = probes.select(
+        "l_partkey", "exact_cnt", F.explode(bits).alias("bit")
+    ).select(
+        "l_partkey",
+        "exact_cnt",
+        "bit",
+        F.expr("bit div 32").alias("word"),
+        F.expr("shiftleft(cast(1 as bigint), cast(bit % 32 as int))")
+        .alias("mask"),
+    )
+    chunks = li.select("chunk").distinct()
+    g = chunks.crossJoin(F.broadcast(pb))
+    h = g.join(F.broadcast(flt), ["chunk", "word"], "left").withColumn(
+        "hit",
+        (
+            F.coalesce(F.col("fmask"), F.lit(0)).bitwiseAND(F.col("mask"))
+            != 0
+        ).cast("int"),
+    )
+    perchunk = h.groupBy("l_partkey", "exact_cnt", "chunk").agg(
+        (F.sum("hit") == _BS_K).cast("int").alias("chunk_hit")
+    )
+    truth = li.distinct().withColumn("__t", F.lit(1))
+    joined = perchunk.join(
+        F.broadcast(truth), ["chunk", "l_partkey"], "left"
+    )
+    return joined.groupBy("l_partkey", "exact_cnt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("chunk_hit").cast("bigint").alias("n_hit_chunks"),
+        F.sum(F.coalesce(F.col("__t"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_true_chunks"),
+        F.sum(
+            F.when(
+                (F.col("chunk_hit") == 1) & F.col("__t").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_pos"),
+        (
+            (F.count(F.lit(1)) - F.sum("chunk_hit")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("frac_skipped"),
+    )

@@ -53,6 +53,7 @@ def _load_all() -> None:
     # Import side effects populate the registry.
     from database_synchronize_tool_spark.plans import (  # noqa: F401
         analytics,
+        approx,
         behavior,
         extensions,
         sketch_graph,
@@ -131,6 +132,15 @@ _WINDOW: tuple[str, ...] = (
     "multimodal_payload_ahash_pairs",
     "sketch_hll_register_merge",
     "t13_stream_heavy_hitters",
+    # --- NEW in round 9, second wave (plans/approx.py): displace the tail
+    # of the re-verify cohort (o1/t1/emb-int8/simhash64 -> queue head) ---
+    "sample_weighted_reservoir",
+    "sketch_histogram_quantiles",
+    "layout_zonemap_pruning",
+    "stats_join_cardinality_estimate",
+    "j12_delta_join_maintenance",
+    "sample_weighted_stratified",
+    "layout_bloom_skipping",
     # --- re-verify: queue head, stalest first (r8-displaced cohort) ---
     "agg_approx_percentile",
     "j7_sync_diff_audit",
@@ -157,17 +167,17 @@ _WINDOW: tuple[str, ...] = (
     "j6_range_join_value_bands",
     "f1_null_to_empty_array",
     "f3_json_extract",
+)
+
+_QUEUE: tuple[str, ...] = (
+    # r9-displaced by the second-wave approx/stats queries:
     "f3_json_repair",
     "f4_int_coercion_compat",
-    # --- re-verify: r7-displaced cohort ---
     "f5_string_normalize_compat",
     "o1_sort_limit_topk",
     "t1_incremental_replay",
     "embedding_quantize_int8",
     "dedup_simhash_banded64",
-)
-
-_QUEUE: tuple[str, ...] = (
     # r9-displaced by the 11 new sketch/graph/streaming queries:
     "q11_important_part_value",
     "q9_product_type_profit",

@@ -1,0 +1,151 @@
+"""Invariants for the approx/statistics layer (plans/approx.py +
+operators.sampling.priority_sample + operators.membership.cms_inner_product):
+
+- priority sampling: sample size, tau semantics (every sampled priority
+  >= tau), HT contribution lower bound, and determinism across reruns;
+- histogram quantiles: estimate brackets the exact value within one bin
+  width, merge-exactness holds, estimates are monotone in q;
+- zone-map pruning: soundness (scanned rows always cover all matching
+  rows) and the layout story (sorting by shipdate prunes at least as
+  well as ingest order for the shipdate predicate);
+- CMS join-cardinality: the estimate never undercounts the exact size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database_synchronize_tool_spark.catalog import load_table
+from database_synchronize_tool_spark.operators import membership as MB
+from database_synchronize_tool_spark.operators.sampling import priority_sample
+from database_synchronize_tool_spark.plans import approx as AP
+
+
+def test_priority_sample_invariants(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("weight")
+    )
+    rows = priority_sample(o, "weight", "o_orderkey", 20).collect()
+    assert len(rows) == 20
+    taus = {r["tau"] for r in rows}
+    assert len(taus) == 1
+    tau = taus.pop()
+    assert tau > 0.0
+    for r in rows:
+        # top-k by priority: every sampled priority beats the (k+1)-th
+        assert r["priority"] >= tau
+        # HT contribution is max(w, tau) — never below the raw weight
+        assert r["ht_contrib"] >= r["weight"]
+        assert r["ht_contrib"] >= tau
+    ranks = sorted(r["smp_rank"] for r in rows)
+    assert ranks == list(range(1, 21))
+
+
+def test_priority_sample_deterministic_and_small_input(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("weight")
+    )
+    a = sorted(r["o_orderkey"] for r in priority_sample(o, "weight", "o_orderkey", 10).collect())
+    b = sorted(r["o_orderkey"] for r in priority_sample(o, "weight", "o_orderkey", 10).collect())
+    assert a == b
+    # fewer rows than k: everything sampled, tau degenerates to 0
+    tiny = o.limit(3)
+    rows = priority_sample(tiny, "weight", "o_orderkey", 10).collect()
+    assert len(rows) == 3
+    assert all(r["tau"] == 0.0 for r in rows)
+    assert all(r["ht_contrib"] == r["weight"] for r in rows)
+
+
+def test_histogram_quantiles_bracket_exact(spark, sf_dir):
+    rows = AP.sketch_histogram_quantiles(spark, sf_dir).collect()
+    assert {r["q"] for r in rows} == set(AP._HQ_QS)
+    by_q = {r["q"]: r for r in rows}
+    prev_est = None
+    for q in sorted(AP._HQ_QS):
+        r = by_q[q]
+        assert r["merge_exact"] is True
+        # the exact rank-target value falls inside the estimated bin
+        assert r["est_price"] <= r["exact_price"] < r["est_price"] + AP._HQ_BIN
+        assert abs(r["est_err"]) < AP._HQ_BIN
+        if prev_est is not None:
+            assert r["est_price"] >= prev_est  # quantiles are monotone
+        prev_est = r["est_price"]
+
+
+def test_zonemap_pruning_sound_and_layout_wins(spark, sf_dir):
+    rows = AP.layout_zonemap_pruning(spark, sf_dir).collect()
+    assert len(rows) == 4
+    by = {(r["layout"], r["predicate"]): r for r in rows}
+    for r in rows:
+        # soundness: pruning never drops a matching row
+        assert r["rows_matching"] <= r["rows_scanned"]
+        assert 0 <= r["n_pruned"] <= r["n_chunks"]
+    ship_sorted = by[("shipdate_sorted", "ship_1995q1")]
+    ship_ingest = by[("ingest_order", "ship_1995q1")]
+    # matching-row counts are a layout-independent property of the data
+    assert ship_sorted["rows_matching"] == ship_ingest["rows_matching"]
+    # the sorted layout prunes at least as hard for its sort key's predicate
+    assert ship_sorted["frac_pruned"] >= ship_ingest["frac_pruned"]
+
+
+def test_cms_join_estimate_never_undercounts(spark, sf_dir):
+    row = AP.stats_join_cardinality_estimate(spark, sf_dir).collect()[0]
+    assert row["cms_est"] >= row["exact_join_rows"] > 0
+    assert row["over_ratio"] >= 1.0
+
+
+def test_cms_inner_product_exact_when_collision_free(spark):
+    # Tiny disjoint-free case: keys 0..9 on both sides, width >> keys, so
+    # collisions are absent in every hash row and min-over-rows recovers
+    # the exact inner product Σ c_a(k)·c_b(k) = 10 · (1·2) = 20.
+    a = spark.range(10).select(F.col("id").alias("k"))
+    b = spark.range(10).unionAll(spark.range(10)).select(
+        F.col("id").alias("k")
+    )
+    ska = MB.cms_build(a, "k", 4, 8192)
+    skb = MB.cms_build(b, "k", 4, 8192)
+    est = MB.cms_inner_product(ska, skb).collect()[0]["cms_est"]
+    assert est == 20
+
+
+def test_delta_join_maintenance_is_exact(spark, sf_dir):
+    from database_synchronize_tool_spark.plans.sync_ops import (
+        j12_delta_join_maintenance,
+    )
+
+    rows = j12_delta_join_maintenance(spark, sf_dir).collect()
+    assert len(rows) == 5  # one per order priority
+    for r in rows:
+        assert r["counts_equal"] is True
+        assert r["rev_equal"] is True
+        assert r["rows_direct"] == r["rows_maintained"]
+        assert r["rev_direct"] == r["rev_maintained"]
+
+
+def test_stratified_sample_per_stratum_invariants(spark, sf_dir):
+    rows = AP.sample_weighted_stratified(spark, sf_dir).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(by_lang) >= 2
+    for lang, rs in by_lang.items():
+        assert len(rs) == AP._PSS_K
+        taus = {r["tau"] for r in rs}
+        assert len(taus) == 1
+        tau = taus.pop()
+        for r in rs:
+            assert r["priority"] >= tau
+            assert r["ht_contrib"] >= max(float(r["weight"]), tau)
+        assert sorted(r["smp_rank"] for r in rs) == list(
+            range(1, AP._PSS_K + 1)
+        )
+
+
+def test_bloom_skipping_no_false_negatives(spark, sf_dir):
+    rows = AP.layout_bloom_skipping(spark, sf_dir).collect()
+    assert len(rows) == AP._BS_PROBES
+    for r in rows:
+        # Bloom guarantee: every chunk that truly contains the key hits
+        assert r["n_true_chunks"] <= r["n_hit_chunks"] <= r["n_chunks"]
+        assert r["n_false_pos"] == r["n_hit_chunks"] - r["n_true_chunks"]
+        assert 0.0 <= r["frac_skipped"] <= 1.0
