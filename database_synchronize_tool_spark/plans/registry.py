@@ -141,6 +141,7 @@ _WINDOW: tuple[str, ...] = (
     "j12_delta_join_maintenance",
     "sample_weighted_stratified",
     "layout_bloom_skipping",
+    "t14_stream_hll_distinct",
     # --- re-verify: queue head, stalest first (r8-displaced cohort) ---
     "agg_approx_percentile",
     "j7_sync_diff_audit",
@@ -166,11 +167,11 @@ _WINDOW: tuple[str, ...] = (
     "j5_asof_join",
     "j6_range_join_value_bands",
     "f1_null_to_empty_array",
-    "f3_json_extract",
 )
 
 _QUEUE: tuple[str, ...] = (
     # r9-displaced by the second-wave approx/stats queries:
+    "f3_json_extract",
     "f3_json_repair",
     "f4_int_coercion_compat",
     "f5_string_normalize_compat",

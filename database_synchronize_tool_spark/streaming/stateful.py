@@ -346,3 +346,94 @@ def heavy_hitter_candidates_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HLL_STATE_SCHEMA = StructType(
+    [
+        StructField("regs", ArrayType(LongType())),
+        StructField("mxs", ArrayType(LongType())),
+        StructField("n_seen", LongType()),
+    ]
+)
+HLL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("regs", ArrayType(LongType())),
+        StructField("mxs", ArrayType(LongType())),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+# Parity constants with operators/membership.py (HLL_P/HLL_M/HLL_W): the
+# Python-side hash MUST be the same md5-hex-prefix 60-bit draw so the
+# streaming registers are bit-identical to the batch/oracle registers.
+_HLL_P, _HLL_W = 8, 52
+
+
+def hll_registers_stateful(events: DataFrame) -> DataFrame:
+    """Streaming HyperLogLog per event_type: distinct-user registers
+    maintained across micro-batches with ``applyInPandasWithState``.
+
+    State per key group is the register dict (<= 256 (reg, mx) pairs)
+    plus a row counter — O(1) per group regardless of how many distinct
+    users stream through. register-wise max is the HLL merge monoid, so
+    the streaming accumulation is ORDER-INSENSITIVE: after any replay
+    chunking whatsoever, the final registers equal the single-batch
+    registers exactly — which is what lets the declared query grade a
+    true multi-batch stream against a plain batch SQL oracle, and what
+    makes the same code correct when micro-batches arrive out of order
+    from 1000 executors. ``n_seen`` is the state-integrity witness
+    (max-emission selection downstream, as in
+    :func:`heavy_hitter_candidates_stateful`).
+
+    The per-row hash is the repo's portable 60-bit md5 draw
+    (hashlib.md5 == Spark md5() == DuckDB md5() on the decimal string
+    rendering), with reg/suffix split and rho = 53 - bitlength(suffix)
+    exactly as ``operators/membership.hll_registers`` computes JVM-side.
+    """
+    prepared = events.select("event_type", "user_id").dropna()
+
+    def fn(key, pdfs, state):
+        import hashlib
+
+        if state.exists:
+            regs, mxs, n_seen = state.get
+            registers = dict(zip(regs, mxs))
+        else:
+            registers, n_seen = {}, 0
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            n_seen += len(pdf)
+            for uid in pdf["user_id"].astype("int64"):
+                h = int(
+                    hashlib.md5(str(int(uid)).encode()).hexdigest()[:15], 16
+                )
+                reg = h & ((1 << _HLL_P) - 1)
+                suffix = h >> _HLL_P
+                rho = (
+                    _HLL_W + 1
+                    if suffix == 0
+                    else _HLL_W + 1 - suffix.bit_length()
+                )
+                if rho > registers.get(reg, 0):
+                    registers[reg] = rho
+        regs = sorted(registers.keys())
+        mxs = [registers[r] for r in regs]
+        state.update((regs, mxs, n_seen))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "regs": [regs],
+                "mxs": [mxs],
+                "n_seen": [n_seen],
+            }
+        )
+
+    return prepared.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=HLL_OUTPUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

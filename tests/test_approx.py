@@ -149,3 +149,42 @@ def test_bloom_skipping_no_false_negatives(spark, sf_dir):
         assert r["n_true_chunks"] <= r["n_hit_chunks"] <= r["n_chunks"]
         assert r["n_false_pos"] == r["n_hit_chunks"] - r["n_true_chunks"]
         assert 0.0 <= r["frac_skipped"] <= 1.0
+
+
+def test_streaming_hll_registers_equal_batch_registers(spark, sf_dir):
+    # Mergeability in motion: the 4-micro-batch streamed registers must be
+    # BIT-IDENTICAL to the single-batch registers (max is the merge monoid,
+    # so chunking cannot change the outcome). This is the property the
+    # t14 declared query's batch oracle relies on.
+    from database_synchronize_tool_spark.catalog import load_table
+    from database_synchronize_tool_spark.operators.membership import (
+        hll_registers,
+    )
+    from database_synchronize_tool_spark.plans.windows import (
+        t14_stream_hll_distinct,
+    )
+
+    streamed = {
+        (r["event_type"], r["exact_distinct"]): (
+            r["hll_est"],
+            r["n_registers_hit"],
+        )
+        for r in t14_stream_hll_distinct(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    batch_regs = hll_registers(ev, "user_id", ["event_type"])
+    from database_synchronize_tool_spark.operators.membership import (
+        hll_estimate,
+    )
+
+    batch = {
+        r["event_type"]: (r["hll_est"], r["n_registers_hit"])
+        for r in hll_estimate(batch_regs, ["event_type"]).collect()
+    }
+    assert len(streamed) == len(batch) > 0
+    for (etype, _), (est, nreg) in streamed.items():
+        best, bnreg = batch[etype]
+        assert est == best  # bit-identical estimate, not approximately
+        assert nreg == bnreg
