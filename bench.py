@@ -127,6 +127,8 @@ HEADLINE = [
     "j12_delta_join_maintenance",
     "sample_weighted_stratified",
     "layout_bloom_skipping",
+    "embedding_covariance_stats",
+    "stats_ab_test_proportions",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

@@ -717,3 +717,188 @@ def layout_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("frac_skipped"),
     )
+
+
+# --- covariance sufficient statistics ---------------------------------------
+
+_COV_D = 16  # leading dims: d(d+1)/2 = 136 cells — bounded statistics output
+
+
+@declared(
+    "embedding_covariance_stats",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding FROM embeddings
+    ),
+    cells AS (
+      SELECT i.i, j.j,
+             CAST(e.embedding[i.i + 1] AS DOUBLE) AS x,
+             CAST(e.embedding[j.j + 1] AS DOUBLE) AS y
+      FROM e
+      CROSS JOIN range({_COV_D}) i(i)
+      CROSS JOIN range({_COV_D}) j(j)
+      WHERE j.j >= i.i
+    ),
+    s AS (
+      SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS DECIMAL(18,9))) AS sx,
+             SUM(CAST(y AS DECIMAL(18,9))) AS sy,
+             SUM(CAST(x * y AS DECIMAL(18,9))) AS sxy
+      FROM cells GROUP BY 1, 2
+    )
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, n,
+           CAST(sxy AS DOUBLE) AS sxy,
+           (CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             / CAST(n AS DOUBLE) AS cov
+    FROM s
+    """,
+    doc=f"Covariance sufficient statistics of the leading {_COV_D} "
+    "embedding dimensions: per (i, j <= i..d) cell, one pass accumulates "
+    "(n, Sigma x, Sigma y, Sigma xy) with each per-row product rounded "
+    "through DECIMAL(18,9) before the order-insensitive exact sum (the "
+    "chi2 pattern), then ONE identically-written float chain produces "
+    "cov = (Sxy - Sx*Sy/n)/n. The d(d+1)/2-cell upper triangle is "
+    "generated IN-ROW (no self-join of exploded tables): each vector "
+    "emits its 136 products inside whole-stage codegen and the shuffle "
+    "carries only per-partition partial sums for 136 groups — the "
+    "PCA/whitening/Mahalanobis precursor at 100 TB, where the covariance "
+    "matrix is bounded metadata (like IVF centroids) and the eigen-step "
+    "runs driver-side on d x d numbers, never on data. Mergeable across "
+    "corpus shards by plain addition of the DECIMAL sums. Cf. "
+    "stats_pearson_exact for the 1-D pair version.",
+)
+def embedding_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d = _COV_D
+    cells = e.select(
+        F.explode(
+            F.expr(
+                f"""
+                flatten(transform(sequence(0, {d - 1}), i ->
+                  transform(sequence(i, {d - 1}), j -> struct(
+                    i AS i, j AS j,
+                    CAST(element_at(embedding, i + 1) AS DOUBLE) AS x,
+                    CAST(element_at(embedding, j + 1) AS DOUBLE) AS y))))
+                """
+            )
+        ).alias("c")
+    ).select("c.i", "c.j", "c.x", "c.y")
+    s = cells.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(18,9)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,9)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(18,9)")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        "n",
+        F.col("sxy").cast("double").alias("sxy"),
+        (
+            (
+                F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double") / nd
+            )
+            / nd
+        ).alias("cov"),
+    )
+
+
+# --- two-sample proportion test ---------------------------------------------
+
+
+@declared(
+    "stats_ab_test_proportions",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id % 2 AS grp,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    g AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conv) AS BIGINT) AS conv
+      FROM assigned GROUP BY 1
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN grp = 0 THEN n END) AS n_a,
+        MAX(CASE WHEN grp = 0 THEN conv END) AS conv_a,
+        MAX(CASE WHEN grp = 1 THEN n END) AS n_b,
+        MAX(CASE WHEN grp = 1 THEN conv END) AS conv_b
+      FROM g
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+           CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+           (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+            - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+           / sqrt(
+               (CAST(conv_a + conv_b AS DOUBLE)
+                / CAST(n_a + n_b AS DOUBLE))
+               * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                        / CAST(n_a + n_b AS DOUBLE))
+               * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+             ) AS z_score
+    FROM w
+    """,
+    doc="Two-sample proportion z-test over a deterministic experiment "
+    "assignment (user_id parity = arm, purchase = conversion): per-arm "
+    "(n, conversions) sufficient statistics in ONE scan, then the pooled "
+    "z-score from a float chain written identically on both sides — "
+    "sqrt is IEEE-correctly-rounded in both engines (unlike log/pow), "
+    "so even the test statistic hash-matches. The experimentation-"
+    "analytics shape for 100 TB event stores: the scan reduces to TWO "
+    "rows of integers (mergeable by addition across shards/days), the "
+    "statistic is driver-free arithmetic on that bounded state, and the "
+    "same sufficient statistics serve sequential monitoring without "
+    "re-scanning. Parity of the arithmetic chain is itself evidence the "
+    "engine can run calibrated decision statistics, not just counts.",
+)
+def stats_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    g = (
+        ev.select(
+            (F.col("user_id") % 2).alias("grp"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("conv"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("conv").cast("bigint").alias("conv"),
+        )
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == 0, F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    pa = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return w.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        pa.alias("p_a"),
+        pb.alias("p_b"),
+        ((pa - pb) / se).alias("z_score"),
+    )

@@ -142,6 +142,8 @@ _WINDOW: tuple[str, ...] = (
     "sample_weighted_stratified",
     "layout_bloom_skipping",
     "t14_stream_hll_distinct",
+    "embedding_covariance_stats",
+    "stats_ab_test_proportions",
     # --- re-verify: queue head, stalest first (r8-displaced cohort) ---
     "agg_approx_percentile",
     "j7_sync_diff_audit",
@@ -165,12 +167,12 @@ _WINDOW: tuple[str, ...] = (
     "j3_merge_full_outer",
     "j4_dedup_full_row",
     "j5_asof_join",
-    "j6_range_join_value_bands",
-    "f1_null_to_empty_array",
 )
 
 _QUEUE: tuple[str, ...] = (
     # r9-displaced by the second-wave approx/stats queries:
+    "j6_range_join_value_bands",
+    "f1_null_to_empty_array",
     "f3_json_extract",
     "f3_json_repair",
     "f4_int_coercion_compat",

@@ -188,3 +188,32 @@ def test_streaming_hll_registers_equal_batch_registers(spark, sf_dir):
         best, bnreg = batch[etype]
         assert est == best  # bit-identical estimate, not approximately
         assert nreg == bnreg
+
+
+def test_covariance_stats_matrix_properties(spark, sf_dir):
+    import math
+
+    rows = AP.embedding_covariance_stats(spark, sf_dir).collect()
+    d = AP._COV_D
+    assert len(rows) == d * (d + 1) // 2
+    cov = {(r["i"], r["j"]): r["cov"] for r in rows}
+    n_vals = {r["n"] for r in rows}
+    assert len(n_vals) == 1  # every cell saw every vector
+    for i in range(d):
+        assert cov[(i, i)] >= 0.0  # variances are non-negative
+        for j in range(i, d):
+            # Cauchy-Schwarz: |cov(i,j)| <= sqrt(var_i * var_j) (+eps)
+            bound = math.sqrt(cov[(i, i)] * cov[(j, j)]) + 1e-9
+            assert abs(cov[(i, j)]) <= bound
+
+
+def test_ab_test_zscore_consistency(spark, sf_dir):
+    import math
+
+    r = AP.stats_ab_test_proportions(spark, sf_dir).collect()[0]
+    assert r["n_a"] > 0 and r["n_b"] > 0
+    assert 0.0 <= r["p_a"] <= 1.0 and 0.0 <= r["p_b"] <= 1.0
+    # recompute the z from the sufficient statistics
+    pp = (r["conv_a"] + r["conv_b"]) / (r["n_a"] + r["n_b"])
+    se = math.sqrt(pp * (1 - pp) * (1 / r["n_a"] + 1 / r["n_b"]))
+    assert abs(r["z_score"] - (r["p_a"] - r["p_b"]) / se) < 1e-12
