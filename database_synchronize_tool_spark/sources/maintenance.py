@@ -113,3 +113,87 @@ def compact_parquet_dir(
         after = len(_leaf_parquet_dirs(src).get("", []))
         done[rel] = (n_files, after)
     return done
+
+
+# --- vacuum: stale-artifact garbage collection ------------------------------
+
+# Artifacts a crashed maintenance/write run can leave behind (and that no
+# reader ever references): the compaction temp/old swap directories above,
+# and Spark's own in-flight staging dirs.
+_VACUUM_PATTERNS = ("__compact_", "__old_")
+_VACUUM_DIRNAMES = ("_temporary",)
+
+
+@dataclass(frozen=True)
+class VacuumPlan:
+    root: str
+    min_age_s: float
+    # absolute path -> (bytes, age_seconds)
+    targets: dict[str, tuple[int, float]]
+
+    @property
+    def reclaimable_bytes(self) -> int:
+        return sum(b for b, _ in self.targets.values())
+
+
+def _tree_bytes(path: str) -> int:
+    total = 0
+    for dirpath, _dirnames, filenames in os.walk(path):
+        for f in filenames:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total
+
+
+def plan_vacuum(
+    root: str, min_age_s: float = 24 * 3600.0, *, _now: float | None = None
+) -> VacuumPlan:
+    """Dry-run VACUUM (Delta-style retention semantics): find directories
+    under ``root`` that only a crashed run could have left — compaction
+    swap dirs (``*__compact_*``/``*__old_*``) and Spark ``_temporary``
+    staging — and that are OLDER than ``min_age_s``. The age gate is the
+    crash-safety contract: a live job's in-flight temp dir is always
+    younger than the retention window, so vacuum can run concurrently
+    with writers (the same reasoning as Delta's
+    ``retentionDurationCheck``). Metadata-only; nothing is deleted.
+    """
+    import time
+
+    now = time.time() if _now is None else _now
+    targets: dict[str, tuple[int, float]] = {}
+    for dirpath, dirnames, _filenames in os.walk(root):
+        for d in list(dirnames):
+            full = os.path.join(dirpath, d)
+            stale = any(p in d for p in _VACUUM_PATTERNS) or (
+                d in _VACUUM_DIRNAMES
+            )
+            if not stale:
+                continue
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue
+            if age >= min_age_s:
+                targets[full] = (_tree_bytes(full), age)
+            dirnames.remove(d)  # never descend into a target
+    return VacuumPlan(root=root, min_age_s=min_age_s, targets=targets)
+
+
+def vacuum_dir(
+    root: str, min_age_s: float = 24 * 3600.0, *, _now: float | None = None
+) -> dict[str, int]:
+    """Execute the vacuum plan: delete every stale artifact directory the
+    dry-run identifies. Returns {path: bytes_reclaimed}. Deletion is
+    per-directory ``rmtree`` — data directories are NEVER candidates
+    (only the crash-artifact patterns above), so the worst failure mode
+    is an artifact surviving until the next run.
+    """
+    plan = plan_vacuum(root, min_age_s, _now=_now)
+    done: dict[str, int] = {}
+    for path, (nbytes, _age) in plan.targets.items():
+        shutil.rmtree(path, ignore_errors=True)
+        if not os.path.exists(path):
+            done[path] = nbytes
+    return done

@@ -69,3 +69,37 @@ def test_compact_is_idempotent(spark, sf_dir, tmp_path):
     compact_parquet_dir(spark, path, target_bytes=1 << 30)
     again = compact_parquet_dir(spark, path, target_bytes=1 << 30)
     assert again == {}  # nothing fragmented on the second pass
+
+
+def test_vacuum_plan_and_execute(tmp_path):
+    import os
+    import time
+
+    from database_synchronize_tool_spark.sources.maintenance import (
+        plan_vacuum,
+        vacuum_dir,
+    )
+
+    root = str(tmp_path)
+    # live data dir — must never be a candidate
+    os.makedirs(os.path.join(root, "lang=en"))
+    with open(os.path.join(root, "lang=en", "part-0.parquet"), "wb") as f:
+        f.write(b"x" * 100)
+    # crash artifacts: old compaction swap + spark staging
+    for d in ("lang=fr__old_deadbeef", "data__compact_12345678", "_temporary"):
+        os.makedirs(os.path.join(root, d))
+        with open(os.path.join(root, d, "junk"), "wb") as f:
+            f.write(b"y" * 50)
+    now = time.time() + 48 * 3600  # pretend two days passed
+    plan = plan_vacuum(root, min_age_s=24 * 3600.0, _now=now)
+    assert len(plan.targets) == 3
+    assert plan.reclaimable_bytes == 150
+    assert all("lang=en" not in p for p in plan.targets)
+    # retention gate: with _now = now the artifacts are "old"; with real
+    # now they are fresh and must survive (a live writer's temp dir)
+    fresh = plan_vacuum(root, min_age_s=24 * 3600.0)
+    assert fresh.targets == {}
+    done = vacuum_dir(root, min_age_s=24 * 3600.0, _now=now)
+    assert len(done) == 3
+    assert os.path.exists(os.path.join(root, "lang=en", "part-0.parquet"))
+    assert not os.path.exists(os.path.join(root, "_temporary"))
