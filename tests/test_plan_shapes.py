@@ -327,3 +327,43 @@ def test_linkage_candidates_are_equi_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "link_fuzzy_noisy_docs")
     assert "CartesianProduct" not in plan
     assert "levenshtein" in plan
+
+
+def test_priority_sample_is_take_ordered_not_global_sort(spark, sf_dir):
+    # the weighted reservoir must come from per-partition (k+1)-heaps —
+    # TakeOrderedAndProject — with the tau join broadcast; a global Sort
+    # would be the O(n log n) scale regression
+    plan = plan_of(spark, sf_dir, "sample_weighted_reservoir")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_covariance_stats_single_shuffle(spark, sf_dir):
+    # cells are generated in-row: exactly one Exchange (the 136-group
+    # partial->final aggregate), never a join of exploded tables
+    plan = plan_of(spark, sf_dir, "embedding_covariance_stats")
+    n_exchange = sum(
+        1
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and ") Exchange" in l
+    )
+    assert n_exchange == 1, f"expected 1 shuffle, got {n_exchange}"
+    assert "partial_" in plan  # map-side combine on the DECIMAL sums
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_join_cardinality_sketch_pairing_is_broadcast(spark, sf_dir):
+    # both sketches are bounded (depth x width): their pairing join and the
+    # estimate's attachment must broadcast, never shuffle-join
+    plan = plan_of(spark, sf_dir, "stats_join_cardinality_estimate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_delta_join_maintenance_broadcasts_deltas(spark, sf_dir):
+    # the delta sides must broadcast into the mixed terms — the base table
+    # streams, it is never re-shuffled for an incremental refresh
+    plan = plan_of(spark, sf_dir, "j12_delta_join_maintenance")
+    assert plan.count("BroadcastHashJoin") >= 3  # dAxB0, A0xdB, dAxdB
+    assert "CartesianProduct" not in plan
