@@ -97,12 +97,18 @@ def _load_all() -> None:
 # the changed-code lead, displacing the tail of the re-verify cohort
 # (q9/q16/q20/q5/q6/q10/agg_having/agg_distinct_count/agg_stats_moments/
 # rollup_returns/cube_events/pivot_status_by_year/window_topk_per_group
-# now head the queue). Round-10 rotation plan: lead with whatever r10
-# changes, then the 14-name displaced cohort above, then continue the r5
-# remainder (window_running_sum onward). All 185 declared queries are
-# sweep-green: SWEEP_r09.log covered the first 182; the three late
-# additions (ahash, hll merge, t13) were each checked at BOTH sf0.001
-# and sf0.01 post-sweep, and the end-of-round sweep re-covers all 185.
+# now head the queue).
+#
+# Second late-r9 wave: 10 more never-attested queries (plans/approx.py
+# statistics/layout family, j12 delta-join maintenance, t14 streaming
+# HLL, covariance, A/B z-test) take the next slots, displacing ten more
+# re-verify names (j6/f1/f3x2/f4/f5/o1/t1/embedding_quantize_int8/
+# dedup_simhash_banded64) to the queue head. Round-10 rotation plan:
+# lead with whatever r10 changes, then the 24-name displaced cohort at
+# the queue head, then continue the r5 remainder (window_running_sum
+# onward). Every declared query is sweep-green before the round ends
+# (end-of-round full sweep; late additions additionally checked at BOTH
+# sf0.001 and sf0.01 at add time).
 #
 # Compensating control (ADVICE r2): curated ordering means ~half the queries
 # sit outside any single round's driver window, so EVERY round we run the full
