@@ -150,6 +150,7 @@ _WINDOW: tuple[str, ...] = (
     "t14_stream_hll_distinct",
     "embedding_covariance_stats",
     "stats_ab_test_proportions",
+    "t15_stream_weighted_sample",
     # --- re-verify: queue head, stalest first (r8-displaced cohort) ---
     "agg_approx_percentile",
     "j7_sync_diff_audit",
@@ -172,11 +173,11 @@ _WINDOW: tuple[str, ...] = (
     "j3_merge_upsert",
     "j3_merge_full_outer",
     "j4_dedup_full_row",
-    "j5_asof_join",
 )
 
 _QUEUE: tuple[str, ...] = (
     # r9-displaced by the second-wave approx/stats queries:
+    "j5_asof_join",
     "j6_range_join_value_bands",
     "f1_null_to_empty_array",
     "f3_json_extract",

@@ -731,3 +731,113 @@ def t14_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type").select(
         "event_type", "exact_distinct", "hll_est", "n_registers_hit"
     )
+
+
+_T15_K = 5
+
+
+@declared(
+    "t15_stream_weighted_sample",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_type, event_id, value AS weight,
+             value / CAST(
+               {_t14_h60("'tps' || chr(1) || CAST(event_id AS VARCHAR)")}
+               + 1 AS DOUBLE) AS priority
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, event_id, weight, priority,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY priority DESC, event_id
+             ) AS INT) AS smp_rank
+      FROM p
+    ),
+    tau AS (
+      SELECT event_type,
+             coalesce(
+               MAX(CASE WHEN smp_rank = {_T15_K + 1} THEN priority END),
+               0.0) AS tau
+      FROM r GROUP BY 1
+    )
+    SELECT r.event_type, r.event_id, r.weight, r.priority, r.smp_rank,
+           tau.tau, greatest(r.weight, tau.tau) AS ht_contrib
+    FROM r JOIN tau ON tau.event_type = r.event_type
+    WHERE r.smp_rank <= {_T15_K}
+    """,
+    doc=f"Streaming weighted reservoir per event type: a TRUE 4-micro-"
+    f"batch replay maintains the top-{_T15_K + 1} rows by priority-"
+    "sampling draw in applyInPandasWithState state (O(k) per type), then "
+    "the final candidate set yields the sample, tau, and Horvitz-Thompson "
+    "contributions. Top-(k+1) selection is a merge monoid — the best k+1 "
+    "of a union equal the best k+1 of each part's best k+1 — so the "
+    "streamed reservoir is BIT-IDENTICAL to the batch top-(k+1) under "
+    "any chunking, and the plain batch window oracle hash-grades the "
+    "stateful stream (trilogy completion after t13's Misra-Gries "
+    "counters and t14's HLL registers). Python, JVM, and SQL all compute "
+    "the identical one-division IEEE priority from the portable md5 "
+    "draw. n_seen in state is the integrity witness; the final selection "
+    "takes each type's max-n_seen emission. At 100 TB this is the "
+    "always-fresh calibrated sample over an event firehose: per-executor "
+    "reservoirs merge hierarchically without replaying history.",
+)
+def t15_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.streaming.events import (
+        read_events_stream_multibatch,
+        run_to_memory,
+    )
+    from database_synchronize_tool_spark.streaming.stateful import (
+        priority_sample_stateful,
+    )
+
+    stream = priority_sample_stateful(
+        read_events_stream_multibatch(spark, sf_dir), k=_T15_K
+    )
+    run_to_memory(stream, "t15_stream_ps_tbl", output_mode="update")
+    emitted = spark.table("t15_stream_ps_tbl")
+    w = Window.partitionBy("event_type").orderBy(F.col("n_seen").desc())
+    cand = (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "event_type",
+            F.explode(
+                F.arrays_zip("ids", "weights", "priorities")
+            ).alias("z"),
+        )
+        .select(
+            "event_type",
+            F.col("z.ids").alias("event_id"),
+            F.col("z.weights").alias("weight"),
+            F.col("z.priorities").alias("priority"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("priority").desc(), F.col("event_id")
+    )
+    ranked = cand.withColumn(
+        "smp_rank", F.row_number().over(wr).cast("int")
+    )
+    # distinct key name ("et") breaks the shared-lineage self-join
+    # ambiguity; left join + coalesce covers groups with <= k rows
+    tau = (
+        ranked.filter(F.col("smp_rank") == _T15_K + 1)
+        .groupBy(F.col("event_type").alias("et"))
+        .agg(F.max("priority").alias("tau_raw"))
+    )
+    tau_col = F.coalesce(F.col("tau_raw"), F.lit(0.0))
+    return (
+        ranked.filter(F.col("smp_rank") <= _T15_K)
+        .join(
+            F.broadcast(tau), F.col("event_type") == F.col("et"), "left"
+        )
+        .select(
+            "event_type",
+            "event_id",
+            "weight",
+            "priority",
+            "smp_rank",
+            tau_col.alias("tau"),
+            F.greatest(F.col("weight"), tau_col).alias("ht_contrib"),
+        )
+    )

@@ -437,3 +437,92 @@ def hll_registers_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PS_STATE_SCHEMA = StructType(
+    [
+        StructField("ids", ArrayType(LongType())),
+        StructField("weights", ArrayType(DoubleType())),
+        StructField("priorities", ArrayType(DoubleType())),
+        StructField("n_seen", LongType()),
+    ]
+)
+PS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("ids", ArrayType(LongType())),
+        StructField("weights", ArrayType(DoubleType())),
+        StructField("priorities", ArrayType(DoubleType())),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def priority_sample_stateful(events: DataFrame, k: int) -> DataFrame:
+    """Streaming weighted reservoir per event_type: the top-(k+1) rows by
+    Duffield-Lund-Thorup priority maintained in ``applyInPandasWithState``
+    state across micro-batches.
+
+    Third member of the engine's stateful merge-monoid trilogy
+    (Misra-Gries counters in t13, HLL registers in t14): top-(k+1)
+    selection is itself a merge monoid — the best k+1 of a union equal
+    the best k+1 of each part's best k+1 — so the streamed candidate set
+    is IDENTICAL to the batch top-(k+1) under any chunking, and a plain
+    batch SQL oracle can hash-grade the stream. State is O(k) per group;
+    ``n_seen`` is the integrity witness.
+
+    The priority is the same portable draw as
+    ``operators/sampling.priority_sample``: w / (md5-60bit(seed ⊕ id)+1),
+    one IEEE division — Python, JVM, and DuckDB compute it bit-identically.
+    """
+    prepared = events.select("event_type", "event_id", "value").dropna()
+
+    def fn(key, pdfs, state):
+        import hashlib
+
+        if state.exists:
+            ids, weights, priorities, n_seen = state.get
+            best = list(zip(ids, weights, priorities))
+        else:
+            best, n_seen = [], 0
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            n_seen += len(pdf)
+            for eid, w in zip(
+                pdf["event_id"].astype("int64"), pdf["value"].astype("float64")
+            ):
+                h = int(
+                    hashlib.md5(
+                        ("tps\x01" + str(int(eid))).encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                best.append((int(eid), float(w), float(w) / (h + 1)))
+            best.sort(key=lambda t: (-t[2], t[0]))
+            best = best[: k + 1]
+        state.update(
+            (
+                [t[0] for t in best],
+                [t[1] for t in best],
+                [t[2] for t in best],
+                n_seen,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "ids": [[t[0] for t in best]],
+                "weights": [[t[1] for t in best]],
+                "priorities": [[t[2] for t in best]],
+                "n_seen": [n_seen],
+            }
+        )
+
+    return prepared.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=PS_OUTPUT_SCHEMA,
+        stateStructType=PS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

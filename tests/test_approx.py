@@ -217,3 +217,46 @@ def test_ab_test_zscore_consistency(spark, sf_dir):
     pp = (r["conv_a"] + r["conv_b"]) / (r["n_a"] + r["n_b"])
     se = math.sqrt(pp * (1 - pp) * (1 / r["n_a"] + 1 / r["n_b"]))
     assert abs(r["z_score"] - (r["p_a"] - r["p_b"]) / se) < 1e-12
+
+
+def test_streaming_reservoir_equals_batch_topk(spark, sf_dir):
+    # Top-(k+1) selection is a merge monoid: the streamed reservoir must
+    # equal the batch top-k per event type BIT-FOR-BIT (ids, priorities,
+    # tau) — the property t15's batch oracle relies on.
+    from database_synchronize_tool_spark.catalog import load_table
+    from database_synchronize_tool_spark.operators.membership import (
+        seeded_hash60,
+    )
+    from database_synchronize_tool_spark.plans.windows import (
+        _T15_K,
+        t15_stream_weighted_sample,
+    )
+    from pyspark.sql import Window
+
+    streamed = {
+        (r["event_type"], r["smp_rank"]): (
+            r["event_id"],
+            r["priority"],
+            r["tau"],
+        )
+        for r in t15_stream_weighted_sample(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.col("value").alias("weight")
+    )
+    h = seeded_hash60(F.col("event_id"), "tps")
+    pri = F.col("weight").cast("double") / (h + F.lit(1)).cast("double")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("priority").desc(), F.col("event_id")
+    )
+    batch = (
+        ev.withColumn("priority", pri)
+        .withColumn("smp_rank", F.row_number().over(w))
+        .filter(F.col("smp_rank") <= _T15_K)
+        .collect()
+    )
+    assert len(batch) == len(streamed) > 0
+    for r in batch:
+        sid, spri, _tau = streamed[(r["event_type"], r["smp_rank"])]
+        assert sid == r["event_id"]
+        assert spri == r["priority"]  # exact, not approximate
