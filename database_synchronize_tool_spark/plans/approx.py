@@ -902,3 +902,235 @@ def stats_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         pb.alias("p_b"),
         ((pa - pb) / se).alias("z_score"),
     )
+
+
+# --- rank statistics (round-9 third wave) -----------------------------------
+#
+# Spearman and Mann-Whitney both need AVERAGE ranks under ties to be correct,
+# and average ranks are half-integers — a hash-parity hazard. The portable
+# form used here keeps everything integral: 2*avgrank = 2*rank + ties - 1
+# (rank = min rank of the tie group, ties = tie-group size), a BIGINT on both
+# engines. Any statistic that is scale-invariant in the ranks (Spearman) or
+# explicitly renormalized (AUC) can be computed from the doubled ranks with
+# integer/DECIMAL arithmetic all the way to one final double division —
+# the same discipline as stats_pearson_exact.
+
+
+@declared(
+    "stats_spearman_rank",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag,
+             2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1
+               AS rx2,
+             2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1
+               AS ry2
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(rx2 AS DECIMAL(18,0))) AS sx,
+             SUM(CAST(ry2 AS DECIMAL(18,0))) AS sy,
+             SUM(CAST(rx2 AS DECIMAL(18,0)) * CAST(ry2 AS DECIMAL(18,0))) AS sxy,
+             SUM(CAST(rx2 AS DECIMAL(18,0)) * CAST(rx2 AS DECIMAL(18,0))) AS sxx,
+             SUM(CAST(ry2 AS DECIMAL(18,0)) * CAST(ry2 AS DECIMAL(18,0))) AS syy
+      FROM r GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS DOUBLE)
+             AS spearman_rho
+    FROM s
+    """,
+    doc="Spearman rank correlation (quantity vs extended price per return "
+    "flag): Pearson over tie-averaged ranks, with ranks doubled "
+    "(2*rank + ties - 1) so they stay BIGINT-exact under ties — Spearman "
+    "is invariant to the common x2 scaling, so the value is identical to "
+    "the textbook definition. DECIMAL sufficient statistics, two "
+    "correctly-rounded sqrts, one divide — the stats_pearson_exact "
+    "contract. Scale shape: two rank windows (each one shuffle on the "
+    "group key, pipelined into the same sort) + one hash aggregate; no "
+    "joins. l_quantity has ~50 distinct values so ties dominate — this "
+    "query is wrong without average ranks, which is the point of "
+    "publishing it next to the Pearson form.",
+)
+def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    g = "l_returnflag"
+
+    def r2(col: str) -> F.Column:
+        rk = F.rank().over(Window.partitionBy(g).orderBy(col))
+        ties = F.count(F.lit(1)).over(Window.partitionBy(g, col))
+        return (F.lit(2) * rk + ties - F.lit(1)).cast("decimal(18,0)")
+
+    r = li.select(F.col(g), r2("l_quantity").alias("rx2"),
+                  r2("l_extendedprice").alias("ry2"))
+    s = r.groupBy(g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    deny = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return s.select(
+        g,
+        F.col("n").cast("bigint").alias("n"),
+        (num / (denx * deny)).cast("double").alias("spearman_rho"),
+    )
+
+
+@declared(
+    "stats_auc_mannwhitney",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority,
+             o_orderstatus = 'F' AS pos,
+             2 * RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+               + COUNT(*) OVER (PARTITION BY o_orderpriority, o_totalprice) - 1
+               AS r2
+      FROM orders
+    ), s AS (
+      SELECT o_orderpriority,
+             SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+             SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS n_neg,
+             SUM(CASE WHEN pos THEN CAST(r2 AS DECIMAL(28,0)) ELSE 0 END) AS s2
+      FROM r GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           CAST(s2 - CAST(n_pos AS DECIMAL(28,0)) * (n_pos + 1) AS DOUBLE)
+             / CAST(2 * CAST(n_pos AS DECIMAL(28,0)) * n_neg AS DOUBLE) AS auc
+    FROM s
+    """,
+    doc="ROC AUC via the Mann-Whitney U statistic, per order priority: "
+    "score = o_totalprice, positive class = finalized orders "
+    "(o_orderstatus='F'). AUC = P(score_pos > score_neg) + "
+    "0.5*P(tie), computed from the doubled tie-averaged rank sum: "
+    "AUC = (2*S_pos - 2*npos*(npos+1)/2) / (2*npos*nneg), all integer/"
+    "DECIMAL until ONE final double division. This is the "
+    "scale-independent way to grade any scalar quality score against "
+    "binary labels over 100 TB: one rank window + one hash aggregate, "
+    "no per-threshold scan of an ROC grid, no join.",
+)
+def stats_auc_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    g = "o_orderpriority"
+    rk = F.rank().over(Window.partitionBy(g).orderBy("o_totalprice"))
+    ties = F.count(F.lit(1)).over(Window.partitionBy(g, "o_totalprice"))
+    r = o.select(
+        F.col(g),
+        (F.col("o_orderstatus") == "F").alias("pos"),
+        (F.lit(2) * rk + ties - F.lit(1)).cast("decimal(28,0)").alias("r2"),
+    )
+    s = r.groupBy(g).agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("n_neg"),
+        F.sum(F.when(F.col("pos"), F.col("r2")).otherwise(F.lit(0).cast("decimal(28,0)"))).alias("s2"),
+    )
+    npos_d = F.col("n_pos").cast("decimal(28,0)")
+    num = (F.col("s2") - npos_d * (F.col("n_pos") + F.lit(1))).cast("double")
+    den = (F.lit(2) * npos_d * F.col("n_neg")).cast("double")
+    return s.select(
+        g,
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        (num / den).alias("auc"),
+    )
+
+
+# --- table profiling (ANALYZE-style column statistics) ----------------------
+
+_PROFILE_COLS: tuple[tuple[str, str], ...] = (
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "money"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+)
+
+
+def _profile_branch_sql(col: str, kind: str) -> str:
+    if kind == "int":
+        mn, mx = f"CAST(MIN({col}) AS VARCHAR)", f"CAST(MAX({col}) AS VARCHAR)"
+    elif kind == "str":
+        mn, mx = f"MIN({col})", f"MAX({col})"
+    elif kind == "money":
+        mn = f"CAST(MIN(CAST({col} AS DECIMAL(18,2))) AS VARCHAR)"
+        mx = f"CAST(MAX(CAST({col} AS DECIMAL(18,2))) AS VARCHAR)"
+    else:  # ts
+        mn = f"strftime(MIN({col}), '%Y-%m-%d %H:%M:%S')"
+        mx = f"strftime(MAX({col}), '%Y-%m-%d %H:%M:%S')"
+    return f"""
+      SELECT '{col}' AS column_name,
+             CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_count,
+             CAST(COUNT(DISTINCT {col}) AS BIGINT) AS ndv,
+             {mn} AS min_repr, {mx} AS max_repr
+      FROM orders"""
+
+
+@declared(
+    "profile_column_stats",
+    oracle=" UNION ALL ".join(
+        _profile_branch_sql(c, k) for c, k in _PROFILE_COLS
+    ),
+    doc="ANALYZE-style per-column table profile of orders: null count, "
+    "exact NDV, and portable min/max renderings (BIGINT/VARCHAR as-is, "
+    "money via DECIMAL(18,2) so both engines print '123.45', timestamps "
+    "via an explicit strftime pattern). This is the statistics substrate "
+    "the reference's schema-drift report (S3) and any cost-based planner "
+    "sit on. Spark shape: ONE scan — the multi-distinct aggregate runs "
+    "through Catalyst's Expand (rows x |cols|, still map-side partial), "
+    "then the 1-row result explodes to per-column rows driver-free; the "
+    "oracle is the same profile as |cols| UNION ALL branches. At 100 TB "
+    "swap COUNT(DISTINCT) for approx_count_distinct (HLL, one line) — "
+    "kept exact here because exactness is what the cross-engine hash "
+    "can grade.",
+)
+def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    aggs: list[F.Column] = []
+    for c, kind in _PROFILE_COLS:
+        col = F.col(c)
+        if kind == "int":
+            mn, mx = F.min(col).cast("string"), F.max(col).cast("string")
+        elif kind == "str":
+            mn, mx = F.min(col), F.max(col)
+        elif kind == "money":
+            dec = col.cast("decimal(18,2)")
+            mn = F.min(dec).cast("string")
+            mx = F.max(dec).cast("string")
+        else:  # ts
+            mn = F.date_format(F.min(col), "yyyy-MM-dd HH:mm:ss")
+            mx = F.date_format(F.max(col), "yyyy-MM-dd HH:mm:ss")
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nulls_{c}"),
+            F.count_distinct(col).cast("bigint").alias(f"ndv_{c}"),
+            mn.alias(f"min_{c}"),
+            mx.alias(f"max_{c}"),
+        ]
+    one = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"nulls_{c}").alias("null_count"),
+                F.col(f"ndv_{c}").alias("ndv"),
+                F.col(f"min_{c}").alias("min_repr"),
+                F.col(f"max_{c}").alias("max_repr"),
+            )
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")

@@ -3110,3 +3110,77 @@ def corpus_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(gap).cast("double").alias("ks"),
         F.max("n_s").cast("long").alias("n_docs"),
     )
+
+
+# --- ANN recall measurement (round-9 third wave) -----------------------------
+
+_RECALL_K = 5
+
+
+@declared(
+    "ann_lsh_recall_at_k",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, {_lsh_bucket_sql('v')} AS bucket
+      FROM e WHERE vec_id < 10
+    ), exact AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_cosine_sql('q.qv', 'c.v')} DESC,
+                                           c.vec_id) AS rank
+        FROM e c, q WHERE c.vec_id <> q.query_id
+      ) WHERE rank <= {_RECALL_K}
+    ), b AS (
+      SELECT vec_id, v, {_lsh_bucket_sql('v')} AS bucket FROM e
+    ), lsh AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_cosine_sql('q.qv', 'c.v')} DESC,
+                                           c.vec_id) AS rank
+        FROM b c JOIN q USING (bucket) WHERE c.vec_id <> q.query_id
+      ) WHERE rank <= {_RECALL_K}
+    )
+    SELECT exact.query_id,
+           CAST(COUNT(lsh.cand_id) AS BIGINT) AS hits,
+           CAST(COUNT(lsh.cand_id) AS DOUBLE) / {float(_RECALL_K)!r}
+             AS recall_at_k
+    FROM exact LEFT JOIN lsh
+      ON lsh.query_id = exact.query_id AND lsh.cand_id = exact.cand_id
+    GROUP BY exact.query_id
+    """,
+    doc=f"Recall@{_RECALL_K} of the LSH-bucketed ANN against the exact "
+    "brute-force baseline, per query — the quality metric every ANN "
+    "deployment must publish, here made hash-gradeable (both the index "
+    "AND its ground truth are deterministic, so recall itself is a "
+    "cross-engine-checkable value, unlike the trained-PQ recall queries "
+    "whose k-means step forces rows-only grading). Shape: the two "
+    "existing top-k plans (fused mapInPandas exact scan; bucket "
+    "equi-join) joined on (query, candidate) — the join is over "
+    "|Q| x k rows, i.e. trivially broadcast. At 100 TB this runs on a "
+    "sampled query set and grades an index WITHOUT any all-pairs work: "
+    "the exact side is one scan per query batch, the LSH side is the "
+    "production index path itself.",
+)
+def ann_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = SIM.bruteforce_topk(q, e, k=_RECALL_K).select("query_id", "cand_id")
+    lsh = (
+        SIM.lsh_bucket_topk(q, e, k=_RECALL_K)
+        .select("query_id", "cand_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        exact.join(lsh, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").cast("bigint").alias("hits"),
+            (F.count("__hit").cast("double") / F.lit(float(_RECALL_K))).alias(
+                "recall_at_k"
+            ),
+        )
+    )

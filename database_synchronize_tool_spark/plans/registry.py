@@ -110,6 +110,13 @@ def _load_all() -> None:
 # (end-of-round full sweep; late additions additionally checked at BOTH
 # sf0.001 and sf0.01 at add time).
 #
+# Third late-r9 wave: 5 more never-attested queries — rank statistics
+# (Spearman over tie-averaged ranks, Mann-Whitney AUC), the ANALYZE-style
+# column profile, HLL inclusion-exclusion set intersection, and the
+# hash-gradeable LSH recall@k — displace the last five re-verify names
+# (j1/j2/j3 x2/j4 -> queue head, in front of the second wave's displaced
+# cohort). All five checked green at sf0.001 AND sf0.01 at add time.
+#
 # Compensating control (ADVICE r2): curated ordering means ~half the queries
 # sit outside any single round's driver window, so EVERY round we run the full
 # local sweep over ALL declared queries before the round ends:
@@ -151,6 +158,13 @@ _WINDOW: tuple[str, ...] = (
     "embedding_covariance_stats",
     "stats_ab_test_proportions",
     "t15_stream_weighted_sample",
+    # --- NEW in round 9, third wave (rank stats / profile / HLL algebra /
+    # ANN recall): displace j1/j2/j3x2/j4 -> queue head ---
+    "stats_spearman_rank",
+    "stats_auc_mannwhitney",
+    "profile_column_stats",
+    "sketch_hll_intersection",
+    "ann_lsh_recall_at_k",
     # --- re-verify: queue head, stalest first (r8-displaced cohort) ---
     "agg_approx_percentile",
     "j7_sync_diff_audit",
@@ -168,14 +182,15 @@ _WINDOW: tuple[str, ...] = (
     "a1_watermark_probe_ts",
     "a1_watermark_probe_id",
     "a2_row_count",
+)
+
+_QUEUE: tuple[str, ...] = (
+    # r9-displaced by the third-wave rank-stats/profile/recall queries:
     "j1_anti_join_missing",
     "j2_semi_join_existing",
     "j3_merge_upsert",
     "j3_merge_full_outer",
     "j4_dedup_full_row",
-)
-
-_QUEUE: tuple[str, ...] = (
     # r9-displaced by the second-wave approx/stats queries:
     "j5_asof_join",
     "j6_range_join_value_bands",

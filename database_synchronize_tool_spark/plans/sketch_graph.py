@@ -664,3 +664,110 @@ def _patch_incremental_oracle() -> None:
 
 
 _patch_incremental_oracle()
+
+
+# --- HLL set algebra (round-9 third wave) ------------------------------------
+
+_W1 = MB.HLL_W + 1
+
+
+@declared(
+    "sketch_hll_intersection",
+    oracle=f"""
+    WITH s AS (
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 'a' ELSE 'b' END AS side,
+             {_h60_sql("CAST(o_custkey AS VARCHAR)")} AS h
+      FROM orders
+    ),
+    r AS (
+      SELECT side, h % {MB.HLL_M} AS reg,
+             CASE WHEN h // {MB.HLL_M} = 0 THEN {_W1}
+                  ELSE {_W1} - length(bin(h // {MB.HLL_M}))
+             END AS rho
+      FROM s
+    ),
+    m AS (SELECT side, reg, MAX(rho) AS mx FROM r GROUP BY 1, 2),
+    mu AS (SELECT reg, MAX(mx) AS mx FROM m GROUP BY 1),
+    est AS (
+      SELECT side,
+             {MB.HLL_NUMERATOR!r} / CAST(
+               CAST(SUM(CAST(1 AS BIGINT) << CAST({_W1} - mx AS INT))
+                    AS BIGINT)
+               + ({MB.HLL_M} - COUNT(*))
+                 * (CAST(1 AS BIGINT) << {_W1}) AS DOUBLE) AS est
+      FROM m GROUP BY side
+    ),
+    estu AS (
+      SELECT {MB.HLL_NUMERATOR!r} / CAST(
+               CAST(SUM(CAST(1 AS BIGINT) << CAST({_W1} - mx AS INT))
+                    AS BIGINT)
+               + ({MB.HLL_M} - COUNT(*))
+                 * (CAST(1 AS BIGINT) << {_W1}) AS DOUBLE) AS est_union
+      FROM mu
+    ),
+    ex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection FROM (
+        SELECT o_custkey FROM orders GROUP BY o_custkey
+        HAVING SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                        THEN 1 ELSE 0 END) > 0
+           AND SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                        THEN 1 ELSE 0 END) > 0
+      )
+    )
+    SELECT ea.est AS est_a, eb.est AS est_b, estu.est_union,
+           ea.est + eb.est - estu.est_union AS est_intersection,
+           ex.exact_intersection
+    FROM (SELECT est FROM est WHERE side = 'a') ea,
+         (SELECT est FROM est WHERE side = 'b') eb, estu, ex
+    """,
+    doc="HLL set algebra: estimate the customer overlap between the early "
+    "(< 1998) and late >= 1998 order eras by inclusion-exclusion — "
+    "est(A) + est(B) - est(A union B), where the union sketch is the "
+    "register-wise MAX of the two sides' registers (the merge whose "
+    "exactness sketch_hll_register_merge proves). The exact overlap "
+    "rides along as the witness. This is the 100 TB audience-overlap "
+    "query: per-side state is 256 integers, the union costs a register "
+    "merge instead of a distinct-join of two id sets. The raw estimator "
+    "and the one-double-division discipline are shared with "
+    "sketch_hll_distinct_orders; inclusion-exclusion adds two IEEE "
+    "adds/subtracts written with the same association on both engines.",
+)
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    sides = o.select(
+        F.when(F.col("o_orderdate") < cut, "a").otherwise("b").alias("side"),
+        "o_custkey",
+    )
+    regs = MB.hll_registers(sides, "o_custkey", ["side"])
+    est = MB.hll_estimate(regs, ["side"])
+    pair = est.agg(
+        F.max(F.when(F.col("side") == "a", F.col("hll_est"))).alias("est_a"),
+        F.max(F.when(F.col("side") == "b", F.col("hll_est"))).alias("est_b"),
+    )
+    union_regs = regs.groupBy("reg").agg(F.max("mx").alias("mx"))
+    est_u = MB.hll_estimate(union_regs, []).select(
+        F.col("hll_est").alias("est_union")
+    )
+    early = F.sum(F.when(F.col("o_orderdate") < cut, 1).otherwise(0))
+    late = F.sum(F.when(F.col("o_orderdate") >= cut, 1).otherwise(0))
+    exact = (
+        o.groupBy("o_custkey")
+        .agg(early.alias("e"), late.alias("l"))
+        .filter((F.col("e") > 0) & (F.col("l") > 0))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersection"))
+    )
+    return (
+        pair.crossJoin(F.broadcast(est_u))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersection"
+            ),
+            "exact_intersection",
+        )
+    )

@@ -260,3 +260,56 @@ def test_streaming_reservoir_equals_batch_topk(spark, sf_dir):
         sid, spri, _tau = streamed[(r["event_type"], r["smp_rank"])]
         assert sid == r["event_id"]
         assert spri == r["priority"]  # exact, not approximate
+
+
+def test_spearman_matches_pandas(spark, sf_dir):
+    out = {r["l_returnflag"]: r for r in AP.stats_spearman_rank(spark, sf_dir).collect()}
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    for flag, grp in li.groupby("l_returnflag"):
+        # spearman = pearson over tie-averaged ranks (pandas' own
+        # method="spearman" delegates to scipy, not installed here)
+        rx = grp["l_quantity"].rank(method="average")
+        ry = grp["l_extendedprice"].rank(method="average")
+        ref = rx.corr(ry, method="pearson")
+        got = out[flag]["spearman_rho"]
+        assert abs(got - ref) < 1e-9, (flag, got, ref)
+        assert -1.0 <= got <= 1.0
+        assert out[flag]["n"] == len(grp)
+
+
+def test_auc_matches_pandas_rank_formula(spark, sf_dir):
+    out = {r["o_orderpriority"]: r for r in AP.stats_auc_mannwhitney(spark, sf_dir).collect()}
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderstatus", "o_totalprice")
+        .toPandas()
+    )
+    for pri, grp in o.groupby("o_orderpriority"):
+        pos = grp["o_orderstatus"] == "F"
+        ranks = grp["o_totalprice"].rank(method="average")
+        npos, nneg = int(pos.sum()), int((~pos).sum())
+        ref = (ranks[pos].sum() - npos * (npos + 1) / 2) / (npos * nneg)
+        r = out[pri]
+        assert r["n_pos"] == npos and r["n_neg"] == nneg
+        assert abs(r["auc"] - ref) < 1e-9, (pri, r["auc"], ref)
+        assert 0.0 <= r["auc"] <= 1.0
+
+
+def test_profile_column_stats_invariants(spark, sf_dir):
+    rows = {r["column_name"]: r for r in AP.profile_column_stats(spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders")
+    n = o.count()
+    assert set(rows) == {c for c, _ in AP._PROFILE_COLS}
+    for r in rows.values():
+        assert r["null_count"] == 0  # generator emits no NULLs in orders
+        assert 0 < r["ndv"] <= n
+        assert r["min_repr"] is not None and r["max_repr"] is not None
+    # o_orderkey is the primary key: NDV must equal the row count
+    assert rows["o_orderkey"]["ndv"] == n
+    # money column renders with exactly two decimals on both engines
+    assert "." in rows["o_totalprice"]["min_repr"]
+    assert len(rows["o_totalprice"]["min_repr"].split(".")[1]) == 2

@@ -733,3 +733,26 @@ def test_hamming_topk_plan_broadcasts_queries(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("Exchange") <= 2  # window shuffle (+AQE reuse), no more
+
+
+def test_lsh_recall_at_k_consistency(spark, sf_dir):
+    from database_synchronize_tool_spark.catalog import load_table
+    from database_synchronize_tool_spark.operators import similarity as SIM
+    from database_synchronize_tool_spark.plans.extensions import (
+        _RECALL_K,
+        ann_lsh_recall_at_k,
+    )
+
+    rows = {r["query_id"]: r for r in ann_lsh_recall_at_k(spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = SIM.bruteforce_topk(q, e, k=_RECALL_K)
+    lsh = SIM.lsh_bucket_topk(q, e, k=_RECALL_K)
+    ex = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    ls = {(r["query_id"], r["cand_id"]) for r in lsh.collect()}
+    assert len(rows) == 10  # one row per query, even zero-hit ones
+    for qid, r in rows.items():
+        direct = len({p for p in ex if p[0] == qid} & {p for p in ls if p[0] == qid})
+        assert r["hits"] == direct
+        assert abs(r["recall_at_k"] - direct / _RECALL_K) < 1e-12
+        assert 0 <= r["hits"] <= _RECALL_K

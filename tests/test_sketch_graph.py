@@ -216,3 +216,21 @@ def test_graph_and_sketch_ops_tolerate_degenerate_inputs(spark):
     }
     assert probed == {"x": True, "y": True}
     assert cms_build(nulls, "key", depth=2, width=8).count() <= 2 * 8
+
+
+def test_hll_intersection_inclusion_exclusion(spark, sf_dir):
+    from database_synchronize_tool_spark.plans import sketch_graph as SG
+
+    row = SG.sketch_hll_intersection(spark, sf_dir).collect()[0]
+    assert row["est_a"] > 0 and row["est_b"] > 0
+    # union can't exceed the sum of the parts (register-wise max <= both)
+    assert row["est_union"] <= row["est_a"] + row["est_b"] + 1e-9
+    # identity holds exactly: est_intersection = est_a + est_b - est_union
+    assert abs(
+        row["est_intersection"] - (row["est_a"] + row["est_b"] - row["est_union"])
+    ) < 1e-9
+    # 256 registers -> ~6.5% typical error per sketch; inclusion-exclusion
+    # compounds three of them, so grant a generous-but-meaningful band
+    exact = row["exact_intersection"]
+    assert exact > 0
+    assert abs(row["est_intersection"] - exact) <= 0.5 * exact + 50
