@@ -152,3 +152,58 @@ def scd2_merge(
         )
         merged = joined.select(F.explode(rows).alias("__v")).select("__v.*")
     return merged.unionByName(hist.select(*merged.columns))
+
+
+def pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time (temporal) join of facts against a versioned dimension.
+
+    Each fact row matches the dimension version whose validity interval
+    covers the fact's timestamp: ``valid_from <= fact_ts AND (valid_to IS
+    NULL OR fact_ts < valid_to)`` — the half-open-interval contract that
+    makes SCD2 output (:func:`scd2_merge`) joinable without double-matching
+    at version boundaries. With intervals produced by closing each version
+    at its successor's ``valid_from`` (the SCD2 invariant), at most ONE
+    version matches per fact, so the join never fans out.
+
+    Execution shape: a plain equi-join on ``keys`` with the interval
+    predicate as a post-join filter — Spark runs it as a
+    shuffled/broadcast hash join on the key, NOT a range join, because the
+    version count per key is bounded (dimension keys have few versions;
+    the interval check is a cheap residual). That is the property that
+    holds at 100 TB: the fact table shuffles once on the key it would
+    shuffle on anyway, and the dimension side is usually broadcastable.
+    For an unversioned point-event dimension, prefer the union+carry-
+    forward as-of shape (plans/sync_ops.py j5) which needs no join at all.
+
+    The reference has no temporal layer (its upsert is Type-1,
+    sync_utils.py:174-193); this is the read-side complement of
+    :func:`scd2_merge`'s write side.
+    """
+    f = facts.alias("f")
+    d = dim.alias("d")
+    cond = None
+    for k in keys:
+        c = F.col(f"f.{k}").eqNullSafe(F.col(f"d.{k}"))
+        cond = c if cond is None else (cond & c)
+    ts = F.col(f"f.{fact_ts}")
+    cond = (
+        cond
+        & (F.col(f"d.{valid_from}") <= ts)
+        & (F.col(f"d.{valid_to}").isNull() | (ts < F.col(f"d.{valid_to}")))
+    )
+    dim_payload = [
+        F.col(f"d.{c}").alias(c)
+        for c in dim.columns
+        if c not in set(keys)
+    ]
+    return f.join(d, on=cond, how=how).select(
+        *[F.col(f"f.{c}").alias(c) for c in facts.columns], *dim_payload
+    )

@@ -116,6 +116,11 @@ def _load_all() -> None:
 # hash-gradeable LSH recall@k — displace the last five re-verify names
 # (j1/j2/j3 x2/j4 -> queue head, in front of the second wave's displaced
 # cohort). All five checked green at sf0.001 AND sf0.01 at add time.
+# Plus two temporal additions: j13_point_in_time_join (read-side SCD2
+# complement, label-leakage-safe feature join) and t16_stream_scd2
+# (stateful streaming SCD2 maintenance graded against the batch islands
+# oracle) — displacing a1_watermark_probe_id/a2_row_count to the queue
+# head. Both checked green at sf0.001 AND sf0.01 at add time.
 #
 # Compensating control (ADVICE r2): curated ordering means ~half the queries
 # sit outside any single round's driver window, so EVERY round we run the full
@@ -165,6 +170,8 @@ _WINDOW: tuple[str, ...] = (
     "profile_column_stats",
     "sketch_hll_intersection",
     "ann_lsh_recall_at_k",
+    "j13_point_in_time_join",
+    "t16_stream_scd2",
     # --- re-verify: queue head, stalest first (r8-displaced cohort) ---
     "agg_approx_percentile",
     "j7_sync_diff_audit",
@@ -180,12 +187,12 @@ _WINDOW: tuple[str, ...] = (
     "p3_watermark_tie_parity",
     "p4_empty_delta_guard",
     "a1_watermark_probe_ts",
-    "a1_watermark_probe_id",
-    "a2_row_count",
 )
 
 _QUEUE: tuple[str, ...] = (
     # r9-displaced by the third-wave rank-stats/profile/recall queries:
+    "a1_watermark_probe_id",
+    "a2_row_count",
     "j1_anti_join_missing",
     "j2_semi_join_existing",
     "j3_merge_upsert",

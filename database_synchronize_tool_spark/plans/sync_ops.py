@@ -15,7 +15,7 @@ Reference citations (read-only at /root/reference):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from database_synchronize_tool_spark.catalog import load_table
@@ -1096,4 +1096,63 @@ def j12_delta_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revd").cast("double").alias("rev_direct"),
         F.col("revm").cast("double").alias("rev_maintained"),
         (F.col("revd") == F.col("revm")).alias("rev_equal"),
+    )
+
+
+@declared(
+    "j13_point_in_time_join",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, event_id AS version_eid, value AS dim_value,
+             ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ), f AS (
+      SELECT event_id, user_id, ts AS fact_ts FROM events
+      WHERE event_type = 'click' AND user_id IS NOT NULL
+    )
+    SELECT f.event_id, f.user_id, f.fact_ts,
+           d.version_eid, d.dim_value, d.valid_from
+    FROM f LEFT JOIN dim d
+      ON d.user_id = f.user_id
+     AND d.valid_from <= f.fact_ts
+     AND (d.valid_to IS NULL OR f.fact_ts < d.valid_to)
+    """,
+    doc="J13 point-in-time join (engine extension; read-side complement of "
+    "j8's SCD2 write side): each click is joined to the purchase-defined "
+    "dimension version valid AT the click's timestamp — the query every "
+    "ML feature store runs to prevent label leakage (never join "
+    "tomorrow's attribute onto today's event). The dimension is built "
+    "in-query by closing each purchase at its successor (LEAD over "
+    "(ts, event_id) — the same half-open-interval contract scd2_merge "
+    "writes), so at most one version covers any fact and the join NEVER "
+    "fans out. Plan shape: one window on the small dimension side + ONE "
+    "hash equi-join on user_id with the interval check as a residual "
+    "filter — no range-join explosion, facts shuffle once on the key "
+    "they'd shuffle on anyway. Clicks before a user's first purchase "
+    "surface with NULL dimension columns (left join), which is the "
+    "honest answer, not a dropped row.",
+)
+def j13_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.operators.scd import pit_join
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    dim = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("version_eid"),
+            F.col("value").alias("dim_value"),
+            F.col("ts").alias("valid_from"),
+        )
+        .withColumn("valid_to", F.lead("valid_from").over(
+            Window.partitionBy("user_id").orderBy("valid_from", "version_eid")
+        ))
+    )
+    facts = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("fact_ts")
+    )
+    return pit_join(facts, dim, keys=["user_id"], fact_ts="fact_ts").select(
+        "event_id", "user_id", "fact_ts", "version_eid", "dim_value", "valid_from"
     )

@@ -841,3 +841,89 @@ def t15_stream_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("weight"), tau_col).alias("ht_contrib"),
         )
     )
+
+
+@declared(
+    "t16_stream_scd2",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id)
+               AS prev_type
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+    ), isl AS (
+      SELECT user_id, event_type, us, event_id,
+             SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS ver
+      FROM o
+    ), v AS (
+      SELECT user_id, ver,
+             arg_min(event_type, CAST(us AS HUGEINT) * 10000000 + event_id)
+               AS event_type,
+             arg_min(us, CAST(us AS HUGEINT) * 10000000 + event_id)
+               AS vfrom_us,
+             arg_min(event_id, CAST(us AS HUGEINT) * 10000000 + event_id)
+               AS vfrom_eid,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM isl GROUP BY user_id, ver
+    ), vv AS (
+      SELECT user_id, event_type, vfrom_us, vfrom_eid, n_events,
+             LEAD(vfrom_us) OVER (PARTITION BY user_id ORDER BY ver)
+               AS vto_us,
+             LEAD(vfrom_eid) OVER (PARTITION BY user_id ORDER BY ver)
+               AS vto_eid
+      FROM v
+    )
+    SELECT user_id, event_type, vfrom_us, vfrom_eid, vto_us, vto_eid,
+           vto_us IS NULL AS is_current, n_events
+    FROM vv
+    """,
+    doc="Streaming SCD Type-2 maintenance (t16): a TRUE 4-micro-batch "
+    "replay feeds scd2_stateful, which maintains each user's current "
+    "event_type version in O(1) state, emits closed versions exactly "
+    "once (in the batch where the change arrives, valid_to = the "
+    "successor's half-open start — scd2_merge's write invariant) and "
+    "re-emits the open version per batch with its accumulated row "
+    "count. The batch oracle rebuilds the same history relationally "
+    "(LAG-change islands -> per-island arg_min starts -> LEAD close). "
+    "Per-version n_events is the state-integrity witness: a lost or "
+    "reset state row cannot reproduce the oracle's island sizes even "
+    "when the version boundaries happen to match. Batch write twin: "
+    "j8_scd2_merge; read-side consumer: j13_point_in_time_join. This "
+    "is the operator that turns a 100 TB CDC firehose into a queryable "
+    "versioned dimension without ever re-scanning history.",
+)
+def t16_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.streaming.events import (
+        read_events_stream_multibatch,
+        run_to_memory,
+    )
+    from database_synchronize_tool_spark.streaming.stateful import scd2_stateful
+
+    stream = scd2_stateful(read_events_stream_multibatch(spark, sf_dir))
+    run_to_memory(stream, "t16_stream_scd2_tbl", output_mode="update")
+    emitted = spark.table("t16_stream_scd2_tbl")
+    # one row per version: closed emissions are unique; the open version
+    # keeps its LAST emission (max witness count; closed beats open on ties
+    # because a later batch may close a version without adding rows)
+    w = Window.partitionBy("user_id", "vfrom_us", "vfrom_eid").orderBy(
+        F.col("n_events").desc(), F.col("is_current").asc()
+    )
+    return (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "vfrom_us",
+            "vfrom_eid",
+            "vto_us",
+            "vto_eid",
+            "is_current",
+            "n_events",
+        )
+    )

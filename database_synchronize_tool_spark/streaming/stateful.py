@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -523,6 +524,150 @@ def priority_sample_stateful(events: DataFrame, k: int) -> DataFrame:
         fn,
         outputStructType=PS_OUTPUT_SCHEMA,
         stateStructType=PS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SCD2_STATE_SCHEMA = StructType(
+    [
+        StructField("cur_type", StringType()),
+        StructField("from_us", LongType()),
+        StructField("from_eid", LongType()),
+        StructField("n_rows", LongType()),
+    ]
+)
+SCD2_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("vfrom_us", LongType()),
+        StructField("vfrom_eid", LongType()),
+        StructField("vto_us", LongType()),
+        StructField("vto_eid", LongType()),
+        StructField("is_current", BooleanType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def scd2_stateful(events: DataFrame) -> DataFrame:
+    """Streaming SCD Type-2 history maintenance: per-user run-length
+    versions of ``event_type`` built incrementally across micro-batches
+    with ``applyInPandasWithState`` — the streaming twin of
+    ``operators/scd.scd2_merge`` (which applies one batch of changes) and
+    the write-side producer for ``operators/scd.pit_join``.
+
+    Contract: events per user form a (ts, event_id)-ordered change
+    stream; a row whose ``event_type`` differs from the user's current
+    version CLOSES that version (``valid_to`` = the new row's position,
+    half-open interval — scd2_merge's invariant) and opens a new current
+    one. Closed versions are emitted exactly once, in the micro-batch
+    where they close — immutable history, safe to append straight to a
+    lakehouse table. The open version is re-emitted every batch the key
+    appears in (update mode) carrying its accumulated row count
+    ``n_events``, which doubles as the state-integrity witness: the
+    declared query's oracle checks per-version counts, so lost state
+    between batches breaks the hash, not just the final row.
+
+    State per user is FOUR scalars (current type, its start position,
+    row count) — O(keys), never O(events); a production deployment adds
+    a watermark timeout to evict idle keys, state machine unchanged.
+
+    Ordering: the harness replays time-ordered chunks (equal timestamps
+    never split across batches), and within a batch rows are sorted by
+    the (us, event_id) total order — so the streamed history equals the
+    batch islands oracle deterministically.
+    """
+    from pyspark.sql import functions as F
+
+    prepared = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    ).filter(
+        F.col("user_id").isNotNull()
+        & F.col("us").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+
+    def fn(key, pdfs, state):
+        import numpy as np
+
+        if state.exists:
+            cur_type, from_us, from_eid, n_rows = state.get
+        else:
+            cur_type, from_us, from_eid, n_rows = None, -1, -1, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not rows.empty:
+            rows = rows.sort_values(["us", "event_id"])
+            types = rows["event_type"].to_numpy()
+            uss = rows["us"].to_numpy(dtype="int64")
+            eids = rows["event_id"].to_numpy(dtype="int64")
+            # run-length segments; seg 0 may extend the open state version
+            change = np.empty(len(types), dtype=bool)
+            change[0] = cur_type is None or types[0] != cur_type
+            change[1:] = types[1:] != types[:-1]
+            seg_of = np.cumsum(change)  # 0 => continues the state version
+            closed: list[tuple] = []
+            start_idx = np.flatnonzero(change)
+            for si, idx in enumerate(start_idx):
+                # the version open BEFORE this boundary closes here
+                prev_n = (
+                    n_rows + int(np.count_nonzero(seg_of == 0))
+                    if si == 0
+                    else int(np.count_nonzero(seg_of == si))
+                )
+                if si == 0 and cur_type is None:
+                    pass  # no open version yet: nothing to close
+                else:
+                    p_type = cur_type if si == 0 else types[start_idx[si - 1]]
+                    p_us = from_us if si == 0 else int(uss[start_idx[si - 1]])
+                    p_eid = from_eid if si == 0 else int(eids[start_idx[si - 1]])
+                    closed.append(
+                        (
+                            key[0],
+                            p_type,
+                            p_us,
+                            p_eid,
+                            int(uss[idx]),
+                            int(eids[idx]),
+                            False,
+                            prev_n,
+                        )
+                    )
+                if si == len(start_idx) - 1:
+                    # last boundary opens the new current version
+                    cur_type = types[idx]
+                    from_us, from_eid = int(uss[idx]), int(eids[idx])
+                    n_rows = int(np.count_nonzero(seg_of == si + 1))
+            if len(start_idx) == 0:
+                n_rows += len(rows)  # whole batch extends the open version
+        state.update((cur_type, from_us, from_eid, n_rows))
+        out = closed if not rows.empty else []
+        if cur_type is not None:
+            out = out + [
+                (key[0], cur_type, from_us, from_eid, None, None, True, n_rows)
+            ]
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "event_type",
+                "vfrom_us",
+                "vfrom_eid",
+                "vto_us",
+                "vto_eid",
+                "is_current",
+                "n_events",
+            ],
+        )
+
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SCD2_OUTPUT_SCHEMA,
+        stateStructType=SCD2_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

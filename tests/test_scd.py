@@ -146,3 +146,43 @@ def test_scd2_null_is_current_lands_in_history_not_dropped(spark):
     rows = {(r["k"], r["attr"], bool(r["is_current"])) for r in out.collect()}
     assert (1, "a", False) in rows  # NULL-flag row preserved as history
     assert (2, "b2", True) in rows and (2, "b", False) in rows
+
+
+def test_pit_join_picks_version_valid_at_fact_time(spark):
+    from database_synchronize_tool_spark.operators.scd import pit_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "v1", 10, 20),
+            (1, "v2", 20, 30),
+            (1, "v3", 30, None),
+            (2, "w1", 15, None),
+        ],
+        "k int, val string, valid_from int, valid_to int",
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, 5), (101, 1, 10), (102, 1, 20), (103, 1, 29), (104, 1, 99),
+         (105, 2, 15), (106, 3, 50)],
+        "fid int, k int, ts int",
+    )
+    out = {r["fid"]: r["val"] for r in
+           pit_join(facts, dim, keys=["k"], fact_ts="ts").collect()}
+    assert out[100] is None          # before first version
+    assert out[101] == "v1"          # valid_from inclusive
+    assert out[102] == "v2"          # boundary: half-open, new version wins
+    assert out[103] == "v2"
+    assert out[104] == "v3"          # open-ended current version
+    assert out[105] == "w1"
+    assert out[106] is None          # unknown key survives (left join)
+    # never fans out: one output row per fact
+    assert pit_join(facts, dim, keys=["k"], fact_ts="ts").count() == facts.count()
+
+
+def test_pit_join_inner_drops_unmatched(spark):
+    from database_synchronize_tool_spark.operators.scd import pit_join
+
+    dim = spark.createDataFrame([(1, "v1", 10, None)],
+                                "k int, val string, valid_from int, valid_to int")
+    facts = spark.createDataFrame([(1, 1, 5), (2, 1, 50)], "fid int, k int, ts int")
+    got = pit_join(facts, dim, keys=["k"], fact_ts="ts", how="inner").collect()
+    assert [(r["fid"], r["val"]) for r in got] == [(2, "v1")]

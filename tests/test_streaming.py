@@ -5,6 +5,7 @@ plan over the same data), and the foreachBatch streaming merge."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from database_synchronize_tool_spark.catalog import load_table
 from database_synchronize_tool_spark.streaming.events import (
@@ -392,3 +393,41 @@ def test_stateful_pre_session_straggler_becomes_singleton():
     out = _run_close([[(t0 - 120_000_000, 9)]], state)
     assert list(out.iloc[0]) == [7, t0 - 120_000_000, t0 - 120_000_000, 1]
     assert state.updated == (t0, t0 + 10_000_000, 2)
+
+
+def test_stream_scd2_versions_form_a_chain(spark, sf_dir):
+    from database_synchronize_tool_spark.catalog import load_table
+    from database_synchronize_tool_spark.plans.windows import t16_stream_scd2
+
+    out = t16_stream_scd2(spark, sf_dir).toPandas()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .count()
+    )
+    # every event lands in exactly one version
+    assert int(out["n_events"].sum()) == ev
+    for uid, grp in out.groupby("user_id"):
+        g = grp.sort_values(["vfrom_us", "vfrom_eid"]).reset_index(drop=True)
+        # exactly one open version per user, and it is the LAST one
+        assert int(g["is_current"].sum()) == 1
+        assert bool(g["is_current"].iloc[-1])
+        # half-open chain: each version closes exactly where the next opens
+        for i in range(len(g) - 1):
+            assert g["vto_us"].iloc[i] == g["vfrom_us"].iloc[i + 1]
+            assert g["vto_eid"].iloc[i] == g["vfrom_eid"].iloc[i + 1]
+            # consecutive versions differ in type (else they'd be one run)
+            assert g["event_type"].iloc[i] != g["event_type"].iloc[i + 1]
+        assert g["vto_us"].isna().iloc[-1]
+
+
+def test_scd2_stateful_closed_versions_emitted_exactly_once(spark, sf_dir):
+    # drive the full multi-batch replay, then inspect the RAW emissions:
+    # closed rows (is_current=false) must be unique per version key
+    from database_synchronize_tool_spark.plans.windows import t16_stream_scd2
+
+    t16_stream_scd2(spark, sf_dir)  # populates the memory sink table
+    emitted = spark.table("t16_stream_scd2_tbl").toPandas()
+    closed = emitted[~emitted["is_current"]]
+    dup = closed.groupby(["user_id", "vfrom_us", "vfrom_eid"]).size()
+    assert (dup == 1).all()
