@@ -1134,3 +1134,74 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+_WHITEN_D = 16
+_WHITEN_VECS = 50
+
+
+@declared(
+    "embedding_zscore_whiten",
+    oracle=f"""
+    WITH vals AS (
+      SELECT vec_id, i.i AS pos,
+             CAST(embedding[i.i + 1] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN range({_WHITEN_D}) i(i)
+    ), stats AS (
+      SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS DECIMAL(18,9))) AS sx,
+             SUM(CAST(x * x AS DECIMAL(18,9))) AS sxx
+      FROM vals GROUP BY pos
+    )
+    SELECT v.vec_id, CAST(v.pos AS INT) AS pos,
+           (v.x - CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE))
+           / sqrt((CAST(s.sxx AS DOUBLE)
+                   - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)
+                     / CAST(s.n AS DOUBLE))
+                  / CAST(s.n AS DOUBLE)) AS z
+    FROM vals v JOIN stats s USING (pos)
+    WHERE v.vec_id < {_WHITEN_VECS}
+    """,
+    doc=f"Diagonal whitening (per-dimension z-score) of the leading "
+    f"{_WHITEN_D} embedding dimensions: corpus-wide per-dim (n, Sigma x, "
+    "Sigma x^2) via the DECIMAL(18,9)-rounded exact-sum pattern "
+    "(embedding_covariance_stats' discipline), then each value is "
+    "standardized with ONE identically-associated float chain "
+    "(x - Sx/n) / sqrt((Sxx - Sx*Sx/n)/n). The full-covariance version "
+    "would use the covariance query's eigen-decomposition driver-side; "
+    "the diagonal form shown here is the feature-scaling step that "
+    "needs NO matrix at all. Scale shape: stats are a 16-row aggregate "
+    "(broadcast back), the transform is in-row — a 100 TB corpus is "
+    "standardized with one scan + one broadcast join, no shuffle of "
+    "vectors. Output posexploded to (vec_id, pos, z) rows for a bounded "
+    "query window of {_WHITEN_VECS} vectors (the driver's canonicalizer "
+    "cannot hash array cells — same reshape as "
+    "embedding_matryoshka_truncate).",
+)
+def embedding_zscore_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    vals = e.select(
+        "vec_id",
+        F.posexplode(F.slice(F.col("embedding"), 1, _WHITEN_D)).alias(
+            "pos", "xf"
+        ),
+    ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    stats = vals.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(18,9)")).alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(18,9)")).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    mean = sx_d / n_d
+    var = (sxx_d - sx_d * sx_d / n_d) / n_d
+    return (
+        vals.filter(F.col("vec_id") < _WHITEN_VECS)
+        .join(F.broadcast(stats), "pos")
+        .select(
+            "vec_id",
+            F.col("pos").cast("int").alias("pos"),
+            ((F.col("x") - mean) / F.sqrt(var)).alias("z"),
+        )
+    )

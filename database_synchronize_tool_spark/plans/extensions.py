@@ -3184,3 +3184,62 @@ def ann_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_INV_DF_LO, _INV_DF_HI = 5, 40
+
+
+@declared(
+    "text_inverted_index",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents
+    ), tok AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(tk)-1, 0)+1),
+                                   i -> tk[i] || ' ' || tk[i+1])) AS token
+      FROM t
+    ), g AS (
+      SELECT token,
+             CAST(COUNT(*) AS BIGINT) AS tf_total,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+             array_to_string(list_sort(list(DISTINCT doc_id)), ',')
+               AS postings
+      FROM tok GROUP BY token
+    )
+    SELECT token, df, tf_total, postings
+    FROM g WHERE df BETWEEN {_INV_DF_LO} AND {_INV_DF_HI}
+    """,
+    doc=f"Inverted-index build over word-bigram phrases: phrase -> "
+    "(document frequency, total term frequency, sorted posting list) in "
+    "ONE explode + hash-aggregate shuffle on the phrase — the "
+    "materialization step under text_bm25_topk and the dedup family's "
+    "rare-shingle posting lists (dedup_containment_prefix). The "
+    f"published slice keeps the useful band {_INV_DF_LO} <= df <= "
+    f"{_INV_DF_HI}: ultra-rare phrases carry no retrieval value and "
+    "stop-frequency phrases would make posting lists O(corpus) (at "
+    "100 TB those become bitmap/roaring segments sharded BY TERM, never "
+    "a single row — the df cap here is the guard that keeps any one "
+    "aggregation group bounded). Postings render as a canonical "
+    "comma-joined sorted id string so the value is hash-comparable "
+    "across engines.",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.explode(TX.word_ngrams(F.col("text"), 2)).alias("token")
+    )
+    g = t.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf_total"),
+        F.count_distinct("doc_id").cast("bigint").alias("df"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_set("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    return g.filter(
+        (F.col("df") >= _INV_DF_LO) & (F.col("df") <= _INV_DF_HI)
+    ).select("token", "df", "tf_total", "postings")

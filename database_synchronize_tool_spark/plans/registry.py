@@ -121,6 +121,12 @@ def _load_all() -> None:
 # (stateful streaming SCD2 maintenance graded against the batch islands
 # oracle) — displacing a1_watermark_probe_id/a2_row_count to the queue
 # head. Both checked green at sf0.001 AND sf0.01 at add time.
+# And two corpus-featurization additions: embedding_zscore_whiten
+# (diagonal whitening, stats-broadcast one-scan shape, posexploded
+# output rows) and text_inverted_index (bigram-phrase posting lists in a
+# bounded df band) — displacing p4_empty_delta_guard/
+# a1_watermark_probe_ts to the queue head. Green at both SFs at add
+# time.
 #
 # Compensating control (ADVICE r2): curated ordering means ~half the queries
 # sit outside any single round's driver window, so EVERY round we run the full
@@ -172,6 +178,8 @@ _WINDOW: tuple[str, ...] = (
     "ann_lsh_recall_at_k",
     "j13_point_in_time_join",
     "t16_stream_scd2",
+    "embedding_zscore_whiten",
+    "text_inverted_index",
     # --- re-verify: queue head, stalest first (r8-displaced cohort) ---
     "agg_approx_percentile",
     "j7_sync_diff_audit",
@@ -185,12 +193,12 @@ _WINDOW: tuple[str, ...] = (
     "s7_file_listing",
     "p2_ignore_columns",
     "p3_watermark_tie_parity",
-    "p4_empty_delta_guard",
-    "a1_watermark_probe_ts",
 )
 
 _QUEUE: tuple[str, ...] = (
     # r9-displaced by the third-wave rank-stats/profile/recall queries:
+    "p4_empty_delta_guard",
+    "a1_watermark_probe_ts",
     "a1_watermark_probe_id",
     "a2_row_count",
     "j1_anti_join_missing",

@@ -313,3 +313,22 @@ def test_profile_column_stats_invariants(spark, sf_dir):
     # money column renders with exactly two decimals on both engines
     assert "." in rows["o_totalprice"]["min_repr"]
     assert len(rows["o_totalprice"]["min_repr"].split(".")[1]) == 2
+
+
+def test_zscore_whiten_standardizes(spark, sf_dir):
+    import numpy as np
+
+    out = AP.embedding_zscore_whiten(spark, sf_dir).toPandas()
+    assert set(out["pos"]) == set(range(AP._WHITEN_D))
+    assert out["vec_id"].max() < AP._WHITEN_VECS
+    # the stats were computed over the FULL corpus, so re-standardizing
+    # the full corpus (not just the published window) gives mean 0, var 1
+    e = load_table(spark, sf_dir, "embeddings").toPandas()
+    mat = np.array([v[: AP._WHITEN_D] for v in e["embedding"]], dtype=np.float64)
+    mean, std = mat.mean(axis=0), mat.std(axis=0)
+    for pos, grp in out.groupby("pos"):
+        sub = mat[np.array(sorted(set(out["vec_id"])))][:, pos]
+        expect = (sub - mean[pos]) / std[pos]
+        got = grp.sort_values("vec_id")["z"].to_numpy()
+        # DECIMAL(18,9)-rounded sums vs numpy float sums: tiny drift only
+        assert np.allclose(got, expect, atol=1e-6)

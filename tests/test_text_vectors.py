@@ -337,3 +337,22 @@ def test_pii_counts_match_oracle_on_overlapping_matches(spark):
                len(regexp_extract_all(t, '{_PHONE_RE}')) FROM aug"""
     ).fetchone()
     assert (got["e"], got["p"]) == want == (2, 2)
+
+
+def test_inverted_index_postings_consistent(spark, sf_dir):
+    from database_synchronize_tool_spark.plans.extensions import (
+        _INV_DF_HI,
+        _INV_DF_LO,
+        text_inverted_index,
+    )
+
+    out = text_inverted_index(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        ids = r["postings"].split(",")
+        # df is exactly the posting-list length, list is sorted+distinct
+        assert len(ids) == r["df"]
+        assert ids == sorted(set(ids), key=lambda s: int(s))
+        assert _INV_DF_LO <= r["df"] <= _INV_DF_HI
+        # a phrase occurs at least once per posting doc
+        assert r["tf_total"] >= r["df"]
