@@ -129,6 +129,16 @@ HEADLINE = [
     "layout_bloom_skipping",
     "embedding_covariance_stats",
     "stats_ab_test_proportions",
+    # round-9 third wave (rank stats / profile / temporal / index builds);
+    # t16_stream_scd2 excluded like t7-t15 (trigger orchestration time)
+    "stats_spearman_rank",
+    "stats_auc_mannwhitney",
+    "profile_column_stats",
+    "sketch_hll_intersection",
+    "ann_lsh_recall_at_k",
+    "j13_point_in_time_join",
+    "embedding_zscore_whiten",
+    "text_inverted_index",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

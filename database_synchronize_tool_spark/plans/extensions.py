@@ -3186,7 +3186,10 @@ def ann_lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_INV_DF_LO, _INV_DF_HI = 5, 40
+# df band as CORPUS FRACTIONS so the index definition is scale-invariant:
+# at the 500-doc test corpora this is df in [5, 40] exactly; at 10x docs
+# the band scales to [50, 400] instead of silently emptying out.
+_INV_DF_LO_FRAC, _INV_DF_HI_FRAC = 0.01, 0.08
 
 
 @declared(
@@ -3199,47 +3202,70 @@ _INV_DF_LO, _INV_DF_HI = 5, 40
              unnest(list_transform(range(1, greatest(len(tk)-1, 0)+1),
                                    i -> tk[i] || ' ' || tk[i+1])) AS token
       FROM t
-    ), g AS (
+    ), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    band AS (
       SELECT token,
              CAST(COUNT(*) AS BIGINT) AS tf_total,
-             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY token
+    ), surv AS (
+      SELECT band.* FROM band, nd
+      WHERE df >= CEIL({_INV_DF_LO_FRAC!r} * n_docs)
+        AND df <= FLOOR({_INV_DF_HI_FRAC!r} * n_docs)
+    ), p AS (
+      SELECT token,
              array_to_string(list_sort(list(DISTINCT doc_id)), ',')
                AS postings
-      FROM tok GROUP BY token
+      FROM tok WHERE token IN (SELECT token FROM surv)
+      GROUP BY token
     )
-    SELECT token, df, tf_total, postings
-    FROM g WHERE df BETWEEN {_INV_DF_LO} AND {_INV_DF_HI}
+    SELECT surv.token, surv.df, surv.tf_total, p.postings
+    FROM surv JOIN p USING (token)
     """,
     doc=f"Inverted-index build over word-bigram phrases: phrase -> "
-    "(document frequency, total term frequency, sorted posting list) in "
-    "ONE explode + hash-aggregate shuffle on the phrase — the "
-    "materialization step under text_bm25_topk and the dedup family's "
-    "rare-shingle posting lists (dedup_containment_prefix). The "
-    f"published slice keeps the useful band {_INV_DF_LO} <= df <= "
-    f"{_INV_DF_HI}: ultra-rare phrases carry no retrieval value and "
-    "stop-frequency phrases would make posting lists O(corpus) (at "
-    "100 TB those become bitmap/roaring segments sharded BY TERM, never "
-    "a single row — the df cap here is the guard that keeps any one "
-    "aggregation group bounded). Postings render as a canonical "
-    "comma-joined sorted id string so the value is hash-comparable "
-    "across engines.",
+    "(document frequency, total term frequency, sorted posting list) — "
+    "the materialization step under text_bm25_topk and the dedup "
+    "family's rare-shingle posting lists (dedup_containment_prefix). "
+    "TWO-PHASE shape: a cheap counting aggregate finds the phrases in "
+    f"the useful df band [{_INV_DF_LO_FRAC!r}, {_INV_DF_HI_FRAC!r}] of "
+    "the corpus size (scale-invariant fractions; ultra-rare phrases "
+    "carry no retrieval value, stop-frequency phrases would make "
+    "posting lists O(corpus)), and only the SURVIVORS' doc ids are ever "
+    "collected — so no aggregation group materializes a stop-phrase "
+    "posting list even transiently (the sf1 probe measured the "
+    "single-phase form paying 3x for lists it then discarded). The "
+    "survivor set broadcasts into the posting pass; at 100 TB frequent "
+    "phrases become bitmap/roaring segments sharded BY TERM. Postings "
+    "render as a canonical comma-joined sorted id string so the value "
+    "is hash-comparable across engines.",
 )
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     t = d.select(
         "doc_id", F.explode(TX.word_ngrams(F.col("text"), 2)).alias("token")
     )
-    g = t.groupBy("token").agg(
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    band = t.groupBy("token").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf_total"),
         F.count_distinct("doc_id").cast("bigint").alias("df"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_set("doc_id")),
-                lambda x: x.cast("string"),
-            ),
-            ",",
-        ).alias("postings"),
     )
-    return g.filter(
-        (F.col("df") >= _INV_DF_LO) & (F.col("df") <= _INV_DF_HI)
-    ).select("token", "df", "tf_total", "postings")
+    surv = band.crossJoin(F.broadcast(nd)).filter(
+        (F.col("df") >= F.ceil(F.lit(_INV_DF_LO_FRAC) * F.col("n_docs")))
+        & (F.col("df") <= F.floor(F.lit(_INV_DF_HI_FRAC) * F.col("n_docs")))
+    )
+    postings = (
+        t.join(F.broadcast(surv.select("token")), "token")
+        .groupBy("token")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_set("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return surv.join(postings, "token").select(
+        "token", "df", "tf_total", "postings"
+    )

@@ -367,3 +367,58 @@ def test_delta_join_maintenance_broadcasts_deltas(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "j12_delta_join_maintenance")
     assert plan.count("BroadcastHashJoin") >= 3  # dAxB0, A0xdB, dAxdB
     assert "CartesianProduct" not in plan
+
+
+def test_spearman_rank_windows_share_one_shuffle(spark, sf_dir):
+    # rank(x), ties(x), rank(y), ties(y) are four Window nodes, but all
+    # their partitionings are satisfied by hash(l_returnflag) — the plan
+    # must carry exactly ONE Exchange (plus sorts), or rank stats would
+    # shuffle the fact table once per window at 100 TB
+    plan = plan_of(spark, sf_dir, "stats_spearman_rank")
+    n_ex = sum(
+        1
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and ") Exchange" in l
+    )
+    assert n_ex == 1, f"expected one shuffle for all rank windows, got {n_ex}"
+    assert "CartesianProduct" not in plan
+
+
+def test_profile_is_one_scan_through_expand(spark, sf_dir):
+    # the multi-distinct ANALYZE profile must stay a single parquet scan
+    # multiplied by Expand — not one scan per column
+    plan = plan_of(spark, sf_dir, "profile_column_stats")
+    n_scans = sum(
+        1
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and ") Scan" in l
+    )
+    assert n_scans == 1, f"profile must scan orders once, got {n_scans}"
+    assert "Expand" in plan
+
+
+def test_pit_join_is_hash_equi_join_never_range_explosion(spark, sf_dir):
+    # the interval predicate must stay a residual on a key equi-join;
+    # a cartesian/BNLJ here would explode at any real dimension size
+    plan = plan_of(spark, sf_dir, "j13_point_in_time_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_whiten_broadcasts_stats_back(spark, sf_dir):
+    # per-dim stats are 16 rows — they must come back as a broadcast,
+    # never a shuffle of the vector table
+    plan = plan_of(spark, sf_dir, "embedding_zscore_whiten")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_inverted_index_survivor_joins_are_broadcast(spark, sf_dir):
+    # two-phase build: counting pass -> bounded survivor set -> posting
+    # pass. The survivor set must come back as broadcasts — a shuffle
+    # join here would re-shuffle the exploded token stream a second time
+    plan = plan_of(spark, sf_dir, "text_inverted_index")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -340,12 +340,18 @@ def test_pii_counts_match_oracle_on_overlapping_matches(spark):
 
 
 def test_inverted_index_postings_consistent(spark, sf_dir):
+    import math
+
+    from database_synchronize_tool_spark.catalog import load_table
     from database_synchronize_tool_spark.plans.extensions import (
-        _INV_DF_HI,
-        _INV_DF_LO,
+        _INV_DF_HI_FRAC,
+        _INV_DF_LO_FRAC,
         text_inverted_index,
     )
 
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    lo = math.ceil(_INV_DF_LO_FRAC * n_docs)
+    hi = math.floor(_INV_DF_HI_FRAC * n_docs)
     out = text_inverted_index(spark, sf_dir).collect()
     assert len(out) > 0
     for r in out:
@@ -353,6 +359,6 @@ def test_inverted_index_postings_consistent(spark, sf_dir):
         # df is exactly the posting-list length, list is sorted+distinct
         assert len(ids) == r["df"]
         assert ids == sorted(set(ids), key=lambda s: int(s))
-        assert _INV_DF_LO <= r["df"] <= _INV_DF_HI
+        assert lo <= r["df"] <= hi
         # a phrase occurs at least once per posting doc
         assert r["tf_total"] >= r["df"]

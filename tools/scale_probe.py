@@ -73,6 +73,10 @@ PROBE = (
     "ann_ivf_pq_residual_topk",
     "ann_ivf_pq_refine_topk",
     "dedup_semantic_pairs",
+    # round-9 third wave corpus queries (documents/embeddings-based, so the
+    # replica construction scales them faithfully)
+    "text_inverted_index",
+    "embedding_zscore_whiten",
     "dedup_containment_prefix",
 )
 
