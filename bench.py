@@ -139,6 +139,9 @@ HEADLINE = [
     "j13_point_in_time_join",
     "embedding_zscore_whiten",
     "text_inverted_index",
+    "stats_weighted_median",
+    "ts_time_weighted_avg",
+    "stats_cusum_changepoint",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

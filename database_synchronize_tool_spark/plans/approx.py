@@ -1205,3 +1205,213 @@ def embedding_zscore_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("x") - mean) / F.sqrt(var)).alias("z"),
         )
     )
+
+
+# --- robust / timeseries statistics (round-9 fourth wave) --------------------
+
+
+@declared(
+    "stats_weighted_median",
+    oracle="""
+    WITH pv AS (
+      SELECT l_returnflag, l_quantity AS v,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT l_returnflag, v, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM pv
+    )
+    SELECT l_returnflag,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN v END) AS DOUBLE)
+             AS w_median_qty,
+           CAST(MAX(tw) AS DOUBLE) AS total_weight
+    FROM c GROUP BY l_returnflag
+    """,
+    doc="Revenue-weighted median quantity per return flag: pre-aggregate "
+    "weight per DISTINCT value (the step that makes this scale — the "
+    "cumulative window then runs over |distinct values| rows, ~50 here, "
+    "never over raw lineitems), cumulative DECIMAL weights, and the "
+    "median is the first value where 2*cum >= total. Everything "
+    "hash-compared is DECIMAL-exact until two final casts; the window "
+    "ordering is over distinct values so ties cannot exist by "
+    "construction. The robust location statistic for skewed corpora "
+    "(a mean is dragged by outliers; the weighted median is not).",
+)
+def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_returnflag", F.col("l_quantity").alias("v")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("w")
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    c = pv.select(
+        "l_returnflag",
+        "v",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_all).alias("tw"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min(F.when(F.lit(2) * F.col("cw") >= F.col("tw"), F.col("v")))
+        .cast("double")
+        .alias("w_median_qty"),
+        F.max("tw").cast("double").alias("total_weight"),
+    )
+
+
+@declared(
+    "ts_time_weighted_avg",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS v_mu,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id)
+               AS nxt
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(nxt - us) AS BIGINT) AS total_us,
+           CAST(SUM(v_mu * (nxt - us)) AS BIGINT) AS swdt_mu,
+           CAST(SUM(v_mu * (nxt - us)) AS DOUBLE)
+             / CAST(SUM(nxt - us) AS DOUBLE) / 1000.0 AS twa
+    FROM o WHERE nxt IS NOT NULL
+    GROUP BY user_id HAVING SUM(nxt - us) > 0
+    """,
+    doc="Time-weighted average of a step signal per user: each event's "
+    "value holds until the next event (LEAD over the (ts, event_id) "
+    "total order), so the TWA is Sigma(value * dt) / Sigma(dt) — the "
+    "correct mean for irregularly-sampled telemetry, where a plain AVG "
+    "overweights chatty periods. The signal quantizes to integer "
+    "MILLI-UNITS via floor (floor of an identical double is identical "
+    "cross-engine — the repo's // discipline), so every hash-compared "
+    "sum is BIGINT-exact and the final conversion is the hardware "
+    "long->double (a wide-DECIMAL->double cast rounds DIFFERENTLY in "
+    "Spark vs DuckDB — measured 1-ulp flaps before this quantization). "
+    "Overflow bound: Sigma(v_mu*dt) <= max_v_mu * time_span, "
+    "independent of row count (dts telescope) — ~1.3e18 here; spans "
+    "beyond ~5e18 microsecond-milliunits switch to DECIMAL(38,0) sums. "
+    "Scale shape: one window + one aggregate sharing the user_id "
+    "shuffle; degenerate all-zero-duration users are excluded by the "
+    "HAVING on both engines alike.",
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    o = ev.select(
+        "user_id",
+        us.alias("us"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v_mu"),
+        F.lead(us).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    dt = F.col("nxt") - F.col("us")
+    g = o.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(dt).cast("bigint").alias("total_us"),
+        F.sum(F.col("v_mu") * dt).cast("bigint").alias("swdt_mu"),
+    )
+    return g.filter(F.col("total_us") > 0).select(
+        "user_id",
+        "n_intervals",
+        "total_us",
+        "swdt_mu",
+        (
+            F.col("swdt_mu").cast("double")
+            / F.col("total_us").cast("double")
+            / F.lit(1000.0)
+        ).alias("twa"),
+    )
+
+
+@declared(
+    "stats_cusum_changepoint",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,6))) AS x
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, day,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE) AS n,
+             CAST(SUM(x) OVER (PARTITION BY event_type) AS DOUBLE) AS tot,
+             CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                  AS DOUBLE) AS k
+      FROM d
+    ), c AS (
+      SELECT event_type, day, CAST(n AS BIGINT) AS n_days,
+             n * run - k * tot AS cusum_scaled
+      FROM s
+    ), r AS (
+      SELECT event_type, day, n_days, cusum_scaled,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY abs(cusum_scaled) DESC, day)
+               AS rn
+      FROM c
+    )
+    SELECT event_type, day AS cp_day, n_days, cusum_scaled
+    FROM r WHERE rn = 1
+    """,
+    doc="CUSUM change-point detection per event type over the daily value "
+    "series: the classic statistic argmax_k |Sigma_{i<=k}(x_i - mean)| "
+    "located WITHOUT ever materializing the mean mid-stream — scaled by "
+    "n to n*run_k - k*total (identical argmax), so the hash-compared "
+    "value is a single identically-associated 3-op double chain over "
+    "DECIMAL-exact window sums, with the earliest-day tiebreak making "
+    "the winner unique. Scale shape: raw events reduce to |types|x|days| "
+    "rows FIRST (one aggregate), every window then runs over the tiny "
+    "daily table — change-point detection over a 100 TB event log costs "
+    "one aggregation shuffle plus window work on bounded data.",
+)
+def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("x"))
+    w_all = Window.partitionBy("event_type")
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_rn = Window.partitionBy("event_type").orderBy("day")
+    s = d.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(w_all).cast("double").alias("n"),
+        F.sum("x").over(w_all).cast("double").alias("tot"),
+        F.sum("x").over(w_cum).cast("double").alias("run"),
+        F.row_number().over(w_rn).cast("double").alias("k"),
+    )
+    c = s.select(
+        "event_type",
+        "day",
+        F.col("n").cast("bigint").alias("n_days"),
+        (F.col("n") * F.col("run") - F.col("k") * F.col("tot")).alias(
+            "cusum_scaled"
+        ),
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), F.col("day")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("cp_day"),
+            "n_days",
+            "cusum_scaled",
+        )
+    )

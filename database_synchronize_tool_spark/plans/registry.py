@@ -127,6 +127,13 @@ def _load_all() -> None:
 # bounded df band) — displacing p4_empty_delta_guard/
 # a1_watermark_probe_ts to the queue head. Green at both SFs at add
 # time.
+# Fourth late-r9 wave: robust/timeseries statistics — weighted median
+# (distinct-value pre-agg + cumulative DECIMAL weights), time-weighted
+# average (milli-unit quantization keeps every sum BIGINT-exact; the
+# wide-DECIMAL->double cast provably flaps 1 ulp between engines), and
+# CUSUM change-point (n*run - k*tot scaling avoids a mid-stream mean).
+# Displace p2_ignore_columns/p3_watermark_tie_parity/s7_file_listing to
+# the queue head. Green at both SFs at add time.
 #
 # Compensating control (ADVICE r2): curated ordering means ~half the queries
 # sit outside any single round's driver window, so EVERY round we run the full
@@ -180,6 +187,9 @@ _WINDOW: tuple[str, ...] = (
     "t16_stream_scd2",
     "embedding_zscore_whiten",
     "text_inverted_index",
+    "stats_weighted_median",
+    "ts_time_weighted_avg",
+    "stats_cusum_changepoint",
     # --- re-verify: queue head, stalest first (r8-displaced cohort) ---
     "agg_approx_percentile",
     "j7_sync_diff_audit",
@@ -190,13 +200,13 @@ _WINDOW: tuple[str, ...] = (
     "s2_delta_scan_id",
     "s3_schema_discovery",
     "s4_primary_keys",
-    "s7_file_listing",
-    "p2_ignore_columns",
-    "p3_watermark_tie_parity",
 )
 
 _QUEUE: tuple[str, ...] = (
     # r9-displaced by the third-wave rank-stats/profile/recall queries:
+    "s7_file_listing",
+    "p2_ignore_columns",
+    "p3_watermark_tie_parity",
     "p4_empty_delta_guard",
     "a1_watermark_probe_ts",
     "a1_watermark_probe_id",

@@ -332,3 +332,68 @@ def test_zscore_whiten_standardizes(spark, sf_dir):
         got = grp.sort_values("vec_id")["z"].to_numpy()
         # DECIMAL(18,9)-rounded sums vs numpy float sums: tiny drift only
         assert np.allclose(got, expect, atol=1e-6)
+
+
+def test_weighted_median_matches_pandas(spark, sf_dir):
+    out = {r["l_returnflag"]: r for r in AP.stats_weighted_median(spark, sf_dir).collect()}
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    for flag, grp in li.groupby("l_returnflag"):
+        g = grp.sort_values("l_quantity")
+        cw = g["l_extendedprice"].cumsum()
+        tot = g["l_extendedprice"].sum()
+        ref = g.loc[cw >= tot / 2, "l_quantity"].iloc[0]
+        assert out[flag]["w_median_qty"] == ref
+        assert abs(out[flag]["total_weight"] - tot) < 1e-4
+
+
+def test_time_weighted_avg_matches_pandas(spark, sf_dir):
+    out = {r["user_id"]: r for r in AP.ts_time_weighted_avg(spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+    )
+    import numpy as np
+
+    checked = 0
+    for uid, grp in ev.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("int64").to_numpy() // 1000  # ns -> us
+        v_mu = np.floor(g["value"].to_numpy() * 1000).astype("int64")
+        dt = np.diff(us)
+        if dt.sum() <= 0:
+            assert uid not in out
+            continue
+        ref = float((v_mu[:-1] * dt).sum()) / float(dt.sum()) / 1000.0
+        r = out[uid]
+        assert r["n_intervals"] == len(dt)
+        assert r["total_us"] == int(dt.sum())
+        assert abs(r["twa"] - ref) < 1e-9
+        # TWA is a convex combination: bounded by the signal's range
+        lo, hi = g["value"].min(), g["value"].max()
+        assert lo - 1e-3 <= r["twa"] <= hi + 1e-3
+        checked += 1
+    assert checked == len(out)
+
+
+def test_cusum_changepoint_is_the_argmax(spark, sf_dir):
+    rows = {r["event_type"]: r for r in AP.stats_cusum_changepoint(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value").toPandas()
+    ev["day"] = ev["ts"].dt.date
+    for etype, grp in ev.groupby("event_type"):
+        daily = grp.groupby("day")["value"].sum().sort_index()
+        n = len(daily)
+        run = daily.cumsum().to_numpy()
+        tot = daily.sum()
+        k = (1.0 + __import__("numpy").arange(n))
+        cus = n * run - k * tot
+        best = max(range(n), key=lambda i: (abs(cus[i]), -i))
+        r = rows[etype]
+        assert r["n_days"] == n
+        assert r["cp_day"] == daily.index[best]
+        assert abs(r["cusum_scaled"] - cus[best]) < max(1e-6 * abs(cus[best]), 1e-3)
