@@ -142,6 +142,8 @@ HEADLINE = [
     "stats_weighted_median",
     "ts_time_weighted_avg",
     "stats_cusum_changepoint",
+    # t17_stream_time_weighted_avg excluded like t7-t16 (trigger time)
+    "source_freshness_report",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

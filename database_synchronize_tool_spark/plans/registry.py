@@ -134,6 +134,12 @@ def _load_all() -> None:
 # CUSUM change-point (n*run - k*tot scaling avoids a mid-stream mean).
 # Displace p2_ignore_columns/p3_watermark_tie_parity/s7_file_listing to
 # the queue head. Green at both SFs at add time.
+# Fifth late-r9 wave: t17_stream_time_weighted_avg (stateful integral,
+# bit-identical to the batch TWA thanks to the integer milli-unit
+# accumulators) and source_freshness_report (watermark-lag SLA monitor,
+# the read a sync fleet does before trusting a delta scan). Displace
+# s3_schema_discovery/s4_primary_keys to the queue head. Green at both
+# SFs at add time.
 #
 # Compensating control (ADVICE r2): curated ordering means ~half the queries
 # sit outside any single round's driver window, so EVERY round we run the full
@@ -190,6 +196,8 @@ _WINDOW: tuple[str, ...] = (
     "stats_weighted_median",
     "ts_time_weighted_avg",
     "stats_cusum_changepoint",
+    "t17_stream_time_weighted_avg",
+    "source_freshness_report",
     # --- re-verify: queue head, stalest first (r8-displaced cohort) ---
     "agg_approx_percentile",
     "j7_sync_diff_audit",
@@ -198,12 +206,12 @@ _WINDOW: tuple[str, ...] = (
     "s1_full_scan_projection",
     "s2_delta_scan_ts",
     "s2_delta_scan_id",
-    "s3_schema_discovery",
-    "s4_primary_keys",
 )
 
 _QUEUE: tuple[str, ...] = (
     # r9-displaced by the third-wave rank-stats/profile/recall queries:
+    "s3_schema_discovery",
+    "s4_primary_keys",
     "s7_file_listing",
     "p2_ignore_columns",
     "p3_watermark_tie_parity",

@@ -1156,3 +1156,46 @@ def j13_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pit_join(facts, dim, keys=["user_id"], fact_ts="fact_ts").select(
         "event_id", "user_id", "fact_ts", "version_eid", "dim_value", "valid_from"
     )
+
+
+@declared(
+    "source_freshness_report",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MAX(ts) AS last_ts, MAX(epoch_us(ts)) AS last_us
+      FROM events GROUP BY event_type
+    ), m AS (SELECT MAX(last_us) AS corpus_us FROM g)
+    SELECT event_type, n_rows, last_ts,
+           CAST(m.corpus_us - g.last_us AS BIGINT) AS lag_us,
+           (m.corpus_us - g.last_us) > 86400000000 AS is_stale
+    FROM g, m
+    """,
+    doc="Source freshness / watermark-lag report: per event type, the row "
+    "count, the high watermark (MAX ts — the same scalar probe the "
+    "reference's incremental sync reads, sync_utils.py A1), its lag in "
+    "microseconds behind the freshest source, and a staleness flag at a "
+    "1-day SLA. This is the monitoring read every watermark-driven sync "
+    "fleet needs before trusting a delta scan: a stale source means the "
+    "watermark probe is about to under-deliver silently. Scale shape: "
+    "one hash aggregate to |types| rows, the corpus max is a broadcast "
+    "1-row aggregate OF THE AGGREGATE (never a second scan), lag is "
+    "integer microsecond arithmetic — identical on both engines.",
+)
+def source_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.max("ts").alias("last_ts"),
+        F.max(us).alias("last_us"),
+    )
+    m = g.agg(F.max("last_us").alias("corpus_us"))
+    lag = F.col("corpus_us") - F.col("last_us")
+    return g.crossJoin(F.broadcast(m)).select(
+        "event_type",
+        "n_rows",
+        "last_ts",
+        lag.cast("bigint").alias("lag_us"),
+        (lag > F.lit(86400000000)).alias("is_stale"),
+    )

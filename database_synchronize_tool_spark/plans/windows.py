@@ -927,3 +927,63 @@ def t16_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@declared(
+    "t17_stream_time_weighted_avg",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS v_mu,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id)
+               AS nxt
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(nxt - us) AS BIGINT) AS total_us,
+           CAST(SUM(v_mu * (nxt - us)) AS BIGINT) AS swdt_mu,
+           CAST(SUM(v_mu * (nxt - us)) AS DOUBLE)
+             / CAST(SUM(nxt - us) AS DOUBLE) / 1000.0 AS twa
+    FROM o WHERE nxt IS NOT NULL
+    GROUP BY user_id HAVING SUM(nxt - us) > 0
+    """,
+    doc="Streaming time-weighted average (t17): twa_stateful maintains the "
+    "per-user step-signal integral across a TRUE 4-micro-batch replay — "
+    "five BIGINT scalars of state carry the open signal edge plus the "
+    "integer-exact accumulators, so the streamed integral is "
+    "bit-identical to the batch LEAD form the oracle computes (the "
+    "milli-unit quantization from ts_time_weighted_avg is what makes "
+    "stream == batch EXACT rather than approximately equal). "
+    "n_intervals strictly increases across batches and is the "
+    "state-integrity witness; the final division to the average happens "
+    "only at read time, so every emission is a mergeable integer "
+    "partial. Batch twin: ts_time_weighted_avg.",
+)
+def t17_stream_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.streaming.events import (
+        read_events_stream_multibatch,
+        run_to_memory,
+    )
+    from database_synchronize_tool_spark.streaming.stateful import twa_stateful
+
+    stream = twa_stateful(read_events_stream_multibatch(spark, sf_dir))
+    run_to_memory(stream, "t17_stream_twa_tbl", output_mode="update")
+    emitted = spark.table("t17_stream_twa_tbl")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_intervals").desc())
+    return (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("total_us") > 0))
+        .select(
+            "user_id",
+            "n_intervals",
+            "total_us",
+            "swdt_mu",
+            (
+                F.col("swdt_mu").cast("double")
+                / F.col("total_us").cast("double")
+                / F.lit(1000.0)
+            ).alias("twa"),
+        )
+    )

@@ -431,3 +431,24 @@ def test_scd2_stateful_closed_versions_emitted_exactly_once(spark, sf_dir):
     closed = emitted[~emitted["is_current"]]
     dup = closed.groupby(["user_id", "vfrom_us", "vfrom_eid"]).size()
     assert (dup == 1).all()
+
+
+def test_stream_twa_bit_identical_to_batch(spark, sf_dir):
+    # the integer milli-unit accumulators make stream == batch EXACT,
+    # not approximately equal — compare full rows against the batch twin
+    from database_synchronize_tool_spark.plans.approx import (
+        ts_time_weighted_avg,
+    )
+    from database_synchronize_tool_spark.plans.windows import (
+        t17_stream_time_weighted_avg,
+    )
+
+    streamed = {
+        r["user_id"]: (r["n_intervals"], r["total_us"], r["swdt_mu"], r["twa"])
+        for r in t17_stream_time_weighted_avg(spark, sf_dir).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n_intervals"], r["total_us"], r["swdt_mu"], r["twa"])
+        for r in ts_time_weighted_avg(spark, sf_dir).collect()
+    }
+    assert streamed == batch

@@ -481,3 +481,19 @@ svc:
         },
     )
     assert plans[0].prod.url != plans[0].stage.url
+
+
+def test_source_freshness_report_invariants(spark, sf_dir):
+    from database_synchronize_tool_spark.plans.sync_ops import (
+        source_freshness_report,
+    )
+
+    rows = source_freshness_report(spark, sf_dir).collect()
+    assert len(rows) == 5  # one per event type
+    lags = [r["lag_us"] for r in rows]
+    # the freshest source defines the corpus watermark: lag exactly 0
+    assert min(lags) == 0
+    for r in rows:
+        assert r["lag_us"] >= 0
+        assert r["n_rows"] > 0
+        assert r["is_stale"] == (r["lag_us"] > 86_400_000_000)
