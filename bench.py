@@ -144,6 +144,7 @@ HEADLINE = [
     "stats_cusum_changepoint",
     # t17_stream_time_weighted_avg excluded like t7-t16 (trigger time)
     "source_freshness_report",
+    "search_hybrid_rrf",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

@@ -2632,7 +2632,13 @@ _BM25_B = 0.75
     "full-corpus shuffle anywhere.",
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    return _bm25_ranked(load_table(spark, sf_dir, "documents"), 10)
+
+
+def _bm25_ranked(d: DataFrame, k: int) -> DataFrame:
+    """BM25-scored ranking of ``d`` for the fixed ``_BM25_TERMS`` query —
+    the lexical leg shared by ``text_bm25_topk`` (k=10) and the hybrid
+    RRF fusion (k=20). Identical plan and parity discipline either way."""
     toks = d.select(
         "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("term")
     )
@@ -2673,7 +2679,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
     return (
         agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        .filter(F.col("rank") <= k)
         .select("doc_id", "bm25", F.col("rank").cast("int").alias("rank"))
     )
 
@@ -3268,4 +3274,119 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return surv.join(postings, "token").select(
         "token", "df", "tf_total", "postings"
+    )
+
+
+# --- hybrid retrieval fusion (round-9 fifth wave) ----------------------------
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+_RRF_DEPTH = 20  # per-leg candidate depth
+_RRF_QVEC = 0  # the semantic leg's query vector (doc/vec ids are aligned)
+
+
+@declared(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                    t -> t <> '')) AS term
+      FROM documents
+    ), dl AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                 t -> t <> '')) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN {_BM25_TERMS!r}
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id,
+             ((n_docs - df + 0.5) / (df + 0.5))
+             * ((tf * {_BM25_K1 + 1.0!r})
+                / (tf + {_BM25_K1!r}
+                   * (1.0 - {_BM25_B!r}
+                      + {_BM25_B!r} * (CAST(dl AS DOUBLE) / avgdl))))
+               AS s
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+           CROSS JOIN stats
+    ), lex AS (
+      SELECT doc_id, rank AS r_lex FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE)
+                          DESC, doc_id) AS rank
+        FROM scored GROUP BY doc_id
+      ) WHERE rank <= {_RRF_DEPTH}
+    ), e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), qv AS (SELECT v AS q FROM e WHERE vec_id = {_RRF_QVEC}),
+    vec AS (
+      SELECT cand_id AS doc_id, rank AS r_vec FROM (
+        SELECT e.vec_id AS cand_id,
+               ROW_NUMBER() OVER (ORDER BY {_cosine_sql('qv.q', 'e.v')} DESC,
+                                           e.vec_id) AS rank
+        FROM e, qv WHERE e.vec_id <> {_RRF_QVEC}
+      ) WHERE rank <= {_RRF_DEPTH}
+    ), fused AS (
+      SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+             CAST(lex.r_lex AS INT) AS r_lex,
+             CAST(vec.r_vec AS INT) AS r_vec,
+             COALESCE(1.0 / ({_RRF_K} + lex.r_lex), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + vec.r_vec), 0.0) AS rrf
+      FROM lex FULL OUTER JOIN vec ON vec.doc_id = lex.doc_id
+    )
+    SELECT doc_id, r_lex, r_vec, rrf, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """,
+    doc=f"Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical leg "
+    f"(fixed query {_BM25_TERMS}) and the cosine semantic leg (query "
+    f"vector {_RRF_QVEC}; doc and vec ids are aligned) each contribute "
+    f"1/({_RRF_K}+rank) for their top-{_RRF_DEPTH}, summed in one fixed "
+    "association over a FULL OUTER join of the two bounded rank lists — "
+    "the standard RAG retrieval stack's final stage, fused on RANKS "
+    "precisely because raw BM25 and cosine scores are incomparable "
+    "scales. Only ranks cross the fusion boundary (both legs' rankings "
+    "are independently hash-green queries), so no log/score calibration "
+    "enters and the fused ordering is deterministic with a doc_id "
+    "tiebreak. Scale shape: each leg is its existing bounded plan; the "
+    "fusion join is 2x depth rows — driver-negligible at any corpus "
+    "size; the global top-10 is a TakeOrdered over <=2*depth rows.",
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    lex = _bm25_ranked(d, _RRF_DEPTH).select(
+        "doc_id", F.col("rank").alias("r_lex")
+    )
+    vec = SIM.bruteforce_topk(
+        e.filter(F.col("vec_id") == _RRF_QVEC), e, k=_RRF_DEPTH
+    ).select(F.col("cand_id").alias("doc_id"), F.col("rank").alias("r_vec"))
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("r_lex").cast("int").alias("r_lex"),
+        F.col("r_vec").cast("int").alias("r_vec"),
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_lex")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_vec")), F.lit(0.0)
+            )
+        ).alias("rrf"),
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "r_lex", "r_vec", "rrf", F.col("rank").cast("int").alias("rank"))
     )

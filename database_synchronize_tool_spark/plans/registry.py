@@ -139,7 +139,9 @@ def _load_all() -> None:
 # accumulators) and source_freshness_report (watermark-lag SLA monitor,
 # the read a sync fleet does before trusting a delta scan). Displace
 # s3_schema_discovery/s4_primary_keys to the queue head. Green at both
-# SFs at add time.
+# SFs at add time. Plus search_hybrid_rrf (reciprocal-rank fusion of the
+# BM25 and cosine legs — the RAG retrieval stack's final stage, fused on
+# ranks so both engines agree bit-for-bit), displacing s2_delta_scan_id.
 #
 # Compensating control (ADVICE r2): curated ordering means ~half the queries
 # sit outside any single round's driver window, so EVERY round we run the full
@@ -198,6 +200,7 @@ _WINDOW: tuple[str, ...] = (
     "stats_cusum_changepoint",
     "t17_stream_time_weighted_avg",
     "source_freshness_report",
+    "search_hybrid_rrf",
     # --- re-verify: queue head, stalest first (r8-displaced cohort) ---
     "agg_approx_percentile",
     "j7_sync_diff_audit",
@@ -205,11 +208,11 @@ _WINDOW: tuple[str, ...] = (
     "s7_file_listing_distributed",
     "s1_full_scan_projection",
     "s2_delta_scan_ts",
-    "s2_delta_scan_id",
 )
 
 _QUEUE: tuple[str, ...] = (
     # r9-displaced by the third-wave rank-stats/profile/recall queries:
+    "s2_delta_scan_id",
     "s3_schema_discovery",
     "s4_primary_keys",
     "s7_file_listing",

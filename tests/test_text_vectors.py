@@ -362,3 +362,43 @@ def test_inverted_index_postings_consistent(spark, sf_dir):
         assert lo <= r["df"] <= hi
         # a phrase occurs at least once per posting doc
         assert r["tf_total"] >= r["df"]
+
+
+def test_hybrid_rrf_fuses_leg_ranks_exactly(spark, sf_dir):
+    from database_synchronize_tool_spark.catalog import load_table
+    from database_synchronize_tool_spark.operators import similarity as SIM
+    from database_synchronize_tool_spark.plans.extensions import (
+        _RRF_DEPTH,
+        _RRF_K,
+        _RRF_QVEC,
+        _bm25_ranked,
+        search_hybrid_rrf,
+    )
+
+    out = search_hybrid_rrf(spark, sf_dir).collect()
+    assert len(out) == 10
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    lex = {r["doc_id"]: r["rank"] for r in _bm25_ranked(d, _RRF_DEPTH).collect()}
+    vec = {
+        r["cand_id"]: r["rank"]
+        for r in SIM.bruteforce_topk(
+            e.filter(e.vec_id == _RRF_QVEC), e, k=_RRF_DEPTH
+        ).collect()
+    }
+    prev = None
+    for r in out:
+        assert r["r_lex"] == lex.get(r["doc_id"])
+        assert r["r_vec"] == vec.get(r["doc_id"])
+        expect = (1.0 / (_RRF_K + r["r_lex"]) if r["r_lex"] else 0.0) + (
+            1.0 / (_RRF_K + r["r_vec"]) if r["r_vec"] else 0.0
+        )
+        assert abs(r["rrf"] - expect) < 1e-15
+        if prev is not None:
+            assert r["rrf"] <= prev + 1e-15  # descending fusion order
+        prev = r["rrf"]
+    # a doc present in BOTH legs must outrank any single-leg doc whose
+    # single rank equals that doc's worse rank (strict dominance)
+    both = [r for r in out if r["r_lex"] and r["r_vec"]]
+    if both:
+        assert out[0]["r_lex"] and out[0]["r_vec"]
