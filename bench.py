@@ -145,6 +145,8 @@ HEADLINE = [
     # t17_stream_time_weighted_avg excluded like t7-t16 (trigger time)
     "source_freshness_report",
     "search_hybrid_rrf",
+    "stats_calibration_bins",
+    "events_rfm_scores",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

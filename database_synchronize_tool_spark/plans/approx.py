@@ -1415,3 +1415,53 @@ def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cusum_scaled",
         )
     )
+
+
+@declared(
+    "stats_calibration_bins",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(o_orderstatus = 'F' AS INT) AS pos,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS score,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM orders
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS positives,
+           CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pos_rate,
+           CAST(SUM(score) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mean_score
+    FROM b GROUP BY bin
+    """,
+    doc="Calibration / reliability bins for a scalar score against binary "
+    "labels (score = o_totalprice, positive = finalized orders): equal-"
+    "population deciles via NTILE over the (score, unique-key) total "
+    "order, then per-bin observed positive rate next to the mean score — "
+    "the table a reliability diagram plots, and the companion to "
+    "stats_auc_mannwhitney (AUC says HOW WELL the score ranks; "
+    "calibration says whether its VALUES mean anything). Integer/DECIMAL "
+    "sums, two identically-associated divisions. Scale shape: one rank "
+    "window + one 10-group aggregate; at 100 TB swap NTILE for "
+    "histogram-guided bin edges (sketch_histogram_quantiles) to avoid "
+    "the global sort — the aggregate is unchanged.",
+)
+def stats_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        (F.col("o_orderstatus") == "F").cast("int").alias("pos"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("score"),
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bin"),
+    )
+    return b.groupBy(F.col("bin").cast("int").alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("positives"),
+        (F.sum("pos").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "pos_rate"
+        ),
+        (F.sum("score").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_score"
+        ),
+    )

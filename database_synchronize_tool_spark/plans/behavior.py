@@ -541,3 +541,78 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.filter(
         F.col("prev_ts").isNull() | (gap_us > F.lit(86400000000))
     ).select("event_id", "user_id", "event_type")
+
+
+@declared(
+    "events_rfm_scores",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS v_mu
+      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ), m AS (SELECT MAX(us) AS corpus_us FROM p),
+    rfm AS (
+      SELECT user_id,
+             CAST(m.corpus_us - MAX(us) AS BIGINT) AS recency_us,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(v_mu) AS BIGINT) AS monetary_mu
+      FROM p, m GROUP BY user_id, m.corpus_us
+    )
+    SELECT user_id, recency_us, frequency, monetary_mu,
+           CAST(NTILE(4) OVER (ORDER BY recency_us, user_id) AS INT) AS r_q,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS INT)
+             AS f_q,
+           CAST(NTILE(4) OVER (ORDER BY monetary_mu DESC, user_id) AS INT)
+             AS m_q
+    FROM rfm
+    """,
+    doc="RFM (recency / frequency / monetary) behavioral scoring per user "
+    "over purchase events: recency as integer microseconds behind the "
+    "corpus watermark (no wall clock — reproducible), monetary in the "
+    "milli-unit quantization (BIGINT-exact, the ts_time_weighted_avg "
+    "discipline), and quartile scores via NTILE over (metric, user_id) "
+    "total orders so ties cannot flap bins. Quartile 1 is best on every "
+    "axis (most recent / most frequent / highest spend). Scale shape: "
+    "events reduce to one row per user in ONE aggregate; the three "
+    "NTILEs run over the small per-user table; the corpus max is a "
+    "broadcast 1-row aggregate — the segmentation query behind every "
+    "retention campaign, shaped to never re-scan raw events.",
+)
+def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v_mu"),
+    )
+    m = p.agg(F.max("us").alias("corpus_us"))
+    rfm = (
+        p.crossJoin(F.broadcast(m))
+        .groupBy("user_id", "corpus_us")
+        .agg(
+            (F.col("corpus_us") - F.max("us")).cast("bigint").alias("recency_us"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum("v_mu").cast("bigint").alias("monetary_mu"),
+        )
+        .select("user_id", "recency_us", "frequency", "monetary_mu")
+    )
+    return rfm.select(
+        "user_id",
+        "recency_us",
+        "frequency",
+        "monetary_mu",
+        F.ntile(4)
+        .over(Window.orderBy("recency_us", "user_id"))
+        .cast("int")
+        .alias("r_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "user_id"))
+        .cast("int")
+        .alias("f_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary_mu").desc(), "user_id"))
+        .cast("int")
+        .alias("m_q"),
+    )

@@ -141,7 +141,11 @@ def _load_all() -> None:
 # s3_schema_discovery/s4_primary_keys to the queue head. Green at both
 # SFs at add time. Plus search_hybrid_rrf (reciprocal-rank fusion of the
 # BM25 and cosine legs — the RAG retrieval stack's final stage, fused on
-# ranks so both engines agree bit-for-bit), displacing s2_delta_scan_id.
+# ranks so both engines agree bit-for-bit), displacing s2_delta_scan_id,
+# and stats_calibration_bins + events_rfm_scores (score-calibration
+# reliability deciles; RFM behavioral quartiles), displacing
+# s2_delta_scan_ts/s1_full_scan_projection. Green at both SFs at add
+# time.
 #
 # Compensating control (ADVICE r2): curated ordering means ~half the queries
 # sit outside any single round's driver window, so EVERY round we run the full
@@ -201,17 +205,19 @@ _WINDOW: tuple[str, ...] = (
     "t17_stream_time_weighted_avg",
     "source_freshness_report",
     "search_hybrid_rrf",
+    "stats_calibration_bins",
+    "events_rfm_scores",
     # --- re-verify: queue head, stalest first (r8-displaced cohort) ---
     "agg_approx_percentile",
     "j7_sync_diff_audit",
     "catalog_live_columns_sql",
     "s7_file_listing_distributed",
-    "s1_full_scan_projection",
-    "s2_delta_scan_ts",
 )
 
 _QUEUE: tuple[str, ...] = (
     # r9-displaced by the third-wave rank-stats/profile/recall queries:
+    "s1_full_scan_projection",
+    "s2_delta_scan_ts",
     "s2_delta_scan_id",
     "s3_schema_discovery",
     "s4_primary_keys",

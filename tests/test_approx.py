@@ -397,3 +397,22 @@ def test_cusum_changepoint_is_the_argmax(spark, sf_dir):
         assert r["n_days"] == n
         assert r["cp_day"] == daily.index[best]
         assert abs(r["cusum_scaled"] - cus[best]) < max(1e-6 * abs(cus[best]), 1e-3)
+
+
+def test_calibration_bins_partition_the_table(spark, sf_dir):
+    rows = sorted(
+        AP.stats_calibration_bins(spark, sf_dir).collect(),
+        key=lambda r: r["bin"],
+    )
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    assert [r["bin"] for r in rows] == list(range(1, 11))
+    assert sum(r["n"] for r in rows) == len(o)
+    assert sum(r["positives"] for r in rows) == int((o["o_orderstatus"] == "F").sum())
+    # equal-population deciles: sizes differ by at most 1
+    sizes = [r["n"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # mean scores rise monotonically across score-ordered bins
+    means = [r["mean_score"] for r in rows]
+    assert all(a <= b for a, b in zip(means, means[1:]))
+    for r in rows:
+        assert 0.0 <= r["pos_rate"] <= 1.0

@@ -214,3 +214,31 @@ def test_skew_shares_sum_below_one(spark, sf_dir):
     assert len(rows) == 10
     assert sum(r.share for r in rows) < 1.0
     assert all(rows[i].cnt >= rows[i + 1].cnt for i in range(9))
+
+
+def test_rfm_scores_quartiles_and_accounting(spark, sf_dir):
+    from database_synchronize_tool_spark.catalog import load_table
+    from database_synchronize_tool_spark.plans.behavior import events_rfm_scores
+
+    rows = events_rfm_scores(spark, sf_dir).collect()
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
+        .toPandas()
+    )
+    assert len(rows) == p["user_id"].nunique()
+    assert sum(r["frequency"] for r in rows) == len(p)
+    # the freshest purchaser has recency exactly 0
+    assert min(r["recency_us"] for r in rows) == 0
+    for q in ("r_q", "f_q", "m_q"):
+        vals = [r[q] for r in rows]
+        assert set(vals) <= {1, 2, 3, 4}
+        # NTILE(4) balance: bucket sizes differ by at most 1
+        from collections import Counter
+
+        c = Counter(vals)
+        assert max(c.values()) - min(c.values()) <= 1
+    # quartile 1 on the R axis is strictly fresher than quartile 4
+    r1 = max(r["recency_us"] for r in rows if r["r_q"] == 1)
+    r4 = min(r["recency_us"] for r in rows if r["r_q"] == 4)
+    assert r1 <= r4
