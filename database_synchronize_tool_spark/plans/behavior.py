@@ -575,7 +575,8 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "axis (most recent / most frequent / highest spend). Scale shape: "
     "events reduce to one row per user in ONE aggregate; the three "
     "NTILEs run over the small per-user table; the corpus max is a "
-    "broadcast 1-row aggregate — the segmentation query behind every "
+    "global window over that table (one scan total, plan-pinned) — "
+    "the segmentation query behind every "
     "retention campaign, shaped to never re-scan raw events.",
 )
 def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,16 +588,20 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
         F.floor(F.col("value") * 1000).cast("bigint").alias("v_mu"),
     )
-    m = p.agg(F.max("us").alias("corpus_us"))
-    rfm = (
-        p.crossJoin(F.broadcast(m))
-        .groupBy("user_id", "corpus_us")
-        .agg(
-            (F.col("corpus_us") - F.max("us")).cast("bigint").alias("recency_us"),
-            F.count(F.lit(1)).cast("bigint").alias("frequency"),
-            F.sum("v_mu").cast("bigint").alias("monetary_mu"),
-        )
-        .select("user_id", "recency_us", "frequency", "monetary_mu")
+    # per-user reduction FIRST; the corpus watermark is then a global
+    # window over the small user table — an agg + crossJoin would
+    # recompute the events scan (observed Scan x2), this keeps one scan
+    per_user = p.groupBy("user_id").agg(
+        F.max("us").alias("last_us"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum("v_mu").cast("bigint").alias("monetary_mu"),
+    )
+    corpus_us = F.max("last_us").over(Window.partitionBy())
+    rfm = per_user.select(
+        "user_id",
+        (corpus_us - F.col("last_us")).cast("bigint").alias("recency_us"),
+        "frequency",
+        "monetary_mu",
     )
     return rfm.select(
         "user_id",

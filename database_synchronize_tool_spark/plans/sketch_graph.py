@@ -740,7 +740,11 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderdate") < cut, "a").otherwise("b").alias("side"),
         "o_custkey",
     )
-    regs = MB.hll_registers(sides, "o_custkey", ["side"])
+    from database_synchronize_tool_spark.caching import scoped_persist
+
+    # the 512-row register table feeds BOTH the per-side estimates and the
+    # union merge — without the persist each branch re-scans orders
+    regs = scoped_persist(MB.hll_registers(sides, "o_custkey", ["side"]))
     est = MB.hll_estimate(regs, ["side"])
     pair = est.agg(
         F.max(F.when(F.col("side") == "a", F.col("hll_est"))).alias("est_a"),

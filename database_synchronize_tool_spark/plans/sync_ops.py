@@ -1178,8 +1178,9 @@ def j13_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "1-day SLA. This is the monitoring read every watermark-driven sync "
     "fleet needs before trusting a delta scan: a stale source means the "
     "watermark probe is about to under-deliver silently. Scale shape: "
-    "one hash aggregate to |types| rows, the corpus max is a broadcast "
-    "1-row aggregate OF THE AGGREGATE (never a second scan), lag is "
+    "one hash aggregate to |types| rows, the corpus max is a global "
+    "window OVER THE AGGREGATE (never a second scan — plan-pinned), "
+    "lag is "
     "integer microsecond arithmetic — identical on both engines.",
 )
 def source_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1190,9 +1191,13 @@ def source_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_ts"),
         F.max(us).alias("last_us"),
     )
-    m = g.agg(F.max("last_us").alias("corpus_us"))
-    lag = F.col("corpus_us") - F.col("last_us")
-    return g.crossJoin(F.broadcast(m)).select(
+    # corpus max as a global window over the |types|-row aggregate: an
+    # agg-of-agg + crossJoin would RECOMPUTE the events scan (observed
+    # Scan x2 in the plan); the window keeps it one scan + a single
+    # tiny-partition window (plan-pinned)
+    corpus_us = F.max("last_us").over(Window.partitionBy())
+    lag = corpus_us - F.col("last_us")
+    return g.select(
         "event_type",
         "n_rows",
         "last_ts",

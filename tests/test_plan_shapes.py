@@ -422,3 +422,26 @@ def test_inverted_index_survivor_joins_are_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_freshness_report_is_single_scan(spark, sf_dir):
+    # the corpus watermark must come from a window OVER the aggregate —
+    # an agg-of-agg + crossJoin silently re-scans events (caught in plan
+    # review: Scan x2)
+    plan = plan_of(spark, sf_dir, "source_freshness_report")
+    n_scans = sum(
+        1
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and ") Scan" in l
+    )
+    assert n_scans == 1, f"freshness report must scan events once, got {n_scans}"
+
+
+def test_rfm_is_single_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "events_rfm_scores")
+    n_scans = sum(
+        1
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and ") Scan" in l
+    )
+    assert n_scans == 1, f"RFM must scan events once, got {n_scans}"
