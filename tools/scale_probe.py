@@ -80,6 +80,20 @@ PROBE = (
     "dedup_containment_prefix",
 )
 
+# relational-table probes (orders/lineitem/events replicated 10x by
+# generate_relational): the rank/window/temporal wave, whose cost is
+# sort/shuffle volume rather than candidate generation.
+PROBE_REL = (
+    "stats_spearman_rank",
+    "stats_weighted_median",
+    "stats_auc_mannwhitney",
+    "ts_time_weighted_avg",
+    "events_rfm_scores",
+    "j13_point_in_time_join",
+    "stats_cusum_changepoint",
+    "profile_column_stats",
+)
+
 
 def _cipher_table(replica: int) -> dict[int, str]:
     """Per-replica letter bijection; replica 0 = identity."""
@@ -158,6 +172,47 @@ def generate(force: bool = False) -> None:
     open(done, "w").write("ok")
 
 
+# relational 10x replicas (round-9 third/fourth wave probes): key-offset
+# copies keep every per-key structure exactly (per-user event sequences,
+# per-order lineitems), so rank/window/temporal query OUTPUTS replicate
+# 10x while the sort/shuffle volume truly grows 10x — the thing the probe
+# measures. Timestamps are NOT shifted: more data in the same time span
+# is the realistic firehose model (and keeps CUSUM/TWA spans honest).
+_REL_OFFSETS = {
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "events": ("event_id", "user_id"),
+}
+
+
+def generate_relational(force: bool = False) -> None:
+    import pandas as pd
+
+    done = os.path.join(DST, "_GENERATED_REL")
+    if os.path.exists(done) and not force:
+        return
+    for t, keycols in _REL_OFFSETS.items():
+        src = pq.read_table(os.path.join(SRC, f"{t}.parquet"))
+        schema = src.schema
+        base = src.to_pandas()
+        out = []
+        for k in range(N_REPLICAS):
+            r = base.copy()
+            for c in keycols:
+                # preserve NULLs (nullable user_id): offset only non-null
+                r[c] = r[c] + k * ID_STRIDE
+            out.append(r)
+        big = pd.concat(out, ignore_index=True)
+        dst = os.path.join(DST, f"{t}.parquet")
+        if os.path.islink(dst):
+            os.unlink(dst)
+        pq.write_table(
+            pa.Table.from_pandas(big, preserve_index=False, schema=schema),
+            dst,
+        )
+    open(done, "w").write("ok")
+
+
 def main() -> None:
     force = "--regen" in sys.argv
     only = None
@@ -165,6 +220,7 @@ def main() -> None:
         if a.startswith("--only="):
             only = tuple(a.split("=", 1)[1].split(","))
     generate(force=force)
+    generate_relational(force=force)
 
     from database_synchronize_tool_spark.caching import cache_scope
     from database_synchronize_tool_spark.catalog import load_table
@@ -192,9 +248,9 @@ def main() -> None:
     extra = {"dedup_semantic_pairs_adaptive": _semantic_adaptive}
     result: dict[str, dict[str, float]] = {}
     for sf_name, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
-        for t in ("documents", "embeddings"):
+        for t in ("documents", "embeddings", "orders", "lineitem", "events"):
             load_table(spark, sf_dir, t).cache().count()
-        for name in PROBE + tuple(extra):
+        for name in PROBE + PROBE_REL + tuple(extra):
             if only is not None and name not in only:
                 continue
             builder = extra[name] if name in extra else qs[name].builder
