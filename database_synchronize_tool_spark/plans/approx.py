@@ -916,6 +916,56 @@ def stats_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same discipline as stats_pearson_exact.
 
 
+def _doubled_avg_ranks(
+    df: DataFrame, g: str, col: str, alias: str, n_parts: int = 32
+) -> DataFrame:
+    """Append ``alias`` = 2*avg_rank(col) within groups ``g`` — the
+    SCALABLE two-pass form: ranking with a plain window partitioned by
+    ``g`` parallelizes only ACROSS groups (3 return flags = 3 straggler
+    tasks on a 32-core box, and a single huge group single-threads at
+    100 TB). Instead: range-repartition on (g, col) so equal values
+    colocate, rank LOCALLY per (partition, g) — parallelism is
+    n_parts x groups — and add each partition's global offset (earlier
+    partitions' row counts per group, a tiny broadcast). ties stay local
+    because range partitioning never splits equal keys, and rank()'s
+    peers share one value by definition. The result is exactly the
+    global tie-averaged doubled rank, independent of where the sampled
+    range boundaries land; the one materialization (scoped_persist)
+    pins a single consistent partitioning for both passes."""
+    from database_synchronize_tool_spark.caching import scoped_persist
+
+    part = scoped_persist(
+        df.repartitionByRange(n_parts, F.col(g), F.col(col)).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    w_off = (
+        Window.partitionBy(g)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        part.groupBy("__pid", g)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            "__pid",
+            g,
+            F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        )
+    )
+    w_local = Window.partitionBy("__pid", g).orderBy(col)
+    rk = F.rank().over(w_local) + F.col("__off")
+    ties = F.count(F.lit(1)).over(w_local.rangeBetween(0, 0))
+    return (
+        part.join(F.broadcast(offsets), ["__pid", g])
+        .withColumn(
+            alias, (F.lit(2) * rk + ties - F.lit(1)).cast("decimal(18,0)")
+        )
+        .drop("__pid", "__off")
+    )
+
+
+
 @declared(
     "stats_spearman_rank",
     oracle="""
@@ -962,8 +1012,16 @@ def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = "l_returnflag"
 
     def r2(col: str) -> F.Column:
-        rk = F.rank().over(Window.partitionBy(g).orderBy(col))
-        ties = F.count(F.lit(1)).over(Window.partitionBy(g, col))
+        # ties as the PEER count (RANGE CURRENT ROW frame): identical
+        # value to a count over partition (g, col), but it shares rank()'s
+        # exact window spec so both evaluate in ONE WindowExec per axis —
+        # 2 sorts instead of 4. For few HUGE groups (where a per-group
+        # window single-threads) switch to _doubled_avg_ranks above: at
+        # bench scale the window form wins (1.19 s vs 1.73 s at sf0.1),
+        # at sf1 the scalable form crosses over (see SCALE.md).
+        w = Window.partitionBy(g).orderBy(col)
+        rk = F.rank().over(w)
+        ties = F.count(F.lit(1)).over(w.rangeBetween(0, 0))
         return (F.lit(2) * rk + ties - F.lit(1)).cast("decimal(18,0)")
 
     r = li.select(F.col(g), r2("l_quantity").alias("rx2"),

@@ -416,3 +416,37 @@ def test_calibration_bins_partition_the_table(spark, sf_dir):
     assert all(a <= b for a, b in zip(means, means[1:]))
     for r in rows:
         assert 0.0 <= r["pos_rate"] <= 1.0
+
+
+def test_doubled_avg_ranks_equals_window_form(spark, sf_dir):
+    # the scalable two-pass ranking (range repartition + local ranks +
+    # broadcast offsets) must produce EXACTLY the window form's doubled
+    # tie-averaged ranks, independent of where range boundaries land
+    from pyspark.sql import Window
+
+    from database_synchronize_tool_spark.caching import cache_scope
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    want = {
+        (r["l_orderkey"], r["l_linenumber"]): r["r2"]
+        for r in li.select(
+            "l_orderkey",
+            "l_linenumber",
+            (
+                F.lit(2) * F.rank().over(w)
+                + F.count(F.lit(1)).over(w.rangeBetween(0, 0))
+                - F.lit(1)
+            ).alias("r2"),
+        ).collect()
+    }
+    with cache_scope():
+        got = {
+            (r["l_orderkey"], r["l_linenumber"]): int(r["rx"])
+            for r in AP._doubled_avg_ranks(
+                li, "l_returnflag", "l_extendedprice", "rx", n_parts=7
+            ).collect()
+        }
+    assert got == want

@@ -245,7 +245,35 @@ def main() -> None:
         emb = load_table(spark, sf_dir, "embeddings")
         return semantic_dedup_pairs(emb, n_cells=None)
 
-    extra = {"dedup_semantic_pairs_adaptive": _semantic_adaptive}
+    def _spearman_scalable(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from database_synchronize_tool_spark.plans.approx import (
+            _doubled_avg_ranks,
+        )
+
+        li = load_table(spark, sf_dir, "lineitem")
+        g = "l_returnflag"
+        r = li.select(g, "l_quantity", "l_extendedprice")
+        r = _doubled_avg_ranks(r, g, "l_quantity", "rx2")
+        r = _doubled_avg_ranks(r, g, "l_extendedprice", "ry2")
+        s_ = r.groupBy(g).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("rx2").alias("sx"),
+            F.sum("ry2").alias("sy"),
+            F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+            F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+            F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+        )
+        num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        dx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+        dy = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+        return s_.select(g, (num / (dx * dy)).alias("spearman_rho"))
+
+    extra = {
+        "dedup_semantic_pairs_adaptive": _semantic_adaptive,
+        "stats_spearman_scalable": _spearman_scalable,
+    }
     result: dict[str, dict[str, float]] = {}
     for sf_name, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
         for t in ("documents", "embeddings", "orders", "lineitem", "events"):
