@@ -104,9 +104,11 @@ def _load_all() -> None:
 # HLL, covariance, A/B z-test) take the next slots, displacing ten more
 # re-verify names (j6/f1/f3x2/f4/f5/o1/t1/embedding_quantize_int8/
 # dedup_simhash_banded64) to the queue head. Round-10 rotation plan:
-# lead with whatever r10 changes, then the 24-name displaced cohort at
-# the queue head, then continue the r5 remainder (window_running_sum
-# onward). Every declared query is sweep-green before the round ends
+# lead with whatever r10 changes, then drain the displaced re-verify
+# cohort at the queue head (the sync-ops core s1-s7/p2-p4/a1-a2/j1-j4/
+# f1-f5/o1/t1 plus the r8-displaced analytics names — ~45 names after
+# the six late-r9 waves), then continue the r5 remainder
+# (window_running_sum onward). Every declared query is sweep-green before the round ends
 # (end-of-round full sweep; late additions additionally checked at BOTH
 # sf0.001 and sf0.01 at add time).
 #
