@@ -147,6 +147,7 @@ HEADLINE = [
     "search_hybrid_rrf",
     "stats_calibration_bins",
     "events_rfm_scores",
+    "j14_time_travel_snapshot",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

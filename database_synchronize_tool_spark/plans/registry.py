@@ -146,8 +146,10 @@ def _load_all() -> None:
 # ranks so both engines agree bit-for-bit), displacing s2_delta_scan_id,
 # and stats_calibration_bins + events_rfm_scores (score-calibration
 # reliability deciles; RFM behavioral quartiles), displacing
-# s2_delta_scan_ts/s1_full_scan_projection. Green at both SFs at add
-# time.
+# s2_delta_scan_ts/s1_full_scan_projection, and j14_time_travel_snapshot
+# (AS OF reconstruction over the versioned history — the read that makes
+# j8/t16's retained history useful), displacing
+# s7_file_listing_distributed. Green at both SFs at add time.
 #
 # Compensating control (ADVICE r2): curated ordering means ~half the queries
 # sit outside any single round's driver window, so EVERY round we run the full
@@ -209,15 +211,16 @@ _WINDOW: tuple[str, ...] = (
     "search_hybrid_rrf",
     "stats_calibration_bins",
     "events_rfm_scores",
+    "j14_time_travel_snapshot",
     # --- re-verify: queue head, stalest first (r8-displaced cohort) ---
     "agg_approx_percentile",
     "j7_sync_diff_audit",
     "catalog_live_columns_sql",
-    "s7_file_listing_distributed",
 )
 
 _QUEUE: tuple[str, ...] = (
     # r9-displaced by the third-wave rank-stats/profile/recall queries:
+    "s7_file_listing_distributed",
     "s1_full_scan_projection",
     "s2_delta_scan_ts",
     "s2_delta_scan_id",

@@ -1204,3 +1204,74 @@ def source_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag.cast("bigint").alias("lag_us"),
         (lag > F.lit(86400000000)).alias("is_stale"),
     )
+
+
+@declared(
+    "j14_time_travel_snapshot",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, event_id AS version_eid, event_type, value,
+             epoch_us(ts) AS vfrom_us,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id)
+               AS vto_us
+      FROM events WHERE user_id IS NOT NULL
+    ), cut AS (
+      SELECT CAST(MIN(epoch_us(ts))
+                  + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 2 AS BIGINT)
+               AS as_of_us
+      FROM events
+    )
+    SELECT d.user_id, d.version_eid, d.event_type, d.value,
+           d.vfrom_us, c.as_of_us
+    FROM dim d, cut c
+    WHERE d.vfrom_us <= c.as_of_us
+      AND (d.vto_us IS NULL OR c.as_of_us < d.vto_us)
+    """,
+    doc="J14 time-travel snapshot (AS OF read): reconstruct every user's "
+    "state at the corpus midpoint from the versioned event history — "
+    "each version's half-open interval (LEAD-closed, the scd2_merge "
+    "invariant) admits EXACTLY ONE version per key at any instant, so "
+    "the snapshot is a filter, not a window-rank, over the history "
+    "table. This is the read that makes j8/t16's retained history "
+    "useful: reproduce yesterday's training table byte-for-byte without "
+    "storing yesterday. The AS-OF instant derives from the data "
+    "(midpoint by integer floor — no wall clock, reproducible). Scale "
+    "shape: with the history partitioned on is_current plus valid_from "
+    "date buckets, the interval filter prunes partitions; the query "
+    "itself is one narrow filtered scan — no shuffle at all beyond the "
+    "dimension build (which a materialized SCD2 table already paid).",
+)
+def j14_time_travel_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    dim = ev.select(
+        "user_id",
+        F.col("event_id").alias("version_eid"),
+        "event_type",
+        "value",
+        us.alias("vfrom_us"),
+        F.lead(us).over(w).alias("vto_us"),
+    )
+    all_ev = load_table(spark, sf_dir, "events")
+    all_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cut = all_ev.agg(
+        (
+            F.min(all_us)
+            + F.floor((F.max(all_us) - F.min(all_us)) / F.lit(2))
+        )
+        .cast("bigint")
+        .alias("as_of_us")
+    )
+    return (
+        dim.crossJoin(F.broadcast(cut))
+        .filter(
+            (F.col("vfrom_us") <= F.col("as_of_us"))
+            & (F.col("vto_us").isNull() | (F.col("as_of_us") < F.col("vto_us")))
+        )
+        .select(
+            "user_id", "version_eid", "event_type", "value",
+            "vfrom_us", "as_of_us",
+        )
+    )

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 import datetime as dt
 
 from database_synchronize_tool_spark.operators.scd import scd2_merge
@@ -186,3 +188,31 @@ def test_pit_join_inner_drops_unmatched(spark):
     facts = spark.createDataFrame([(1, 1, 5), (2, 1, 50)], "fid int, k int, ts int")
     got = pit_join(facts, dim, keys=["k"], fact_ts="ts", how="inner").collect()
     assert [(r["fid"], r["val"]) for r in got] == [(2, "v1")]
+
+
+def test_time_travel_snapshot_exactly_one_version_per_user(spark, sf_dir):
+    from database_synchronize_tool_spark.catalog import load_table
+    from database_synchronize_tool_spark.plans.sync_ops import (
+        j14_time_travel_snapshot,
+    )
+
+    out = j14_time_travel_snapshot(spark, sf_dir).toPandas()
+    # half-open intervals admit exactly one version per user alive at T —
+    # every user with any event before the midpoint appears exactly once
+    assert out["user_id"].is_unique
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .toPandas()
+    )
+    us = ev["ts"].astype("int64") // 1000
+    as_of = int(out["as_of_us"].iloc[0])
+    lo, hi = us.min(), us.max()
+    assert as_of == lo + (hi - lo) // 2
+    expected_users = set(ev.loc[us <= as_of, "user_id"])
+    assert set(out["user_id"]) == expected_users
+    # the chosen version is the user's LAST event at or before the cut
+    last = ev.assign(us=us)
+    last = last[last["us"] <= as_of].sort_values(["us", "event_id"]).groupby("user_id").last()
+    for _, r in out.iterrows():
+        assert r["version_eid"] == last.loc[r["user_id"], "event_id"]
