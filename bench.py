@@ -148,6 +148,8 @@ HEADLINE = [
     "stats_calibration_bins",
     "events_rfm_scores",
     "j14_time_travel_snapshot",
+    "ann_multiprobe_recall_at_k",
+    "stats_gini_concentration",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

@@ -1523,3 +1523,59 @@ def stats_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_score"
         ),
     )
+
+
+@declared(
+    "stats_gini_concentration",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), r AS (
+      SELECT cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt, user_id) AS BIGINT) AS i,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS tot
+      FROM c
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+           CAST(MAX(tot) AS BIGINT) AS n_events,
+           CAST(SUM((2 * i - n - 1) * cnt) AS DOUBLE)
+             / CAST(MAX(n) * MAX(tot) AS DOUBLE) AS gini
+    FROM r
+    """,
+    doc="Gini concentration of event volume across users — the inequality "
+    "statistic that tells a pipeline operator whether a firehose is "
+    "dominated by a few hot keys (the skew the salting/AQE machinery "
+    "exists for; cf. skew_key_diagnostics for the per-key view — this "
+    "is the single-number summary). Computed from the rank form "
+    "Sigma((2i - n - 1) x_i) / (n Sigma x): all-integer until ONE double "
+    "division; ranking is over the (count, user_id) total order so ties "
+    "cannot flap the value. Scale shape: the raw stream reduces to one "
+    "row per user in the first aggregate; at very large user counts the "
+    "ranking window becomes the same range-partitioned two-pass as "
+    "_doubled_avg_ranks.",
+)
+def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w_rank = Window.orderBy("cnt", "user_id")
+    w_all = Window.partitionBy()
+    r = c.select(
+        "cnt",
+        F.row_number().over(w_rank).cast("bigint").alias("i"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+        F.sum("cnt").over(w_all).cast("bigint").alias("tot"),
+    )
+    return r.agg(
+        F.max("n").cast("bigint").alias("n_users"),
+        F.max("tot").cast("bigint").alias("n_events"),
+        (
+            F.sum(
+                (F.lit(2) * F.col("i") - F.col("n") - F.lit(1)) * F.col("cnt")
+            ).cast("double")
+            / (F.max("n") * F.max("tot")).cast("double")
+        ).alias("gini"),
+    )

@@ -3390,3 +3390,93 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("doc_id", "r_lex", "r_vec", "rrf", F.col("rank").cast("int").alias("rank"))
     )
+
+
+@declared(
+    "ann_multiprobe_recall_at_k",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, {_lsh_bucket_sql('v')} AS bucket FROM e
+    ), q0 AS (
+      SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10
+    ), exact AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q0.query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q0.query_id
+                                  ORDER BY {_cosine_sql('q0.qv', 'c.v')} DESC,
+                                           c.vec_id) AS rank
+        FROM e c, q0 WHERE c.vec_id <> q0.query_id
+      ) WHERE rank <= {_RECALL_K}
+    ), q AS (
+      SELECT query_id, qv,
+             CASE WHEN i = 0 THEN bucket
+                  ELSE xor(bucket, CAST(1 << CAST(i - 1 AS INT) AS BIGINT))
+             END AS bucket
+      FROM q0, range(0, {SIM.LSH_PLANES + 1}) t(i)
+    ), mp AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_cosine_sql('q.qv', 'c.v')} DESC,
+                                           c.vec_id) AS rank
+        FROM b c JOIN q USING (bucket) WHERE c.vec_id <> q.query_id
+      ) WHERE rank <= {_RECALL_K}
+    ), single AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q0.query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q0.query_id
+                                  ORDER BY {_cosine_sql('q0.qv', 'c.v')} DESC,
+                                           c.vec_id) AS rank
+        FROM b c JOIN q0 USING (bucket) WHERE c.vec_id <> q0.query_id
+      ) WHERE rank <= {_RECALL_K}
+    )
+    SELECT exact.query_id,
+           CAST(COUNT(mp.cand_id) AS BIGINT) AS hits_multiprobe,
+           CAST(COUNT(s.cand_id) AS BIGINT) AS hits_single,
+           CAST(COUNT(mp.cand_id) AS DOUBLE) / {float(_RECALL_K)!r}
+             AS recall_multiprobe,
+           COUNT(mp.cand_id) >= COUNT(s.cand_id) AS multiprobe_dominates
+    FROM exact
+    LEFT JOIN mp ON mp.query_id = exact.query_id
+                AND mp.cand_id = exact.cand_id
+    LEFT JOIN single s ON s.query_id = exact.query_id
+                      AND s.cand_id = exact.cand_id
+    GROUP BY exact.query_id
+    """,
+    doc=f"Recall@{_RECALL_K} of multi-probe LSH next to the single-bucket "
+    "variant, per query, with the dominance flag hash-graded: the "
+    "multi-probe candidate pool is a SUPERSET of the single-bucket pool "
+    "by construction, so its top-k intersection with the exact answer "
+    "can only gain — this query turns that claim into a cross-engine-"
+    "checked boolean per query instead of a docstring assertion. Same "
+    "bounded shapes as ann_lsh_recall_at_k (the grade join is |Q| x k).",
+)
+def ann_multiprobe_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = SIM.bruteforce_topk(q, e, k=_RECALL_K).select("query_id", "cand_id")
+    mp = (
+        SIM.lsh_multiprobe_topk(q, e, k=_RECALL_K)
+        .select("query_id", "cand_id")
+        .withColumn("__mp", F.lit(1))
+    )
+    single = (
+        SIM.lsh_bucket_topk(q, e, k=_RECALL_K)
+        .select("query_id", "cand_id")
+        .withColumn("__s", F.lit(1))
+    )
+    return (
+        exact.join(mp, ["query_id", "cand_id"], "left")
+        .join(single, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("__mp").cast("bigint").alias("hits_multiprobe"),
+            F.count("__s").cast("bigint").alias("hits_single"),
+            (F.count("__mp").cast("double") / F.lit(float(_RECALL_K))).alias(
+                "recall_multiprobe"
+            ),
+            (F.count("__mp") >= F.count("__s")).alias("multiprobe_dominates"),
+        )
+    )

@@ -149,7 +149,12 @@ def _load_all() -> None:
 # s2_delta_scan_ts/s1_full_scan_projection, and j14_time_travel_snapshot
 # (AS OF reconstruction over the versioned history — the read that makes
 # j8/t16's retained history useful), displacing
-# s7_file_listing_distributed. Green at both SFs at add time.
+# s7_file_listing_distributed. Green at both SFs at add time. Final
+# additions: ann_multiprobe_recall_at_k (per-query multiprobe-vs-single
+# recall with the dominance boolean hash-graded) and
+# stats_gini_concentration (rank-form Gini of event volume), displacing
+# catalog_live_columns_sql/j7_sync_diff_audit. Green at both SFs at add
+# time; the end-of-round full sweep covered every other declared query.
 #
 # Compensating control (ADVICE r2): curated ordering means ~half the queries
 # sit outside any single round's driver window, so EVERY round we run the full
@@ -212,14 +217,16 @@ _WINDOW: tuple[str, ...] = (
     "stats_calibration_bins",
     "events_rfm_scores",
     "j14_time_travel_snapshot",
+    "ann_multiprobe_recall_at_k",
+    "stats_gini_concentration",
     # --- re-verify: queue head, stalest first (r8-displaced cohort) ---
     "agg_approx_percentile",
-    "j7_sync_diff_audit",
-    "catalog_live_columns_sql",
 )
 
 _QUEUE: tuple[str, ...] = (
     # r9-displaced by the third-wave rank-stats/profile/recall queries:
+    "j7_sync_diff_audit",
+    "catalog_live_columns_sql",
     "s7_file_listing_distributed",
     "s1_full_scan_projection",
     "s2_delta_scan_ts",

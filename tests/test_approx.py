@@ -450,3 +450,24 @@ def test_doubled_avg_ranks_equals_window_form(spark, sf_dir):
             ).collect()
         }
     assert got == want
+
+
+def test_gini_matches_direct_formula_and_bounds(spark, sf_dir):
+    import numpy as np
+
+    row = AP.stats_gini_concentration(spark, sf_dir).collect()[0]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .count()
+        .toPandas()
+    )
+    x = np.sort(ev["count"].to_numpy())
+    n = len(x)
+    i = np.arange(1, n + 1)
+    ref = float(((2 * i - n - 1) * x).sum()) / (n * x.sum())
+    assert row["n_users"] == n
+    assert row["n_events"] == int(x.sum())
+    assert abs(row["gini"] - ref) < 1e-12
+    assert 0.0 <= row["gini"] < 1.0

@@ -756,3 +756,17 @@ def test_lsh_recall_at_k_consistency(spark, sf_dir):
         assert r["hits"] == direct
         assert abs(r["recall_at_k"] - direct / _RECALL_K) < 1e-12
         assert 0 <= r["hits"] <= _RECALL_K
+
+
+def test_multiprobe_recall_dominates_single(spark, sf_dir):
+    from database_synchronize_tool_spark.plans.extensions import (
+        ann_multiprobe_recall_at_k,
+    )
+
+    rows = ann_multiprobe_recall_at_k(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        # superset candidate pool => recall can only gain
+        assert r["multiprobe_dominates"] is True
+        assert r["hits_multiprobe"] >= r["hits_single"]
+        assert 0.0 <= r["recall_multiprobe"] <= 1.0
