@@ -150,6 +150,8 @@ HEADLINE = [
     "j14_time_travel_snapshot",
     "ann_multiprobe_recall_at_k",
     "stats_gini_concentration",
+    "events_session_concurrency",
+    "corpus_bigram_lift_topk",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

@@ -3480,3 +3480,83 @@ def ann_multiprobe_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("__mp") >= F.count("__s")).alias("multiprobe_dominates"),
         )
     )
+
+
+_LIFT_MIN_SUPPORT = 30  # bigram must occur this often for a stable lift
+
+
+@declared(
+    "corpus_bigram_lift_topk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents
+    ), bg AS (
+      SELECT tk[i] AS w1, tk[i+1] AS w2
+      FROM t, UNNEST(range(1, greatest(len(tk)-1, 0)+1)) AS u(i)
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bg FROM bg),
+    pair AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM bg GROUP BY w1, w2
+    ), left_ AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_x FROM bg GROUP BY w1
+    ), right_ AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS c_y FROM bg GROUP BY w2
+    ), scored AS (
+      SELECT p.w1, p.w2, p.c_xy,
+             CAST(n.n_bg * p.c_xy AS DOUBLE)
+               / CAST(l.c_x * r.c_y AS DOUBLE) AS lift
+      FROM pair p JOIN left_ l USING (w1) JOIN right_ r USING (w2)
+           CROSS JOIN n
+      WHERE p.c_xy >= {_LIFT_MIN_SUPPORT}
+    )
+    SELECT w1, w2, c_xy, lift, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2) AS rank
+      FROM scored
+    ) WHERE rank <= 25
+    """,
+    doc=f"Collocation mining by LIFT instead of PMI: lift = N*c(x,y) / "
+    "(c(x)*c(y)) ranks exactly like pointwise mutual information "
+    "(log is monotone) while staying a RATIONAL statistic — one integer "
+    "product per side and ONE double division, so the score is "
+    "bit-reproducible cross-engine where log-PMI is not (libm log "
+    f"drift, the BM25 idf lesson). Support floor {_LIFT_MIN_SUPPORT} "
+    "kills the rare-pair lift explosion (a hapax pair has huge lift "
+    "and zero evidence). Scale shape: one explode + three hash "
+    "aggregates; the unigram margins are vocabulary-sized broadcast "
+    "sides; the final top-25 is a TakeOrdered over surviving pairs.",
+)
+def corpus_bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.select(
+        F.explode(TX.word_ngrams(F.col("text"), 2)).alias("b")
+    ).select(
+        F.split(F.col("b"), " ").getItem(0).alias("w1"),
+        F.split(F.col("b"), " ").getItem(1).alias("w2"),
+    )
+    n = bg.agg(F.count(F.lit(1)).cast("bigint").alias("n_bg"))
+    pair = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_xy")
+    )
+    left = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("c_x"))
+    right = bg.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("c_y"))
+    scored = (
+        pair.filter(F.col("c_xy") >= _LIFT_MIN_SUPPORT)
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            (
+                (F.col("n_bg") * F.col("c_xy")).cast("double")
+                / (F.col("c_x") * F.col("c_y")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.col("lift").desc(), "w1", "w2")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 25)
+        .select("w1", "w2", "c_xy", "lift", F.col("rank").cast("int").alias("rank"))
+    )

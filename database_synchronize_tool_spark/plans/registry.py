@@ -155,6 +155,11 @@ def _load_all() -> None:
 # stats_gini_concentration (rank-form Gini of event volume), displacing
 # catalog_live_columns_sql/j7_sync_diff_audit. Green at both SFs at add
 # time; the end-of-round full sweep covered every other declared query.
+# Closing additions: events_session_concurrency (sweep-line peak
+# concurrency — a new operator shape) takes the final window slot,
+# displacing agg_approx_percentile; corpus_bigram_lift_topk (log-free
+# PMI-equivalent collocations) heads the queue for round 10. Both green
+# at both SFs at add time.
 #
 # Compensating control (ADVICE r2): curated ordering means ~half the queries
 # sit outside any single round's driver window, so EVERY round we run the full
@@ -219,11 +224,14 @@ _WINDOW: tuple[str, ...] = (
     "j14_time_travel_snapshot",
     "ann_multiprobe_recall_at_k",
     "stats_gini_concentration",
-    # --- re-verify: queue head, stalest first (r8-displaced cohort) ---
-    "agg_approx_percentile",
+    "events_session_concurrency",
 )
 
 _QUEUE: tuple[str, ...] = (
+    # round-10 window candidates first: the closing-r9 addition that did
+    # not fit the 50 slots, then the displaced re-verify cohort
+    "corpus_bigram_lift_topk",
+    "agg_approx_percentile",
     # r9-displaced by the third-wave rank-stats/profile/recall queries:
     "j7_sync_diff_audit",
     "catalog_live_columns_sql",

@@ -242,3 +242,62 @@ def test_rfm_scores_quartiles_and_accounting(spark, sf_dir):
     r1 = max(r["recency_us"] for r in rows if r["r_q"] == 1)
     r4 = min(r["recency_us"] for r in rows if r["r_q"] == 4)
     assert r1 <= r4
+
+
+def test_session_concurrency_invariants(spark, sf_dir):
+    from database_synchronize_tool_spark.catalog import load_table
+    from database_synchronize_tool_spark.plans.behavior import (
+        _CONC_GAP_US,
+        events_session_concurrency,
+    )
+
+    row = events_session_concurrency(spark, sf_dir).collect()[0]
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    # at any instant a user holds at most one open session
+    assert 1 <= row["peak_concurrency"] <= n_users
+    assert row["n_sessions"] >= n_users  # every user has >= 1 session
+    assert row["first_edge_us"] < row["last_edge_us"]
+    # direct sweep over collected sessions reproduces the peak
+    import itertools
+
+    sess = []
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_id")
+        .toPandas()
+    )
+    us = ev["ts"].astype("int64") // 1000
+    ev = ev.assign(us=us)
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"])
+        start = prev = None
+        for t in g["us"]:
+            if start is None or t - prev > _CONC_GAP_US:
+                if start is not None:
+                    sess.append((start, prev + _CONC_GAP_US))
+                start = t
+            prev = t
+        sess.append((start, prev + _CONC_GAP_US))
+    edges = sorted(
+        itertools.chain(
+            ((s, 1) for s, _ in sess), ((e, -1) for _, e in sess)
+        )
+    )
+    cur = peak = 0
+    from collections import defaultdict
+
+    net = defaultdict(int)
+    for t, d in edges:
+        net[t] += d
+    for t in sorted(net):
+        cur += net[t]
+        peak = max(peak, cur)
+    assert row["peak_concurrency"] == peak
+    assert row["n_sessions"] == len(sess)

@@ -402,3 +402,20 @@ def test_hybrid_rrf_fuses_leg_ranks_exactly(spark, sf_dir):
     both = [r for r in out if r["r_lex"] and r["r_vec"]]
     if both:
         assert out[0]["r_lex"] and out[0]["r_vec"]
+
+
+def test_bigram_lift_is_monotone_pmi_and_supported(spark, sf_dir):
+    from database_synchronize_tool_spark.plans.extensions import (
+        _LIFT_MIN_SUPPORT,
+        corpus_bigram_lift_topk,
+    )
+
+    rows = corpus_bigram_lift_topk(spark, sf_dir).collect()
+    assert len(rows) == 25
+    prev = None
+    for r in rows:
+        assert r["c_xy"] >= _LIFT_MIN_SUPPORT
+        assert r["lift"] > 0
+        if prev is not None:
+            assert r["lift"] <= prev + 1e-12  # descending
+        prev = r["lift"]
