@@ -152,6 +152,8 @@ HEADLINE = [
     "stats_gini_concentration",
     "events_session_concurrency",
     "corpus_bigram_lift_topk",
+    "events_dau_wau_stickiness",
+    "stats_lorenz_top_share",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

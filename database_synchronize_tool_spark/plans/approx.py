@@ -1579,3 +1579,63 @@ def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("n") * F.max("tot")).cast("double")
         ).alias("gini"),
     )
+
+
+@declared(
+    "stats_lorenz_top_share",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), r AS (
+      SELECT cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS BIGINT)
+               AS rnk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS tot
+      FROM c
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+           CAST(CEIL(0.1 * MAX(n)) AS BIGINT) AS n_top,
+           CAST(SUM(CASE WHEN rnk <= CEIL(0.1 * n) THEN cnt ELSE 0 END)
+                AS BIGINT) AS top_events,
+           CAST(MAX(tot) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN rnk <= CEIL(0.1 * n) THEN cnt ELSE 0 END)
+                AS DOUBLE) / CAST(MAX(tot) AS DOUBLE) AS top_decile_share
+    FROM r
+    """,
+    doc="Lorenz-curve point: what share of all events comes from the top "
+    "10% of users — the operational companion to stats_gini_concentration "
+    "(Gini integrates the whole curve; operators ask for THIS point). "
+    "All-integer until one double division; ranking over the "
+    "(count DESC, user_id) total order so ties cannot move the cut; the "
+    "decile boundary uses CEIL of an exact 0.1*n double (n < 2^50, so "
+    "the product is exact in both engines). Scale shape: one per-user "
+    "aggregate, then windows over the user table only.",
+)
+def stats_lorenz_top_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w_rank = Window.orderBy(F.col("cnt").desc(), "user_id")
+    w_all = Window.partitionBy()
+    r = c.select(
+        "cnt",
+        F.row_number().over(w_rank).cast("bigint").alias("rnk"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+        F.sum("cnt").over(w_all).cast("bigint").alias("tot"),
+    )
+    in_top = F.col("rnk") <= F.ceil(F.lit(0.1) * F.col("n"))
+    return r.agg(
+        F.max("n").cast("bigint").alias("n_users"),
+        F.ceil(F.lit(0.1) * F.max("n")).cast("bigint").alias("n_top"),
+        F.sum(F.when(in_top, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("top_events"),
+        F.max("tot").cast("bigint").alias("n_events"),
+        (
+            F.sum(F.when(in_top, F.col("cnt")).otherwise(0)).cast("double")
+            / F.max("tot").cast("double")
+        ).alias("top_decile_share"),
+    )

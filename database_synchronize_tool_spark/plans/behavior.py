@@ -734,3 +734,59 @@ def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_concurrency", "n_sessions", "first_edge_us", "last_edge_us"
         )
     )
+
+
+@declared(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE user_id IS NOT NULL
+    ), days AS (SELECT DISTINCT day FROM ud),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    ), wau AS (
+      SELECT d.day, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+      FROM days d JOIN ud
+        ON ud.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+    FROM dau JOIN wau USING (day)
+    """,
+    doc="DAU / trailing-7-day WAU / stickiness per day — the engagement "
+    "read every product dashboard serves. Shape that scales: the raw "
+    "stream first reduces to DISTINCT (user, day) — one shuffle, after "
+    "which everything runs on at most users x days rows; the trailing "
+    "window is a bounded-fan-out join against the tiny day spine "
+    "(<= 7 source days per target day), NOT a sliding count-distinct "
+    "window (which cannot merge map-side). Stickiness is one double "
+    "division of exact integers.",
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    wau = (
+        days.alias("d")
+        .join(
+            ud.alias("u"),
+            F.col("u.day").between(
+                F.date_sub(F.col("d.day"), 6), F.col("d.day")
+            ),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct("u.user_id").cast("bigint").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
+    )

@@ -159,7 +159,10 @@ def _load_all() -> None:
 # concurrency — a new operator shape) takes the final window slot,
 # displacing agg_approx_percentile; corpus_bigram_lift_topk (log-free
 # PMI-equivalent collocations) heads the queue for round 10. Both green
-# at both SFs at add time.
+# at both SFs at add time. Same for events_dau_wau_stickiness (DAU/WAU
+# engagement with the bounded day-spine trailing join) and
+# stats_lorenz_top_share (the top-decile Lorenz point beside Gini) —
+# queue head, round-10 window candidates, green at both SFs at add time.
 #
 # Compensating control (ADVICE r2): curated ordering means ~half the queries
 # sit outside any single round's driver window, so EVERY round we run the full
@@ -228,9 +231,11 @@ _WINDOW: tuple[str, ...] = (
 )
 
 _QUEUE: tuple[str, ...] = (
-    # round-10 window candidates first: the closing-r9 addition that did
+    # round-10 window candidates first: the closing-r9 additions that did
     # not fit the 50 slots, then the displaced re-verify cohort
     "corpus_bigram_lift_topk",
+    "events_dau_wau_stickiness",
+    "stats_lorenz_top_share",
     "agg_approx_percentile",
     # r9-displaced by the third-wave rank-stats/profile/recall queries:
     "j7_sync_diff_audit",

@@ -471,3 +471,16 @@ def test_gini_matches_direct_formula_and_bounds(spark, sf_dir):
     assert row["n_events"] == int(x.sum())
     assert abs(row["gini"] - ref) < 1e-12
     assert 0.0 <= row["gini"] < 1.0
+
+
+def test_lorenz_top_share_brackets_gini_story(spark, sf_dir):
+    row = AP.stats_lorenz_top_share(spark, sf_dir).collect()[0]
+    import math
+
+    assert row["n_top"] == math.ceil(0.1 * row["n_users"])
+    # the top decile holds at least its proportional share
+    assert row["top_decile_share"] >= row["n_top"] / row["n_users"] - 1e-12
+    assert row["top_events"] <= row["n_events"]
+    assert abs(
+        row["top_decile_share"] - row["top_events"] / row["n_events"]
+    ) < 1e-12

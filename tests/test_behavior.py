@@ -301,3 +301,19 @@ def test_session_concurrency_invariants(spark, sf_dir):
         peak = max(peak, cur)
     assert row["peak_concurrency"] == peak
     assert row["n_sessions"] == len(sess)
+
+
+def test_dau_wau_stickiness_invariants(spark, sf_dir):
+    from database_synchronize_tool_spark.plans.behavior import (
+        events_dau_wau_stickiness,
+    )
+
+    rows = events_dau_wau_stickiness(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # WAU is a superset window of DAU: dau <= wau always
+        assert 1 <= r["dau"] <= r["wau"]
+        assert 0.0 < r["stickiness"] <= 1.0
+    # days are distinct and contiguous-ish (30-day generator window)
+    days = [r["day"] for r in rows]
+    assert len(set(days)) == len(days)
