@@ -154,6 +154,7 @@ HEADLINE = [
     "corpus_bigram_lift_topk",
     "events_dau_wau_stickiness",
     "stats_lorenz_top_share",
+    "dedup_minhash_estimate_error",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

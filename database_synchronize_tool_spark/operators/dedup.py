@@ -152,9 +152,14 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     max_bucket: int | None = None,
+    with_estimate: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, verified by true
-    Jaccard ≥ threshold. Returns (doc_a, doc_b, jacc).
+    Jaccard ≥ threshold. Returns (doc_a, doc_b, jacc); with
+    ``with_estimate`` the signature-agreement count rides along as the
+    sketch's own Jaccard ESTIMATE (matches/K) next to the exact value —
+    the estimator-quality surface (E[matches/K] = J is the MinHash
+    theorem; this exposes the realized error per pair).
 
     Plan shape: ONE pass computes shingles+signature per doc (narrow,
     persisted — every downstream branch reuses it instead of re-deriving the
@@ -231,29 +236,49 @@ def minhash_lsh_pairs(
         star = (
             big.filter(F.col("rk") > 1)
             .join(anchors, ["band", "key"])
-            .filter(sig_agreement(F.col("asig"), F.col("sig")) >= MIN_SIG_MATCHES)
-            .select("doc_a", F.col("doc_id").alias("doc_b"))
+            .withColumn(
+                "sig_matches", sig_agreement(F.col("asig"), F.col("sig"))
+            )
+            .filter(F.col("sig_matches") >= MIN_SIG_MATCHES)
+            .select("doc_a", F.col("doc_id").alias("doc_b"), "sig_matches")
         )
 
     a, b2 = bands.alias("a"), bands.alias("b")
     pre = (
         a.join(b2, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(sig_agreement(F.col("a.sig"), F.col("b.sig")) >= MIN_SIG_MATCHES)
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .withColumn(
+            "sig_matches", sig_agreement(F.col("a.sig"), F.col("b.sig"))
+        )
+        .filter(F.col("sig_matches") >= MIN_SIG_MATCHES)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "sig_matches",
+        )
     )
     if star is not None:
         pre = pre.unionByName(star)
     pre = _wide_pair_dedup(pre, "doc_a", "doc_b")
     ha = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     hb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    return (
+    verified = (
         pre.join(ha, "doc_a")
         .join(hb, "doc_b")
         .withColumn("jacc", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jacc") >= threshold)
-        .select("doc_a", "doc_b", "jacc")
     )
+    if with_estimate:
+        est = F.col("sig_matches").cast("double") / F.lit(float(MINHASH_K))
+        return verified.select(
+            "doc_a",
+            "doc_b",
+            F.col("sig_matches").cast("int").alias("sig_matches"),
+            est.alias("est_jacc"),
+            "jacc",
+            (est - F.col("jacc")).alias("est_err"),
+        )
+    return verified.select("doc_a", "doc_b", "jacc")
 
 
 def minhash_lsh_join(

@@ -3560,3 +3560,52 @@ def corpus_bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 25)
         .select("w1", "w2", "c_xy", "lift", F.col("rank").cast("int").alias("rank"))
     )
+
+
+@declared(
+    "dedup_minhash_estimate_error",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, list_distinct({_HASHES_SQL}) AS sh, {_HASHES_SQL} AS hs
+      FROM documents
+    ), sigs AS (
+      SELECT doc_id, {_minhash_cols_sql()} FROM sh
+    ), bands AS (
+      {_band_union_sql()}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), pre AS (
+      SELECT doc_a, doc_b,
+             CAST(({_sig_matches_sql()}) AS INT) AS sig_matches
+      FROM cand JOIN sigs ga ON ga.doc_id = cand.doc_a
+                JOIN sigs gb ON gb.doc_id = cand.doc_b
+      WHERE ({_sig_matches_sql()}) >= {DD.MIN_SIG_MATCHES}
+    )
+    SELECT doc_a, doc_b, sig_matches, est_jacc, jacc,
+           est_jacc - jacc AS est_err
+    FROM (
+      SELECT doc_a, doc_b, sig_matches,
+             CAST(sig_matches AS DOUBLE) / {float(DD.MINHASH_K)!r}
+               AS est_jacc,
+             {_JACC_SQL} AS jacc
+      FROM pre JOIN sh sa ON sa.doc_id = pre.doc_a
+               JOIN sh sb ON sb.doc_id = pre.doc_b
+    ) WHERE jacc >= 0.5
+    """,
+    doc=f"MinHash estimator quality, hash-graded: for every banding "
+    "candidate pair, the sketch's own Jaccard estimate "
+    f"(signature agreement / {DD.MINHASH_K}) next to the exact Jaccard "
+    "and the realized error — the MinHash theorem (E[matches/K] = J) "
+    "turned into a measured per-pair surface instead of a cited "
+    "property. Completes the sketch-quality trilogy: ann_lsh_recall_at_k "
+    "grades the ANN index, sketch_hll_* grade the cardinality sketch, "
+    "this grades the similarity sketch. Same bounded candidate shapes "
+    "as dedup_minhash_lsh (band equi-join + in-row agreement "
+    "prefilter); the 0.5 floor keeps the verified output the "
+    "interesting near-dup band.",
+)
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(d, threshold=0.5, with_estimate=True)

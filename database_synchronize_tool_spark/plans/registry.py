@@ -163,6 +163,9 @@ def _load_all() -> None:
 # engagement with the bounded day-spine trailing join) and
 # stats_lorenz_top_share (the top-decile Lorenz point beside Gini) —
 # queue head, round-10 window candidates, green at both SFs at add time.
+# And dedup_minhash_estimate_error (the MinHash estimator's own accuracy
+# surface, per candidate pair) — queue head, green at both SFs at add
+# time.
 #
 # Compensating control (ADVICE r2): curated ordering means ~half the queries
 # sit outside any single round's driver window, so EVERY round we run the full
@@ -236,6 +239,7 @@ _QUEUE: tuple[str, ...] = (
     "corpus_bigram_lift_topk",
     "events_dau_wau_stickiness",
     "stats_lorenz_top_share",
+    "dedup_minhash_estimate_error",
     "agg_approx_percentile",
     # r9-displaced by the third-wave rank-stats/profile/recall queries:
     "j7_sync_diff_audit",

@@ -419,3 +419,27 @@ def test_simhash_udf_bit_identical_to_column_form(spark, sf_dir):
         )
         bad = both.filter(F.col("col_sig") != F.col("udf_sig")).count()
         assert bad == 0, f"{bad} mismatches at bits={bits}"
+
+
+def test_minhash_estimate_error_consistency(spark, sf_dir):
+    from database_synchronize_tool_spark.catalog import load_table
+    from database_synchronize_tool_spark.operators.dedup import (
+        MINHASH_K,
+        minhash_lsh_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    rows = minhash_lsh_pairs(d, threshold=0.5, with_estimate=True).collect()
+    assert rows
+    base = {
+        (r["doc_a"], r["doc_b"]): r["jacc"]
+        for r in minhash_lsh_pairs(d, threshold=0.5).collect()
+    }
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == set(base)
+    for r in rows:
+        assert r["jacc"] == base[(r["doc_a"], r["doc_b"])]
+        assert abs(r["est_jacc"] - r["sig_matches"] / MINHASH_K) < 1e-15
+        assert abs(r["est_err"] - (r["est_jacc"] - r["jacc"])) < 1e-15
+        assert 0 <= r["sig_matches"] <= MINHASH_K
+        # prefilter floor: every surviving pair agreed on >= 12 of 16
+        assert r["est_jacc"] >= 0.75 - 1e-15
