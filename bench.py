@@ -155,6 +155,8 @@ HEADLINE = [
     "events_dau_wau_stickiness",
     "stats_lorenz_top_share",
     "dedup_minhash_estimate_error",
+    "events_rate_spike_zscore",
+    "orders_dow_seasonality",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

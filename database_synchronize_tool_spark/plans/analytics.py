@@ -1874,3 +1874,53 @@ def skew_key_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+@declared(
+    "orders_dow_seasonality",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+                  % 7 AS INT) AS dow,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    ), g AS (
+      SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(price) AS rev
+      FROM d GROUP BY dow
+    ), t AS (SELECT SUM(rev) AS tot FROM g)
+    SELECT g.dow, g.n_orders,
+           CAST(g.rev AS DOUBLE) AS revenue,
+           CAST(g.rev AS DOUBLE) / CAST(t.tot AS DOUBLE) AS revenue_share
+    FROM g, t
+    """,
+    doc="Day-of-week revenue seasonality: weekday derived as integer days "
+    "since a known Monday (1990-01-01, before all data so the diff is non-negative — truncated %% of a negative diff would mint a phantom dow -1) mod 7 — dow 0 = Monday — because "
+    "the engines' native dayofweek() disagree on the week start "
+    "(Spark: Sunday=1; DuckDB: Sunday=0) and integer arithmetic cannot. "
+    "DECIMAL revenue sums, two final divisions with identical "
+    "association. One hash aggregate to 7 rows; the share denominator "
+    "is an aggregate OF the aggregate (7 rows, no second scan).",
+)
+def orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    dow = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01"))
+        % 7
+    ).cast("int")
+    g = o.select(
+        dow.alias("dow"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    ).groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("price").alias("rev"),
+    )
+    tot = F.sum("rev").over(Window.partitionBy())
+    return g.select(
+        "dow",
+        "n_orders",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev").cast("double") / tot.cast("double")).alias(
+            "revenue_share"
+        ),
+    )

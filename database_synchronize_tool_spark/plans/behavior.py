@@ -790,3 +790,70 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+@declared(
+    "events_rate_spike_zscore",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT event_type, day, x,
+             CAST(SUM(x) OVER tw AS BIGINT) AS sx,
+             CAST(SUM(x * x) OVER tw AS BIGINT) AS sxx,
+             CAST(COUNT(*) OVER tw AS BIGINT) AS n
+      FROM d
+      WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, x, n,
+           (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           / sqrt((CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                  / CAST(n AS DOUBLE)) AS zscore
+    FROM w
+    WHERE n = 7
+      AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          > CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+    """,
+    doc="Daily event-rate anomaly score per type: each day's count against "
+    "the TRAILING 7-day window's mean and standard deviation (the window "
+    "excludes the current day, so a spike cannot mask itself). Sums are "
+    "BIGINT-exact window aggregates over the tiny |types| x |days| daily "
+    "table; the z-score is one identically-associated float chain with a "
+    "correctly-rounded sqrt (the stats_pearson_exact contract). Rows "
+    "with an incomplete window or zero variance are excluded by integer "
+    "predicates on BOTH engines alike (a constant trailing week has no "
+    "defined z). At 100 TB the daily reduction is the only scan; "
+    "everything after runs on bounded data — the alerting read behind "
+    "every ops dashboard, cheap enough to run per trigger.",
+)
+def events_rate_spike_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    w = d.select(
+        "event_type",
+        "day",
+        "x",
+        F.sum("x").over(tw).cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(tw).cast("bigint").alias("sxx"),
+        F.count(F.lit(1)).over(tw).cast("bigint").alias("n"),
+    )
+    xd = F.col("x").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    nd = F.col("n").cast("double")
+    z = (xd - sxd / nd) / F.sqrt((sxxd - sxd * sxd / nd) / nd)
+    return w.filter(
+        (F.col("n") == 7) & (nd * sxxd > sxd * sxd)
+    ).select("event_type", "day", "x", "n", z.alias("zscore"))

@@ -165,7 +165,10 @@ def _load_all() -> None:
 # queue head, round-10 window candidates, green at both SFs at add time.
 # And dedup_minhash_estimate_error (the MinHash estimator's own accuracy
 # surface, per candidate pair) — queue head, green at both SFs at add
-# time.
+# time. And events_rate_spike_zscore (trailing-window daily anomaly
+# score, self-excluding window) + orders_dow_seasonality (integer-mod
+# weekday — engines' native dayofweek() disagree on week start) — queue
+# head, green at both SFs at add time.
 #
 # Compensating control (ADVICE r2): curated ordering means ~half the queries
 # sit outside any single round's driver window, so EVERY round we run the full
@@ -240,6 +243,8 @@ _QUEUE: tuple[str, ...] = (
     "events_dau_wau_stickiness",
     "stats_lorenz_top_share",
     "dedup_minhash_estimate_error",
+    "events_rate_spike_zscore",
+    "orders_dow_seasonality",
     "agg_approx_percentile",
     # r9-displaced by the third-wave rank-stats/profile/recall queries:
     "j7_sync_diff_audit",

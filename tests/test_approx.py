@@ -484,3 +484,19 @@ def test_lorenz_top_share_brackets_gini_story(spark, sf_dir):
     assert abs(
         row["top_decile_share"] - row["top_events"] / row["n_events"]
     ) < 1e-12
+
+
+def test_dow_seasonality_accounting(spark, sf_dir):
+    from database_synchronize_tool_spark.plans.analytics import (
+        orders_dow_seasonality,
+    )
+
+    rows = orders_dow_seasonality(spark, sf_dir).collect()
+    assert sorted(r["dow"] for r in rows) == list(range(7))
+    o = load_table(spark, sf_dir, "orders")
+    assert sum(r["n_orders"] for r in rows) == o.count()
+    assert abs(sum(r["revenue_share"] for r in rows) - 1.0) < 1e-9
+    import datetime as dt
+
+    # dow 0 really is Monday: spot-check via the anchor
+    assert dt.date(1990, 1, 1).weekday() == 0

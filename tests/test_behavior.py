@@ -317,3 +317,32 @@ def test_dau_wau_stickiness_invariants(spark, sf_dir):
     # days are distinct and contiguous-ish (30-day generator window)
     days = [r["day"] for r in rows]
     assert len(set(days)) == len(days)
+
+
+def test_rate_spike_zscore_matches_pandas(spark, sf_dir):
+    import numpy as np
+
+    from database_synchronize_tool_spark.catalog import load_table
+    from database_synchronize_tool_spark.plans.behavior import (
+        events_rate_spike_zscore,
+    )
+
+    out = {(r["event_type"], r["day"]): r for r in
+           events_rate_spike_zscore(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts").toPandas()
+    ev["day"] = ev["ts"].dt.date
+    checked = 0
+    for etype, grp in ev.groupby("event_type"):
+        daily = grp.groupby("day").size().sort_index()
+        vals = daily.to_numpy(dtype=float)
+        days = list(daily.index)
+        for i in range(len(vals)):
+            wnd = vals[max(0, i - 7):i]
+            key = (etype, days[i])
+            if len(wnd) < 7 or wnd.std() == 0:
+                assert key not in out
+                continue
+            ref = (vals[i] - wnd.mean()) / wnd.std()
+            assert abs(out[key]["zscore"] - ref) < 1e-9
+            checked += 1
+    assert checked == len(out) > 0
