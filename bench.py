@@ -157,6 +157,8 @@ HEADLINE = [
     "dedup_minhash_estimate_error",
     "events_rate_spike_zscore",
     "orders_dow_seasonality",
+    "orders_customer_adoption",
+    "multimodal_payload_dedup_rate",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

@@ -857,3 +857,52 @@ def events_rate_spike_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.filter(
         (F.col("n") == 7) & (nd * sxxd > sxd * sxd)
     ).select("event_type", "day", "x", "n", z.alias("zscore"))
+
+
+@declared(
+    "orders_customer_adoption",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             date_trunc('month', MIN(CAST(o_orderdate AS DATE)))
+               AS first_month
+      FROM orders GROUP BY o_custkey
+    ), per_month AS (
+      SELECT first_month AS month, CAST(COUNT(*) AS BIGINT) AS new_customers
+      FROM firsts GROUP BY first_month
+    )
+    SELECT month, new_customers,
+           CAST(SUM(new_customers) OVER (ORDER BY month
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cumulative_customers
+    FROM per_month
+    """,
+    doc="Customer adoption curve: new customers per month (each customer "
+    "counted in the month of their FIRST order) and the running total — "
+    "the growth metric that looks like a running COUNT(DISTINCT) over an "
+    "expanding window but must never be computed as one (expanding "
+    "distinct windows cannot merge map-side and re-scan per period). "
+    "Shape: one per-customer MIN aggregate, one tiny per-month count, "
+    "one cumulative window over |months| rows. Everything integer; "
+    "date_trunc to month is identical in both engines on DATE inputs.",
+)
+def orders_customer_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.trunc(F.min(F.col("o_orderdate").cast("date")), "month").alias(
+            "first_month"
+        )
+    )
+    per_month = firsts.groupBy(F.col("first_month").alias("month")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_customers")
+    )
+    w = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_month.select(
+        "month",
+        "new_customers",
+        F.sum("new_customers").over(w).cast("bigint").alias(
+            "cumulative_customers"
+        ),
+    )

@@ -719,6 +719,30 @@ _AHASH_HAMMING_MAX = 15
 )
 def multimodal_payload_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    words = _ahash_words(d)
+    a, b = words.alias("a"), words.alias("b")
+    ham = (
+        F.bit_count(F.col("a.w0").bitwiseXOR(F.col("b.w0")))
+        + F.bit_count(F.col("a.w1").bitwiseXOR(F.col("b.w1")))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("media_a"),
+            F.col("b.doc_id").alias("media_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _AHASH_HAMMING_MAX)
+    )
+
+
+def _ahash_words(d: DataFrame) -> DataFrame:
+    """Block-mean perceptual hash of each payload as two 32-bit words —
+    shared by the pair miner and the dedup-rate rollup."""
     ch = d.select(
         "doc_id",
         "lang",
@@ -762,24 +786,7 @@ def multimodal_payload_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFram
             ).otherwise(0)
         ).cast("bigint").alias("w1"),
     )
-    a, b = words.alias("a"), words.alias("b")
-    ham = (
-        F.bit_count(F.col("a.w0").bitwiseXOR(F.col("b.w0")))
-        + F.bit_count(F.col("a.w1").bitwiseXOR(F.col("b.w1")))
-    ).cast("int")
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("media_a"),
-            F.col("b.doc_id").alias("media_b"),
-            ham.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= _AHASH_HAMMING_MAX)
-    )
+    return words
 
 
 @declared(
@@ -3609,3 +3616,63 @@ def corpus_bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return DD.minhash_lsh_pairs(d, threshold=0.5, with_estimate=True)
+
+
+@declared(
+    "multimodal_payload_dedup_rate",
+    oracle=f"""
+    WITH ch AS (
+      SELECT doc_id, lang, length(text) AS L,
+             unnest(range(1, length(text)+1)) AS i, text
+      FROM documents
+    ), b AS (
+      SELECT doc_id, lang, L, ((i-1)*64) // L AS seg,
+             ascii(substr(text, CAST(i AS INT), 1)) AS a
+      FROM ch
+    ), segs AS (
+      SELECT doc_id, lang, L, seg, CAST(SUM(a) AS BIGINT) AS ssum,
+             CAST(COUNT(*) AS BIGINT) AS scnt
+      FROM b GROUP BY 1, 2, 3, 4
+    ), tot AS (
+      SELECT doc_id, CAST(SUM(ssum) AS BIGINT) AS tsum FROM segs GROUP BY 1
+    ), bits AS (
+      SELECT s.doc_id, s.lang, s.seg,
+             CASE WHEN s.ssum * s.L >= t.tsum * s.scnt THEN 1 ELSE 0 END AS bit
+      FROM segs s JOIN tot t USING (doc_id)
+    ), words AS (
+      SELECT doc_id, lang,
+             CAST(SUM(CASE WHEN seg < 32
+                  THEN CAST(bit AS BIGINT) << CAST(seg AS INT)
+                  ELSE 0 END) AS BIGINT) AS w0,
+             CAST(SUM(CASE WHEN seg >= 32
+                  THEN CAST(bit AS BIGINT) << CAST(seg - 32 AS INT)
+                  ELSE 0 END) AS BIGINT) AS w1
+      FROM bits GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_payloads,
+           CAST(COUNT(DISTINCT (w0, w1)) AS BIGINT) AS n_distinct_hashes,
+           CAST(COUNT(*) - COUNT(DISTINCT (w0, w1)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+    FROM words GROUP BY lang
+    """,
+    doc="Payload dedup-rate rollup per language block: payload count vs "
+    "distinct block-mean perceptual hashes and the implied duplicate "
+    "fraction — the BEFORE number a media-dedup pass reports to justify "
+    "itself (the pair miner multimodal_payload_ahash_pairs names the "
+    "culprits; this prices the opportunity). Shares _ahash_words with "
+    "the miner, so grading one attests the other's feature pipeline. "
+    "Shape: the hash build's bounded aggregates, then one "
+    "count-distinct over (lang, 16-byte hash) — at 100 TB this is the "
+    "md5-fingerprint exact-dedup shape with a perceptual key.",
+)
+def multimodal_payload_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = _ahash_words(d)
+    n = F.count(F.lit(1))
+    nd = F.count_distinct(F.col("w0"), F.col("w1"))
+    return words.groupBy("lang").agg(
+        n.cast("bigint").alias("n_payloads"),
+        nd.cast("bigint").alias("n_distinct_hashes"),
+        ((n - nd).cast("double") / n.cast("double")).alias("dup_rate"),
+    )

@@ -168,7 +168,11 @@ def _load_all() -> None:
 # time. And events_rate_spike_zscore (trailing-window daily anomaly
 # score, self-excluding window) + orders_dow_seasonality (integer-mod
 # weekday — engines' native dayofweek() disagree on week start) — queue
-# head, green at both SFs at add time.
+# head, green at both SFs at add time. And orders_customer_adoption
+# (monthly first-order growth curve — cumulative distinct WITHOUT an
+# expanding distinct window) + multimodal_payload_dedup_rate (perceptual-
+# hash duplicate-fraction rollup, shares _ahash_words with the pair
+# miner) — queue head, green at both SFs at add time.
 #
 # Compensating control (ADVICE r2): curated ordering means ~half the queries
 # sit outside any single round's driver window, so EVERY round we run the full
@@ -245,6 +249,8 @@ _QUEUE: tuple[str, ...] = (
     "dedup_minhash_estimate_error",
     "events_rate_spike_zscore",
     "orders_dow_seasonality",
+    "orders_customer_adoption",
+    "multimodal_payload_dedup_rate",
     "agg_approx_percentile",
     # r9-displaced by the third-wave rank-stats/profile/recall queries:
     "j7_sync_diff_audit",

@@ -346,3 +346,23 @@ def test_rate_spike_zscore_matches_pandas(spark, sf_dir):
             assert abs(out[key]["zscore"] - ref) < 1e-9
             checked += 1
     assert checked == len(out) > 0
+
+
+def test_customer_adoption_monotone_and_accounts(spark, sf_dir):
+    from database_synchronize_tool_spark.catalog import load_table
+    from database_synchronize_tool_spark.plans.behavior import (
+        orders_customer_adoption,
+    )
+
+    rows = sorted(
+        orders_customer_adoption(spark, sf_dir).collect(),
+        key=lambda r: r["month"],
+    )
+    o = load_table(spark, sf_dir, "orders")
+    n_cust = o.select("o_custkey").distinct().count()
+    assert rows[-1]["cumulative_users" if "cumulative_users" in rows[-1] else "cumulative_customers"] == n_cust
+    run = 0
+    for r in rows:
+        assert r["new_customers"] > 0
+        run += r["new_customers"]
+        assert r["cumulative_customers"] == run

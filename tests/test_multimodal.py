@@ -106,3 +106,19 @@ def test_feature_and_resize_null_rows_become_null_not_crash(spark):
         for r in resize_images(media, 8, 8).collect()
     }
     assert hashes[1] is None and hashes[2] is not None
+
+
+def test_payload_dedup_rate_consistent_with_distinct_hashes(spark, sf_dir):
+    from database_synchronize_tool_spark.plans.extensions import (
+        _ahash_words,
+        multimodal_payload_dedup_rate,
+    )
+    from database_synchronize_tool_spark.catalog import load_table
+
+    rows = {r["lang"]: r for r in multimodal_payload_dedup_rate(spark, sf_dir).collect()}
+    words = _ahash_words(load_table(spark, sf_dir, "documents")).toPandas()
+    for lang, grp in words.groupby("lang"):
+        r = rows[lang]
+        assert r["n_payloads"] == len(grp)
+        assert r["n_distinct_hashes"] == len(grp[["w0", "w1"]].drop_duplicates())
+        assert 0.0 <= r["dup_rate"] < 1.0
