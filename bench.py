@@ -159,6 +159,8 @@ HEADLINE = [
     "orders_dow_seasonality",
     "orders_customer_adoption",
     "multimodal_payload_dedup_rate",
+    "events_behavior_diversity",
+    "lineitem_revenue_waterfall",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

@@ -1924,3 +1924,55 @@ def orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
     )
+
+
+@declared(
+    "lineitem_revenue_waterfall",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS gross,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_discount AS DECIMAL(18,2))) AS discount_amt,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 * CAST(l_tax AS DECIMAL(18,2))) AS tax_amt
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(gross AS DOUBLE) AS gross,
+           CAST(discount_amt AS DOUBLE) AS discount_amt,
+           CAST(gross - discount_amt AS DOUBLE) AS net,
+           CAST(tax_amt AS DOUBLE) AS tax_amt,
+           CAST(gross - discount_amt + tax_amt AS DOUBLE) AS charged
+    FROM s
+    """,
+    doc="Revenue waterfall per return flag: gross -> minus discount -> "
+    "net -> plus tax -> charged, every stage a DECIMAL-exact sum (the "
+    "q1 discipline) so the stages ALGEBRAICALLY reconcile — "
+    "net + tax = charged holds bit-for-bit, not approximately, because "
+    "no float ever enters before the final casts. This is the finance "
+    "reconciliation read where approximate sums are unacceptable; one "
+    "hash aggregate with map-side partials, mergeable across shards by "
+    "addition.",
+)
+def lineitem_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    dc = F.col("l_discount").cast("decimal(18,2)")
+    tx = F.col("l_tax").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.sum(ep).alias("gross"),
+        F.sum(ep * dc).alias("discount_amt"),
+        F.sum(ep * (F.lit(1) - dc) * tx).alias("tax_amt"),
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("gross").cast("double").alias("gross"),
+        F.col("discount_amt").cast("double").alias("discount_amt"),
+        (F.col("gross") - F.col("discount_amt")).cast("double").alias("net"),
+        F.col("tax_amt").cast("double").alias("tax_amt"),
+        (F.col("gross") - F.col("discount_amt") + F.col("tax_amt"))
+        .cast("double")
+        .alias("charged"),
+    )

@@ -906,3 +906,45 @@ def orders_customer_adoption(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cumulative_customers"
         ),
     )
+
+
+@declared(
+    "events_behavior_diversity",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           1.0 - CAST(SUM(c * c) AS DOUBLE)
+                 / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+             AS simpson_diversity
+    FROM c GROUP BY user_id
+    """,
+    doc="Behavioral diversity per user via the Gini-Simpson index "
+    "1 - Sigma p_i^2 — the entropy-style concentration measure that "
+    "needs NO logarithm (Shannon entropy's ln is not correctly rounded "
+    "cross-engine; Simpson is a rational function of integer counts, so "
+    "it hash-grades exactly: one division of exact BIGINT sums with one "
+    "squared denominator, identical association both engines). 0 = "
+    "single-behavior user, ->0.8 = uniform over 5 types. Shape: one "
+    "(user, type) aggregate then one per-user aggregate — the event "
+    "stream shuffles once; the diversity segmentation every churn model "
+    "consumes.",
+)
+def events_behavior_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    sc = F.sum("c").cast("double")
+    return c.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("c") * F.col("c")).cast("double") / (sc * sc)
+        ).alias("simpson_diversity"),
+    )

@@ -172,7 +172,11 @@ def _load_all() -> None:
 # (monthly first-order growth curve — cumulative distinct WITHOUT an
 # expanding distinct window) + multimodal_payload_dedup_rate (perceptual-
 # hash duplicate-fraction rollup, shares _ahash_words with the pair
-# miner) — queue head, green at both SFs at add time.
+# miner) — queue head, green at both SFs at add time. And
+# events_behavior_diversity (Gini-Simpson index — the log-free entropy
+# analog that hash-grades where Shannon cannot) +
+# lineitem_revenue_waterfall (DECIMAL-exact stage reconciliation) —
+# queue head, green at both SFs at add time.
 #
 # Compensating control (ADVICE r2): curated ordering means ~half the queries
 # sit outside any single round's driver window, so EVERY round we run the full
@@ -251,6 +255,8 @@ _QUEUE: tuple[str, ...] = (
     "orders_dow_seasonality",
     "orders_customer_adoption",
     "multimodal_payload_dedup_rate",
+    "events_behavior_diversity",
+    "lineitem_revenue_waterfall",
     "agg_approx_percentile",
     # r9-displaced by the third-wave rank-stats/profile/recall queries:
     "j7_sync_diff_audit",

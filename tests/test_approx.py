@@ -500,3 +500,17 @@ def test_dow_seasonality_accounting(spark, sf_dir):
 
     # dow 0 really is Monday: spot-check via the anchor
     assert dt.date(1990, 1, 1).weekday() == 0
+
+
+def test_revenue_waterfall_reconciles_exactly(spark, sf_dir):
+    from database_synchronize_tool_spark.plans.analytics import (
+        lineitem_revenue_waterfall,
+    )
+
+    for r in lineitem_revenue_waterfall(spark, sf_dir).collect():
+        # DECIMAL stages reconcile bit-for-bit after one double cast each
+        assert r["net"] == r["gross"] - r["discount_amt"] or abs(
+            r["net"] - (r["gross"] - r["discount_amt"])
+        ) < 1e-6
+        assert abs(r["charged"] - (r["net"] + r["tax_amt"])) < 1e-6
+        assert 0 < r["discount_amt"] < r["gross"]

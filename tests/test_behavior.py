@@ -366,3 +366,17 @@ def test_customer_adoption_monotone_and_accounts(spark, sf_dir):
         assert r["new_customers"] > 0
         run += r["new_customers"]
         assert r["cumulative_customers"] == run
+
+
+def test_behavior_diversity_bounds_and_extremes(spark, sf_dir):
+    from database_synchronize_tool_spark.plans.behavior import (
+        events_behavior_diversity,
+    )
+
+    rows = events_behavior_diversity(spark, sf_dir).collect()
+    for r in rows:
+        # Simpson bounds: 0 (single type) .. 1 - 1/k (uniform over k)
+        assert -1e-12 <= r["simpson_diversity"] <= 1 - 1 / r["n_types"] + 1e-12
+        if r["n_types"] == 1:
+            assert abs(r["simpson_diversity"]) < 1e-12
+        assert r["n_events"] >= r["n_types"]
