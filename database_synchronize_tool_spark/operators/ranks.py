@@ -1,0 +1,164 @@
+"""Scale-safe global ranking primitives.
+
+A ``Window.orderBy(...)`` with no ``partitionBy`` forces every row through
+ONE task (Spark plans ``Exchange SinglePartition`` + a single sort) — fine
+at sf0.1, fatal at 100 TB. These helpers provide the two shapes that
+replace it everywhere in the declared-query surface:
+
+- :func:`topk_ranked` — global top-k with a rank column: ``orderBy().limit(k)``
+  (TakeOrderedAndProject: per-partition heaps, driver merge of k rows) and a
+  rank window over the ≤k-row result only.
+- :func:`global_row_numbers` — exact global 1-based row numbers over a
+  UNIQUE total order via range repartitioning: rows range-partition on the
+  sort key (each partition holds a contiguous key range), row-number
+  LOCALLY per partition, then add each partition's global offset (the row
+  counts of earlier partitions — an ``n_parts``-row broadcast computed
+  WITHOUT any window). Parallelism is ``n_parts`` regardless of data
+  volume; no single-partition sort anywhere. The same discipline as
+  ``plans.approx._doubled_avg_ranks`` (which additionally handles ties —
+  here the caller guarantees a unique tiebreak column, so rank ==
+  row_number and no tie handling is needed).
+
+Reference parity note: the reference engine has no global-ranking
+operator at all (its analytics are psycopg2 round-trips); these exist for
+the SURVEY north-star extensions (BM25/RRF retrieval, calibration,
+Gini/Lorenz, zone-map layout grading) where the naive Spark expression is
+a known scale-killer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_ranked(
+    df: DataFrame,
+    k: int,
+    order_cols: list[Column],
+    rank_alias: str = "rank",
+) -> DataFrame:
+    """Global top-``k`` of ``df`` under ``order_cols`` with a 1-based rank.
+
+    ``orderBy(*order_cols).limit(k)`` plans as TakeOrderedAndProject —
+    each partition keeps a k-row heap, the driver merges k·n_parts rows —
+    then the rank window runs over the ≤k surviving rows only (bounded by
+    construction; the plan-shape sweep in tests/test_plan_shapes.py
+    recognizes a global Window above a limit as safe). ``order_cols``
+    must include a unique tiebreak so the k-row cut is deterministic.
+    """
+    top = df.orderBy(*order_cols).limit(k)
+    w = Window.orderBy(*order_cols)
+    return top.withColumn(rank_alias, F.row_number().over(w))
+
+
+def global_row_numbers(
+    df: DataFrame,
+    order_cols: list[Column],
+    alias: str = "rn",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Append exact global 1-based row numbers over the UNIQUE total order
+    ``order_cols`` without a single-partition sort.
+
+    Range-repartition on the sort order (partition p's keys all precede
+    partition p+1's), tag rows with their partition id, row-number locally
+    per partition, and add the partition's offset — the summed row counts
+    of earlier partitions, an ``n_parts``-row table computed via a tiny
+    inequality self-join (NO window, so the plan contains zero global
+    Window nodes). The one materialization (scoped_persist) pins a single
+    consistent partitioning for both the count pass and the rank pass.
+
+    ``order_cols`` MUST be a unique total order (include a key tiebreak):
+    range partitioning never splits equal keys, but uniqueness is what
+    makes local row_number + offset equal the global row_number.
+    """
+    from database_synchronize_tool_spark.caching import scoped_persist
+
+    part = scoped_persist(
+        df.repartitionByRange(n_parts, *order_cols).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    earlier = counts.select(
+        F.col("__pid").alias("__pid_e"), F.col("__cnt").alias("__cnt_e")
+    )
+    # offset(p) = Σ counts of partitions with smaller pid; the self-join is
+    # n_parts × n_parts rows — driver-trivial, and windowless on purpose.
+    offsets = (
+        counts.join(
+            earlier, F.col("__pid_e") < F.col("__pid"), "left"
+        )
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__cnt_e"), F.lit(0)).alias("__off"))
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn(alias, F.row_number().over(w_local) + F.col("__off"))
+        .drop("__pid", "__off")
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    alias: str,
+    n_parts: int = 32,
+) -> DataFrame:
+    """Append the exact global running sum of ``value_col`` over the UNIQUE
+    total order ``order_cols`` without a single-partition sort.
+
+    Same discipline as :func:`global_row_numbers`: range-repartition on the
+    order (partition p precedes p+1), run the cumulative sum LOCALLY per
+    partition, and add each partition's carry-in — the summed totals of
+    earlier partitions, an ``n_parts``-row windowless broadcast. This is
+    the sweep-line / prefix-sum shape that survives 100 TB: parallelism is
+    ``n_parts`` and no task ever sees more than its key range.
+    """
+    from database_synchronize_tool_spark.caching import scoped_persist
+
+    part = scoped_persist(
+        df.repartitionByRange(n_parts, *order_cols).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    totals = part.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    earlier = totals.select(
+        F.col("__pid").alias("__pid_e"), F.col("__tot").alias("__tot_e")
+    )
+    offsets = (
+        totals.join(earlier, F.col("__pid_e") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__tot_e"), F.lit(0)).alias("__off"))
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn(alias, F.sum(value_col).over(w_local) + F.col("__off"))
+        .drop("__pid", "__off")
+    )
+
+
+def ntile_from_rn(rn: Column, n: Column, buckets: int) -> Column:
+    """SQL-standard NTILE(buckets) bucket id from a global row number.
+
+    With q = n div buckets and r = n mod buckets, the first r buckets get
+    q+1 rows (ANSI semantics — Spark and DuckDB agree). All-integer
+    arithmetic, so the assignment is bit-identical to the engines' own
+    NTILE over the same unique total order.
+    """
+    q = F.floor(n / buckets)
+    r = n % buckets
+    head = r * (q + 1)  # rows covered by the r fat buckets
+    return (
+        F.when(rn <= head, F.floor((rn - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rn - 1 - head) / F.greatest(q, F.lit(1))) + 1)
+        .cast("int")
+    )

@@ -1293,15 +1293,33 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM supplier
     """,
     doc="Distribution window functions (cume_dist / percent_rank) over a "
-    "global ordering with unique tiebreak.",
+    "global ordering with unique tiebreak. The oracle keeps the literal "
+    "window functions; the Spark side reproduces them from the range-"
+    "partitioned two-pass global row number (operators/ranks."
+    "global_row_numbers): with a UNIQUE total order, cume_dist = rn/n "
+    "and percent_rank = (rn-1)/(n-1) — each one exact-integer-to-double "
+    "division, bit-identical to the engines' own definitions, with no "
+    "single-partition sort of the base table.",
 )
 def window_cume_dist_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = load_table(spark, sf_dir, "supplier")
-    w = Window.orderBy("s_acctbal", "s_suppkey")
-    return s.select(
+    from database_synchronize_tool_spark.operators.ranks import (
+        global_row_numbers,
+    )
+
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    r = global_row_numbers(
+        s, [F.col("s_acctbal"), F.col("s_suppkey")], "__rn"
+    )
+    n = r.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    return r.crossJoin(F.broadcast(n)).select(
         "s_suppkey",
-        F.cume_dist().over(w).alias("cd"),
-        F.percent_rank().over(w).alias("pr"),
+        (F.col("__rn").cast("double") / F.col("__n").cast("double")).alias(
+            "cd"
+        ),
+        (
+            (F.col("__rn") - F.lit(1)).cast("double")
+            / (F.col("__n") - F.lit(1)).cast("double")
+        ).alias("pr"),
     )
 
 

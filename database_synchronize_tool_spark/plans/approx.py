@@ -334,8 +334,10 @@ _ZM_PRICE = 90000
     "sorted layout comes from repartitionByRange at ingest "
     "(sinks.write_curated), and the declared query uses a deterministic "
     "row_number chunking only so both engines assign bit-identical "
-    "chunks. Min/max state is 2 values per chunk per column — the zone "
-    "map itself is the bounded summary.",
+    "chunks — row numbers via the range-partitioned two-pass "
+    "(operators/ranks.global_row_numbers), never a single-partition "
+    "sort of lineitem. Min/max state is 2 values per chunk per column — "
+    "the zone map itself is the bounded summary.",
 )
 def layout_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -347,9 +349,16 @@ def layout_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_shipdate",
         "l_extendedprice",
     )
-    wsort = Window.orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    from database_synchronize_tool_spark.operators.ranks import (
+        global_row_numbers,
+    )
+
     srt = (
-        li.withColumn("rn", F.row_number().over(wsort))
+        global_row_numbers(
+            li,
+            [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")],
+            "rn",
+        )
         .select(
             F.lit("shipdate_sorted").alias("layout"),
             F.expr(f"CAST(rn - 1 AS BIGINT) div {_ZM_CHUNK}").alias("chunk"),
@@ -1499,19 +1508,33 @@ def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the table a reliability diagram plots, and the companion to "
     "stats_auc_mannwhitney (AUC says HOW WELL the score ranks; "
     "calibration says whether its VALUES mean anything). Integer/DECIMAL "
-    "sums, two identically-associated divisions. Scale shape: one rank "
-    "window + one 10-group aggregate; at 100 TB swap NTILE for "
-    "histogram-guided bin edges (sketch_histogram_quantiles) to avoid "
-    "the global sort — the aggregate is unchanged.",
+    "sums, two identically-associated divisions. Scale shape: NTILE is "
+    "reproduced from the range-partitioned two-pass global row number "
+    "(operators/ranks.global_row_numbers) plus the all-integer ANSI "
+    "bucket formula — bit-identical to the engines' NTILE over the same "
+    "unique total order, with NO single-partition sort anywhere; the "
+    "oracle keeps the literal NTILE.",
 )
 def stats_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    b = o.select(
+    from database_synchronize_tool_spark.operators.ranks import (
+        global_row_numbers,
+        ntile_from_rn,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
         (F.col("o_orderstatus") == "F").cast("int").alias("pos"),
         F.col("o_totalprice").cast("decimal(18,2)").alias("score"),
-        F.ntile(10)
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .alias("bin"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    rn = global_row_numbers(
+        o, [F.col("o_totalprice"), F.col("o_orderkey")], "__rn"
+    )
+    n = rn.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    b = rn.crossJoin(F.broadcast(n)).select(
+        "pos",
+        "score",
+        ntile_from_rn(F.col("__rn"), F.col("__n"), 10).alias("bin"),
     )
     return b.groupBy(F.col("bin").cast("int").alias("bin")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -1552,32 +1575,35 @@ def stats_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Sigma((2i - n - 1) x_i) / (n Sigma x): all-integer until ONE double "
     "division; ranking is over the (count, user_id) total order so ties "
     "cannot flap the value. Scale shape: the raw stream reduces to one "
-    "row per user in the first aggregate; at very large user counts the "
-    "ranking window becomes the same range-partitioned two-pass as "
-    "_doubled_avg_ranks.",
+    "row per user in the first aggregate; ranks come from the range-"
+    "partitioned two-pass (operators/ranks.global_row_numbers — no "
+    "single-partition sort), and Σ(2i-n-1)·x_i folds algebraically to "
+    "2·Σ(i·x_i) - (n+1)·Σx_i so n never needs to be joined per-row.",
 )
 def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.operators.ranks import (
+        global_row_numbers,
+    )
+
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
     )
     c = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    w_rank = Window.orderBy("cnt", "user_id")
-    w_all = Window.partitionBy()
-    r = c.select(
-        "cnt",
-        F.row_number().over(w_rank).cast("bigint").alias("i"),
-        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
-        F.sum("cnt").over(w_all).cast("bigint").alias("tot"),
+    r = global_row_numbers(c, [F.col("cnt"), F.col("user_id")], "i")
+    s = r.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("cnt").cast("decimal(38,0)").alias("tot"),
+        F.sum((F.col("i") * F.col("cnt")).cast("decimal(38,0)")).alias("sic"),
     )
-    return r.agg(
-        F.max("n").cast("bigint").alias("n_users"),
-        F.max("tot").cast("bigint").alias("n_events"),
-        (
-            F.sum(
-                (F.lit(2) * F.col("i") - F.col("n") - F.lit(1)) * F.col("cnt")
-            ).cast("double")
-            / (F.max("n") * F.max("tot")).cast("double")
-        ).alias("gini"),
+    # Σ(2i - n - 1)·cnt == 2·sic - (n+1)·tot — exact integers both ways,
+    # so the double cast matches the oracle's literal rank-form sum.
+    num = (
+        F.lit(2) * F.col("sic") - (F.col("n") + F.lit(1)) * F.col("tot")
+    ).cast("double")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("tot").cast("bigint").alias("n_events"),
+        (num / (F.col("n") * F.col("tot")).cast("double")).alias("gini"),
     )
 
 
@@ -1611,31 +1637,32 @@ def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(count DESC, user_id) total order so ties cannot move the cut; the "
     "decile boundary uses CEIL of an exact 0.1*n double (n < 2^50, so "
     "the product is exact in both engines). Scale shape: one per-user "
-    "aggregate, then windows over the user table only.",
+    "aggregate, then the range-partitioned two-pass global rank "
+    "(operators/ranks.global_row_numbers) over the user table — no "
+    "single-partition sort; n broadcasts back as a 1-row join.",
 )
 def stats_lorenz_top_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.operators.ranks import (
+        global_row_numbers,
+    )
+
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
     )
     c = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    w_rank = Window.orderBy(F.col("cnt").desc(), "user_id")
-    w_all = Window.partitionBy()
-    r = c.select(
-        "cnt",
-        F.row_number().over(w_rank).cast("bigint").alias("rnk"),
-        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
-        F.sum("cnt").over(w_all).cast("bigint").alias("tot"),
-    )
+    r = global_row_numbers(c, [F.col("cnt").desc(), F.col("user_id")], "rnk")
+    n = r.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rn = r.crossJoin(F.broadcast(n))
     in_top = F.col("rnk") <= F.ceil(F.lit(0.1) * F.col("n"))
-    return r.agg(
+    return rn.agg(
         F.max("n").cast("bigint").alias("n_users"),
         F.ceil(F.lit(0.1) * F.max("n")).cast("bigint").alias("n_top"),
         F.sum(F.when(in_top, F.col("cnt")).otherwise(0))
         .cast("bigint")
         .alias("top_events"),
-        F.max("tot").cast("bigint").alias("n_events"),
+        F.sum("cnt").cast("bigint").alias("n_events"),
         (
             F.sum(F.when(in_top, F.col("cnt")).otherwise(0)).cast("double")
-            / F.max("tot").cast("double")
+            / F.sum("cnt").cast("double")
         ).alias("top_decile_share"),
     )

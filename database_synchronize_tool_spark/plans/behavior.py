@@ -573,13 +573,22 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "discipline), and quartile scores via NTILE over (metric, user_id) "
     "total orders so ties cannot flap bins. Quartile 1 is best on every "
     "axis (most recent / most frequent / highest spend). Scale shape: "
-    "events reduce to one row per user in ONE aggregate; the three "
-    "NTILEs run over the small per-user table; the corpus max is a "
-    "global window over that table (one scan total, plan-pinned) — "
-    "the segmentation query behind every "
-    "retention campaign, shaped to never re-scan raw events.",
+    "events reduce to one row per user in ONE aggregate and that table "
+    "is persisted once; the corpus watermark is a 1-row broadcast off "
+    "it, and each NTILE is reproduced from the range-partitioned "
+    "two-pass global row number (operators/ranks.global_row_numbers) "
+    "plus the all-integer ANSI bucket formula — three range shuffles of "
+    "the user table, zero single-partition sorts. The oracle keeps the "
+    "literal NTILEs — the segmentation query behind every retention "
+    "campaign, shaped to never re-scan raw events.",
 )
 def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.caching import scoped_persist
+    from database_synchronize_tool_spark.operators.ranks import (
+        global_row_numbers,
+        ntile_from_rn,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     p = ev.filter(
         (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
@@ -588,38 +597,42 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
         F.floor(F.col("value") * 1000).cast("bigint").alias("v_mu"),
     )
-    # per-user reduction FIRST; the corpus watermark is then a global
-    # window over the small user table — an agg + crossJoin would
-    # recompute the events scan (observed Scan x2), this keeps one scan
-    per_user = p.groupBy("user_id").agg(
-        F.max("us").alias("last_us"),
-        F.count(F.lit(1)).cast("bigint").alias("frequency"),
-        F.sum("v_mu").cast("bigint").alias("monetary_mu"),
+    # per-user reduction FIRST, persisted: the corpus watermark and the
+    # three rank passes all reuse the one events scan.
+    per_user = scoped_persist(
+        p.groupBy("user_id").agg(
+            F.max("us").alias("last_us"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum("v_mu").cast("bigint").alias("monetary_mu"),
+        )
     )
-    corpus_us = F.max("last_us").over(Window.partitionBy())
-    rfm = per_user.select(
+    corpus = per_user.agg(F.max("last_us").alias("__corpus_us"))
+    rfm = per_user.crossJoin(F.broadcast(corpus)).select(
         "user_id",
-        (corpus_us - F.col("last_us")).cast("bigint").alias("recency_us"),
+        (F.col("__corpus_us") - F.col("last_us"))
+        .cast("bigint")
+        .alias("recency_us"),
         "frequency",
         "monetary_mu",
     )
-    return rfm.select(
+    r1 = global_row_numbers(
+        rfm, [F.col("recency_us"), F.col("user_id")], "__r_rn"
+    )
+    r2 = global_row_numbers(
+        r1, [F.col("frequency").desc(), F.col("user_id")], "__f_rn"
+    )
+    r3 = global_row_numbers(
+        r2, [F.col("monetary_mu").desc(), F.col("user_id")], "__m_rn"
+    )
+    n = r3.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    return r3.crossJoin(F.broadcast(n)).select(
         "user_id",
         "recency_us",
         "frequency",
         "monetary_mu",
-        F.ntile(4)
-        .over(Window.orderBy("recency_us", "user_id"))
-        .cast("int")
-        .alias("r_q"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("frequency").desc(), "user_id"))
-        .cast("int")
-        .alias("f_q"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("monetary_mu").desc(), "user_id"))
-        .cast("int")
-        .alias("m_q"),
+        ntile_from_rn(F.col("__r_rn"), F.col("__n"), 4).alias("r_q"),
+        ntile_from_rn(F.col("__f_rn"), F.col("__n"), 4).alias("f_q"),
+        ntile_from_rn(F.col("__m_rn"), F.col("__n"), 4).alias("m_q"),
     )
 
 
@@ -677,9 +690,10 @@ _CONC_GAP_US = 30 * 60 * 1000000  # session gap, matches t6's contract
     "max is the answer. This is the capacity-planning read (peak "
     "simultaneous load) computed in two aggregates + two windows, no "
     "join; 100 TB shape: the per-user sessionize shuffles on user_id "
-    "once, edges reduce to |distinct times| rows, the final sweep runs "
-    "over that bounded table (chunk it by coarse time buckets with "
-    "carry-in offsets if even that outgrows one node).",
+    "once, edges reduce to |distinct times| rows, and the final sweep's "
+    "prefix sum is the range-partitioned two-pass with carry-in offsets "
+    "(operators/ranks.global_running_sum) — no single-partition sort "
+    "even when the edge table outgrows one node.",
 )
 def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
@@ -716,10 +730,15 @@ def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess.select(F.col("end_us").alias("t"), F.lit(-1).cast("bigint").alias("d"))
     )
     agg = deltas.groupBy("t").agg(F.sum("d").alias("dsum"))
-    w_run = Window.orderBy("t").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    from database_synchronize_tool_spark.operators.ranks import (
+        global_running_sum,
     )
-    run = agg.select("t", F.sum("dsum").over(w_run).alias("concurrent"))
+
+    # the sweep's prefix sum via the range-partitioned two-pass — edge
+    # timestamps grow with the data, so this must never single-partition
+    run = global_running_sum(agg, [F.col("t")], "dsum", "concurrent").select(
+        "t", "concurrent"
+    )
     n_sessions = sess.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sessions")
     )

@@ -2681,14 +2681,14 @@ def _bm25_ranked(d: DataFrame, k: int) -> DataFrame:
     agg = scored.groupBy("doc_id").agg(
         F.sum(F.col("s").cast("decimal(28,12)")).cast("double").alias("bm25")
     )
-    from pyspark.sql import Window
+    from database_synchronize_tool_spark.operators.ranks import topk_ranked
 
-    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("doc_id", "bm25", F.col("rank").cast("int").alias("rank"))
-    )
+    # global top-k as TakeOrderedAndProject (per-partition heaps), rank
+    # derived over the ≤k survivors — not a single-partition sort of every
+    # scored document (the r9-verdict scale-killer class).
+    return topk_ranked(
+        agg, k, [F.col("bm25").desc(), F.col("doc_id")]
+    ).select("doc_id", "bm25", F.col("rank").cast("int").alias("rank"))
 
 
 @declared(
@@ -3074,10 +3074,10 @@ def corpus_divergence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact; each CDF point is ONE integer division to double (identical "
     "association both engines), so the max is over bit-identical values. "
     "Scale: the raw table reduces to |distinct lengths| and "
-    "|sources|x|distinct lengths| aggregates first; the global cumulative "
-    "window runs over the TINY aggregated length table (bounded by "
-    "distinct lengths, not rows — the single-partition window is on "
-    "thousands of rows) and the per-source cumulative partitions by "
+    "|sources|x|distinct lengths| aggregates first; the corpus CDF is "
+    "the range-partitioned two-pass prefix sum (operators/ranks."
+    "global_running_sum — no single-partition sort even at ~max_doc_len "
+    "distinct lengths) and the per-source cumulative partitions by "
     "source.",
 )
 def corpus_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3092,10 +3092,18 @@ def corpus_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c_s"))
         .localCheckpoint(eager=False)
     )
+    from database_synchronize_tool_spark.operators.ranks import (
+        global_running_sum,
+    )
+
     g = sc.groupBy("n_chars").agg(F.sum("c_s").alias("c"))
     n = g.agg(F.sum("c").cast("long").alias("n"))
-    wg = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
-    gcum = g.select("n_chars", F.sum("c").over(wg).alias("cum"))
+    # corpus CDF via the range-partitioned prefix sum: distinct lengths
+    # are domain-bounded but can reach ~max_doc_len rows — never worth a
+    # single-partition sort
+    gcum = global_running_sum(g, [F.col("n_chars")], "c", "cum").select(
+        "n_chars", "cum"
+    )
     st = sc.groupBy("source").agg(F.sum("c_s").cast("long").alias("n_s"))
     grid = (
         st.crossJoin(F.broadcast(gcum))
@@ -3391,11 +3399,12 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rrf"),
     )
-    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
-    return (
-        fused.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("doc_id", "r_lex", "r_vec", "rrf", F.col("rank").cast("int").alias("rank"))
+    from database_synchronize_tool_spark.operators.ranks import topk_ranked
+
+    return topk_ranked(
+        fused, 10, [F.col("rrf").desc(), F.col("doc_id")]
+    ).select(
+        "doc_id", "r_lex", "r_vec", "rrf", F.col("rank").cast("int").alias("rank")
     )
 
 
@@ -3561,11 +3570,12 @@ def corpus_bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
-    w = Window.orderBy(F.col("lift").desc(), "w1", "w2")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 25)
-        .select("w1", "w2", "c_xy", "lift", F.col("rank").cast("int").alias("rank"))
+    from database_synchronize_tool_spark.operators.ranks import topk_ranked
+
+    return topk_ranked(
+        scored, 25, [F.col("lift").desc(), F.col("w1"), F.col("w2")]
+    ).select(
+        "w1", "w2", "c_xy", "lift", F.col("rank").cast("int").alias("rank")
     )
 
 

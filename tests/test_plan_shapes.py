@@ -445,3 +445,87 @@ def test_rfm_is_single_scan(spark, sf_dir):
         if l.strip().startswith("(") and ") Scan" in l
     )
     assert n_scans == 1, f"RFM must scan events once, got {n_scans}"
+
+
+# --- global-window sweep (r9 verdict #1) -------------------------------------
+
+# Queries allowed to keep an UNBOUNDED-looking global window: each one's
+# window input is domain-bounded by construction (not data-bounded), and
+# the window is the one-scan-optimal plan (an agg-of-agg + crossJoin would
+# re-scan the base table).
+_GLOBAL_WINDOW_ALLOWLIST = {
+    # cumulative counts over fixed-width histogram BINS: ~205 rows for the
+    # full price domain regardless of data volume (the histogram IS the
+    # bounded summary)
+    "sketch_histogram_quantiles",
+    # corpus watermark over the |event_type|-row aggregate (~5 rows)
+    "source_freshness_report",
+    # revenue share over the 7-row day-of-week aggregate
+    "orders_dow_seasonality",
+    # running total over calendar months (~12 rows/year forever)
+    "orders_customer_adoption",
+}
+
+# Streaming replays execute eagerly on build and are covered by their own
+# batch-equivalence tests.
+_STREAMING_PREFIXES = tuple(f"t{i}_" for i in range(7, 18))
+
+
+def _jchildren(node):
+    out = []
+    it = node.children().iterator()
+    while it.hasNext():
+        out.append(it.next())
+    return out
+
+
+def _subtree_has_limit(node) -> bool:
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if n.nodeName() in ("GlobalLimit", "LocalLimit"):
+            return True
+        stack.extend(_jchildren(n))
+    return False
+
+
+def unbounded_global_windows(df) -> int:
+    """Count Window nodes in the optimized logical plan with an EMPTY
+    partitionSpec whose input is not bounded by a limit below them — the
+    Exchange SinglePartition + full sort scale-killer class."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    n_bad = 0
+    stack = [plan]
+    while stack:
+        n = stack.pop()
+        if (
+            n.nodeName() == "Window"
+            and n.partitionSpec().isEmpty()
+            and not _subtree_has_limit(n)
+        ):
+            n_bad += 1
+        stack.extend(_jchildren(n))
+    return n_bad
+
+
+def test_no_unbounded_global_windows_anywhere(spark, sf_dir):
+    # EVERY declared batch query must be free of single-partition global
+    # sorts (Window with no partitionBy over unbounded input). topk goes
+    # through orderBy().limit(k) + a rank window over the k survivors
+    # (bounded, recognized here); global ranks/prefix sums go through the
+    # range-partitioned two-pass in operators/ranks.py.
+    offenders = {}
+    for name, q in all_queries().items():
+        if name.startswith(_STREAMING_PREFIXES):
+            continue
+        n_bad = unbounded_global_windows(q.builder(spark, sf_dir))
+        if name in _GLOBAL_WINDOW_ALLOWLIST:
+            continue
+        if n_bad:
+            offenders[name] = n_bad
+    assert not offenders, (
+        "unbounded global Window (single-partition sort at scale) in: "
+        f"{offenders} — use operators/ranks.topk_ranked / "
+        "global_row_numbers / global_running_sum, or justify an "
+        "allowlist entry"
+    )

@@ -1,0 +1,88 @@
+"""Sweep every declared batch query's optimized logical plan for GLOBAL
+Window nodes (empty partitionSpec) that are not provably bounded by a
+limit below them — the single-partition-sort scale-killer class from the
+round-9 verdict.
+
+Usage: python tools/scan_global_windows.py [sf_dir] [name ...]
+Prints one line per query: OK / BOUNDED (global window above a limit) /
+GLOBAL (offender), plus a summary.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from database_synchronize_tool_spark.plans.registry import all_queries
+from database_synchronize_tool_spark.session import get_spark
+
+# Streaming replays execute eagerly on build; they are plan-checked by
+# their own batch-equivalence tests instead.
+STREAMING_PREFIXES = ("t7_", "t8_", "t9_", "t10_", "t11_", "t12_", "t13_",
+                      "t14_", "t15_", "t16_", "t17_")
+
+
+def _children(node):
+    out = []
+    ch = node.children()
+    it = ch.iterator()
+    while it.hasNext():
+        out.append(it.next())
+    return out
+
+
+def _subtree_has_limit(node) -> bool:
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if n.nodeName() in ("GlobalLimit", "LocalLimit"):
+            return True
+        stack.extend(_children(n))
+    return False
+
+
+def global_window_report(df) -> list[str]:
+    """Return one tag per global Window node: 'bounded' or 'global'."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    tags: list[str] = []
+    stack = [plan]
+    while stack:
+        n = stack.pop()
+        if n.nodeName() == "Window" and n.partitionSpec().isEmpty():
+            tags.append(
+                "bounded" if _subtree_has_limit(n) else "global"
+            )
+        stack.extend(_children(n))
+    return tags
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("scan_global_windows")
+    bad = []
+    for name, q in all_queries().items():
+        if only and name not in only:
+            continue
+        if name.startswith(STREAMING_PREFIXES):
+            continue
+        try:
+            tags = global_window_report(q.builder(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            print(f"ERR   {name}: {exc}")
+            bad.append(name)
+            continue
+        n_global = tags.count("global")
+        n_bounded = tags.count("bounded")
+        if n_global:
+            print(f"GLOBAL {name}: {n_global} unbounded ({n_bounded} bounded)")
+            bad.append(name)
+        elif n_bounded:
+            print(f"BOUNDED {name}: {n_bounded} limit-bounded global windows")
+    print(f"\n{len(bad)} queries with unbounded global windows: {sorted(bad)}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
