@@ -301,22 +301,31 @@ def minhash_lsh_join(
     sliver of it against the batch.) Corpus signatures should be
     precomputed/stored in practice; here they are derived in the same job
     for a self-contained declared query.
-    """
 
-    def banded(docs: DataFrame, side: str) -> DataFrame:
+    Only (id, band, key) rows pass through the LSH_BANDS-way band explode
+    — carrying the shingle + signature arrays through it would replicate
+    every corpus document's arrays ~LSH_BANDS× through the scan/probe (r9
+    advice, dedup.py:356). Candidate (new, old) pairs are deduped FIRST,
+    then the arrays join back onto the surviving pairs only, the same
+    discipline as :func:`minhash_lsh_pairs`; the corpus signature table
+    is persisted once so the verify pass reuses the featurization scan.
+    """
+    from database_synchronize_tool_spark.caching import scoped_persist
+
+    def sigs_of(docs: DataFrame, side: str) -> DataFrame:
         spread = docs.select(
             F.col(id_col).alias(f"doc_{side}"), F.col(text_col).alias("__text")
         )
         feats = minhash_features(F.col("__text"))
-        sigs = spread.select(
+        return spread.select(
             f"doc_{side}",
             feats["sh"].alias(f"sh_{side}"),
             feats["sig"].alias(f"sig_{side}"),
         )
+
+    def bands_of(sigs: DataFrame, side: str) -> DataFrame:
         return sigs.select(
             f"doc_{side}",
-            f"sh_{side}",
-            f"sig_{side}",
             F.explode(
                 F.array(*[
                     F.struct(
@@ -336,14 +345,18 @@ def minhash_lsh_join(
             ).alias("bk"),
         ).select(
             f"doc_{side}",
-            f"sh_{side}",
-            f"sig_{side}",
             F.col("bk.band").alias("band"),
             F.col("bk.key").alias("key"),
         )
 
-    nb = banded(new_docs, "new")
-    cb = banded(corpus, "old")
+    sigs_new = sigs_of(new_docs, "new")
+    sigs_old = scoped_persist(sigs_of(corpus, "old"))
+    cand = (
+        bands_of(sigs_old, "old")
+        .join(F.broadcast(bands_of(sigs_new, "new")), ["band", "key"])
+        .select("doc_new", "doc_old")
+        .dropDuplicates(["doc_new", "doc_old"])
+    )
     agree = F.aggregate(
         F.zip_with(
             F.col("sig_new"), F.col("sig_old"),
@@ -352,14 +365,18 @@ def minhash_lsh_join(
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    cand = (
-        cb.join(F.broadcast(nb), ["band", "key"])
+    # survivors broadcast into the corpus signature table: the corpus side
+    # never shuffles, and each pair evaluates agreement/Jaccard exactly once
+    return (
+        sigs_old.join(
+            F.broadcast(cand.join(F.broadcast(sigs_new), "doc_new")),
+            "doc_old",
+        )
         .filter(agree >= MIN_SIG_MATCHES)
         .withColumn("jacc", jaccard(F.col("sh_new"), F.col("sh_old")))
         .filter(F.col("jacc") >= threshold)
         .select("doc_new", "doc_old", "jacc")
     )
-    return cand.dropDuplicates(["doc_new", "doc_old"])
 
 
 SIMHASH_BITS = 32

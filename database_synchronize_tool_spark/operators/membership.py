@@ -99,6 +99,12 @@ def cms_point_estimate(
     est(x) = min over rows r of sketch[r][h_r(x)]. Guarantees est >= true
     count (counters only ever overcount). The sketch side is bounded
     (depth×width) so the lookup join always broadcasts.
+
+    The sketch is LEFT-joined with empty buckets counting as 0 (r9
+    advice, membership.py:110): the sketch table only stores hit
+    counters, so an inner join would drop a probe whose buckets are all
+    empty and inflate the min() for one with some empty buckets — a true
+    CMS returns 0 for an unseen value.
     """
     pb = probes.withColumn(
         "__b",
@@ -107,9 +113,9 @@ def cms_point_estimate(
         ),
     ).select(*probes.columns, F.posexplode("__b").alias("r", "bucket"))
     return (
-        pb.join(F.broadcast(sketch), ["r", "bucket"])
+        pb.join(F.broadcast(sketch), ["r", "bucket"], "left")
         .groupBy(*probes.columns)
-        .agg(F.min("cnt").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
 
 
@@ -180,11 +186,22 @@ def bloom_probe(
     positives at the classic (1-e^{-kn/m})^k rate). The filter table is
     bounded, so the probe join is always a broadcast; the per-probe
     explode/agg stays inside one shuffle keyed by the probe row.
+
+    Probe rows are tagged with a unique id before the k-way bit explode
+    and regrouped on that id, so DUPLICATE probe rows each come back with
+    the correct verdict — grouping on the probe columns alone would
+    collapse duplicates into one group whose hit-sum exceeds k, minting a
+    false negative (r9 advice, membership.py:206) and silently changing
+    the output cardinality.
     """
     bits = F.array(
         *[seeded_bucket(F.col(col), f"bf{j}", m_bits) for j in range(k)]
     )
-    pb = probes.select(*probes.columns, F.explode(bits).alias("bit")).select(
+    tagged = probes.withColumn("__probe_id", F.monotonically_increasing_id())
+    pb = tagged.select(
+        "__probe_id", *probes.columns, F.explode(bits).alias("bit")
+    ).select(
+        "__probe_id",
         *probes.columns,
         (F.col("bit") / BLOOM_WORD_BITS).cast("bigint").alias("word"),
         F.expr(
@@ -195,7 +212,7 @@ def bloom_probe(
     hit = (
         F.coalesce(F.col("filter_mask"), F.lit(0)).bitwiseAND(F.col("mask"))
         != 0
-    ).cast("int")
+    )
     return (
         pb.join(
             F.broadcast(bloom.withColumnRenamed("mask", "filter_mask")),
@@ -203,8 +220,9 @@ def bloom_probe(
             "left",
         )
         .withColumn("__hit", hit)
-        .groupBy(*probes.columns)
-        .agg((F.sum("__hit") == k).alias("bloom_hit"))
+        .groupBy("__probe_id", *probes.columns)
+        .agg(F.min("__hit").alias("bloom_hit"))
+        .drop("__probe_id")
     )
 
 
@@ -252,9 +270,11 @@ def hll_registers(
 def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
     """Raw-HLL harmonic estimate per group from a register table.
 
-    Empty registers count as rho=0 (term 2^W): the register table only has
-    rows for HIT registers, so the sum adds (256 - hit_count) * 2^W for
-    the missing ones — algebraically identical to left-joining a full
+    Empty registers count as rho=0, contributing term 2^(W+1) each under
+    the 2^(W+1) scaling (per-register terms are 2^(W+1-rho)): the register
+    table only has rows for HIT registers, so the sum adds
+    (256 - hit_count) * 2^(W+1) for the missing ones — algebraically
+    identical to left-joining a full
     0..255 register spine, without materializing it. The final estimate is
     ONE double division of an integer-exact sum, so it hash-matches the
     SQL oracle bit-for-bit.

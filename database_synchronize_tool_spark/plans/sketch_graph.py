@@ -52,8 +52,9 @@ _CMS_DEPTH, _CMS_WIDTH = 4, 512
                % {_CMS_WIDTH} AS bucket
       FROM exact CROSS JOIN range({_CMS_DEPTH}) t(r)
     )
-    SELECT pb.k AS l_partkey, pb.exact_cnt, MIN(s.cnt) AS cms_est
-    FROM pb JOIN sketch s ON s.r = pb.r AND s.bucket = pb.bucket
+    SELECT pb.k AS l_partkey, pb.exact_cnt,
+           MIN(coalesce(s.cnt, 0)) AS cms_est
+    FROM pb LEFT JOIN sketch s ON s.r = pb.r AND s.bucket = pb.bucket
     GROUP BY pb.k, pb.exact_cnt
     """,
     doc=f"Count-min sketch ({_CMS_DEPTH}x{_CMS_WIDTH}, md5-seeded hash "

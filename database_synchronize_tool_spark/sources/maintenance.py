@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 import shutil
 import uuid
 from dataclasses import dataclass
@@ -119,8 +120,12 @@ def compact_parquet_dir(
 
 # Artifacts a crashed maintenance/write run can leave behind (and that no
 # reader ever references): the compaction temp/old swap directories above,
-# and Spark's own in-flight staging dirs.
-_VACUUM_PATTERNS = ("__compact_", "__old_")
+# and Spark's own in-flight staging dirs. The match is anchored to the
+# EXACT generated-name shape — pattern + 8-hex uuid suffix at end of name
+# (r9 advice, maintenance.py:169): a bare substring test would rmtree a
+# legitimate data directory or partition value that merely contains
+# "__old_" (e.g. cell=x__old_v2).
+_VACUUM_RE = re.compile(r"(__compact_|__old_)[0-9a-f]{8}$")
 _VACUUM_DIRNAMES = ("_temporary",)
 
 
@@ -166,9 +171,7 @@ def plan_vacuum(
     for dirpath, dirnames, _filenames in os.walk(root):
         for d in list(dirnames):
             full = os.path.join(dirpath, d)
-            stale = any(p in d for p in _VACUUM_PATTERNS) or (
-                d in _VACUUM_DIRNAMES
-            )
+            stale = bool(_VACUUM_RE.search(d)) or d in _VACUUM_DIRNAMES
             if not stale:
                 continue
             try:

@@ -90,11 +90,19 @@ def test_vacuum_plan_and_execute(tmp_path):
         os.makedirs(os.path.join(root, d))
         with open(os.path.join(root, d, "junk"), "wb") as f:
             f.write(b"y" * 50)
+    # near-miss data dirs that merely CONTAIN the patterns (r9 advice):
+    # no 8-hex uuid suffix at end of name — must never be candidates
+    for d in ("cell=x__old_v2", "data__compact_notes", "lang__old_deadbee"):
+        os.makedirs(os.path.join(root, d))
+        with open(os.path.join(root, d, "keep.parquet"), "wb") as f:
+            f.write(b"z" * 10)
     now = time.time() + 48 * 3600  # pretend two days passed
     plan = plan_vacuum(root, min_age_s=24 * 3600.0, _now=now)
     assert len(plan.targets) == 3
     assert plan.reclaimable_bytes == 150
     assert all("lang=en" not in p for p in plan.targets)
+    assert all("__old_v2" not in p for p in plan.targets)
+    assert all("notes" not in p for p in plan.targets)
     # retention gate: with _now = now the artifacts are "old"; with real
     # now they are fresh and must survive (a live writer's temp dir)
     fresh = plan_vacuum(root, min_age_s=24 * 3600.0)

@@ -43,6 +43,34 @@ def test_cms_sketch_is_bounded(spark):
     assert sketch.count() <= 4 * 32
 
 
+def test_cms_unseen_probe_estimates_zero_and_survives(spark):
+    # a probe whose buckets are all empty must come back with est 0, not
+    # vanish from the output (r9 advice: the inner join dropped it)
+    items = spark.createDataFrame([("a",)] * 5, "k string")
+    sketch = cms_build(items, "k", depth=4, width=64)
+    probes = spark.createDataFrame([("a",), ("never-seen",)], "k string")
+    est = {
+        r["k"]: r["cms_est"]
+        for r in cms_point_estimate(sketch, probes, "k", 4, 64).collect()
+    }
+    assert est == {"a": 5, "never-seen": 0}
+
+
+def test_bloom_duplicate_probe_rows_each_get_a_verdict(spark):
+    # duplicate probe rows must NOT collapse into one group whose hit-sum
+    # exceeds k (r9 advice: that minted a false negative for duplicates)
+    members = spark.createDataFrame([("m",)], "key string")
+    bloom = bloom_build(members, "key")
+    probes = spark.createDataFrame(
+        [("m",), ("m",), ("absent",)], "key string"
+    )
+    rows = bloom_probe(bloom, probes, "key").collect()
+    assert len(rows) == 3, "duplicates must survive with their own verdict"
+    verdicts = sorted((r["key"], r["bloom_hit"]) for r in rows)
+    assert verdicts[:2] == [("absent", False), ("m", True)]
+    assert verdicts[2] == ("m", True), "a duplicated member row flagged false"
+
+
 def test_bloom_no_false_negatives(spark):
     members = spark.createDataFrame(
         [(f"member-{i}",) for i in range(200)], "key string"

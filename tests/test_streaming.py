@@ -452,3 +452,49 @@ def test_stream_twa_bit_identical_to_batch(spark, sf_dir):
         for r in ts_time_weighted_avg(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_multibatch_replay_keeps_null_ts_rows(spark, tmp_path):
+    """The replay reader must deliver NULL-ts rows (chunk 0 takes them
+    explicitly): every range predicate is NULL for a NULL timestamp, so
+    without the explicit isNull branch the row would vanish from ALL
+    chunks and the replay would silently diverge from the batch reader
+    (r9 advice, streaming/events.py)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_synchronize_tool_spark.streaming.events import (
+        read_events_stream_multibatch,
+    )
+
+    sf = tmp_path / "nullts_sf"
+    sf.mkdir()
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array(
+                [
+                    dt.datetime(2024, 1, 1, 1),
+                    dt.datetime(2024, 1, 2, 2),
+                    None,  # the row a naive range split drops
+                    dt.datetime(2024, 1, 3, 3),
+                    dt.datetime(2024, 1, 4, 4),
+                ],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "event_type": pa.array(
+                ["view", "click", "ghost", "view", "purchase"], pa.string()
+            ),
+            "value": pa.array([1.0, 2.0, None, 3.0, 4.0], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(sf / "events.parquet"))
+    stream = read_events_stream_multibatch(spark, str(sf), n_chunks=3)
+    run_to_memory(stream, "nullts_replay_tbl", output_mode="append")
+    replayed = spark.sql(
+        "SELECT event_id FROM nullts_replay_tbl ORDER BY event_id"
+    ).collect()
+    assert [r["event_id"] for r in replayed] == [1, 2, 3, 4, 5]
