@@ -185,80 +185,46 @@ def _load_all() -> None:
 # (no name filter = all queries). A rotation is only committed after that
 # sweep reports 0 FAIL; the sweep output is the local evidence for the
 # rotated-out set.
+# Round-10 window: changed code leads (fresh driver evidence) — the 11
+# global-window rewrites (r9 verdict #1: every single-partition
+# Window.orderBy replaced by TakeOrderedAndProject top-k or the
+# range-partitioned two-pass in operators/ranks.py; hashes unchanged,
+# re-proven at both SFs locally) plus the three queries over the r10
+# advice fixes (cms left-join-0 semantics on BOTH engines, bloom probe
+# row-id grouping, minhash_lsh_join id-only banding). Then the 8
+# remaining never-driver-attested closing-r9 additions (r9 verdict #2 —
+# corpus_bigram_lift_topk and stats_lorenz_top_share are already in the
+# changed-code lead), completing cumulative driver attestation at
+# 225/225 oracle-checkable. The rest of the window drains the queue
+# head: the sync-ops re-verify cohort displaced in r9 (s1-s7/p2-p4/
+# a1-a2/j1-j6/f1-f5).
 _WINDOW: tuple[str, ...] = (
-    # --- changed in round 9: fresh driver evidence required ---
-    "embedding_matryoshka_truncate",
-    "dedup_minhash_lsh",
-    "dedup_containment_banded",
-    "dedup_containment_prefix",
-    "dedup_simhash",
-    "dedup_simhash_banded",
-    "agg_argmax_showcase",
-    # --- NEW in round 9 (never driver-attested -> outrank re-verify) ---
+    # --- changed in round 10: fresh driver evidence required ---
+    "text_bm25_topk",
+    "search_hybrid_rrf",
+    "corpus_bigram_lift_topk",
+    "stats_calibration_bins",
+    "stats_gini_concentration",
+    "stats_lorenz_top_share",
+    "events_rfm_scores",
+    "layout_zonemap_pruning",
+    "events_session_concurrency",
+    "corpus_drift_ks",
+    "window_cume_dist_percent_rank",
     "sketch_cms_part_freq",
     "sketch_bloom_decontam",
-    "sketch_hll_distinct_orders",
-    "graph_triangle_parts",
-    "graph_pagerank_parts",
-    "link_fuzzy_noisy_docs",
-    "pareto_order_frontier",
     "dedup_minhash_incremental",
-    "multimodal_payload_ahash_pairs",
-    "sketch_hll_register_merge",
-    "t13_stream_heavy_hitters",
-    # --- NEW in round 9, second wave (plans/approx.py): displace the tail
-    # of the re-verify cohort (o1/t1/emb-int8/simhash64 -> queue head) ---
-    "sample_weighted_reservoir",
-    "sketch_histogram_quantiles",
-    "layout_zonemap_pruning",
-    "stats_join_cardinality_estimate",
-    "j12_delta_join_maintenance",
-    "sample_weighted_stratified",
-    "layout_bloom_skipping",
-    "t14_stream_hll_distinct",
-    "embedding_covariance_stats",
-    "stats_ab_test_proportions",
-    "t15_stream_weighted_sample",
-    # --- NEW in round 9, third wave (rank stats / profile / HLL algebra /
-    # ANN recall): displace j1/j2/j3x2/j4 -> queue head ---
-    "stats_spearman_rank",
-    "stats_auc_mannwhitney",
-    "profile_column_stats",
-    "sketch_hll_intersection",
-    "ann_lsh_recall_at_k",
-    "j13_point_in_time_join",
-    "t16_stream_scd2",
-    "embedding_zscore_whiten",
-    "text_inverted_index",
-    "stats_weighted_median",
-    "ts_time_weighted_avg",
-    "stats_cusum_changepoint",
-    "t17_stream_time_weighted_avg",
-    "source_freshness_report",
-    "search_hybrid_rrf",
-    "stats_calibration_bins",
-    "events_rfm_scores",
-    "j14_time_travel_snapshot",
-    "ann_multiprobe_recall_at_k",
-    "stats_gini_concentration",
-    "events_session_concurrency",
-)
-
-_QUEUE: tuple[str, ...] = (
-    # round-10 window candidates first: the closing-r9 additions that did
-    # not fit the 50 slots, then the displaced re-verify cohort
-    "corpus_bigram_lift_topk",
-    "events_dau_wau_stickiness",
-    "stats_lorenz_top_share",
+    # --- never driver-attested (closing-r9 additions; sweep-green) ---
     "dedup_minhash_estimate_error",
-    "events_rate_spike_zscore",
-    "orders_dow_seasonality",
-    "orders_customer_adoption",
-    "multimodal_payload_dedup_rate",
     "events_behavior_diversity",
+    "events_dau_wau_stickiness",
+    "events_rate_spike_zscore",
     "lineitem_revenue_waterfall",
+    "multimodal_payload_dedup_rate",
+    "orders_customer_adoption",
+    "orders_dow_seasonality",
+    # --- re-verify cohort: queue head (displaced in r9, stalest first) ---
     "agg_approx_percentile",
-    # r9-displaced by the third-wave rank-stats/profile/recall queries:
     "j7_sync_diff_audit",
     "catalog_live_columns_sql",
     "s7_file_listing_distributed",
@@ -279,7 +245,6 @@ _QUEUE: tuple[str, ...] = (
     "j3_merge_upsert",
     "j3_merge_full_outer",
     "j4_dedup_full_row",
-    # r9-displaced by the second-wave approx/stats queries:
     "j5_asof_join",
     "j6_range_join_value_bands",
     "f1_null_to_empty_array",
@@ -287,6 +252,11 @@ _QUEUE: tuple[str, ...] = (
     "f3_json_repair",
     "f4_int_coercion_compat",
     "f5_string_normalize_compat",
+)
+
+_QUEUE: tuple[str, ...] = (
+    # head = next re-verify cohort for round 11 (r9-displaced remainder,
+    # then the r5 remainder), after whatever round-11 changes lead
     "o1_sort_limit_topk",
     "t1_incremental_replay",
     "embedding_quantize_int8",
@@ -335,7 +305,6 @@ _QUEUE: tuple[str, ...] = (
     "q17_small_quantity_revenue",
     "q18_large_orders",
     "q22_global_sales_opportunity",
-    "window_cume_dist_percent_rank",
     "grouping_sets_events",
     "window_first_last_nth",
     "q8_market_share",
@@ -386,7 +355,6 @@ _QUEUE: tuple[str, ...] = (
     "t10_stream_session_window",
     # --- freshest greens: driver-attested round 8 (CORRECTNESS_r08) ---
     "text_heavy_hitters",
-    "text_bm25_topk",
     "corpus_bigram_avg_prob",
     "layout_zorder_stats",
     "ann_hamming_binary_topk",
@@ -409,7 +377,6 @@ _QUEUE: tuple[str, ...] = (
     "events_attribution_last_touch",
     "events_debounce",
     "j11_referential_integrity_audit",
-    "corpus_drift_ks",
     "skew_key_diagnostics",
     "ann_pq_adc_topk",
     "ann_ivf_pq_topk",
@@ -429,6 +396,49 @@ _QUEUE: tuple[str, ...] = (
     "corpus_quality_report",
     "q1_pricing_summary",
     "q3_shipping_priority",
+    # --- freshest greens: driver-attested round 9 (CORRECTNESS_r09),
+    # rotated out of the r10 window ---
+    "embedding_matryoshka_truncate",
+    "dedup_minhash_lsh",
+    "dedup_containment_banded",
+    "dedup_containment_prefix",
+    "dedup_simhash",
+    "dedup_simhash_banded",
+    "agg_argmax_showcase",
+    "sketch_hll_distinct_orders",
+    "graph_triangle_parts",
+    "graph_pagerank_parts",
+    "link_fuzzy_noisy_docs",
+    "pareto_order_frontier",
+    "multimodal_payload_ahash_pairs",
+    "sketch_hll_register_merge",
+    "t13_stream_heavy_hitters",
+    "sample_weighted_reservoir",
+    "sketch_histogram_quantiles",
+    "stats_join_cardinality_estimate",
+    "j12_delta_join_maintenance",
+    "sample_weighted_stratified",
+    "layout_bloom_skipping",
+    "t14_stream_hll_distinct",
+    "embedding_covariance_stats",
+    "stats_ab_test_proportions",
+    "t15_stream_weighted_sample",
+    "stats_spearman_rank",
+    "stats_auc_mannwhitney",
+    "profile_column_stats",
+    "sketch_hll_intersection",
+    "ann_lsh_recall_at_k",
+    "j13_point_in_time_join",
+    "t16_stream_scd2",
+    "embedding_zscore_whiten",
+    "text_inverted_index",
+    "stats_weighted_median",
+    "ts_time_weighted_avg",
+    "stats_cusum_changepoint",
+    "t17_stream_time_weighted_avg",
+    "source_freshness_report",
+    "j14_time_travel_snapshot",
+    "ann_multiprobe_recall_at_k",
     # --- permanently rows-only (k-means training ∉ SQL): kept OUT of the
     # 50-slot window forever — the driver can only report err:no_oracle for
     # them; their rows-run is attested by the full local sweep each round
