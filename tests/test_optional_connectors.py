@@ -165,16 +165,21 @@ def test_delta_sink_j4_fullrow_dedup_semantics(spark, tmp_path):  # pragma: no c
 
 # --- Live Postgres E2E ---------------------------------------------------
 
+# The no-DSN local path (ephemeral server + the repo's pure-Python wire
+# client) is covered unconditionally by tests/test_pg_live_e2e.py; this
+# test exercises an EXTERNAL server when a DSN is provided, preferring a
+# real driver and falling back to sources/pgwire.py.
 PG_DSN = os.environ.get("SPARK_GRAFT_PG_DSN", "")
 _pg_driver = next(
-    (m for m in ("psycopg2", "pg8000") if importlib.util.find_spec(m)), None
+    (m for m in ("psycopg2", "pg8000") if importlib.util.find_spec(m)),
+    "pgwire",
 )
 
 
 @pytest.mark.skipif(
-    not (PG_DSN and _pg_driver),
-    reason="set SPARK_GRAFT_PG_DSN and install psycopg2/pg8000 for the "
-    "live-Postgres E2E (the reference's production path)",
+    not PG_DSN,
+    reason="set SPARK_GRAFT_PG_DSN for the external-server live-Postgres "
+    "E2E (the local-server path runs in test_pg_live_e2e.py)",
 )
 def test_postgres_live_upsert_roundtrip(spark):  # pragma: no cover
     """The reference's actual production shape (sync_utils.py:239-287):
@@ -182,14 +187,17 @@ def test_postgres_live_upsert_roundtrip(spark):  # pragma: no cover
     idempotent on replay."""
     import importlib as _il
 
-    drv = _il.import_module(_pg_driver)
-
     def connect():
         if _pg_driver == "psycopg2":
-            return drv.connect(PG_DSN)
+            return _il.import_module(_pg_driver).connect(PG_DSN)
+        if _pg_driver == "pgwire":
+            from database_synchronize_tool_spark.sources import pgwire
+
+            return pgwire.connect_dsn(PG_DSN)
         # pg8000 wants keyword args: postgresql://user:pw@host:port/db
         from urllib.parse import urlparse
 
+        drv = _il.import_module(_pg_driver)
         u = urlparse(PG_DSN)
         return drv.dbapi.connect(
             user=u.username,
