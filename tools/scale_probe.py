@@ -94,6 +94,28 @@ PROBE_REL = (
     "profile_column_stats",
 )
 
+# round-10 probe wave: (a) the r9-verdict gaps — priority sampling, zone
+# maps / data skipping, HLL register merge; (b) every query whose global
+# window was rewritten to the range-partitioned two-pass this round — the
+# probe verifies the two-pass actually scales (the point of the rewrite).
+PROBE_R10 = (
+    "sample_weighted_reservoir",
+    "sample_weighted_stratified",
+    "layout_zonemap_pruning",
+    "layout_bloom_skipping",
+    "sketch_hll_register_merge",
+    "sketch_hll_distinct_orders",
+    "stats_calibration_bins",
+    "stats_gini_concentration",
+    "stats_lorenz_top_share",
+    "events_session_concurrency",
+    "corpus_drift_ks",
+    "window_cume_dist_percent_rank",
+    "text_bm25_topk",
+    "corpus_bigram_lift_topk",
+    "search_hybrid_rrf",
+)
+
 
 def _cipher_table(replica: int) -> dict[int, str]:
     """Per-replica letter bijection; replica 0 = identity."""
@@ -179,6 +201,7 @@ def generate(force: bool = False) -> None:
 # measures. Timestamps are NOT shifted: more data in the same time span
 # is the realistic firehose model (and keeps CUSUM/TWA spans honest).
 _REL_OFFSETS = {
+    "supplier": ("s_suppkey",),
     "orders": ("o_orderkey", "o_custkey"),
     "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
     "events": ("event_id", "user_id"),
@@ -188,7 +211,7 @@ _REL_OFFSETS = {
 def generate_relational(force: bool = False) -> None:
     import pandas as pd
 
-    done = os.path.join(DST, "_GENERATED_REL")
+    done = os.path.join(DST, "_GENERATED_REL_V2")
     if os.path.exists(done) and not force:
         return
     for t, keycols in _REL_OFFSETS.items():
@@ -276,9 +299,10 @@ def main() -> None:
     }
     result: dict[str, dict[str, float]] = {}
     for sf_name, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
-        for t in ("documents", "embeddings", "orders", "lineitem", "events"):
+        for t in ("documents", "embeddings", "orders", "lineitem", "events",
+                  "supplier"):
             load_table(spark, sf_dir, t).cache().count()
-        for name in PROBE + PROBE_REL + tuple(extra):
+        for name in PROBE + PROBE_REL + PROBE_R10 + tuple(extra):
             if only is not None and name not in only:
                 continue
             builder = extra[name] if name in extra else qs[name].builder
