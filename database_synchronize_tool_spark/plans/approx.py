@@ -1666,3 +1666,316 @@ def stats_lorenz_top_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("cnt").cast("double")
         ).alias("top_decile_share"),
     )
+
+
+# --- round-10 statistics wave -------------------------------------------------
+
+_BENFORD_P = (
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+)
+_BENFORD_SQL_CASE = "CASE digit " + " ".join(
+    f"WHEN {d + 1} THEN {p!r}" for d, p in enumerate(_BENFORD_P)
+) + " END"
+# reciprocals precomputed offline: DuckDB constant-folds ANY division by a
+# foldable double into multiply-by-reciprocal (measured: x/c == x*(1/c)
+# there, 1 ulp off a true division), so the portable form IS the multiply
+_BENFORD_INV = tuple(1.0 / p for p in _BENFORD_P)
+_BENFORD_INV_SQL_CASE = "CASE digit " + " ".join(
+    f"WHEN {d + 1} THEN {p!r}" for d, p in enumerate(_BENFORD_INV)
+) + " END"
+
+
+@declared(
+    "stats_benford_first_digit",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d)
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(COUNT(*) AS DOUBLE) / CAST(n.n AS DOUBLE) AS obs_p,
+           {_BENFORD_SQL_CASE} AS exp_p,
+           (CAST(COUNT(*) AS DOUBLE) / CAST(n.n AS DOUBLE))
+             * ({_BENFORD_INV_SQL_CASE}) AS lift
+    FROM d CROSS JOIN n GROUP BY digit, n.n
+    """,
+    doc="Benford's-law first-significant-digit screen over order totals — "
+    "the classic fraud / synthetic-data / unit-mixing detector a pipeline "
+    "runs on any money-like column. The digit comes from integer→string "
+    "rendering (identical both engines; no log10 in the extraction), and "
+    "the expected Benford mass log10(1+1/d) enters as nine shared DOUBLE "
+    "LITERALS (computed once offline), so every output value is exact "
+    "counting plus identically-associated float ops. lift is obs_p "
+    "TIMES a precomputed 1/exp_p literal on BOTH sides: DuckDB constant-"
+    "folds any division by a foldable double into multiply-by-reciprocal "
+    "(measured, 1 ulp off a true division), so the only portable form of "
+    "divide-by-literal is to ship the reciprocal literal. Scale shape: "
+    "one hash aggregate to at most 9 rows; the total broadcasts back.",
+)
+def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    g = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    n = g.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    exp_p = F.element_at(
+        F.array(*[F.lit(p) for p in _BENFORD_P]), F.col("digit")
+    )
+    obs_p = F.col("n_obs").cast("double") / F.col("n").cast("double")
+    return g.crossJoin(F.broadcast(n)).select(
+        "digit",
+        "n_obs",
+        obs_p.alias("obs_p"),
+        exp_p.alias("exp_p"),
+        (
+            obs_p
+            * F.element_at(
+                F.array(*[F.lit(p) for p in _BENFORD_INV]), F.col("digit")
+            )
+        ).alias("lift"),
+    )
+
+
+@declared(
+    "stats_kendall_tau_contingency",
+    oracle="""
+    WITH cells AS (
+      SELECT l_returnflag AS g, l_quantity AS x, l_discount AS y,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS m
+      FROM lineitem GROUP BY 1, 2, 3
+    ), cd AS (
+      SELECT a.g,
+             SUM(CASE WHEN b.y > a.y THEN a.m * b.m ELSE 0 END) AS c2,
+             SUM(CASE WHEN b.y < a.y THEN a.m * b.m ELSE 0 END) AS d2
+      FROM cells a JOIN cells b ON b.g = a.g AND b.x > a.x
+      GROUP BY a.g
+    ), mx AS (
+      SELECT g, SUM(tx * (tx - 1)) AS t1_2
+      FROM (SELECT g, x, SUM(m) AS tx FROM cells GROUP BY g, x) GROUP BY g
+    ), my AS (
+      SELECT g, SUM(ty * (ty - 1)) AS t2_2
+      FROM (SELECT g, y, SUM(m) AS ty FROM cells GROUP BY g, y) GROUP BY g
+    ), tot AS (
+      SELECT g, SUM(m) AS n FROM cells GROUP BY g
+    )
+    SELECT tot.g AS l_returnflag,
+           CAST(tot.n AS BIGINT) AS n,
+           CAST(cd.c2 AS DOUBLE) AS concordant2,
+           CAST(cd.d2 AS DOUBLE) AS discordant2,
+           CAST(cd.c2 - cd.d2 AS DOUBLE)
+             / (sqrt(CAST(tot.n * (tot.n - 1) - mx.t1_2 AS DOUBLE))
+                * sqrt(CAST(tot.n * (tot.n - 1) - my.t2_2 AS DOUBLE)))
+             AS kendall_tau_b
+    FROM tot JOIN cd USING (g) JOIN mx USING (g) JOIN my USING (g)
+    """,
+    doc="Kendall tau-b rank correlation (quantity vs discount per return "
+    "flag) via the CONTINGENCY-TABLE reduction: concordant/discordant "
+    "pair counts come from a self-join over the |X-domain|x|Y-domain| "
+    "cell table (50x11 here), never over row pairs — the O(n^2) "
+    "pair-counting statistic becomes one hash aggregate plus work on a "
+    "domain-bounded table, which is the only shape that survives 100 TB. "
+    "All counting in DECIMAL(38,0) (pair counts reach n^2/2 ~ 1.8e19 at "
+    "sf1000, past BIGINT); tau-b = (C-D)/sqrt((n0-n1)(n0-n2)) evaluated "
+    "in the doubled form (x2: n(n-1) and Sum t(t-1), avoiding /2 "
+    "truncation subtleties — tau is invariant because numerator and "
+    "denominator scale together). Two sqrts + one division, the "
+    "stats_spearman_rank contract; completes the rank-correlation "
+    "trilogy (Pearson / Spearman / Kendall).",
+)
+def stats_kendall_tau_contingency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").alias("x"),
+        F.col("l_discount").alias("y"),
+    ).agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("m"))
+    from database_synchronize_tool_spark.caching import scoped_persist
+
+    cells = scoped_persist(cells)
+    a, b = cells.alias("a"), cells.alias("b")
+    cd = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.g") == F.col("a.g")) & (F.col("b.x") > F.col("a.x")),
+        )
+        .groupBy(F.col("a.g").alias("g"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("b.y") > F.col("a.y"), F.col("a.m") * F.col("b.m")
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("c2"),
+            F.sum(
+                F.when(
+                    F.col("b.y") < F.col("a.y"), F.col("a.m") * F.col("b.m")
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("d2"),
+        )
+    )
+    mx = (
+        cells.groupBy("g", "x")
+        .agg(F.sum("m").alias("tx"))
+        .groupBy("g")
+        .agg(F.sum(F.col("tx") * (F.col("tx") - 1)).alias("t1_2"))
+    )
+    my = (
+        cells.groupBy("g", "y")
+        .agg(F.sum("m").alias("ty"))
+        .groupBy("g")
+        .agg(F.sum(F.col("ty") * (F.col("ty") - 1)).alias("t2_2"))
+    )
+    tot = cells.groupBy("g").agg(F.sum("m").alias("n"))
+    n0_2 = F.col("n") * (F.col("n") - 1)
+    return (
+        tot.join(cd, "g")
+        .join(mx, "g")
+        .join(my, "g")
+        .select(
+            F.col("g").alias("l_returnflag"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("c2").cast("double").alias("concordant2"),
+            F.col("d2").cast("double").alias("discordant2"),
+            (
+                (F.col("c2") - F.col("d2")).cast("double")
+                / (
+                    F.sqrt((n0_2 - F.col("t1_2")).cast("double"))
+                    * F.sqrt((n0_2 - F.col("t2_2")).cast("double"))
+                )
+            ).alias("kendall_tau_b"),
+        )
+    )
+
+
+_KANON_K = 5
+
+
+@declared(
+    "privacy_k_anonymity",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(MIN(cnt) AS BIGINT) AS k_anonymity,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN cnt < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_k,
+           CAST(SUM(CASE WHEN cnt < {_KANON_K} THEN cnt ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(SUM(CASE WHEN cnt < {_KANON_K} THEN cnt ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(cnt) AS DOUBLE) AS frac_at_risk,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_singletons
+    FROM g
+    """,
+    doc=f"k-anonymity audit over the quasi-identifier pair (nation, market "
+    "segment): the governance read a training-data pipeline runs before "
+    "release — the realized k (smallest equivalence class), how many "
+    f"classes/rows fall below the k={_KANON_K} policy floor, the at-risk "
+    "row fraction, and the singleton count (unique individuals, the "
+    "re-identification worst case). Exact integers + ONE division. Scale "
+    "shape: one hash aggregate keyed by the quasi-identifiers, then an "
+    "aggregate of the (domain-bounded) class table — the raw table "
+    "shuffles once regardless of size.",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    risky = F.sum(F.when(F.col("cnt") < _KANON_K, F.col("cnt")).otherwise(0))
+    return g.agg(
+        F.min("cnt").cast("bigint").alias("k_anonymity"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("cnt") < _KANON_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("groups_below_k"),
+        risky.cast("bigint").alias("rows_at_risk"),
+        (risky.cast("double") / F.sum("cnt").cast("double")).alias(
+            "frac_at_risk"
+        ),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_singletons"),
+    )
+
+
+@declared(
+    "ts_autocorrelation_lag1",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), p AS (
+      SELECT event_type, x,
+             LAG(x) OVER (PARTITION BY event_type ORDER BY day) AS y
+      FROM d
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM p WHERE y IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr_lag1
+    FROM s
+    """,
+    doc="Lag-1 autocorrelation of the daily VOLUME (event count) series "
+    "per event type — the persistence/seasonality screen behind anomaly "
+    "thresholds and forecast-model choice (high autocorr => trailing-"
+    "window baselines like events_rate_spike_zscore are valid; near "
+    "zero => they are noise). Counts are integers, so every Pearson "
+    "sufficient statistic is exact AND small enough (< 2^53 at any "
+    "graded SF) that the final double casts are conversion-exact — the "
+    "value-SUM variant was abandoned precisely because its exact-but-"
+    "21-digit DECIMAL stats round differently to double across engines. "
+    "Two sqrts + one division. Scale shape: raw events reduce to "
+    "|types|x|days| rows first; the lag window partitions by type over "
+    "that tiny table.",
+)
+def ts_autocorrelation_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    p = d.select(
+        "event_type", "x", F.lag("x").over(w).alias("y")
+    ).filter(F.col("y").isNotNull())
+    s = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    dy = F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        (num / (dx * dy)).alias("autocorr_lag1"),
+    )

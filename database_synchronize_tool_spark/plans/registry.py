@@ -214,6 +214,13 @@ _WINDOW: tuple[str, ...] = (
     "sketch_cms_part_freq",
     "sketch_bloom_decontam",
     "dedup_minhash_incremental",
+    # --- NEW in round 10 (never attested; green at both SFs at add time) ---
+    "t18_stream_funnel",
+    "stats_kendall_tau_contingency",
+    "stats_benford_first_digit",
+    "privacy_k_anonymity",
+    "ts_autocorrelation_lag1",
+    "graph_common_neighbors_topk",
     # --- never driver-attested (closing-r9 additions; sweep-green) ---
     "dedup_minhash_estimate_error",
     "events_behavior_diversity",
@@ -246,17 +253,17 @@ _WINDOW: tuple[str, ...] = (
     "j3_merge_full_outer",
     "j4_dedup_full_row",
     "j5_asof_join",
+)
+
+_QUEUE: tuple[str, ...] = (
+    # head = next re-verify cohort for round 11 (r9-displaced remainder,
+    # then the r5 remainder), after whatever round-11 changes lead
     "j6_range_join_value_bands",
     "f1_null_to_empty_array",
     "f3_json_extract",
     "f3_json_repair",
     "f4_int_coercion_compat",
     "f5_string_normalize_compat",
-)
-
-_QUEUE: tuple[str, ...] = (
-    # head = next re-verify cohort for round 11 (r9-displaced remainder,
-    # then the r5 remainder), after whatever round-11 changes lead
     "o1_sort_limit_topk",
     "t1_incremental_replay",
     "embedding_quantize_int8",

@@ -776,3 +776,116 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_intersection",
         )
     )
+
+
+# --- link prediction: common neighbors / neighborhood Jaccard ----------------
+
+_CN_HOT_CAP = 200  # skip hub parts: fan-out cap for the pair generation
+_CN_TOPK = 25
+
+
+@declared(
+    "graph_common_neighbors_topk",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ), pdeg AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS dp FROM edges GROUP BY p
+    ), kept AS (
+      SELECT e.s, e.p FROM edges e JOIN pdeg USING (p)
+      WHERE pdeg.dp <= {_CN_HOT_CAP}
+    ), sdeg AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM kept GROUP BY s
+    ), pairs AS (
+      SELECT a.s AS supp_a, b.s AS supp_b, CAST(COUNT(*) AS BIGINT) AS common
+      FROM kept a JOIN kept b ON a.p = b.p AND a.s < b.s
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT supp_a, supp_b, common, da.d AS deg_a, db.d AS deg_b,
+             CAST(common AS DOUBLE)
+               / CAST(da.d + db.d - common AS DOUBLE) AS jaccard
+      FROM pairs JOIN sdeg da ON da.s = pairs.supp_a
+                 JOIN sdeg db ON db.s = pairs.supp_b
+    )
+    SELECT supp_a, supp_b, common, deg_a, deg_b, jaccard,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY jaccard DESC, supp_a, supp_b) AS rank
+      FROM scored
+    ) WHERE rank <= {_CN_TOPK}
+    """,
+    doc=f"Link prediction on the supplier–part bipartite graph: top-"
+    f"{_CN_TOPK} supplier pairs by neighborhood Jaccard (shared parts / "
+    "union of part sets) — the collaborative-filtering / entity-"
+    "resolution primitive ('suppliers that stock like you'). Scale "
+    "shape: the classic similarity-join discipline — distinct edges "
+    f"first, HUB CAP second (parts with > {_CN_HOT_CAP} suppliers are "
+    "dropped BEFORE pair generation, bounding the per-part fan-out at "
+    "cap^2 — a hub with 1e6 neighbors would otherwise mint 1e12 pairs; "
+    "the cap is part of the declared semantics so the oracle mirrors "
+    "it), pair counts via one equi-join on part, degrees join back as "
+    "broadcasts, global top-k via TakeOrderedAndProject. Jaccard is ONE "
+    "exact-integer division; ranking ties break on the (supp_a, supp_b) "
+    "key.",
+)
+def graph_common_neighbors_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from database_synchronize_tool_spark.caching import scoped_persist
+    from database_synchronize_tool_spark.operators.ranks import topk_ranked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    pdeg = edges.groupBy("p").agg(F.count(F.lit(1)).alias("dp"))
+    kept = scoped_persist(
+        edges.join(pdeg.filter(F.col("dp") <= _CN_HOT_CAP), "p").select(
+            "s", "p"
+        )
+    )
+    sdeg = kept.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(
+            F.col("a.s").alias("supp_a"), F.col("b.s").alias("supp_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    da = sdeg.select(F.col("s").alias("supp_a"), F.col("d").alias("deg_a"))
+    db = sdeg.select(F.col("s").alias("supp_b"), F.col("d").alias("deg_b"))
+    scored = (
+        pairs.join(F.broadcast(da), "supp_a")
+        .join(F.broadcast(db), "supp_b")
+        .select(
+            "supp_a",
+            "supp_b",
+            "common",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+    return topk_ranked(
+        scored,
+        _CN_TOPK,
+        [F.col("jaccard").desc(), F.col("supp_a"), F.col("supp_b")],
+    ).select(
+        "supp_a",
+        "supp_b",
+        "common",
+        "deg_a",
+        "deg_b",
+        "jaccard",
+        F.col("rank").cast("int").alias("rank"),
+    )

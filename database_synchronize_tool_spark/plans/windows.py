@@ -987,3 +987,87 @@ def t17_stream_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twa"),
         )
     )
+
+
+@declared(
+    "t18_stream_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    ), stages AS (
+      SELECT
+        (t_signup IS NOT NULL) AS r1,
+        (t_signup IS NOT NULL AND t_view > t_signup) AS r2,
+        (t_signup IS NOT NULL AND t_view > t_signup AND t_click > t_view) AS r3,
+        (t_signup IS NOT NULL AND t_view > t_signup AND t_click > t_view
+         AND t_purchase > t_click) AS r4
+      FROM per_user
+    )
+    SELECT 1 AS step, 'signup' AS step_name,
+           CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS users FROM stages
+    UNION ALL
+    SELECT 2, 'view', CAST(SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) FROM stages
+    UNION ALL
+    SELECT 3, 'click', CAST(SUM(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) FROM stages
+    UNION ALL
+    SELECT 4, 'purchase', CAST(SUM(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT) FROM stages
+    """,
+    doc="Streaming conversion funnel over a TRUE multi-batch replay: per-user "
+    "state carries only the FIRST-occurrence time of each funnel step (MIN "
+    "is the merge monoid — 4 longs + a counter per user, O(1) state) via "
+    "applyInPandasWithState; the strict-sequence stage flags and the 4-row "
+    "rollup derive from the final minima exactly as in the batch twin "
+    "(events_funnel_conversion), and the oracle is the identical batch "
+    "funnel SQL — so the hash only matches if per-user state truly carried "
+    "across micro-batches. n_events is the integrity witness: the final "
+    "frame takes each user's max-count emission, making lost or reset "
+    "state a visible count/minima mismatch. This is the funnel a product "
+    "dashboard maintains ONLINE over a 100 TB event firehose: no re-scan "
+    "of history, state linear in users, not events.",
+)
+def t18_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.streaming.events import (
+        read_events_stream_multibatch,
+        run_to_memory,
+    )
+    from database_synchronize_tool_spark.streaming.stateful import (
+        FUNNEL_STEPS,
+        funnel_minima_stateful,
+    )
+
+    stream = funnel_minima_stateful(read_events_stream_multibatch(spark, sf_dir))
+    run_to_memory(stream, "t18_stream_funnel_tbl", output_mode="update")
+    emitted = spark.table("t18_stream_funnel_tbl")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    reached = [F.col("t_signup_us").isNotNull()]
+    for prev, cur in zip(FUNNEL_STEPS, FUNNEL_STEPS[1:]):
+        reached.append(
+            reached[-1] & (F.col(f"t_{cur}_us") > F.col(f"t_{prev}_us"))
+        )
+    counts = final.select(
+        *[r.alias(f"r{i + 1}") for i, r in enumerate(reached)]
+    ).agg(
+        *[
+            F.sum(F.when(F.col(f"r{i + 1}"), 1).otherwise(0))
+            .cast("long")
+            .alias(f"u{i + 1}")
+            for i in range(len(FUNNEL_STEPS))
+        ]
+    )
+    return counts.selectExpr(
+        "stack(4, 1, 'signup', u1, 2, 'view', u2, 3, 'click', u3, "
+        "4, 'purchase', u4) AS (step, step_name, users)"
+    ).select(
+        F.col("step").cast("int").alias("step"),
+        "step_name",
+        F.col("users").cast("bigint").alias("users"),
+    )

@@ -763,3 +763,79 @@ def twa_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+FUNNEL_STATE_SCHEMA = StructType(
+    [StructField(f"t_{s}_us", LongType()) for s in FUNNEL_STEPS]
+    + [StructField("n_events", LongType())]
+)
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [StructField("user_id", LongType())]
+    + [StructField(f"t_{s}_us", LongType()) for s in FUNNEL_STEPS]
+    + [StructField("n_events", LongType())]
+)
+
+_UNSET = -1  # sentinel: event times are epoch micros (>= 0 on any data)
+
+
+def funnel_minima_stateful(events: DataFrame) -> DataFrame:
+    """Streaming funnel sufficient statistics per user: the FIRST-occurrence
+    time of each funnel step, maintained across micro-batches.
+
+    The batch funnel (plans/behavior.events_funnel_conversion) reduces each
+    user to conditional MIN(ts) per step and derives the strict-sequence
+    stage flags from those minima. MIN is a commutative monoid, so the
+    streaming face carries exactly 4 longs + a row counter per user —
+    O(1) state, merged with ``min`` per batch. Every batch re-emits
+    changed users (update mode); ``n_events`` strictly increases and is
+    the state-integrity witness (the consumer takes each user's
+    max-``n_events`` emission, so lost state between batches surfaces as
+    a wrong count/minima, never silently — the t12 contract).
+
+    NULL-ts rows count toward ``n_events`` but can never set a minimum
+    (same convention as :func:`compact_latest_stateful`).
+    """
+    from pyspark.sql import functions as F
+
+    prepared = events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            *mins, n = state.get
+            mins = list(mins)
+        else:
+            mins, n = [_UNSET] * len(FUNNEL_STEPS), 0
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            n += len(pdf)
+            pdf = pdf.dropna(subset=["us"])
+            if pdf.empty:
+                continue
+            for i, step in enumerate(FUNNEL_STEPS):
+                sub = pdf.loc[pdf["event_type"] == step, "us"]
+                if not sub.empty:
+                    m = int(sub.min())
+                    if mins[i] == _UNSET or m < mins[i]:
+                        mins[i] = m
+        state.update((*mins, n))
+        out = {"user_id": [key[0]]}
+        for i, step in enumerate(FUNNEL_STEPS):
+            out[f"t_{step}_us"] = [None if mins[i] == _UNSET else mins[i]]
+        out["n_events"] = [n]
+        yield pd.DataFrame(out)
+
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

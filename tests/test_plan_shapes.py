@@ -468,7 +468,7 @@ _GLOBAL_WINDOW_ALLOWLIST = {
 
 # Streaming replays execute eagerly on build and are covered by their own
 # batch-equivalence tests.
-_STREAMING_PREFIXES = tuple(f"t{i}_" for i in range(7, 18))
+_STREAMING_PREFIXES = tuple(f"t{i}_" for i in range(7, 19))
 
 
 def _jchildren(node):

@@ -20,7 +20,7 @@ from database_synchronize_tool_spark.session import get_spark
 # Streaming replays execute eagerly on build; they are plan-checked by
 # their own batch-equivalence tests instead.
 STREAMING_PREFIXES = ("t7_", "t8_", "t9_", "t10_", "t11_", "t12_", "t13_",
-                      "t14_", "t15_", "t16_", "t17_")
+                      "t14_", "t15_", "t16_", "t17_", "t18_")
 
 
 def _children(node):
