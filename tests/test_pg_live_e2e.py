@@ -17,6 +17,7 @@ import os
 from decimal import Decimal
 
 import pytest
+from pyspark.sql import functions as F
 
 from database_synchronize_tool_spark.sources import pgwire
 
@@ -220,4 +221,85 @@ def test_live_error_surfaces_and_transaction_recovers(pg_connect):
     con.rollback()
     cur.execute("SELECT 41 + 1")
     assert cur.fetchall() == [(42,)]
+    con.close()
+
+
+def test_live_full_copy_then_delta_sync_netflix(pg, pg_connect, spark):
+    """The reference's COMPLETE per-table loop (sync_utils.py:239-287),
+    end to end against the live server: discover the primary key from
+    pg_index, first sync = full copy (NULL watermark), probe the TARGET's
+    MAX(date_added) over the wire, second sync = strict-> delta only
+    (tie rows dropped — reference T3 parity), batched ON CONFLICT upserts
+    from executors throughout, replay idempotent."""
+    import datetime as dt
+
+    from database_synchronize_tool_spark.operators.watermark import (
+        delta_filter,
+    )
+    from database_synchronize_tool_spark.sources.pgdump import (
+        NETFLIX_DDL,
+        load_copy_fixture,
+    )
+    from database_synchronize_tool_spark.sources.readers import (
+        primary_keys_catalog_sql,
+    )
+    from database_synchronize_tool_spark.sources.sinks import DbApiUpsertSink
+
+    if not os.path.exists(FIXTURE):
+        pytest.skip("reference fixture not present")
+    src = load_copy_fixture(spark, FIXTURE, "netflix_shows", NETFLIX_DDL)
+
+    con = pg_connect()
+    cur = con.cursor()
+    cur.execute("DROP TABLE IF EXISTS netflix_tgt")
+    cur.execute(
+        """CREATE TABLE netflix_tgt (
+             show_id text PRIMARY KEY, title text, date_added date,
+             release_year int)"""
+    )
+    con.commit()
+
+    # the key the upsert conflicts on comes from the LIVE catalog, exactly
+    # as the reference discovers it
+    cur.execute(primary_keys_catalog_sql("netflix_tgt"))
+    keys = [r[0] for r in cur.fetchall()]
+    assert keys == ["show_id"]
+
+    cols = src.select("show_id", "title", "date_added", "release_year")
+    cutoff = dt.date(2021, 1, 1)
+    initial = cols.filter(F.col("date_added") < F.lit(cutoff))
+    sink = DbApiUpsertSink(connect=pg_connect)
+
+    # sync 1: target empty -> NULL watermark -> full copy of the slice
+    cur.execute("SELECT MAX(date_added) FROM netflix_tgt")
+    wm0 = cur.fetchall()[0][0]
+    assert wm0 is None
+    n1 = sink.write(delta_filter(initial, "date_added", wm0), "netflix_tgt", keys)
+    assert n1 == initial.count()
+
+    # sync 2: probe the LIVE target watermark, pull only the strict delta
+    cur.execute("SELECT MAX(date_added) FROM netflix_tgt")
+    wm1 = dt.date.fromisoformat(cur.fetchall()[0][0])
+    assert wm1 == dt.date(2020, 12, 31)
+    delta = delta_filter(cols, "date_added", wm1)
+    n2 = sink.write(delta, "netflix_tgt", keys)
+    assert n2 == delta.count() > 0
+    # ties at the stored max are DROPPED (reference T3): rows dated wm1
+    # are not in `initial` beyond... wm1 < cutoff rows already present;
+    # strict > means nothing re-syncs twice
+    sink.write(delta, "netflix_tgt", keys)  # replay: idempotent
+
+    cur.execute("SELECT COUNT(*) FROM netflix_tgt")
+    got = cur.fetchall()[0][0]
+    want = cols.filter(F.col("date_added").isNotNull()).count()
+    assert got == want  # NULL-date rows never sync under a ts watermark (T2)
+
+    # spot-check a row round-tripped with exact types over the wire
+    cur.execute(
+        "SELECT title, release_year FROM netflix_tgt WHERE show_id = 's1'"
+    )
+    spark_row = cols.filter(F.col("show_id") == "s1").first()
+    assert cur.fetchall() == [(spark_row["title"], spark_row["release_year"])]
+    cur.execute("DROP TABLE netflix_tgt")
+    con.commit()
     con.close()
