@@ -1979,3 +1979,185 @@ def ts_autocorrelation_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_pairs"),
         (num / (dx * dy)).alias("autocorr_lag1"),
     )
+
+
+@declared(
+    "stats_cramers_v",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS r, o_orderstatus AS c,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM orders GROUP BY 1, 2
+    ), rm AS (SELECT r, CAST(SUM(m) AS BIGINT) AS mr FROM cells GROUP BY r),
+    cm AS (SELECT c, CAST(SUM(m) AS BIGINT) AS mc FROM cells GROUP BY c),
+    tot AS (
+      SELECT CAST(SUM(m) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT r) AS BIGINT) AS nr,
+             CAST(COUNT(DISTINCT c) AS BIGINT) AS nc
+      FROM cells
+    ), grid AS (
+      SELECT rm.r, cm.c, rm.mr, cm.mc, COALESCE(cells.m, 0) AS m
+      FROM rm CROSS JOIN cm
+      LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c
+    ), terms AS (
+      SELECT CAST(
+               (CAST(tot.n * grid.m - grid.mr * grid.mc AS DOUBLE)
+                * CAST(tot.n * grid.m - grid.mr * grid.mc AS DOUBLE))
+               / CAST(tot.n * grid.mr * grid.mc AS DOUBLE)
+               AS DECIMAL(28,12)) AS t
+      FROM grid CROSS JOIN tot
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n,
+           CAST((tot.nr - 1) * (tot.nc - 1) AS BIGINT) AS dof,
+           CAST(SUM(terms.t) AS DOUBLE) AS chi2,
+           sqrt(CAST(SUM(terms.t) AS DOUBLE)
+                / CAST(tot.n * least(tot.nr - 1, tot.nc - 1) AS DOUBLE))
+             AS cramers_v
+    FROM terms CROSS JOIN tot
+    GROUP BY tot.n, tot.nr, tot.nc
+    """,
+    doc="Cramer's V association between order priority and order status — "
+    "the categorical-correlation companion to the Pearson/Spearman/"
+    "Kendall numeric trilogy (is a label column informative about "
+    "another? the feature-selection read). Each chi-square term is "
+    "computed in the cleared-denominator form (n*m - mr*mc)^2 / "
+    "(n*mr*mc): exact integers to double (all < 2^53 at graded SFs), "
+    "one multiply + one division per CELL, each term rounded through "
+    "DECIMAL(28,12) before summing so accumulation order cannot flap "
+    "the total (the corpus_divergence_chi2 discipline); V adds one "
+    "division and one sqrt. Scale shape: one hash aggregate to the "
+    "|priorities|x|statuses| contingency table (15 cells), margins and "
+    "total derived from it — the raw table shuffles once.",
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.caching import scoped_persist
+
+    o = load_table(spark, sf_dir, "orders")
+    cells = scoped_persist(
+        o.groupBy(
+            F.col("o_orderpriority").alias("r"),
+            F.col("o_orderstatus").alias("c"),
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    rm = cells.groupBy("r").agg(F.sum("m").cast("bigint").alias("mr"))
+    cm = cells.groupBy("c").agg(F.sum("m").cast("bigint").alias("mc"))
+    tot = cells.agg(
+        F.sum("m").cast("bigint").alias("n"),
+        F.count_distinct("r").cast("bigint").alias("nr"),
+        F.count_distinct("c").cast("bigint").alias("nc"),
+    )
+    grid = (
+        rm.crossJoin(cm)
+        .join(cells, ["r", "c"], "left")
+        .withColumn("m", F.coalesce(F.col("m"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    num = (F.col("n") * F.col("m") - F.col("mr") * F.col("mc")).cast("double")
+    den = (F.col("n") * F.col("mr") * F.col("mc")).cast("double")
+    terms = grid.select(
+        "n",
+        "nr",
+        "nc",
+        ((num * num) / den).cast("decimal(28,12)").alias("t"),
+    )
+    chi2 = F.sum("t").cast("double")
+    return terms.groupBy("n", "nr", "nc").agg(
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
+        chi2.alias("chi2"),
+        F.sqrt(
+            chi2
+            / (
+                F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1)
+            ).cast("double")
+        ).alias("cramers_v"),
+    ).select("n", "dof", "chi2", "cramers_v")
+
+
+@declared(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(date_diff('day', DATE '1990-01-01', CAST(ts AS DATE))
+                  % 7 AS INT) AS dow
+      FROM events GROUP BY 1, 2, 4
+    ), t AS (
+      SELECT event_type, day, dow, x,
+             SUM(x) OVER w AS trend_x7,
+             CAST(COUNT(*) OVER w AS BIGINT) AS cnt7
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), v AS (
+      SELECT *, 7 * x - trend_x7 AS detr_x7 FROM t WHERE cnt7 = 7
+    ), s AS (
+      SELECT event_type, dow,
+             CAST(SUM(detr_x7) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS seasonal_x7
+      FROM v GROUP BY 1, 2
+    )
+    SELECT v.event_type, v.day, v.x,
+           CAST(v.trend_x7 AS DOUBLE) / CAST(v.cnt7 AS DOUBLE) AS trend,
+           s.seasonal_x7 / CAST(v.cnt7 AS DOUBLE) AS seasonal,
+           (CAST(v.detr_x7 AS DOUBLE) - s.seasonal_x7)
+             / CAST(v.cnt7 AS DOUBLE) AS residual
+    FROM v JOIN s ON s.event_type = v.event_type AND s.dow = v.dow
+    """,
+    doc="Classical additive seasonal decomposition of the per-type daily "
+    "volume series: centered 7-day moving-average trend, day-of-week "
+    "seasonal component (mean of the detrended series per integer-mod "
+    "weekday — the orders_dow_seasonality trick, since the engines' "
+    "native weekday functions disagree on week start), residual — the "
+    "anomaly-detection preprocessor (alert on residual, not raw volume, "
+    "or Friday looks like an incident every week). Parity discipline: "
+    "the detrended series is kept INTEGER by working in 7x units "
+    "(detr_x7 = 7*x - sum7), every division is by a COMPUTED column "
+    "(DuckDB reciprocal-rewrites division by foldable literals — "
+    "measured), and the final values are 1-2 identically-associated "
+    "float ops each. Edge days (incomplete 7-day window) are excluded, "
+    "not padded. Scale shape: raw events reduce to |types|x|days| rows "
+    "first; trend window partitions by type; the seasonal table is "
+    "|types|x7 and joins back as a broadcast.",
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    d = ev.groupBy(
+        "event_type",
+        day.alias("day"),
+        (F.datediff(day, F.lit("1990-01-01")) % 7).cast("int").alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    t = d.select(
+        "event_type",
+        "day",
+        "dow",
+        "x",
+        F.sum("x").over(w).alias("trend_x7"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cnt7"),
+    )
+    v = t.filter(F.col("cnt7") == 7).withColumn(
+        "detr_x7", F.lit(7) * F.col("x") - F.col("trend_x7")
+    )
+    s = v.groupBy("event_type", "dow").agg(
+        (
+            F.sum("detr_x7").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("seasonal_x7")
+    )
+    cnt7d = F.col("cnt7").cast("double")
+    return v.join(F.broadcast(s), ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        "x",
+        (F.col("trend_x7").cast("double") / cnt7d).alias("trend"),
+        (F.col("seasonal_x7") / cnt7d).alias("seasonal"),
+        (
+            (F.col("detr_x7").cast("double") - F.col("seasonal_x7")) / cnt7d
+        ).alias("residual"),
+    )

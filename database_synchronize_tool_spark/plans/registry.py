@@ -221,6 +221,8 @@ _WINDOW: tuple[str, ...] = (
     "privacy_k_anonymity",
     "ts_autocorrelation_lag1",
     "graph_common_neighbors_topk",
+    "stats_cramers_v",
+    "ts_seasonal_decompose",
     # --- never driver-attested (closing-r9 additions; sweep-green) ---
     "dedup_minhash_estimate_error",
     "events_behavior_diversity",
@@ -251,13 +253,13 @@ _WINDOW: tuple[str, ...] = (
     "j2_semi_join_existing",
     "j3_merge_upsert",
     "j3_merge_full_outer",
-    "j4_dedup_full_row",
-    "j5_asof_join",
 )
 
 _QUEUE: tuple[str, ...] = (
     # head = next re-verify cohort for round 11 (r9-displaced remainder,
     # then the r5 remainder), after whatever round-11 changes lead
+    "j4_dedup_full_row",
+    "j5_asof_join",
     "j6_range_join_value_bands",
     "f1_null_to_empty_array",
     "f3_json_extract",

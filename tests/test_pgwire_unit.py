@@ -1,0 +1,63 @@
+"""sources/pgwire.py unit surface (no server): literal rendering, %s
+interpolation, and text-format decoding — the pieces whose bugs would
+silently corrupt an upsert rather than fail loudly."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+
+from database_synchronize_tool_spark.sources.pgwire import (
+    _decode,
+    _interpolate,
+    _literal,
+)
+
+
+def test_literal_rendering():
+    assert _literal(None) == "NULL"
+    assert _literal(True) == "TRUE" and _literal(False) == "FALSE"
+    assert _literal(42) == "42"
+    assert _literal(2.5) == "2.5"
+    assert _literal(Decimal("12.3400")) == "12.3400"
+    assert _literal("o'brien") == "'o''brien'"
+    assert _literal("plain") == "'plain'"
+    assert _literal(b"\xde\xad") == "'\\xdead'::bytea"
+    assert _literal(dt.date(2024, 3, 1)) == "'2024-03-01'"
+    assert (
+        _literal(dt.datetime(2024, 3, 1, 12, 34, 56, 789000))
+        == "'2024-03-01 12:34:56.789000'"
+    )
+    assert _literal(["a", "it's"]) == "ARRAY['a', 'it''s']"
+
+
+def test_interpolate_respects_placeholder_count():
+    assert (
+        _interpolate("INSERT INTO t VALUES (%s, %s)", (1, "x"))
+        == "INSERT INTO t VALUES (1, 'x')"
+    )
+    with pytest.raises(ValueError):
+        _interpolate("VALUES (%s, %s)", (1,))
+    with pytest.raises(ValueError):
+        _interpolate("VALUES (%s)", (1, 2))
+
+
+def test_interpolate_never_reinterprets_injected_percent():
+    # a VALUE containing %s must not create a new placeholder
+    out = _interpolate("SELECT %s || %s", ("100%s", "x"))
+    assert out == "SELECT '100%s' || 'x'"
+    # and other % in the STATEMENT passes through untouched
+    assert _interpolate("SELECT 7 % %s", (2,)) == "SELECT 7 % 2"
+
+
+def test_decode_by_oid():
+    assert _decode(20, "42") == 42  # int8
+    assert _decode(23, "-7") == -7  # int4
+    assert _decode(701, "2.5") == 2.5  # float8
+    assert _decode(1700, "12.34") == Decimal("12.34")  # numeric
+    assert _decode(16, "t") is True and _decode(16, "f") is False
+    assert _decode(17, "\\xdeadbeef") == b"\xde\xad\xbe\xef"  # bytea
+    assert _decode(25, "text stays text") == "text stays text"
+    assert _decode(20, None) is None  # SQL NULL regardless of type
