@@ -3686,3 +3686,102 @@ def multimodal_payload_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame
         nd.cast("bigint").alias("n_distinct_hashes"),
         ((n - nd).cast("double") / n.cast("double")).alias("dup_rate"),
     )
+
+
+@declared(
+    "dedup_keep_best_manifest",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, list_distinct({_HASHES_SQL}) AS sh, {_HASHES_SQL} AS hs
+      FROM documents
+    ), sigs AS (
+      SELECT doc_id, {_minhash_cols_sql()} FROM sh
+    ), bands AS (
+      {_band_union_sql()}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), pre AS (
+      SELECT doc_a, doc_b
+      FROM cand JOIN sigs ga ON ga.doc_id = cand.doc_a
+                JOIN sigs gb ON gb.doc_id = cand.doc_b
+      WHERE ({_sig_matches_sql()}) >= {DD.MIN_SIG_MATCHES}
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b, {_JACC_SQL} AS jacc
+        FROM pre JOIN sh sa ON sa.doc_id = pre.doc_a
+                 JOIN sh sb ON sb.doc_id = pre.doc_b
+      ) WHERE jacc >= 0.8
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach(node, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    ), assign AS (
+      SELECT node AS doc_id, MIN(label) AS cid FROM reach GROUP BY node
+    ), labeled AS (
+      SELECT d.doc_id, d.n_chars, COALESCE(a.cid, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN assign a ON a.doc_id = d.doc_id
+    ), ranked AS (
+      SELECT doc_id, cluster_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size
+      FROM labeled
+    )
+    SELECT doc_id, cluster_id, cluster_size, n_chars
+    FROM ranked WHERE rn = 1
+    """,
+    doc="The dedup pipeline's actual OUTPUT: the kept-corpus manifest. "
+    "MinHash-LSH near-dup pairs -> connected-component clusters "
+    "(dedup_cluster_assign's operator) -> ONE canonical survivor per "
+    "cluster, chosen deterministically as the longest document "
+    "(n_chars DESC, doc_id tiebreak — 'keep best' rather than 'keep "
+    "first', the choice production dedup actually wants); singletons "
+    "keep themselves with cluster_id = doc_id. Emits (kept doc, its "
+    "cluster, cluster size, length) — the manifest a curation job "
+    "writes before training. Scale shape: everything bounded by the "
+    "existing LSH/cluster machinery (banded candidates, iterative "
+    "min-label with lineage cuts); the keep-best rank partitions BY "
+    "CLUSTER (clusters are tiny cliques), and unclustered docs bypass "
+    "the window entirely via the left join + coalesce.",
+)
+def dedup_keep_best_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.caching import scoped_persist
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(d, threshold=0.8)
+    assign = DD.dedup_clusters(pairs).withColumnRenamed(
+        "cluster_id", "__cid"
+    )
+    labeled = scoped_persist(
+        d.select("doc_id", "n_chars")
+        .join(assign, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("__cid"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        labeled.select(
+            "doc_id",
+            "cluster_id",
+            "n_chars",
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("cluster_id"))
+            .cast("bigint")
+            .alias("cluster_size"),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "cluster_id", "cluster_size", "n_chars")
+    )
