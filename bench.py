@@ -161,6 +161,17 @@ HEADLINE = [
     "multimodal_payload_dedup_rate",
     "events_behavior_diversity",
     "lineitem_revenue_waterfall",
+    # round-10 additions (t18_stream_funnel excluded like t7-t17: trigger
+    # orchestration dominates its wall time, not query work)
+    "stats_kendall_tau_contingency",
+    "stats_benford_first_digit",
+    "privacy_k_anonymity",
+    "ts_autocorrelation_lag1",
+    "graph_common_neighbors_topk",
+    "stats_cramers_v",
+    "ts_seasonal_decompose",
+    "dedup_keep_best_manifest",
+    "window_cume_dist_percent_rank",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

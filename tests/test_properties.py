@@ -416,3 +416,101 @@ def test_pagerank_mass_leak_bounded(spark, pairs):
     # floors its contribution (deg units) and the damp+base floors (2 more)
     bound = n_nodes + iters * (n_edges_directed + 2 * n_nodes) + 2 * n_nodes
     assert 0 <= PR_SCALE - total <= bound, (total, bound)
+
+
+# --- ranks: the two-pass forms equal the window forms on ANY input -----------
+
+rank_lists = st.lists(st.integers(-50, 50), min_size=1, max_size=40)
+
+
+@given(vals=rank_lists, n_parts=st.sampled_from([1, 3, 32, 100]))
+@settings(**SETTINGS)
+def test_global_row_numbers_property(spark, vals, n_parts):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from database_synchronize_tool_spark.operators.ranks import (
+        global_row_numbers,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, v long"
+    )
+    got = sorted(
+        (r["i"], r["rn"])
+        for r in global_row_numbers(
+            df, [F.col("v"), F.col("i")], "rn", n_parts=n_parts
+        ).collect()
+    )
+    want = sorted(
+        (r["i"], r["rn"])
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "i"))
+        ).collect()
+    )
+    assert got == want
+
+
+@given(
+    vals=rank_lists,
+    buckets=st.sampled_from([2, 4, 10]),
+    n_parts=st.sampled_from([1, 7, 32]),
+)
+@settings(**SETTINGS)
+def test_two_pass_ntile_property(spark, vals, buckets, n_parts):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from database_synchronize_tool_spark.operators.ranks import (
+        global_row_numbers,
+        ntile_from_rn,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, v long"
+    )
+    rn = global_row_numbers(df, [F.col("v"), F.col("i")], "rn", n_parts)
+    got = sorted(
+        (r["i"], r["b"])
+        for r in rn.select(
+            "i", ntile_from_rn(F.col("rn"), F.lit(len(vals)), buckets).alias("b")
+        ).collect()
+    )
+    want = sorted(
+        (r["i"], r["b"])
+        for r in df.select(
+            "i",
+            F.ntile(buckets)
+            .over(Window.orderBy("v", "i"))
+            .cast("int")
+            .alias("b"),
+        ).collect()
+    )
+    assert got == want
+
+
+@given(vals=rank_lists, n_parts=st.sampled_from([1, 5, 32]))
+@settings(**SETTINGS)
+def test_global_running_sum_property(spark, vals, n_parts):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from database_synchronize_tool_spark.operators.ranks import (
+        global_running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, v long"
+    )
+    got = sorted(
+        (r["i"], r["cum"])
+        for r in global_running_sum(
+            df, [F.col("i")], "v", "cum", n_parts=n_parts
+        ).collect()
+    )
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    want = sorted(
+        (r["i"], r["cum"])
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    )
+    assert got == want
