@@ -3785,3 +3785,95 @@ def dedup_keep_best_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("doc_id", "cluster_id", "cluster_size", "n_chars")
     )
+
+
+_SPINE_CAP = 4096  # covers an ~11-year daily span; recursion depth log2 = 12
+
+
+@declared(
+    "calendar_gap_audit_rcte",
+    oracle=f"""
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+             date_diff('day', CAST(MIN(o_orderdate) AS DATE),
+                       CAST(MAX(o_orderdate) AS DATE)) + 1 AS n
+      FROM orders
+    ), r(i, k) AS (
+      SELECT 0, 1
+      UNION ALL
+      SELECT * FROM (
+        SELECT i, k * 2 FROM r WHERE k < {_SPINE_CAP}
+        UNION ALL
+        SELECT i + k, k * 2 FROM r
+        WHERE k < {_SPINE_CAP} AND i + k < {_SPINE_CAP}
+      )
+    ), spine AS (
+      SELECT DISTINCT bounds.d0 + i AS day
+      FROM r CROSS JOIN bounds WHERE i < bounds.n
+    ), daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN daily.day IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gap_days,
+           MIN(CASE WHEN daily.day IS NULL THEN spine.day END)
+             AS first_gap_day,
+           MAX(CASE WHEN daily.day IS NULL THEN spine.day END)
+             AS last_gap_day,
+           CAST(SUM(COALESCE(daily.n_orders, 0)) AS BIGINT) AS n_orders
+    FROM spine LEFT JOIN daily ON daily.day = spine.day
+    """,
+    doc="Calendar completeness audit via a NATIVE recursive CTE (Spark 4 "
+    "WITH RECURSIVE): materialize the full day spine between the first "
+    "and last order date and report days with ZERO orders — the "
+    "missing-partition / broken-ingest detector a sync fleet runs before "
+    "trusting daily aggregates (a day absent from the data is invisible "
+    "to every GROUP BY; only a spine join can see it). The spine builds "
+    "by RANGE DOUBLING — each recursion step doubles the covered span, "
+    "so depth is log2(cap)=12, not one-level-per-day (a naive i+1 "
+    "recursion would need ~2,400 levels and die on any engine's "
+    "recursion limit; the doubling form is how recursion survives at "
+    "scale). The cap is a constant: calendar spans are time-bounded, "
+    "not data-bounded, so 100 TB changes nothing here. Both engines run "
+    "the IDENTICAL recursion (Spark requires UNION ALL recursion; the "
+    "spine dedups after).",
+)
+def calendar_gap_audit_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.select(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).createOrReplaceTempView("__rcte_order_days")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE bounds AS (
+          SELECT MIN(day) AS d0, datediff(MAX(day), MIN(day)) + 1 AS n
+          FROM __rcte_order_days
+        ), r(i, k) AS (
+          SELECT 0, 1
+          UNION ALL
+          SELECT * FROM (
+            SELECT i, k * 2 FROM r WHERE k < {_SPINE_CAP}
+            UNION ALL
+            SELECT i + k, k * 2 FROM r
+            WHERE k < {_SPINE_CAP} AND i + k < {_SPINE_CAP}
+          )
+        ), spine AS (
+          SELECT DISTINCT date_add(bounds.d0, i) AS day
+          FROM r CROSS JOIN bounds WHERE i < bounds.n
+        ), daily AS (
+          SELECT day, CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM __rcte_order_days GROUP BY day
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(CASE WHEN daily.day IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_gap_days,
+               MIN(CASE WHEN daily.day IS NULL THEN spine.day END)
+                 AS first_gap_day,
+               MAX(CASE WHEN daily.day IS NULL THEN spine.day END)
+                 AS last_gap_day,
+               CAST(SUM(COALESCE(daily.n_orders, 0)) AS BIGINT) AS n_orders
+        FROM spine LEFT JOIN daily ON daily.day = spine.day
+        """
+    )

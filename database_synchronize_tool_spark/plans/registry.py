@@ -224,6 +224,7 @@ _WINDOW: tuple[str, ...] = (
     "stats_cramers_v",
     "ts_seasonal_decompose",
     "dedup_keep_best_manifest",
+    "calendar_gap_audit_rcte",
     # --- never driver-attested (closing-r9 additions; sweep-green) ---
     "dedup_minhash_estimate_error",
     "events_behavior_diversity",
@@ -252,12 +253,12 @@ _WINDOW: tuple[str, ...] = (
     "a2_row_count",
     "j1_anti_join_missing",
     "j2_semi_join_existing",
-    "j3_merge_upsert",
 )
 
 _QUEUE: tuple[str, ...] = (
     # head = next re-verify cohort for round 11 (r9-displaced remainder,
     # then the r5 remainder), after whatever round-11 changes lead
+    "j3_merge_upsert",
     "j3_merge_full_outer",
     "j4_dedup_full_row",
     "j5_asof_join",
