@@ -967,3 +967,195 @@ def events_behavior_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.sum(F.col("c") * F.col("c")).cast("double") / (sc * sc)
         ).alias("simpson_diversity"),
     )
+
+
+_UTOUCH_WINDOW_US = 604800000000  # 7 days
+
+
+@declared(
+    "events_attribution_position_based",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+             first_value(CASE WHEN event_type = 'purchase'
+                              THEN event_id END IGNORE NULLS)
+               OVER w AS purchase_id,
+             first_value(CASE WHEN event_type = 'purchase'
+                              THEN epoch_us(ts) END IGNORE NULLS)
+               OVER w AS purchase_us
+      FROM events WHERE user_id IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ), touches AS (
+      SELECT user_id, event_id AS touch_id, event_type, us,
+             purchase_id, purchase_us
+      FROM seq
+      WHERE event_type IN ('view', 'click')
+        AND purchase_id IS NOT NULL
+        AND purchase_us - us <= {_UTOUCH_WINDOW_US}
+    ), j AS (
+      SELECT user_id, purchase_id, touch_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, purchase_id
+                                ORDER BY us, touch_id) AS pos,
+             CAST(COUNT(*) OVER (PARTITION BY user_id, purchase_id)
+                  AS BIGINT) AS n_touches
+      FROM touches
+    )
+    SELECT purchase_id, touch_id, user_id, event_type,
+           CAST(pos AS INT) AS pos, n_touches,
+           CASE WHEN n_touches = 1 THEN 1.0
+                WHEN n_touches = 2 THEN 0.5
+                WHEN pos = 1 OR pos = n_touches THEN 0.4
+                ELSE 0.2 / CAST(n_touches - 2 AS DOUBLE)
+           END AS credit
+    FROM j
+    """,
+    doc="Position-based (U-shaped) multi-touch attribution: every "
+    "view/click credits its user's NEXT purchase within 7 days — 40% to "
+    "the first touch, 40% to the last, 20% split across the middle "
+    "(100%/50-50 for 1- and 2-touch journeys) — the marketing-analytics "
+    "companion to events_attribution_last_touch that answers 'which "
+    "touches assisted', not just 'which closed'. The touch→purchase "
+    "assignment is a forward carry (first_value IGNORE NULLS over the "
+    "FOLLOWING frame, per-user partition — one shuffle, no join); "
+    "journey position/size are one more window on the (user, purchase) "
+    "partition. Credits are emitted PER ROW (never summed across rows — "
+    "double accumulation order would flap the hash); each credit is "
+    "exact literals or one division by a computed integer.",
+)
+def events_attribution_position_based(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(us, "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    is_p = F.col("event_type") == "purchase"
+    seq = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        F.first(F.when(is_p, F.col("event_id")), ignorenulls=True)
+        .over(w_next)
+        .alias("purchase_id"),
+        F.first(F.when(is_p, us), ignorenulls=True)
+        .over(w_next)
+        .alias("purchase_us"),
+    )
+    touches = seq.filter(
+        F.col("event_type").isin("view", "click")
+        & F.col("purchase_id").isNotNull()
+        & (F.col("purchase_us") - F.col("us") <= _UTOUCH_WINDOW_US)
+    ).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        "event_type",
+        "us",
+        "purchase_id",
+    )
+    wj = Window.partitionBy("user_id", "purchase_id")
+    j = touches.select(
+        "purchase_id",
+        "touch_id",
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(wj.orderBy("us", "touch_id"))
+        .cast("int")
+        .alias("pos"),
+        F.count(F.lit(1)).over(wj).cast("bigint").alias("n_touches"),
+    )
+    credit = (
+        F.when(F.col("n_touches") == 1, F.lit(1.0))
+        .when(F.col("n_touches") == 2, F.lit(0.5))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n_touches")),
+            F.lit(0.4),
+        )
+        .otherwise(F.lit(0.2) / (F.col("n_touches") - 2).cast("double"))
+    )
+    return j.select(
+        "purchase_id",
+        "touch_id",
+        "user_id",
+        "event_type",
+        "pos",
+        "n_touches",
+        credit.alias("credit"),
+    )
+
+
+@declared(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(CAST(date_part('year', o_orderdate) AS BIGINT) * 12
+                 + CAST(date_part('month', o_orderdate) AS BIGINT))
+               AS cohort_m
+      FROM orders GROUP BY o_custkey
+    ), g AS (
+      SELECT f.cohort_m,
+             (CAST(date_part('year', o.o_orderdate) AS BIGINT) * 12
+              + CAST(date_part('month', o.o_orderdate) AS BIGINT))
+               - f.cohort_m AS month_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_m AS BIGINT) AS cohort_m,
+           CAST(month_offset AS BIGINT) AS month_offset,
+           n_orders,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(SUM(rev) OVER (PARTITION BY cohort_m ORDER BY month_offset
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             AS cum_revenue
+    FROM g
+    """,
+    doc="Cohort lifetime-value curve: customers cohorted by the integer "
+    "month index (year*12+month — exact integers; the engines' "
+    "months_between/AGE semantics disagree) of their FIRST order; per "
+    "(cohort, month offset), order count, DECIMAL-exact revenue, and the "
+    "cumulative LTV running sum — the retention-economics read behind "
+    "every payback-period decision. The cumulative window partitions BY "
+    "COHORT over the tiny (cohort x offset) grid (calendar-bounded — "
+    "at 100 TB still ~84x84 rows after the aggregate). Revenue stays "
+    "DECIMAL through the window sum, so accumulation order cannot flap "
+    "the double cast.",
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    midx = (
+        F.year("o_orderdate").cast("bigint") * 12
+        + F.month("o_orderdate").cast("bigint")
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min(midx).alias("cohort_m"))
+    g = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_m", (midx - F.col("cohort_m")).alias("month_offset")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return g.select(
+        F.col("cohort_m").cast("bigint").alias("cohort_m"),
+        F.col("month_offset").cast("bigint").alias("month_offset"),
+        "n_orders",
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(w).cast("double").alias("cum_revenue"),
+    )

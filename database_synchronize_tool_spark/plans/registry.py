@@ -225,6 +225,9 @@ _WINDOW: tuple[str, ...] = (
     "ts_seasonal_decompose",
     "dedup_keep_best_manifest",
     "calendar_gap_audit_rcte",
+    "events_attribution_position_based",
+    "orders_cohort_ltv",
+    "catalog_fk_inference",
     # --- never driver-attested (closing-r9 additions; sweep-green) ---
     "dedup_minhash_estimate_error",
     "events_behavior_diversity",
@@ -251,13 +254,13 @@ _WINDOW: tuple[str, ...] = (
     "a1_watermark_probe_ts",
     "a1_watermark_probe_id",
     "a2_row_count",
-    "j1_anti_join_missing",
-    "j2_semi_join_existing",
 )
 
 _QUEUE: tuple[str, ...] = (
     # head = next re-verify cohort for round 11 (r9-displaced remainder,
     # then the r5 remainder), after whatever round-11 changes lead
+    "j1_anti_join_missing",
+    "j2_semi_join_existing",
     "j3_merge_upsert",
     "j3_merge_full_outer",
     "j4_dedup_full_row",

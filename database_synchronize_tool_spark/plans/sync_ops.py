@@ -1275,3 +1275,84 @@ def j14_time_travel_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vfrom_us", "as_of_us",
         )
     )
+
+
+_FK_PAIRS = (
+    # (child_table, child_col, parent_table, parent_col) — the star schema's
+    # real FKs plus one deliberate negative control
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_orderkey", "customer", "c_custkey"),  # negative control
+)
+
+
+def _fk_pair_sql(ct: str, cc: str, pt: str, pc: str) -> str:
+    return f"""
+    SELECT '{ct}' AS child_table, '{cc}' AS child_col,
+           '{pt}' AS parent_table, '{pc}' AS parent_col,
+           CAST(nd AS BIGINT) AS n_child_distinct,
+           CAST(m AS BIGINT) AS n_matched,
+           CAST(m AS DOUBLE) / CAST(nd AS DOUBLE) AS inclusion,
+           m = nd AS is_fk_candidate
+    FROM (
+      SELECT COUNT(*) AS nd,
+             SUM(CASE WHEN EXISTS (SELECT 1 FROM {pt} p WHERE p.{pc} = c.v)
+                      THEN 1 ELSE 0 END) AS m
+      FROM (SELECT DISTINCT {cc} AS v FROM {ct} WHERE {cc} IS NOT NULL) c
+    )"""
+
+
+@declared(
+    "catalog_fk_inference",
+    oracle="\nUNION ALL\n".join(_fk_pair_sql(*p) for p in _FK_PAIRS),
+    doc="Foreign-key inference by inclusion-dependency testing (the "
+    "Metanome/IND data-profiling classic): for each candidate (child, "
+    "parent) column pair, the distinct child-value count, how many of "
+    "those exist in the parent, the inclusion coefficient, and the FK "
+    "verdict (inclusion = 1.0) — the catalog-intelligence read a sync "
+    "engine runs when the source database declares no constraints "
+    "(reference S4 falls back to all-columns when pg_index is empty; "
+    "this infers what the schema SHOULD have declared). Includes a "
+    "deliberate negative control (o_orderkey vs c_custkey) that must "
+    "report inclusion < 1. Scale shape: per pair, one distinct on the "
+    "child key (the only shuffle), one LEFT SEMI join against the "
+    "parent key, exact integer counts + one division; pairs union into "
+    "one frame.",
+)
+def catalog_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for ct, cc, pt, pc in _FK_PAIRS:
+        child = (
+            load_table(spark, sf_dir, ct)
+            .select(F.col(cc).alias("v"))
+            .filter(F.col("v").isNotNull())
+            .distinct()
+        )
+        parent = load_table(spark, sf_dir, pt).select(F.col(pc).alias("v"))
+        matched = child.join(parent, "v", "left_semi")
+        stats = child.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_child_distinct")
+        ).crossJoin(
+            matched.agg(F.count(F.lit(1)).cast("bigint").alias("n_matched"))
+        )
+        row = stats.select(
+            F.lit(ct).alias("child_table"),
+            F.lit(cc).alias("child_col"),
+            F.lit(pt).alias("parent_table"),
+            F.lit(pc).alias("parent_col"),
+            "n_child_distinct",
+            "n_matched",
+            (
+                F.col("n_matched").cast("double")
+                / F.col("n_child_distinct").cast("double")
+            ).alias("inclusion"),
+            (F.col("n_matched") == F.col("n_child_distinct")).alias(
+                "is_fk_candidate"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
