@@ -253,12 +253,12 @@ _WINDOW: tuple[str, ...] = (
     "p4_empty_delta_guard",
     "a1_watermark_probe_ts",
     "a1_watermark_probe_id",
-    "a2_row_count",
 )
 
 _QUEUE: tuple[str, ...] = (
     # head = next re-verify cohort for round 11 (r9-displaced remainder,
     # then the r5 remainder), after whatever round-11 changes lead
+    "a2_row_count",
     "j1_anti_join_missing",
     "j2_semi_join_existing",
     "j3_merge_upsert",
