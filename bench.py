@@ -172,6 +172,12 @@ HEADLINE = [
     "ts_seasonal_decompose",
     "dedup_keep_best_manifest",
     "window_cume_dist_percent_rank",
+    "calendar_gap_audit_rcte",
+    "events_attribution_position_based",
+    "orders_cohort_ltv",
+    "catalog_fk_inference",
+    "events_growth_accounting",
+    "stats_mann_kendall_trend",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

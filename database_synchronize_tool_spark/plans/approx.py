@@ -2161,3 +2161,123 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("detr_x7").cast("double") - F.col("seasonal_x7")) / cnt7d
         ).alias("residual"),
     )
+
+
+@declared(
+    "stats_mann_kendall_trend",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM d a JOIN d b
+        ON b.event_type = a.event_type AND b.day > a.day
+      GROUP BY a.event_type
+    ), n_ AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+    ), ties AS (
+      SELECT event_type,
+             CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT event_type, x, COUNT(*) AS t FROM d GROUP BY 1, 2)
+      GROUP BY event_type
+    )
+    SELECT n_.event_type, n_.n, s.s_stat,
+           CAST(n_.n * (n_.n - 1) * (2 * n_.n + 5) - ties.tie_term
+                AS BIGINT) AS var18,
+           CAST(CASE WHEN s.s_stat > 0 THEN s.s_stat - 1
+                     WHEN s.s_stat < 0 THEN s.s_stat + 1
+                     ELSE 0 END AS DOUBLE)
+             / sqrt(CAST(n_.n * (n_.n - 1) * (2 * n_.n + 5) - ties.tie_term
+                         AS DOUBLE)
+                    / CAST(n_.n - n_.n + 18 AS DOUBLE)) AS z
+    FROM n_ JOIN s USING (event_type) JOIN ties USING (event_type)
+    """,
+    doc="Mann-Kendall trend test on the per-type daily volume series: "
+    "S = Sigma sign(x_j - x_i) over all i<j day pairs, the tie-corrected "
+    "variance n(n-1)(2n+5) - Sigma t(t-1)(2t+5) (kept in x18 integer "
+    "units), and the continuity-corrected normal score z — the "
+    "nonparametric 'is this metric drifting' detector that needs no "
+    "distributional assumption (the monitoring twin of "
+    "ts_autocorrelation_lag1: autocorr says the series is persistent, "
+    "Mann-Kendall says it TRENDS). All pair counting is exact integers "
+    "over the day-pair self-join of the AGGREGATED daily table (days "
+    "are calendar-bounded, so the pair join is tiny forever); z is one "
+    "division by one sqrt of one true division — the 18 divisor is "
+    "written as the non-foldable (n - n + 18) so DuckDB cannot rewrite "
+    "it into a multiply-by-reciprocal; var18 carries the exact integer "
+    "for re-derivation.",
+)
+def stats_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.caching import scoped_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    d = scoped_persist(
+        ev.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    s = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.day") > F.col("a.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    n_ = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ties = (
+        d.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ).cast("bigint")
+    s_adj = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(0)
+        .cast("double")
+    )
+    return (
+        n_.join(s, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "s_stat",
+            var18.alias("var18"),
+            (
+                s_adj
+                / F.sqrt(
+                    var18.cast("double")
+                    / (F.col("n") - F.col("n") + 18).cast("double")
+                )
+            ).alias("z"),
+        )
+    )

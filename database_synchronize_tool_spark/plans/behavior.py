@@ -1159,3 +1159,90 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("revenue"),
         F.sum("rev").over(w).cast("double").alias("cum_revenue"),
     )
+
+
+@declared(
+    "events_growth_accounting",
+    oracle="""
+    WITH um AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '1990-01-01', CAST(ts AS DATE))
+                  // 7 AS BIGINT) AS m
+      FROM events WHERE user_id IS NOT NULL
+    ), lagged AS (
+      SELECT user_id, m,
+             LAG(m) OVER (PARTITION BY user_id ORDER BY m) AS prev_m,
+             MIN(m) OVER (PARTITION BY user_id) AS first_m
+      FROM um
+    ), classified AS (
+      SELECT m,
+             CASE WHEN m = first_m THEN 'new'
+                  WHEN prev_m = m - 1 THEN 'retained'
+                  ELSE 'resurrected'
+             END AS state
+      FROM lagged
+    ), churned AS (
+      -- churned in period m+1: active in m, absent in m+1 (within span)
+      SELECT l.m + 1 AS m, 'churned' AS state
+      FROM lagged l
+      WHERE NOT EXISTS (
+        SELECT 1 FROM um u2 WHERE u2.user_id = l.user_id AND u2.m = l.m + 1
+      ) AND l.m < (SELECT MAX(m) FROM um)
+    ), allrows AS (
+      SELECT m, state FROM classified
+      UNION ALL
+      SELECT m, state FROM churned
+    )
+    SELECT CAST(m AS BIGINT) AS week_idx, state,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM allrows GROUP BY m, state
+    """,
+    doc="Growth accounting (the canonical new / retained / resurrected / "
+    "churned decomposition of WAU): per user-week, 'new' in the first "
+    "active week, 'retained' when the previous week was active, "
+    "'resurrected' after a gap; 'churned' counts toward the week AFTER "
+    "the last consecutive active week (absent-next-week, bounded by the "
+    "corpus span). Weeks are exact integer indices (days since a fixed "
+    "Monday, integer-divided by 7 — the retention-cohorts trick, since "
+    "the engines' week functions disagree on week start). Shape: the "
+    "event stream reduces to DISTINCT (user, week) in one shuffle; "
+    "lag/min windows partition per user; the churn anti-check is a self "
+    "left-anti join on (user, week+1) — every stage keyed, nothing "
+    "global. This is the week-over-week health read every growth team "
+    "reconciles DAU dashboards against.",
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    m = (
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("1990-01-01")) / 7
+        ).cast("bigint")
+    ).alias("m")
+    um = ev.select("user_id", m).distinct()
+    wu = Window.partitionBy("user_id")
+    lagged = um.select(
+        "user_id",
+        "m",
+        F.lag("m").over(wu.orderBy("m")).alias("prev_m"),
+        F.min("m").over(wu).alias("first_m"),
+    )
+    classified = lagged.select(
+        "m",
+        F.when(F.col("m") == F.col("first_m"), "new")
+        .when(F.col("prev_m") == F.col("m") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    max_m = um.agg(F.max("m").alias("__max_m"))
+    nxt = lagged.select(
+        "user_id", (F.col("m") + 1).alias("m")
+    ).crossJoin(F.broadcast(max_m)).filter(F.col("m") <= F.col("__max_m"))
+    churned = nxt.join(um, ["user_id", "m"], "left_anti").select(
+        "m", F.lit("churned").alias("state")
+    )
+    allrows = classified.unionByName(churned)
+    return allrows.groupBy(
+        F.col("m").cast("bigint").alias("week_idx"), "state"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))

@@ -228,6 +228,8 @@ _WINDOW: tuple[str, ...] = (
     "events_attribution_position_based",
     "orders_cohort_ltv",
     "catalog_fk_inference",
+    "events_growth_accounting",
+    "stats_mann_kendall_trend",
     # --- never driver-attested (closing-r9 additions; sweep-green) ---
     "dedup_minhash_estimate_error",
     "events_behavior_diversity",
@@ -251,13 +253,13 @@ _WINDOW: tuple[str, ...] = (
     "p2_ignore_columns",
     "p3_watermark_tie_parity",
     "p4_empty_delta_guard",
-    "a1_watermark_probe_ts",
-    "a1_watermark_probe_id",
 )
 
 _QUEUE: tuple[str, ...] = (
     # head = next re-verify cohort for round 11 (r9-displaced remainder,
     # then the r5 remainder), after whatever round-11 changes lead
+    "a1_watermark_probe_ts",
+    "a1_watermark_probe_id",
     "a2_row_count",
     "j1_anti_join_missing",
     "j2_semi_join_existing",
