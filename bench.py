@@ -178,6 +178,7 @@ HEADLINE = [
     "catalog_fk_inference",
     "events_growth_accounting",
     "stats_mann_kendall_trend",
+    "text_char_diversity",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

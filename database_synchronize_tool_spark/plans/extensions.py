@@ -3877,3 +3877,54 @@ def calendar_gap_audit_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM spine LEFT JOIN daily ON daily.day = spine.day
         """
     )
+
+
+@declared(
+    "text_char_diversity",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, substr(text, i, 1) AS c
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i)
+    ), g AS (
+      SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n FROM ch GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_chars_total,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+           1.0 - CAST(SUM(n * n) AS DOUBLE)
+                 / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE))
+             AS char_diversity
+    FROM g GROUP BY doc_id
+    """,
+    doc="Per-document character diversity via the Gini-Simpson index "
+    "1 - Sigma p_c^2 over the character distribution — the log-free "
+    "entropy analog (same trick as events_behavior_diversity: Shannon "
+    "needs ln, Simpson is a rational function of exact counts) that "
+    "screens repeated-character spam, binary-junk-in-text, and "
+    "single-token padding, complementing text_repetition_signals' "
+    "n-gram view with a codepoint view. Exact BIGINT counting, one "
+    "division with one squared denominator, identical association both "
+    "engines. Scale shape: one position explode (narrow, no shuffle) "
+    "then two keyed aggregates — the per-(doc, char) table is bounded "
+    "by alphabet x docs, and the stream shuffles once on doc_id.",
+)
+def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substr(text, i, 1))")
+        ).alias("c"),
+    )
+    g = ch.groupBy("doc_id", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    sn = F.sum("n").cast("double")
+    return g.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_chars_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+        (
+            F.lit(1.0) - F.sum(F.col("n") * F.col("n")).cast("double") / (sn * sn)
+        ).alias("char_diversity"),
+    )

@@ -230,6 +230,7 @@ _WINDOW: tuple[str, ...] = (
     "catalog_fk_inference",
     "events_growth_accounting",
     "stats_mann_kendall_trend",
+    "text_char_diversity",
     # --- never driver-attested (closing-r9 additions; sweep-green) ---
     "dedup_minhash_estimate_error",
     "events_behavior_diversity",
@@ -252,12 +253,12 @@ _WINDOW: tuple[str, ...] = (
     "s7_file_listing",
     "p2_ignore_columns",
     "p3_watermark_tie_parity",
-    "p4_empty_delta_guard",
 )
 
 _QUEUE: tuple[str, ...] = (
     # head = next re-verify cohort for round 11 (r9-displaced remainder,
     # then the r5 remainder), after whatever round-11 changes lead
+    "p4_empty_delta_guard",
     "a1_watermark_probe_ts",
     "a1_watermark_probe_id",
     "a2_row_count",
