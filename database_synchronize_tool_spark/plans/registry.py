@@ -198,6 +198,17 @@ def _load_all() -> None:
 # 225/225 oracle-checkable. The rest of the window drains the queue
 # head: the sync-ops re-verify cohort displaced in r9 (s1-s7/p2-p4/
 # a1-a2/j1-j6/f1-f5).
+#
+# Mid-r10 additions (each green at BOTH sf0.001 and sf0.01 at add time,
+# each taking a window slot from the re-verify tail, displaced names to
+# the queue head): t18_stream_funnel + the stats wave (kendall/benford/
+# k-anonymity/autocorr) + common-neighbors link prediction; then
+# cramers_v + seasonal decomposition; then the dedup keep-best manifest;
+# then the recursive-CTE calendar gap audit; then position-based
+# attribution + cohort LTV + FK inference; then growth accounting +
+# Mann-Kendall; finally char diversity. The round ends with a full
+# sweep at the final 243-query registry (SWEEP_r10.log) — no additions
+# after the sweep (r9 verdict #2).
 _WINDOW: tuple[str, ...] = (
     # --- changed in round 10: fresh driver evidence required ---
     "text_bm25_topk",
