@@ -99,6 +99,8 @@ _BYTEA_OID = 17
 _INT_OIDS = (20, 21, 23, 26)
 _FLOAT_OIDS = (700, 701)
 _NUMERIC_OID = 1700
+_DATE_OID = 1082
+_TS_OIDS = (1114, 1184)  # timestamp / timestamptz
 
 
 def _decode(oid: int, text: str | None):
@@ -114,6 +116,12 @@ def _decode(oid: int, text: str | None):
         return text == "t"
     if oid == _BYTEA_OID and text.startswith("\\x"):
         return bytes.fromhex(text[2:])
+    if oid == _DATE_OID:
+        return dt.date.fromisoformat(text)
+    if oid in _TS_OIDS:
+        # PG renders 'YYYY-MM-DD HH:MM:SS[.ffffff][+TZ]'; fromisoformat
+        # (3.11+) accepts the space separator and offset forms
+        return dt.datetime.fromisoformat(text)
     return text
 
 

@@ -293,3 +293,41 @@ def write_curated_corpus(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+
+
+@dataclass
+class PgWireWatermarkTarget(DbApiUpsertSink):
+    """Runner-compatible live-Postgres target over ``sources/pgwire.py``:
+    the upsert write of :class:`DbApiUpsertSink` plus a ``read_target``
+    that PUSHES the watermark probe into the server.
+
+    ``read_target`` returns a ONE-ROW frame holding ``SELECT MAX(check)``
+    for the table — ``probe_watermark``'s MAX over it is then MAX(MAX(x))
+    == MAX(x), so the runner's T1/T2 semantics are untouched while the
+    target table itself never leaves the database (the reference probes
+    exactly this way, ``sync_utils.py:246-254``; pulling the target INTO
+    Spark to probe it would read the whole table per sync). An empty
+    table yields the NULL row -> NULL watermark -> full copy, also
+    reference semantics.
+
+    ``check_columns`` maps table -> watermark column (the sync config
+    knows it; the Sink protocol's ``read_target`` does not).
+    """
+
+    check_columns: dict[str, str] | None = None
+
+    def read_target(self, spark: SparkSession, table: str, schema):
+        from pyspark.sql.types import StructField, StructType
+
+        col = (self.check_columns or {})[table]
+        con = self.connect()
+        try:
+            cur = con.cursor()
+            cur.execute(f"SELECT MAX({col}) FROM {table}")
+            wm = cur.fetchall()[0][0]
+        finally:
+            con.close()
+        dtype = next(f.dataType for f in schema.fields if f.name == col)
+        return spark.createDataFrame(
+            [(wm,)], StructType([StructField(col, dtype, True)])
+        )

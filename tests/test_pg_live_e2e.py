@@ -123,9 +123,9 @@ def test_live_watermark_probe_matches_spark(netflix_in_pg, spark):
 
     cur = netflix_in_pg.cursor()
     cur.execute("SELECT MAX(date_added) FROM netflix_shows")
-    live = cur.fetchall()[0][0]
+    live = cur.fetchall()[0][0]  # decoded to datetime.date by pgwire
     df = load_copy_fixture(spark, FIXTURE, "netflix_shows", NETFLIX_DDL)
-    assert str(probe_watermark(df, "date_added", "timestamp"))[:10] == live
+    assert probe_watermark(df, "date_added", "timestamp") == live
 
 
 def test_live_upsert_sink_roundtrip_from_executors(pg, pg_connect, spark):
@@ -198,13 +198,13 @@ def test_live_pg_type_roundtrips(pg_connect, spark):
     sink.write(df, "typed_target", ["id"])
 
     cur.execute(
-        "SELECT amount, ts::text, d::text, tags, meta::text, "
+        "SELECT amount, ts, d, tags, meta::text, "
         "jsonb_typeof(meta->'k') FROM typed_target WHERE id = 1"
     )
     amount, ts, d, tags, meta, ktype = cur.fetchall()[0]
     assert amount == Decimal("12345678.1234")  # numeric precision exact
-    assert ts == "2024-03-01 12:34:56.789"
-    assert d == "2024-03-01"
+    assert ts == dt.datetime(2024, 3, 1, 12, 34, 56, 789000)  # native decode
+    assert d == dt.date(2024, 3, 1)
     assert tags == "{a,it's,c}"  # PG array text form, quote survived
     assert ktype == "array"  # jsonb really parsed, not stored as text
     cur.execute("DROP TABLE typed_target")
@@ -279,7 +279,7 @@ def test_live_full_copy_then_delta_sync_netflix(pg, pg_connect, spark):
 
     # sync 2: probe the LIVE target watermark, pull only the strict delta
     cur.execute("SELECT MAX(date_added) FROM netflix_tgt")
-    wm1 = dt.date.fromisoformat(cur.fetchall()[0][0])
+    wm1 = cur.fetchall()[0][0]  # decoded to datetime.date by pgwire
     assert wm1 == dt.date(2020, 12, 31)
     delta = delta_filter(cols, "date_added", wm1)
     n2 = sink.write(delta, "netflix_tgt", keys)
@@ -301,5 +301,157 @@ def test_live_full_copy_then_delta_sync_netflix(pg, pg_connect, spark):
     spark_row = cols.filter(F.col("show_id") == "s1").first()
     assert cur.fetchall() == [(spark_row["title"], spark_row["release_year"])]
     cur.execute("DROP TABLE netflix_tgt")
+    con.commit()
+    con.close()
+
+
+def test_runner_syncs_multiple_tables_into_live_pg(pg, pg_connect, spark):
+    """The control plane (C1 per-table isolation) driving live Postgres:
+    two tables sync through runner.sync_table with the watermark probe
+    PUSHED into the server (PgWireWatermarkTarget) — first pass full
+    copy, second pass empty-delta guard, third pass ships only new rows;
+    a third table whose target does not exist fails ISOLATED."""
+    import datetime as dt
+
+    from database_synchronize_tool_spark.runner import sync_table
+    from database_synchronize_tool_spark.sources.config import SyncConfig
+    from database_synchronize_tool_spark.sources.sinks import (
+        PgWireWatermarkTarget,
+    )
+
+    con = pg_connect()
+    cur = con.cursor()
+    for t in ("rt_events", "rt_users"):
+        cur.execute(f"DROP TABLE IF EXISTS {t}")
+    cur.execute(
+        "CREATE TABLE rt_events (id bigint PRIMARY KEY, ts timestamp, v text)"
+    )
+    cur.execute(
+        "CREATE TABLE rt_users (uid bigint PRIMARY KEY, name text)"
+    )
+    con.commit()
+
+    ev_rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), f"e{i}")
+        for i in range(20)
+    ]
+    frames = {
+        "rt_events": spark.createDataFrame(
+            ev_rows, "id long, ts timestamp, v string"
+        ),
+        # uid 0 deliberately present: the id watermark coalesces NULL->0
+        # and filters strictly '> 0' (reference T2), so row 0 NEVER syncs
+        "rt_users": spark.createDataFrame(
+            [(i, f"u{i}") for i in range(5)], "uid long, name string"
+        ),
+        "rt_missing": spark.createDataFrame([(1,)], "id long"),
+    }
+
+    class DictSource:
+        def read(self, spark, table):
+            return frames[table]
+
+    sink = PgWireWatermarkTarget(
+        connect=pg_connect,
+        check_columns={
+            "rt_events": "ts",
+            "rt_users": "uid",
+            "rt_missing": "id",
+        },
+    )
+    cfgs = [
+        SyncConfig("rt_events", "ts", "timestamp", merge_keys=("id",)),
+        SyncConfig("rt_users", "uid", "id", merge_keys=("uid",)),
+        SyncConfig("rt_missing", "id", "id", merge_keys=("id",)),
+    ]
+
+    def run_all():
+        out = {}
+        for cfg in cfgs:
+            try:
+                out[cfg.table] = sync_table(spark, cfg, DictSource(), sink)
+            except Exception as exc:  # noqa: BLE001 — C1: isolate per table
+                out[cfg.table] = exc
+        return out
+
+    r1 = run_all()
+    assert r1["rt_events"].rows_synced == 20  # NULL watermark -> full copy
+    # T2: id-type watermark coalesces NULL->0 and pulls uid > 0 — the
+    # uid=0 row is invisible to an id watermark (reference asymmetry,
+    # sync_utils.py:256-265; the ts path above full-copies instead)
+    assert r1["rt_users"].rows_synced == 4
+    assert r1["rt_users"].watermark == 0
+    assert isinstance(r1["rt_missing"], Exception)  # isolated failure
+
+    r2 = run_all()  # nothing new: empty-delta guard on both live tables
+    assert r2["rt_events"].rows_synced == 0
+    assert r2["rt_events"].watermark == ev_rows[-1][1]  # probed live MAX
+    assert r2["rt_users"].rows_synced == 0
+
+    frames["rt_events"] = frames["rt_events"].unionByName(
+        spark.createDataFrame(
+            [(100, dt.datetime(2024, 2, 1), "late")],
+            "id long, ts timestamp, v string",
+        )
+    )
+    r3 = run_all()
+    assert r3["rt_events"].rows_synced == 1  # strict-> delta only
+    cur.execute("SELECT COUNT(*) FROM rt_events")
+    assert cur.fetchall() == [(21,)]
+    for t in ("rt_events", "rt_users"):
+        cur.execute(f"DROP TABLE {t}")
+    con.commit()
+    con.close()
+
+
+def test_streaming_upserts_into_live_pg(pg, pg_connect, spark, tmp_path):
+    """Structured Streaming -> live Postgres: every micro-batch flows
+    through foreachBatch into the batched ON CONFLICT sink (the
+    streaming twin of the T1 pipeline, stream_merge_into), idempotent
+    across batches because the upsert converges."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from database_synchronize_tool_spark.sources.sinks import DbApiUpsertSink
+    from database_synchronize_tool_spark.streaming.events import (
+        stream_merge_into,
+    )
+
+    src = tmp_path / "pgstream_src"
+    src.mkdir()
+    for b in range(3):  # 3 files -> 3 micro-batches (maxFilesPerTrigger=1)
+        tbl = pa.table(
+            {
+                "id": pa.array([b * 10 + i for i in range(4)], pa.int64()),
+                "v": pa.array([f"b{b}r{i}" for i in range(4)], pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(src / f"f{b}.parquet"))
+
+    con = pg_connect()
+    cur = con.cursor()
+    cur.execute("DROP TABLE IF EXISTS stream_tgt")
+    cur.execute("CREATE TABLE stream_tgt (id bigint PRIMARY KEY, v text)")
+    con.commit()
+
+    sink = DbApiUpsertSink(connect=pg_connect)
+    stream = (
+        spark.readStream.schema("id bigint, v string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = stream_merge_into(
+        stream,
+        ["id"],
+        lambda batch, _bid: sink.write(batch, "stream_tgt", ["id"]),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    cur.execute("SELECT COUNT(*), MIN(id), MAX(id) FROM stream_tgt")
+    assert cur.fetchall() == [(12, 0, 23)]
+    cur.execute("SELECT v FROM stream_tgt WHERE id = 21")
+    assert cur.fetchall() == [("b2r1",)]
+    cur.execute("DROP TABLE stream_tgt")
     con.commit()
     con.close()
