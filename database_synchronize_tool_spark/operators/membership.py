@@ -104,18 +104,25 @@ def cms_point_estimate(
     advice, membership.py:110): the sketch table only stores hit
     counters, so an inner join would drop a probe whose buckets are all
     empty and inflate the min() for one with some empty buckets — a true
-    CMS returns 0 for an unseen value.
+    CMS returns 0 for an unseen value. Probe rows are tagged with a
+    unique id before the explode (the bloom_probe discipline) so
+    DUPLICATE probe rows each survive with their own estimate instead of
+    collapsing.
     """
-    pb = probes.withColumn(
+    tagged = probes.withColumn("__probe_id", F.monotonically_increasing_id())
+    pb = tagged.withColumn(
         "__b",
         F.array(
             *[seeded_bucket(F.col(col), f"cms{r}", width) for r in range(depth)]
         ),
-    ).select(*probes.columns, F.posexplode("__b").alias("r", "bucket"))
+    ).select(
+        "__probe_id", *probes.columns, F.posexplode("__b").alias("r", "bucket")
+    )
     return (
         pb.join(F.broadcast(sketch), ["r", "bucket"], "left")
-        .groupBy(*probes.columns)
+        .groupBy("__probe_id", *probes.columns)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+        .drop("__probe_id")
     )
 
 

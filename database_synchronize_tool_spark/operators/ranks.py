@@ -72,12 +72,28 @@ def global_row_numbers(
     ``order_cols`` MUST be a unique total order (include a key tiebreak):
     range partitioning never splits equal keys, but uniqueness is what
     makes local row_number + offset equal the global row_number.
+
+    The local pass is sortWithinPartitions + the documented
+    ``monotonically_increasing_id`` packing (partition id in the upper 31
+    bits, the in-partition record index in the lower 33 — assigned in
+    post-sort iteration order), NOT a ``Window.partitionBy(__pid)``: the
+    planner cannot see that range partitions already colocate each
+    ``__pid``, so the window form inserts a SECOND full Exchange
+    hashpartitioning(__pid) on top of the range exchange (r10 review,
+    verified in the executed plan — 2x shuffle volume for the primitive
+    built to save shuffles). With mii the whole table shuffles exactly
+    once; the 33-bit local index caps partitions at 8.6e9 rows, which
+    ``n_parts`` sizing controls.
     """
     from database_synchronize_tool_spark.caching import scoped_persist
 
     part = scoped_persist(
-        df.repartitionByRange(n_parts, *order_cols).withColumn(
-            "__pid", F.spark_partition_id()
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__mii", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftright("__mii", 33))
+        .withColumn(
+            "__lrn", F.col("__mii").bitwiseAND(F.lit((1 << 33) - 1)) + 1
         )
     )
     counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
@@ -93,11 +109,10 @@ def global_row_numbers(
         .groupBy("__pid")
         .agg(F.coalesce(F.sum("__cnt_e"), F.lit(0)).alias("__off"))
     )
-    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
     return (
         part.join(F.broadcast(offsets), "__pid")
-        .withColumn(alias, F.row_number().over(w_local) + F.col("__off"))
-        .drop("__pid", "__off")
+        .withColumn(alias, F.col("__lrn") + F.col("__off"))
+        .drop("__pid", "__off", "__mii", "__lrn")
     )
 
 
@@ -117,13 +132,24 @@ def global_running_sum(
     earlier partitions, an ``n_parts``-row windowless broadcast. This is
     the sweep-line / prefix-sum shape that survives 100 TB: parallelism is
     ``n_parts`` and no task ever sees more than its key range.
+
+    The local cumulative sum is an Arrow-batched ``mapInPandas`` pass
+    carrying the running total across batches — NOT a
+    ``Window.partitionBy(__pid)``, which would insert a second full
+    Exchange hashpartitioning(__pid) on top of the range exchange (same
+    double-shuffle hazard :func:`global_row_numbers` documents); the
+    pandas pass is narrow and stays on the range partitioning.
+    ``value_col`` must be integer-typed (every caller sums exact BIGINT
+    units — the repo's parity discipline anyway); NULLs contribute 0.
     """
+    from pyspark.sql.types import LongType, StructField, StructType
+
     from database_synchronize_tool_spark.caching import scoped_persist
 
     part = scoped_persist(
-        df.repartitionByRange(n_parts, *order_cols).withColumn(
-            "__pid", F.spark_partition_id()
-        )
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
     )
     totals = part.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
     earlier = totals.select(
@@ -134,15 +160,26 @@ def global_running_sum(
         .groupBy("__pid")
         .agg(F.coalesce(F.sum("__tot_e"), F.lit(0)).alias("__off"))
     )
-    w_local = (
-        Window.partitionBy("__pid")
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out_schema = StructType(
+        list(part.schema.fields) + [StructField("__lcum", LongType())]
     )
+
+    def local_cumsum(batches):
+        total = 0
+        for pdf in batches:
+            vals = pdf[value_col].fillna(0).astype("int64")
+            cum = vals.cumsum() + total
+            if len(cum):
+                total = int(cum.iloc[-1])
+            pdf = pdf.copy()
+            pdf["__lcum"] = cum
+            yield pdf
+
+    cum = part.mapInPandas(local_cumsum, out_schema)
     return (
-        part.join(F.broadcast(offsets), "__pid")
-        .withColumn(alias, F.sum(value_col).over(w_local) + F.col("__off"))
-        .drop("__pid", "__off")
+        cum.join(F.broadcast(offsets), "__pid")
+        .withColumn(alias, F.col("__lcum") + F.col("__off"))
+        .drop("__pid", "__off", "__lcum")
     )
 
 

@@ -1316,10 +1316,15 @@ def window_cume_dist_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("__rn").cast("double") / F.col("__n").cast("double")).alias(
             "cd"
         ),
-        (
+        # percent_rank() is DEFINED as 0 for a single-row partition; the
+        # raw (rn-1)/(n-1) would be a NULL-making 0/0 there (r10 review)
+        F.when(
+            F.col("__n") > 1,
             (F.col("__rn") - F.lit(1)).cast("double")
-            / (F.col("__n") - F.lit(1)).cast("double")
-        ).alias("pr"),
+            / (F.col("__n") - F.lit(1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pr"),
     )
 
 

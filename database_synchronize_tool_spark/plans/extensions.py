@@ -3910,7 +3910,10 @@ def calendar_gap_audit_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     "by alphabet x docs, and the stream shuffles once on doc_id.",
 )
 def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # empty docs emit NO row on either side: Spark's sequence(1, 0) is the
+    # DESCENDING [1, 0] (auto step -1), not an empty array, so without the
+    # guard an empty text would mint two phantom '' chars (r10 review)
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     ch = d.select(
         "doc_id",
         F.explode(

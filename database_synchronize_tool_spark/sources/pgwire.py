@@ -59,6 +59,12 @@ def _literal(v) -> str:
     if isinstance(v, int):
         return str(v)
     if isinstance(v, float):
+        if v != v:  # NaN — bare 'nan' is invalid SQL; PG wants the quoted form
+            return "'NaN'::float8"
+        if v == float("inf"):
+            return "'Infinity'::float8"
+        if v == float("-inf"):
+            return "'-Infinity'::float8"
         return repr(v)
     if isinstance(v, Decimal):
         return str(v)
@@ -77,18 +83,39 @@ def _literal(v) -> str:
 
 
 def _interpolate(sql: str, params) -> str:
-    """Substitute ``%s`` placeholders with escaped literals. Split-based so
-    no other ``%`` in the statement is interpreted."""
-    parts = sql.split("%s")
-    if len(parts) - 1 != len(params):
+    """Substitute ``%s`` placeholders with escaped literals, honoring the
+    psycopg2 ``%%`` escape (a literal percent, e.g. in LIKE patterns).
+    Values are escaped BEFORE insertion, so a value containing ``%s`` can
+    never mint a new placeholder."""
+    out: list[str] = []
+    it = iter(params)
+    used = 0
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "%" and i + 1 < n:
+            nxt = sql[i + 1]
+            if nxt == "s":
+                try:
+                    out.append(_literal(next(it)))
+                except StopIteration:
+                    raise ValueError(
+                        f"statement has more placeholders than the "
+                        f"{len(params)} parameters given"
+                    ) from None
+                used += 1
+                i += 2
+                continue
+            if nxt == "%":
+                out.append("%")
+                i += 2
+                continue
+        out.append(c)
+        i += 1
+    if used != len(params):
         raise ValueError(
-            f"statement has {len(parts) - 1} placeholders, "
-            f"got {len(params)} parameters"
+            f"statement has {used} placeholders, got {len(params)} parameters"
         )
-    out = [parts[0]]
-    for lit, tail in zip((_literal(p) for p in params), parts[1:]):
-        out.append(lit)
-        out.append(tail)
     return "".join(out)
 
 
@@ -391,10 +418,12 @@ class EphemeralPostgres:
         import tempfile
 
         self._subprocess = subprocess
+        self.error: str | None = None
         self.available = all(
             _sh.which(b) for b in ("initdb", "pg_ctl", "postgres")
         )
         if not self.available:
+            self.error = "postgres binaries (initdb/pg_ctl/postgres) not found"
             return
         # postgres refuses to run as root; under a root sandbox drop to
         # "nobody" via setpriv for every server-side command

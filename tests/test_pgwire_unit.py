@@ -61,3 +61,18 @@ def test_decode_by_oid():
     assert _decode(17, "\\xdeadbeef") == b"\xde\xad\xbe\xef"  # bytea
     assert _decode(25, "text stays text") == "text stays text"
     assert _decode(20, None) is None  # SQL NULL regardless of type
+
+
+def test_literal_nonfinite_floats():
+    assert _literal(float("nan")) == "'NaN'::float8"
+    assert _literal(float("inf")) == "'Infinity'::float8"
+    assert _literal(float("-inf")) == "'-Infinity'::float8"
+
+
+def test_interpolate_percent_escape():
+    # psycopg2 semantics: %% is a literal percent, usable next to %s
+    assert (
+        _interpolate("SELECT %s WHERE n LIKE 'a%%s'", ("v",))
+        == "SELECT 'v' WHERE n LIKE 'a%s'"
+    )
+    assert _interpolate("SELECT '100%%'", ()) == "SELECT '100%'"

@@ -466,46 +466,10 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "orders_customer_adoption",
 }
 
-# Streaming replays execute eagerly on build and are covered by their own
-# batch-equivalence tests.
-_STREAMING_PREFIXES = tuple(f"t{i}_" for i in range(7, 19))
-
-
-def _jchildren(node):
-    out = []
-    it = node.children().iterator()
-    while it.hasNext():
-        out.append(it.next())
-    return out
-
-
-def _subtree_has_limit(node) -> bool:
-    stack = [node]
-    while stack:
-        n = stack.pop()
-        if n.nodeName() in ("GlobalLimit", "LocalLimit"):
-            return True
-        stack.extend(_jchildren(n))
-    return False
-
-
-def unbounded_global_windows(df) -> int:
-    """Count Window nodes in the optimized logical plan with an EMPTY
-    partitionSpec whose input is not bounded by a limit below them — the
-    Exchange SinglePartition + full sort scale-killer class."""
-    plan = df._jdf.queryExecution().optimizedPlan()
-    n_bad = 0
-    stack = [plan]
-    while stack:
-        n = stack.pop()
-        if (
-            n.nodeName() == "Window"
-            and n.partitionSpec().isEmpty()
-            and not _subtree_has_limit(n)
-        ):
-            n_bad += 1
-        stack.extend(_jchildren(n))
-    return n_bad
+from database_synchronize_tool_spark.plan_checks import (  # noqa: E402
+    STREAMING_PREFIXES as _STREAMING_PREFIXES,
+    unbounded_global_windows,
+)
 
 
 def test_no_unbounded_global_windows_anywhere(spark, sf_dir):

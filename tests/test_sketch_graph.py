@@ -262,3 +262,16 @@ def test_hll_intersection_inclusion_exclusion(spark, sf_dir):
     exact = row["exact_intersection"]
     assert exact > 0
     assert abs(row["est_intersection"] - exact) <= 0.5 * exact + 50
+
+
+def test_cms_duplicate_probe_rows_each_survive(spark):
+    # the bloom_probe duplicate fix applied to CMS too (r10 review):
+    # duplicate probe rows must not collapse into one output row
+    items = spark.createDataFrame([("a",)] * 7, "k string")
+    sketch = cms_build(items, "k", depth=3, width=32)
+    probes = spark.createDataFrame([("a",), ("a",), ("zz",)], "k string")
+    rows = sorted(
+        (r["k"], r["cms_est"])
+        for r in cms_point_estimate(sketch, probes, "k", 3, 32).collect()
+    )
+    assert rows == [("a", 7), ("a", 7), ("zz", 0)]

@@ -17,29 +17,11 @@ sys.path.insert(0, "/root/repo")
 from database_synchronize_tool_spark.plans.registry import all_queries
 from database_synchronize_tool_spark.session import get_spark
 
-# Streaming replays execute eagerly on build; they are plan-checked by
-# their own batch-equivalence tests instead.
-STREAMING_PREFIXES = ("t7_", "t8_", "t9_", "t10_", "t11_", "t12_", "t13_",
-                      "t14_", "t15_", "t16_", "t17_", "t18_")
-
-
-def _children(node):
-    out = []
-    ch = node.children()
-    it = ch.iterator()
-    while it.hasNext():
-        out.append(it.next())
-    return out
-
-
-def _subtree_has_limit(node) -> bool:
-    stack = [node]
-    while stack:
-        n = stack.pop()
-        if n.nodeName() in ("GlobalLimit", "LocalLimit"):
-            return True
-        stack.extend(_children(n))
-    return False
+from database_synchronize_tool_spark.plan_checks import (  # noqa: E402
+    STREAMING_PREFIXES,
+    jchildren,
+    subtree_has_limit,
+)
 
 
 def global_window_report(df) -> list[str]:
@@ -50,10 +32,8 @@ def global_window_report(df) -> list[str]:
     while stack:
         n = stack.pop()
         if n.nodeName() == "Window" and n.partitionSpec().isEmpty():
-            tags.append(
-                "bounded" if _subtree_has_limit(n) else "global"
-            )
-        stack.extend(_children(n))
+            tags.append("bounded" if subtree_has_limit(n) else "global")
+        stack.extend(jchildren(n))
     return tags
 
 
