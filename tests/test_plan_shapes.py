@@ -493,3 +493,32 @@ def test_no_unbounded_global_windows_anywhere(spark, sf_dir):
         "global_row_numbers / global_running_sum, or justify an "
         "allowlist entry"
     )
+
+
+def test_two_pass_ranks_shuffle_data_exactly_once(spark):
+    # the r10 review found Window.partitionBy(__pid) silently re-exchanged
+    # the whole table by hash on top of the range exchange; the mii /
+    # mapInPandas forms must never re-grow that second data shuffle —
+    # every hashpartitioning exchange left in the plan may only feed the
+    # tiny per-__pid aggregates, never carry the data columns
+    from pyspark.sql import functions as F
+
+    from database_synchronize_tool_spark.operators.ranks import (
+        global_row_numbers,
+        global_running_sum,
+    )
+
+    df = spark.range(10000).select(
+        F.col("id").alias("i"), (F.col("id") % 7).alias("v")
+    )
+    for out in (
+        global_row_numbers(df, [F.col("v"), F.col("i")], "rn"),
+        global_running_sum(df, [F.col("i")], "v", "cum"),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "__pid" in line and "i#" not in line, (
+                    "a hash exchange is carrying data columns — the "
+                    f"second full shuffle is back: {line.strip()}"
+                )
