@@ -97,6 +97,26 @@ def global_row_numbers(
         )
     )
     counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    # mii packs the in-partition record index into 33 bits; a range
+    # partition beyond 2^33 rows would overflow __lrn into the partition-id
+    # bits and corrupt every rank SILENTLY. The counts pass already has the
+    # per-partition sizes, so guard here at zero extra cost — callers must
+    # raise n_parts (ADVICE r10). raise_error (not assert_true) keeps the
+    # check in the plan because __cnt itself flows into the offsets.
+    counts = counts.select(
+        "__pid",
+        F.when(F.col("__cnt") < F.lit(1 << 33), F.col("__cnt"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("global_row_numbers: range partition holds "),
+                    F.col("__cnt").cast("string"),
+                    F.lit(" rows (>= 2^33); raise n_parts"),
+                )
+            ).cast("long")
+        )
+        .alias("__cnt"),
+    )
     earlier = counts.select(
         F.col("__pid").alias("__pid_e"), F.col("__cnt").alias("__cnt_e")
     )

@@ -1593,7 +1593,10 @@ def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = r.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
         F.sum("cnt").cast("decimal(38,0)").alias("tot"),
-        F.sum((F.col("i") * F.col("cnt")).cast("decimal(38,0)")).alias("sic"),
+        # cast ONE operand to decimal BEFORE the multiply: i*cnt in bigint
+        # wraps silently under extreme skew (rank ~1e9 × count ~1e10) in
+        # non-ANSI mode; decimal(38,0) × bigint is exact (ADVICE r10)
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cnt")).alias("sic"),
     )
     # Σ(2i - n - 1)·cnt == 2·sic - (n+1)·tot — exact integers both ways,
     # so the double cast matches the oracle's literal rank-form sum.

@@ -67,6 +67,12 @@ def _literal(v) -> str:
             return "'-Infinity'::float8"
         return repr(v)
     if isinstance(v, Decimal):
+        # mirror the float handling: bare NaN/Infinity tokens are invalid
+        # SQL, but PG numeric accepts the quoted spellings
+        if not v.is_finite():
+            if v.is_nan():
+                return "'NaN'::numeric"
+            return ("'-Infinity'" if v < 0 else "'Infinity'") + "::numeric"
         return str(v)
     if isinstance(v, dt.datetime):
         return f"'{v.isoformat(sep=' ')}'"
@@ -78,8 +84,13 @@ def _literal(v) -> str:
         # non-empty arrays coerce to the column's element type; an empty
         # array literal has no type in PG — callers cast those themselves
         return "ARRAY[" + ", ".join(_literal(x) for x in v) + "]"
-    s = str(v).replace("'", "''")
-    return f"'{s}'"
+    s = str(v)
+    if "\0" in s:
+        # PostgreSQL text cannot store NUL; inside a simple-query message a
+        # raw NUL would also terminate the wire string early. Fail loudly
+        # rather than silently truncating synced data.
+        raise ValueError("PostgreSQL text values cannot contain NUL (\\0)")
+    return "'" + s.replace("'", "''") + "'"
 
 
 def _interpolate(sql: str, params) -> str:
@@ -204,12 +215,25 @@ class Cursor:
         self.description = None
         self.rowcount = -1
 
+    def _check_scs(self) -> None:
+        # re-checked per interpolation: a mid-session
+        # SET standard_conforming_strings=off arrives as ParameterStatus
+        # and would make quote-doubling unsafe from that point on
+        scs = self._conn.parameter_status.get("standard_conforming_strings")
+        if scs is not None and scs.lower() != "on":
+            raise PgError(
+                {"M": "standard_conforming_strings is off; refusing to "
+                 "interpolate literals with quote-doubling escape"}
+            )
+
     def execute(self, sql: str, params=None) -> None:
         if params is not None:
+            self._check_scs()
             sql = _interpolate(sql, params)
         self._run(sql)
 
     def executemany(self, sql: str, seq_of_params) -> None:
+        self._check_scs()
         stmts = [_interpolate(sql, p) for p in seq_of_params]
         if stmts:
             # one round trip for the whole batch: the simple protocol runs
@@ -260,8 +284,26 @@ class Connection:
         self._p = _Proto(sock)
         self._sock = sock
         self._in_tx = False
+        self.parameter_status: dict[str, str] = {}
         self._p.send_startup({"user": user, "database": database})
         self._auth(user, password)
+        # _literal escapes strings ONLY by doubling single quotes, which is
+        # sound iff backslashes are ordinary characters — i.e. iff
+        # standard_conforming_strings is on (the default since PG 9.1).
+        # Against a server/session with SCS=off, a synced value like
+        # "\' OR 1=1--" would escape the literal: statement corruption or
+        # SQL injection via row data. Fail closed instead of emitting a
+        # single unsafe byte. (ADVICE r10: verify, don't assume.)
+        scs = self.parameter_status.get("standard_conforming_strings")
+        if scs is not None and scs.lower() != "on":
+            self.close()
+            raise PgError(
+                {
+                    "M": "server reports standard_conforming_strings="
+                    f"{scs!r}; this client's quote-doubling escape is "
+                    "unsafe in that mode — refusing the connection"
+                }
+            )
 
     def _auth(self, user: str, password: str | None) -> None:
         while True:
@@ -290,11 +332,22 @@ class Connection:
                         {"M": f"unsupported auth method {code} "
                          "(use trust/password/md5)"}
                     )
+            elif mtype == b"S":
+                self._on_parameter_status(payload)
             elif mtype == b"E":
                 raise PgError(_parse_error(payload))
             elif mtype == b"Z":
                 return
-            # 'S' ParameterStatus / 'K' BackendKeyData / 'N' notices: skip
+            # 'K' BackendKeyData / 'N' notices: skip
+
+    def _on_parameter_status(self, payload: bytes) -> None:
+        # ParameterStatus: name\0value\0 — sent at startup and whenever a
+        # GUC the server reports on changes (e.g. via SET).
+        try:
+            name, value, _ = payload.split(b"\0", 2)
+            self.parameter_status[name.decode()] = value.decode()
+        except ValueError:
+            pass
 
     def _query(self, sql: str):
         self._p.send(b"Q", sql.encode() + b"\0")
@@ -340,6 +393,8 @@ class Connection:
                 tag = payload.rstrip(b"\0").decode()
                 tail = tag.rsplit(" ", 1)[-1]
                 rowcount = int(tail) if tail.isdigit() else -1
+            elif mtype == b"S":  # ParameterStatus: a GUC changed (e.g. SET)
+                self._on_parameter_status(payload)
             elif mtype == b"E":
                 error = _parse_error(payload)
             elif mtype == b"Z":
@@ -348,7 +403,7 @@ class Connection:
                     # surface it after the server is back to ready
                     raise PgError(error)
                 return rows, desc, rowcount
-            # 'N' NoticeResponse / 'S' / 'I' EmptyQueryResponse: skip
+            # 'N' NoticeResponse / 'I' EmptyQueryResponse: skip
 
     def _ensure_tx(self) -> None:
         if not self._in_tx:
