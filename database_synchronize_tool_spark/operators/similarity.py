@@ -864,6 +864,149 @@ def train_pq_codebooks(
     )
 
 
+PQ_TRAIN_SCALE = 10**6  # integer grid: xq[d] = floor(x[d] * SCALE)
+PQ_TRAIN_ITERS = 3  # fixed Lloyd iterations (unrolled in the SQL oracle)
+
+
+def train_pq_codebooks_exact(
+    candidates: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_TRAIN_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-engine-EXACT per-subvector Lloyd k-means PQ codebooks: every
+    arithmetic step is integer, so a SQL engine replays training
+    bit-identically and the trained-recall queries become hash-gradable
+    (r10 verdict item #1 — float ``train_pq_codebooks`` forces rows-only
+    grading because no oracle can reproduce pyspark.ml's float means).
+
+    The determinism recipe (mirrored literally by the DuckDB oracle in
+    ``plans/extensions._pq_train_sql``):
+
+    - quantize: ``xq[d] = floor(x[d] * PQ_TRAIN_SCALE)`` as BIGINT — one
+      IEEE double multiply + floor, identical on any engine;
+    - init: the quantized subvectors of the ``ksub`` smallest-id vectors
+      (the :func:`pq_codebooks` seeding rule, zero RNG);
+    - assign: argmin of INTEGER squared L2, ties to the smallest code;
+    - update: ``c[d] = floor(sum(xq[d]) / n)`` via the division-convention-
+      free form ``(s - nonneg_mod(s, n)) / n`` (DuckDB ``//`` truncates,
+      Python floors — the divisible numerator makes them agree); empty
+      clusters keep their previous center;
+    - a FIXED ``iters`` Lloyd rounds; codewords re-enter double space as
+      ``c * 1e-6`` (multiply by the reciprocal, never divide — divide-by-
+      literal constant-folds to a 1-ulp-different reciprocal multiply in
+      DuckDB).
+
+    Integer sums are order-independent, so — unlike the float trainer,
+    which must canonicalize its sample to ONE sorted partition for seed
+    stability — this trainer runs FULLY DISTRIBUTED over the whole corpus
+    with no TRAIN_MAX_ROWS cap and no ``sample_mod``: per iteration, one
+    broadcast-join of the (sid, sub, xq) table against the 64-row codebook,
+    a map-side-combined ``min(struct(d2, code))`` argmin (no window), and a
+    (sub, code, dim) integer-sum aggregate whose m·ksub·dsub result rows
+    are the only thing the driver holds. At 100 TB each Lloyd round is two
+    shuffle-light passes over the corpus; the quantization error of the
+    1e-6 grid is ~1e-13 per squared component — irrelevant next to PQ's own
+    distortion. Per-dim sums stay < 2^63 up to ~3.6e13 corpus rows.
+    """
+    spark = candidates.sparkSession
+    base = candidates.select(
+        F.col(id_col).alias("sid"), as_double(F.col(vec_col)).alias("v")
+    )
+    subq = base.select(
+        "sid",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        "v",
+    ).select(
+        "sid",
+        "sub",
+        F.transform(
+            _subvec(F.col("v"), F.col("sub"), m),
+            lambda x: F.floor(x * F.lit(float(PQ_TRAIN_SCALE))),
+        ).alias("xq"),
+    )
+    subq = subq.persist()
+    try:
+        # init: quantized subvectors of the ksub smallest-id rows — bounded
+        # index metadata, same collect the seeded codebook path performs
+        seed_rows = (
+            subq.orderBy("sid")
+            .limit(ksub * m)  # ksub sids × m subs
+            .collect()
+        )
+        sids = sorted({r["sid"] for r in seed_rows})[:ksub]
+        cents: dict[tuple[int, int], list[int]] = {}
+        for r in seed_rows:
+            if r["sid"] in sids:
+                cents[(r["sub"], sids.index(r["sid"]))] = [
+                    int(x) for x in r["xq"]
+                ]
+        for _ in range(iters):
+            cb = spark.createDataFrame(
+                [(s, c, v) for (s, c), v in cents.items()],
+                "sub int, code int, c array<long>",
+            )
+            assigned = (
+                subq.join(F.broadcast(cb), "sub")
+                .withColumn(
+                    "d2",
+                    F.aggregate(
+                        F.zip_with(
+                            "xq", "c", lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ),
+                )
+                # min(struct) = argmin with tie -> smallest code; xq rides
+                # along (identical across a (sid, sub)'s candidate rows, so
+                # it never influences the comparison). Map-side combined —
+                # no window, no second shuffle.
+                .groupBy("sid", "sub")
+                .agg(F.min(F.struct("d2", "code", "xq")).alias("b"))
+                .select("sub", F.col("b.code").alias("code"),
+                        F.col("b.xq").alias("xq"))
+            )
+            sums = (
+                assigned.select(
+                    "sub", "code", F.posexplode("xq").alias("dim", "x")
+                )
+                .groupBy("sub", "code", "dim")
+                .agg(
+                    F.sum("x").alias("sx"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()  # m*ksub*dsub rows — bounded index metadata
+            )
+            new = dict(cents)
+            bydim: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+            for r in sums:
+                bydim.setdefault((r["sub"], r["code"]), {})[r["dim"]] = (
+                    int(r["sx"]),
+                    int(r["n"]),
+                )
+            for key, dims in bydim.items():
+                prev = cents[key]
+                new[key] = [
+                    # Python // floors; == (s - nonneg_mod) / n on any engine
+                    (dims[d][0] // dims[d][1]) if d in dims else prev[d]
+                    for d in range(len(prev))
+                ]
+            cents = new
+    finally:
+        subq.unpersist()
+    inv = 1.0 / PQ_TRAIN_SCALE  # exact-parity reciprocal MULTIPLY
+    return spark.createDataFrame(
+        [
+            (s, c, [float(x) * inv for x in v])
+            for (s, c), v in sorted(cents.items())
+        ],
+        "sub int, code int, cv array<double>",
+    )
+
+
 def ivf_pq_topk(
     queries: DataFrame,
     candidates: DataFrame,

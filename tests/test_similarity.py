@@ -238,6 +238,38 @@ def test_pq_trained_codebooks_deterministic_across_partitioning(spark, sf_dir):
     assert got1 == got2
 
 
+def test_pq_exact_trainer_deterministic_across_partitioning(spark, sf_dir):
+    # integer sums are order-independent, so the exact trainer needs NO
+    # canonical single-partition layout — any partitioning, same codebooks
+    e = load_table(spark, sf_dir, "embeddings")
+    c1 = SIM.train_pq_codebooks_exact(e)
+    c2 = SIM.train_pq_codebooks_exact(e.repartition(7))
+    got1 = sorted((r["sub"], r["code"], tuple(r["cv"])) for r in c1.collect())
+    got2 = sorted((r["sub"], r["code"], tuple(r["cv"])) for r in c2.collect())
+    assert got1 == got2
+    assert len(got1) == SIM.PQ_M * SIM.PQ_KSUB
+    # every codeword sits exactly on the 1e-6 training grid
+    inv = 1.0 / SIM.PQ_TRAIN_SCALE
+    for _, _, cv in got1:
+        assert all(x == round(x / inv) * inv for x in cv)
+
+
+def test_pq_exact_trained_recall_geq_seeded(spark, sf_dir):
+    # the declared ann_pq_trained_recall invariant, pinned: integer-grid
+    # Lloyd from the seeded init must not recall WORSE than the seeds it
+    # started from (queries disjoint from the smallest-id seed vectors)
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    q = e.filter(F.col("vec_id") >= n - 20)
+    exact = _pairs(_l2_exact_topk(spark, q, e, k=5))
+    trained_cb = SIM.train_pq_codebooks_exact(e)
+    r_seeded = len(_pairs(SIM.pq_adc_topk(q, e, k=5)) & exact) / len(exact)
+    r_trained = len(
+        _pairs(SIM.pq_adc_topk(q, e, k=5, codebooks=trained_cb)) & exact
+    ) / len(exact)
+    assert r_trained >= r_seeded, (r_trained, r_seeded)
+
+
 def test_kmeans_training_rejects_oversized_corpus(spark, sf_dir, monkeypatch):
     # without sample_mod, a full-corpus fit would silently coalesce(1);
     # past the ceiling both trainers must refuse instead
