@@ -203,6 +203,221 @@ def global_running_sum(
     )
 
 
+def grouped_doubled_avg_ranks(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    alias: str,
+    n_parts: int = 32,
+) -> DataFrame:
+    """Append ``alias`` = 2·(tie-averaged rank of ``value_col`` within
+    ``group_col``) as an exact BIGINT — the scale-safe replacement for
+    ``Window.partitionBy(group).orderBy(value)`` rank windows whose
+    partition key has BOUNDED NDV (r10 verdict: 3 return flags = 3
+    straggler tasks; one huge group single-threads a third of the table
+    through a single sorter at 100 TB).
+
+    Shape — ONE data shuffle, the :func:`global_running_sum` discipline
+    generalized to per-group tie-averaged ranks:
+
+    - range-repartition on (group, value) so each partition holds a
+      contiguous key range (equal (group, value) pairs NEVER split) and
+      sort within partitions — parallelism is ``n_parts`` regardless of
+      group count;
+    - an Arrow-batched ``mapInPandas`` forward scan computes each tie
+      group's local doubled average rank ``2·pos + size + 1``
+      (= first_rank + last_rank), carrying (current group, emitted-row
+      count, trailing unfinished tie group) across batches — NOT a
+      ``Window.partitionBy(__pid, g)``, which re-exchanges the whole
+      table by hash because the planner can't see range partitions
+      already colocate it (the double-shuffle hazard
+      :func:`global_row_numbers` documents);
+    - each partition's rank offset (rows of the same group in EARLIER
+      partitions) comes from a tiny map-side-combined (pid, group) count
+      aggregate and a windowless inequality self-join — broadcast back,
+      ``alias = local + 2·offset``.
+
+    The only buffered state is one tie group (pathological all-equal
+    values degrade to the partition size — the same worst case any
+    sort-based rank has). For HIGH-NDV groups keep the plain window:
+    parallelism there is the group count itself, and the (pid, group)
+    offset table here would stop being tiny.
+
+    ``2·avg_rank = 2·rank_min + ties − 1`` stays integral under ties
+    (the repo's cross-engine rank-parity form; see plans/approx.py rank
+    statistics), so downstream sufficient statistics remain BIGINT/
+    DECIMAL-exact.
+    """
+    import numpy as np
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from database_synchronize_tool_spark.caching import scoped_persist
+
+    part = scoped_persist(
+        df.repartitionByRange(n_parts, F.col(group_col), F.col(value_col))
+        .sortWithinPartitions(group_col, value_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    counts = part.groupBy("__pid", group_col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    earlier = counts.select(
+        F.col("__pid").alias("__pid_e"),
+        F.col(group_col).alias("__g_e"),
+        F.col("__cnt").alias("__cnt_e"),
+    )
+    offsets = (
+        counts.join(
+            earlier,
+            (F.col("__g_e") == F.col(group_col))
+            & (F.col("__pid_e") < F.col("__pid")),
+            "left",
+        )
+        .groupBy("__pid", group_col)
+        .agg(F.coalesce(F.sum("__cnt_e"), F.lit(0)).alias("__off"))
+    )
+    out_schema = StructType(
+        list(part.schema.fields) + [StructField("__lr2", LongType())]
+    )
+
+    def local_tie_scan(batches):
+        import pandas as pd
+
+        carry = None  # trailing tie group of the previous batch
+        state = {"g": None, "pos": 0}  # current group + rows emitted in it
+
+        def rank_complete(frame):
+            gv = frame[group_col].to_numpy()
+            vv = frame[value_col].to_numpy()
+            n = len(frame)
+            changed = np.ones(n, dtype=bool)
+            changed[1:] = (gv[1:] != gv[:-1]) | (vv[1:] != vv[:-1])
+            starts = np.flatnonzero(changed)
+            sizes = np.diff(np.append(starts, n))
+            gstart = gv[starts]
+            newg = np.ones(len(starts), dtype=bool)
+            newg[1:] = gstart[1:] != gstart[:-1]
+            cum = np.cumsum(sizes) - sizes  # rows before each tie group
+            rs = np.maximum.accumulate(
+                np.where(newg, np.arange(len(starts)), 0)
+            )
+            pos_before = cum - cum[rs]
+            if state["g"] is not None and gstart[0] == state["g"]:
+                pos_before[rs == 0] += state["pos"]
+            r2 = 2 * pos_before + sizes + 1
+            state["g"] = gstart[-1]
+            state["pos"] = int(pos_before[-1] + sizes[-1])
+            out = frame.copy()
+            out["__lr2"] = np.repeat(r2, sizes)
+            return out
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            buf = pd.concat([carry, pdf]) if carry is not None else pdf
+            gv = buf[group_col].to_numpy()
+            vv = buf[value_col].to_numpy()
+            diff = np.flatnonzero((gv != gv[-1]) | (vv != vv[-1]))
+            start = int(diff[-1]) + 1 if len(diff) else 0
+            carry = buf.iloc[start:]
+            if start:
+                yield rank_complete(buf.iloc[:start])
+        if carry is not None and len(carry):
+            yield rank_complete(carry)
+
+    ranked = part.mapInPandas(local_tie_scan, out_schema)
+    return (
+        ranked.join(F.broadcast(offsets), ["__pid", group_col])
+        .withColumn(alias, F.col("__lr2") + F.lit(2) * F.col("__off"))
+        .drop("__pid", "__off", "__lr2")
+    )
+
+
+def grouped_row_numbers(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[Column],
+    alias: str = "rn",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Append per-group 1-based row numbers over the UNIQUE within-group
+    order ``order_cols`` — the scale-safe replacement for
+    ``row_number().over(Window.partitionBy(group).orderBy(...))`` when
+    ``group_col`` has BOUNDED NDV (each group's sort otherwise runs in ONE
+    task; see :func:`grouped_doubled_avg_ranks`).
+
+    :func:`global_row_numbers`' single-shuffle discipline, per group:
+    range-repartition on (group, *order), sort within partitions, pack
+    local row numbers with ``monotonically_increasing_id`` (NOT a
+    ``Window.partitionBy(__pid, g)``, which re-exchanges the table), then
+    per-group local rn = lrn − first_lrn(pid, group) + 1 (group runs are
+    contiguous in the partition sort order) plus the group's offset from
+    earlier partitions — both from ONE tiny map-side-combined
+    (pid, group) aggregate, windowless inequality self-join, broadcast
+    back. ``order_cols`` MUST be unique within each group. The same
+    2^33-rows-per-partition mii bound as :func:`global_row_numbers`
+    applies, guarded from the stats table at zero extra cost.
+    """
+    from database_synchronize_tool_spark.caching import scoped_persist
+
+    part = scoped_persist(
+        df.repartitionByRange(n_parts, F.col(group_col), *order_cols)
+        .sortWithinPartitions(F.col(group_col), *order_cols)
+        .withColumn("__mii", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftright("__mii", 33))
+        .withColumn(
+            "__lrn", F.col("__mii").bitwiseAND(F.lit((1 << 33) - 1)) + 1
+        )
+    )
+    stats = part.groupBy("__pid", group_col).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min("__lrn").alias("__first"),
+    )
+    # mii's 33-bit local index: the largest local row number per partition
+    # is max(__first + __cnt - 1) — derivable from the tiny stats table,
+    # no extra pass over the data (cf. global_row_numbers' guard)
+    stats = stats.select(
+        "__pid",
+        group_col,
+        "__cnt",
+        F.when(
+            F.col("__first") + F.col("__cnt") - 1 < F.lit(1 << 33),
+            F.col("__first"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "grouped_row_numbers: a range partition reaches 2^33 "
+                    "rows; raise n_parts"
+                )
+            ).cast("long")
+        )
+        .alias("__first"),
+    )
+    earlier = stats.select(
+        F.col("__pid").alias("__pid_e"),
+        F.col(group_col).alias("__g_e"),
+        F.col("__cnt").alias("__cnt_e"),
+    )
+    offsets = (
+        stats.join(
+            earlier,
+            (F.col("__g_e") == F.col(group_col))
+            & (F.col("__pid_e") < F.col("__pid")),
+            "left",
+        )
+        .groupBy("__pid", group_col, "__first")
+        .agg(F.coalesce(F.sum("__cnt_e"), F.lit(0)).alias("__off"))
+    )
+    return (
+        part.join(F.broadcast(offsets), ["__pid", group_col])
+        .withColumn(
+            alias, F.col("__lrn") - F.col("__first") + 1 + F.col("__off")
+        )
+        .drop("__pid", "__off", "__mii", "__lrn", "__first")
+    )
+
+
 def ntile_from_rn(rn: Column, n: Column, buckets: int) -> Column:
     """SQL-standard NTILE(buckets) bucket id from a global row number.
 

@@ -161,25 +161,33 @@ def priority_sample_stratified(
     per-language / per-source corpus sampling (cf. temperature_sample,
     which resamples by stratum share but offers no estimator).
 
-    Scale: one rank window PARTITIONED by the stratum (no global sort;
-    AQE splits a mega-stratum's window partition) and a tiny per-stratum
-    tau aggregate that broadcasts back. Same draw/priority formula as
-    ``priority_sample`` so the two stay parity-twins of one SQL form.
+    Scale: a row_number window PARTITIONED by the stratum would run each
+    stratum's sort in ONE task (strata are low-NDV: languages, sources —
+    the r10-verdict straggler class), so per-stratum ranks come from
+    ``ranks.grouped_row_numbers`` instead — one range shuffle on
+    (stratum, priority desc, id), parallelism n_parts regardless of
+    stratum count — plus a tiny per-stratum tau aggregate that broadcasts
+    back. Same draw/priority formula as ``priority_sample`` so the two
+    stay parity-twins of one SQL form.
     """
-    from pyspark.sql import Window
-
     from database_synchronize_tool_spark.operators.membership import (
         seeded_hash60,
+    )
+    from database_synchronize_tool_spark.operators.ranks import (
+        grouped_row_numbers,
     )
 
     h = seeded_hash60(F.col(id_col), seed)
     pri = F.col(weight_col).cast("double") / (h + F.lit(1)).cast("double")
-    w = Window.partitionBy(stratum_col).orderBy(
-        F.col("priority").desc(), F.col(id_col)
-    )
     ranked = (
-        df.withColumn("priority", pri)
-        .withColumn("smp_rank", F.row_number().over(w).cast("int"))
+        grouped_row_numbers(
+            df.withColumn("priority", pri),
+            stratum_col,
+            [F.col("priority").desc(), F.col(id_col)],
+            "__rn",
+        )
+        .withColumn("smp_rank", F.col("__rn").cast("int"))
+        .drop("__rn")
         .filter(F.col("smp_rank") <= k + 1)
     )
     tau = ranked.groupBy(stratum_col).agg(

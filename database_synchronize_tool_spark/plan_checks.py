@@ -35,6 +35,85 @@ def subtree_has_limit(node) -> bool:
     return False
 
 
+# Catalog-known bounded-cardinality dimension columns: a Window
+# partitioned ONLY by these runs each group's sort in ONE task — 3 return
+# flags = 3 straggler tasks, and a third of the table through a single
+# sorter at 100 TB (r10 verdict "What's wrong"). Queries must use
+# operators/ranks.grouped_doubled_avg_ranks (or aggregate first) instead.
+LOW_NDV_COLUMNS: frozenset[str] = frozenset(
+    {
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipmode",
+        "o_orderstatus",
+        "o_orderpriority",
+        "c_mktsegment",
+        "r_name",
+        "n_name",
+        "p_mfgr",
+        "p_brand",
+        "p_container",
+        "event_type",
+        "lang",
+    }
+)
+
+
+def _subtree_has_aggregate(node) -> bool:
+    """True if an Aggregate reduces this subtree before the window — the
+    window then runs over group-count rows, not table rows, so a low-NDV
+    partition key is no longer a straggler hazard."""
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if n.nodeName() == "Aggregate":
+            return True
+        stack.extend(jchildren(n))
+    return False
+
+
+def low_ndv_partition_windows(df) -> int:
+    """Count Window nodes whose ENTIRE partitionSpec consists of
+    catalog-known bounded-NDV dimension columns over un-reduced input —
+    the straggler class the empty-partitionSpec sweep cannot see (r10
+    verdict item #2: stats_spearman_rank's 3-group rank window was
+    correct, fast at sf0.1, and the wrong 100x plan).
+
+    Not flagged: windows above a limit (bounded rows), windows above an
+    Aggregate (input already reduced to group count), and windows whose
+    partition key includes ANY non-low-NDV expression (the key's
+    cardinality is then at least the non-bounded factor's).
+    """
+    import re
+
+    plan = df._jdf.queryExecution().optimizedPlan()
+    n_bad = 0
+    stack = [plan]
+    while stack:
+        n = stack.pop()
+        if n.nodeName() == "Window" and not n.partitionSpec().isEmpty():
+            names = []
+            all_attrs = True
+            it = n.partitionSpec().iterator()
+            while it.hasNext():
+                expr = it.next().toString()
+                m = re.fullmatch(r"([A-Za-z_][A-Za-z0-9_]*)#\d+L?", expr)
+                if m:
+                    names.append(m.group(1))
+                else:
+                    all_attrs = False
+            if (
+                all_attrs
+                and names
+                and all(c in LOW_NDV_COLUMNS for c in names)
+                and not subtree_has_limit(n)
+                and not _subtree_has_aggregate(n)
+            ):
+                n_bad += 1
+        stack.extend(jchildren(n))
+    return n_bad
+
+
 def unbounded_global_windows(df) -> int:
     """Count Window nodes in the optimized logical plan with an EMPTY
     partitionSpec whose input is not bounded by a limit below them — the

@@ -771,15 +771,34 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     """,
     doc="NTILE quartiles per market segment (unique tiebreak on custkey "
-    "keeps bucket assignment deterministic).",
+    "keeps bucket assignment deterministic). Scale shape: c_mktsegment "
+    "has 5 values, so an NTILE window partitioned by it runs each "
+    "segment's sort in ONE task (the r10-verdict low-NDV straggler "
+    "class) — instead, per-segment row numbers come from "
+    "ranks.grouped_row_numbers (one range shuffle, parallelism n_parts) "
+    "and the ANSI bucket formula ranks.ntile_from_rn reproduces NTILE "
+    "bit-identically from (rn, segment size).",
 )
 def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    return c.select(
-        "c_mktsegment",
-        "c_custkey",
-        F.ntile(4).over(w).cast("int").alias("quartile"),
+    from database_synchronize_tool_spark.operators.ranks import (
+        grouped_row_numbers,
+        ntile_from_rn,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_custkey", "c_acctbal"
+    )
+    rn = grouped_row_numbers(
+        c, "c_mktsegment", [F.col("c_acctbal"), F.col("c_custkey")], "__rn"
+    )
+    sizes = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        rn.join(F.broadcast(sizes), "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            ntile_from_rn(F.col("__rn"), F.col("__n"), 4).alias("quartile"),
+        )
     )
 
 

@@ -925,54 +925,14 @@ def stats_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same discipline as stats_pearson_exact.
 
 
-def _doubled_avg_ranks(
-    df: DataFrame, g: str, col: str, alias: str, n_parts: int = 32
-) -> DataFrame:
-    """Append ``alias`` = 2*avg_rank(col) within groups ``g`` — the
-    SCALABLE two-pass form: ranking with a plain window partitioned by
-    ``g`` parallelizes only ACROSS groups (3 return flags = 3 straggler
-    tasks on a 32-core box, and a single huge group single-threads at
-    100 TB). Instead: range-repartition on (g, col) so equal values
-    colocate, rank LOCALLY per (partition, g) — parallelism is
-    n_parts x groups — and add each partition's global offset (earlier
-    partitions' row counts per group, a tiny broadcast). ties stay local
-    because range partitioning never splits equal keys, and rank()'s
-    peers share one value by definition. The result is exactly the
-    global tie-averaged doubled rank, independent of where the sampled
-    range boundaries land; the one materialization (scoped_persist)
-    pins a single consistent partitioning for both passes."""
-    from database_synchronize_tool_spark.caching import scoped_persist
-
-    part = scoped_persist(
-        df.repartitionByRange(n_parts, F.col(g), F.col(col)).withColumn(
-            "__pid", F.spark_partition_id()
-        )
-    )
-    w_off = (
-        Window.partitionBy(g)
-        .orderBy("__pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        part.groupBy("__pid", g)
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .select(
-            "__pid",
-            g,
-            F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
-        )
-    )
-    w_local = Window.partitionBy("__pid", g).orderBy(col)
-    rk = F.rank().over(w_local) + F.col("__off")
-    ties = F.count(F.lit(1)).over(w_local.rangeBetween(0, 0))
-    return (
-        part.join(F.broadcast(offsets), ["__pid", g])
-        .withColumn(
-            alias, (F.lit(2) * rk + ties - F.lit(1)).cast("decimal(18,0)")
-        )
-        .drop("__pid", "__off")
-    )
-
+# The former plans.approx._doubled_avg_ranks (range repartition + a LOCAL
+# Window.partitionBy(__pid, g)) moved to operators/ranks.py as
+# grouped_doubled_avg_ranks and lost its hidden second exchange: the local
+# window re-shuffled the whole table by hash(__pid, g) because the planner
+# cannot see that range partitions already colocate it (the r10
+# global_row_numbers finding). The replacement computes local tie-averaged
+# ranks in a carry-across-batches mapInPandas scan on the range
+# partitioning itself -- one data shuffle per ranked axis.
 
 
 @declared(
@@ -1010,31 +970,32 @@ def _doubled_avg_ranks(
     "is invariant to the common x2 scaling, so the value is identical to "
     "the textbook definition. DECIMAL sufficient statistics, two "
     "correctly-rounded sqrts, one divide — the stats_pearson_exact "
-    "contract. Scale shape: two rank windows (each one shuffle on the "
-    "group key, pipelined into the same sort) + one hash aggregate; no "
-    "joins. l_quantity has ~50 distinct values so ties dominate — this "
-    "query is wrong without average ranks, which is the point of "
-    "publishing it next to the Pearson form.",
+    "contract. Scale shape (r10 verdict #2): l_returnflag has 3 values, "
+    "so a rank window partitioned by it runs each group's sort in ONE "
+    "task — a third of the table through a single sorter at 100 TB. Both "
+    "axes use ranks.grouped_doubled_avg_ranks instead: range-partitioned "
+    "on (group, value) with a carry-across-batches local tie scan — one "
+    "data shuffle per axis (same count as the window form) with "
+    "parallelism n_parts instead of 3. l_quantity has ~50 distinct "
+    "values so ties dominate — this query is wrong without average "
+    "ranks, which is the point of publishing it next to the Pearson "
+    "form.",
 )
 def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.operators.ranks import (
+        grouped_doubled_avg_ranks,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
     g = "l_returnflag"
-
-    def r2(col: str) -> F.Column:
-        # ties as the PEER count (RANGE CURRENT ROW frame): identical
-        # value to a count over partition (g, col), but it shares rank()'s
-        # exact window spec so both evaluate in ONE WindowExec per axis —
-        # 2 sorts instead of 4. For few HUGE groups (where a per-group
-        # window single-threads) switch to _doubled_avg_ranks above: at
-        # bench scale the window form wins (1.19 s vs 1.73 s at sf0.1),
-        # at sf1 the scalable form crosses over (see SCALE.md).
-        w = Window.partitionBy(g).orderBy(col)
-        rk = F.rank().over(w)
-        ties = F.count(F.lit(1)).over(w.rangeBetween(0, 0))
-        return (F.lit(2) * rk + ties - F.lit(1)).cast("decimal(18,0)")
-
-    r = li.select(F.col(g), r2("l_quantity").alias("rx2"),
-                  r2("l_extendedprice").alias("ry2"))
+    base = li.select(g, "l_quantity", "l_extendedprice")
+    ranked = grouped_doubled_avg_ranks(base, g, "l_quantity", "rx2i")
+    ranked = grouped_doubled_avg_ranks(ranked, g, "l_extendedprice", "ry2i")
+    r = ranked.select(
+        F.col(g),
+        F.col("rx2i").cast("decimal(18,0)").alias("rx2"),
+        F.col("ry2i").cast("decimal(18,0)").alias("ry2"),
+    )
     s = r.groupBy(g).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("rx2").alias("sx"),
@@ -1084,18 +1045,25 @@ def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "AUC = (2*S_pos - 2*npos*(npos+1)/2) / (2*npos*nneg), all integer/"
     "DECIMAL until ONE final double division. This is the "
     "scale-independent way to grade any scalar quality score against "
-    "binary labels over 100 TB: one rank window + one hash aggregate, "
+    "binary labels over 100 TB: one range shuffle + a carry-across-"
+    "batches local tie scan (ranks.grouped_doubled_avg_ranks — a rank "
+    "window partitioned by the 5-value o_orderpriority would single-"
+    "thread each group's sort, r10 verdict #2) + one hash aggregate, "
     "no per-threshold scan of an ROC grid, no join.",
 )
 def stats_auc_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.operators.ranks import (
+        grouped_doubled_avg_ranks,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     g = "o_orderpriority"
-    rk = F.rank().over(Window.partitionBy(g).orderBy("o_totalprice"))
-    ties = F.count(F.lit(1)).over(Window.partitionBy(g, "o_totalprice"))
-    r = o.select(
+    base = o.select(g, "o_orderstatus", "o_totalprice")
+    ranked = grouped_doubled_avg_ranks(base, g, "o_totalprice", "r2i")
+    r = ranked.select(
         F.col(g),
         (F.col("o_orderstatus") == "F").alias("pos"),
-        (F.lit(2) * rk + ties - F.lit(1)).cast("decimal(28,0)").alias("r2"),
+        F.col("r2i").cast("decimal(28,0)").alias("r2"),
     )
     s = r.groupBy(g).agg(
         F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("n_pos"),

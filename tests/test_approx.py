@@ -418,13 +418,17 @@ def test_calibration_bins_partition_the_table(spark, sf_dir):
         assert 0.0 <= r["pos_rate"] <= 1.0
 
 
-def test_doubled_avg_ranks_equals_window_form(spark, sf_dir):
-    # the scalable two-pass ranking (range repartition + local ranks +
-    # broadcast offsets) must produce EXACTLY the window form's doubled
-    # tie-averaged ranks, independent of where range boundaries land
+def test_grouped_doubled_avg_ranks_equals_window_form(spark, sf_dir):
+    # the single-shuffle ranking (range repartition + carry-across-batches
+    # local tie scan + broadcast offsets) must produce EXACTLY the window
+    # form's doubled tie-averaged ranks, independent of where range
+    # boundaries land and of Arrow batch boundaries
     from pyspark.sql import Window
 
     from database_synchronize_tool_spark.caching import cache_scope
+    from database_synchronize_tool_spark.operators.ranks import (
+        grouped_doubled_avg_ranks,
+    )
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
@@ -445,10 +449,56 @@ def test_doubled_avg_ranks_equals_window_form(spark, sf_dir):
     with cache_scope():
         got = {
             (r["l_orderkey"], r["l_linenumber"]): int(r["rx"])
-            for r in AP._doubled_avg_ranks(
+            for r in grouped_doubled_avg_ranks(
                 li, "l_returnflag", "l_extendedprice", "rx", n_parts=7
             ).collect()
         }
+    assert got == want
+
+
+def test_grouped_doubled_avg_ranks_tiny_arrow_batches(spark, sf_dir):
+    # force tie groups to straddle Arrow batch boundaries: the carry logic
+    # must still produce the exact window-form ranks
+    from pyspark.sql import Window
+
+    from database_synchronize_tool_spark.caching import cache_scope
+    from database_synchronize_tool_spark.operators.ranks import (
+        grouped_doubled_avg_ranks,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        # a constant value column -> ONE giant tie group per priority,
+        # the adversarial case for batch-boundary carries
+        (F.col("o_orderkey") % 2).alias("vval"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("vval")
+    want = {
+        r["o_orderkey"]: r["r2"]
+        for r in o.select(
+            "o_orderkey",
+            (
+                F.lit(2) * F.rank().over(w)
+                + F.count(F.lit(1)).over(w.rangeBetween(0, 0))
+                - F.lit(1)
+            ).alias("r2"),
+        ).collect()
+    }
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "17")
+    try:
+        with cache_scope():
+            got = {
+                r["o_orderkey"]: int(r["rx"])
+                for r in grouped_doubled_avg_ranks(
+                    o, "o_orderpriority", "vval", "rx", n_parts=5
+                ).collect()
+            }
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old or "10000"
+        )
     assert got == want
 
 

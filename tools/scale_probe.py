@@ -271,15 +271,15 @@ def main() -> None:
     def _spearman_scalable(spark, sf_dir):
         from pyspark.sql import functions as F
 
-        from database_synchronize_tool_spark.plans.approx import (
-            _doubled_avg_ranks,
+        from database_synchronize_tool_spark.operators.ranks import (
+            grouped_doubled_avg_ranks,
         )
 
         li = load_table(spark, sf_dir, "lineitem")
         g = "l_returnflag"
         r = li.select(g, "l_quantity", "l_extendedprice")
-        r = _doubled_avg_ranks(r, g, "l_quantity", "rx2")
-        r = _doubled_avg_ranks(r, g, "l_extendedprice", "ry2")
+        r = grouped_doubled_avg_ranks(r, g, "l_quantity", "rx2")
+        r = grouped_doubled_avg_ranks(r, g, "l_extendedprice", "ry2")
         s_ = r.groupBy(g).agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("rx2").alias("sx"),
