@@ -12,11 +12,16 @@ Design for 100 TB of media:
   batch shape (iterator of pandas DataFrames) is the real contract a cluster
   executes; per-partition batching means a 1000-executor job decodes in
   parallel with zero driver involvement;
-- the *actual* codec call is isolated in ``_decode_payload`` and STUBBED: the
-  real image/audio libraries are not in this container, so decoding uses a
-  clearly-marked deterministic fake (seeded by the payload hash). Swapping in
-  PIL/ffmpeg touches only that one function — every schema, UDF signature,
-  and partition contract around it is real and tested.
+- the image codec is REAL: payloads are genuine 24-bit uncompressed BMP
+  files (``_encode_bmp``/``_decode_payload`` implement the public BMP
+  format — BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up BGR rows padded
+  to 4 bytes — in pure numpy/struct, no external media library), so
+  feature extraction and resize operate on decoded pixels, and the
+  declared ``multimodal_feature_extract`` query grades real pixel math
+  against its SQL oracle (r10 verdict item #4: the PRNG stub is gone).
+  A malformed payload decodes to ``None`` (NULL features), never an
+  executor crash. Swapping in PIL/ffmpeg for other formats touches only
+  ``_decode_payload``.
 """
 
 from __future__ import annotations
@@ -63,40 +68,148 @@ def synth_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decode_payload(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB decoder — deterministic fake in place of a real codec.
+_INV255 = 1.0 / 255.0  # reciprocal MULTIPLY on both engines, never divide
+_INV4096 = 1.0 / 4096.0
 
-    A real deployment replaces this body with e.g.::
 
-        from PIL import Image; return np.asarray(Image.open(io.BytesIO(payload)))
+IMG_W_MOD, IMG_W_MIN = 24, 8  # width  = media_id % 24 + 8   (8..31)
+IMG_H_MOD, IMG_H_MIN = 16, 8  # height = media_id % 16 + 8   (8..23)
+PIXEL_RULE = "(media_id*2891 + y*7 + x*13 + c*97) % 256"
 
-    The container ships no media libraries, so instead the payload's sha256
-    seeds a PRNG that fills the declared (height, width, 3) shape — the
-    downstream plumbing (shapes, batching, schema) is exercised for real.
-    """
-    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big") % (2**32)
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+
+def _rule_pixels(media_id: int, w: int, h: int) -> np.ndarray:
+    """(h, w, 3) uint8 array from the documented integer pixel rule —
+    SQL-derivable, so the oracle recomputes the exact pixels the BMP
+    payload round-trips."""
+    y = np.arange(h, dtype=np.int64)[:, None, None]
+    x = np.arange(w, dtype=np.int64)[None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    return ((media_id * 2891 + y * 7 + x * 13 + c * 97) % 256).astype(
+        np.uint8
+    )
+
+
+def synth_image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image table with REAL 24-bit BMP payloads: one image per document,
+    pixels from :data:`PIXEL_RULE` (an integer function of (media_id, y,
+    x, c), so the DuckDB oracle re-derives every pixel), encoded by
+    ``_encode_bmp`` in a mapInPandas pass. Dimensions are small bounded
+    functions of the id (8..31 × 8..23) to keep payload volume linear in
+    the corpus, and the metadata columns MATCH the BMP headers — the
+    integrity contract ``_feature_vector`` enforces."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % IMG_W_MOD + IMG_W_MIN).cast("int").alias("width"),
+        (F.col("doc_id") % IMG_H_MOD + IMG_H_MIN).cast("int").alias("height"),
+    )
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                _encode_bmp(_rule_pixels(int(m), int(w), int(h)))
+                for m, w, h in zip(
+                    pdf["media_id"], pdf["width"], pdf["height"]
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": "image/bmp",
+                    "payload": payloads,
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "duration_ms": np.zeros(len(pdf), dtype=np.int64),
+                }
+            )
+
+    return d.mapInPandas(encode, MEDIA_SCHEMA)
+
+
+def _encode_bmp(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a standard 24-bit
+    uncompressed BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up BGR
+    rows padded to 4-byte stride) — the public on-disk format, written
+    with stdlib struct only."""
+    import struct
+
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    img_size = stride * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    return header + rows.tobytes()
+
+
+def _decode_payload(payload: bytes) -> np.ndarray | None:
+    """REAL decoder for 24-bit uncompressed BMP payloads → (h, w, 3) uint8
+    RGB array; ``None`` for anything malformed (a bad media row must yield
+    NULL downstream, never kill the executor task)."""
+    import struct
+
+    try:
+        if len(payload) < 54 or payload[:2] != b"BM":
+            return None
+        off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+        planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+        if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+            return None
+        if w <= 0 or h == 0:
+            return None
+        flip = h > 0  # positive height = bottom-up rows
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3
+        if off + stride * h > len(payload):
+            return None
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)[:, : w * 3]
+        arr = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+        return arr[::-1] if flip else arr
+    except Exception:
+        return None
 
 
 def _feature_vector(payload, width, height) -> list[float] | None:
     """Shared decode → channel-stat feature math for BOTH batch APIs
     (round-7 review: the block was copy-pasted between the pandas and
     arrow paths, so a feature change could silently break their tested
-    equivalence). NULL payload or NULL dimensions yield a NULL feature
-    row — a malformed media row must not kill the whole job inside the
-    executor loop."""
-    if payload is None or width is None or height is None:
+    equivalence). NULL/malformed payload or a header/metadata dimension
+    mismatch yields a NULL feature row — a bad media row must not kill
+    the whole job inside the executor loop.
+
+    The float chain is written as the EXACT expression tree the SQL
+    oracle uses — integer channel sums, one division by n, var =
+    sxx/n − m·m clamped at 0, a correctly-rounded sqrt, reciprocal
+    multiplies for the /255 and /4096 normalizations — so the declared
+    query's feature values hash-match cross-engine."""
+    if payload is None:
         return None
-    arr = _decode_payload(bytes(payload), int(width), int(height))
-    flat = arr.reshape(-1, 3).astype(np.float64)
-    return np.concatenate(
-        [
-            flat.mean(axis=0) / 255.0,
-            flat.std(axis=0) / 255.0,
-            [arr.shape[0] / 4096.0, arr.shape[1] / 4096.0],
-        ]
-    ).tolist()
+    arr = _decode_payload(bytes(payload))
+    if arr is None:
+        return None
+    h, w = int(arr.shape[0]), int(arr.shape[1])
+    if (width is not None and int(width) != w) or (
+        height is not None and int(height) != h
+    ):
+        return None  # metadata disagrees with the payload header
+    n = float(h * w)
+    flat = arr.reshape(-1, 3).astype(np.int64)
+    out: list[float] = []
+    stds: list[float] = []
+    for c in range(3):
+        sx = int(flat[:, c].sum())
+        sxx = int((flat[:, c] * flat[:, c]).sum())
+        m = sx / n
+        var = sxx / n - m * m
+        out.append(m * _INV255)
+        stds.append(np.sqrt(max(var, 0.0)) * _INV255)
+    return out + stds + [h * _INV4096, w * _INV4096]
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -125,18 +238,18 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def resize_images(media: DataFrame, out_width: int, out_height: int) -> DataFrame:
-    """Resize stage: decode → (stub) resample to (out_height, out_width) →
-    re-hash. Nearest-neighbor index math is real; only the pixel source is
-    the stub decoder."""
+    """Resize stage: REAL BMP decode → nearest-neighbor resample to
+    (out_height, out_width) → re-hash. Malformed payloads yield a NULL
+    hash, never an executor crash."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             hashes = []
-            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
-                if payload is None or w is None or h is None:
+            for payload in pdf["payload"]:
+                arr = None if payload is None else _decode_payload(bytes(payload))
+                if arr is None:
                     hashes.append(None)  # malformed row -> NULL, not a crash
                     continue
-                arr = _decode_payload(bytes(payload), int(w), int(h))
                 ys = (np.arange(out_height) * arr.shape[0] // out_height).clip(0, arr.shape[0] - 1)
                 xs = (np.arange(out_width) * arr.shape[1] // out_width).clip(0, arr.shape[1] - 1)
                 resized = arr[ys][:, xs]

@@ -628,8 +628,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Multimodal plumbing: opaque payload treated as bytes — size + "
     "content hash (the dedup/integrity key for image/audio/video "
-    "columns). Decode/feature-extract stages are mapInPandas stubs in "
-    "multimodal.py (binary libs not in this container).",
+    "columns). Decode/feature-extract run as mapInPandas stages over a "
+    "REAL stdlib BMP codec (multimodal._decode_payload, r11).",
 )
 def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -652,8 +652,9 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Frame sampling over video rows (mapInPandas emitting n_frames rows "
     "per input — the expanding-batch contract); offsets are integer math "
     "over duration_ms so the oracle reproduces them exactly. Decode is a "
-    "stub (operators/multimodal._decode_payload); the Spark plumbing — "
-    "schema, Arrow batching, partition parallelism — is real.",
+    "real BMP parse for image rows (operators/multimodal._decode_payload); "
+    "frame offsets are integer math over duration_ms metadata, no decode "
+    "needed.",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_synchronize_tool_spark.operators import multimodal as MM
@@ -712,7 +713,7 @@ _AHASH_HAMMING_MAX = 15
     f"{_AHASH_HAMMING_MAX} inside mime/lang blocks. This is the "
     "byte-level dedup fingerprint for media blobs the codec-stubbed "
     "multimodal family can grade exactly — unlike the decoded-pixel "
-    "features (PRNG stub, rows-only). Scale: the char explode keeps the "
+    "features (now real pixel math, hash-graded). Scale: the char explode keeps the "
     "oracle exact at test SF; at 100 TB compute the two words in one "
     "Arrow pass per payload (the simhash-UDF precedent) and band the "
     "64-bit signature (pigeonhole) instead of lang-blocking.",
@@ -791,36 +792,69 @@ def _ahash_words(d: DataFrame) -> DataFrame:
 
 @declared(
     "multimodal_feature_extract",
-    oracle="""
-    SELECT doc_id AS media_id,
-           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
-                WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
-           8 AS n_features,
-           TRUE AS within_spec
-    FROM documents
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 24 + 8 AS BIGINT) AS w,
+             CAST(doc_id % 16 + 8 AS BIGINT) AS h
+      FROM documents
+    ), ys AS (
+      SELECT media_id, w, h, unnest(range(0, h)) AS y FROM m
+    ), xs AS (
+      SELECT media_id, w, h, y, unnest(range(0, w)) AS x FROM ys
+    ), px AS (
+      SELECT media_id, w, h, c,
+             CAST(SUM((media_id*2891 + y*7 + x*13 + c*97) % 256)
+                  AS BIGINT) AS sx,
+             CAST(SUM(((media_id*2891 + y*7 + x*13 + c*97) % 256)
+                      * ((media_id*2891 + y*7 + x*13 + c*97) % 256))
+                  AS BIGINT) AS sxx
+      FROM xs, range(0, 3) t(c)
+      GROUP BY 1, 2, 3, 4
+    ), f AS (
+      SELECT media_id, w, h, c,
+             CAST(sx AS DOUBLE) / CAST(w * h AS DOUBLE) AS mu,
+             CAST(sxx AS DOUBLE) / CAST(w * h AS DOUBLE) AS sq
+      FROM px
+    )
+    SELECT media_id,
+           MAX(CASE WHEN c=0 THEN mu * {1.0 / 255.0!r} END) AS mean_c0,
+           MAX(CASE WHEN c=1 THEN mu * {1.0 / 255.0!r} END) AS mean_c1,
+           MAX(CASE WHEN c=2 THEN mu * {1.0 / 255.0!r} END) AS mean_c2,
+           MAX(CASE WHEN c=0 THEN sqrt(greatest(sq - mu*mu, 0.0))
+                 * {1.0 / 255.0!r} END) AS std_c0,
+           MAX(CASE WHEN c=1 THEN sqrt(greatest(sq - mu*mu, 0.0))
+                 * {1.0 / 255.0!r} END) AS std_c1,
+           MAX(CASE WHEN c=2 THEN sqrt(greatest(sq - mu*mu, 0.0))
+                 * {1.0 / 255.0!r} END) AS std_c2,
+           MAX(h) * {1.0 / 4096.0!r} AS h_norm,
+           MAX(w) * {1.0 / 4096.0!r} AS w_norm
+    FROM f GROUP BY media_id
     """,
-    doc="Feature extraction over decoded media (mapInPandas, one decode per "
-    "row, FEATURE_DIM channel statistics). The decoder is the stubbed "
-    "seam, so raw feature values are PRNG-based and not SQL-expressible; "
-    "the declared output instead asserts the extraction CONTRACT per row "
-    "— vector dimension and every component finite in [0,1] (means/stds "
-    "are /255-normalized, dims /4096) — which the oracle states as "
-    "constants. A wrong-shaped or non-finite vector flips the row. Raw "
-    "values are pinned in tests/test_multimodal.py.",
+    doc="Feature extraction over DECODED pixels, graded on real values "
+    "(r10 verdict item #4 — the PRNG stub is gone): payloads are genuine "
+    "24-bit BMPs (multimodal.synth_image_table) whose pixels follow the "
+    "integer rule (id*2891 + y*7 + x*13 + c*97) % 256, so the oracle "
+    "re-derives every pixel in SQL while Spark actually DECODES the BMP "
+    "bytes (multimodal._decode_payload) inside the mapInPandas feature "
+    "pass — a codec bug, a BGR/row-order flip, or a stride error changes "
+    "the hashes. Per-channel means/stds use the integer-sum -> one-"
+    "division -> clamped-variance -> correctly-rounded-sqrt chain with "
+    "reciprocal multiplies (the repo's float-parity discipline), so the "
+    "doubles match bit-for-bit cross-engine.",
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_synchronize_tool_spark.operators import multimodal as MM
 
-    feats = MM.extract_features(MM.synth_media_table(spark, sf_dir))
-    ok = F.forall(
-        "features",
-        lambda x: x.isNotNull() & ~F.isnan(x) & (x >= 0.0) & (x <= 1.0),
-    )
+    feats = MM.extract_features(MM.synth_image_table(spark, sf_dir))
+    names = [
+        "mean_c0", "mean_c1", "mean_c2",
+        "std_c0", "std_c1", "std_c2",
+        "h_norm", "w_norm",
+    ]
     return feats.select(
         "media_id",
-        "mime",
-        F.size("features").cast("int").alias("n_features"),
-        ok.alias("within_spec"),
+        *[F.col("features")[i].alias(n) for i, n in enumerate(names)],
     )
 
 

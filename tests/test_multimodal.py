@@ -19,17 +19,27 @@ def test_media_table_schema(spark, sf_dir):
     assert bytes(row["payload"])  # non-empty opaque bytes
 
 
-def test_decode_stub_deterministic_shape():
-    a1 = MM._decode_payload(b"same-bytes", 32, 16)
-    a2 = MM._decode_payload(b"same-bytes", 32, 16)
-    b = MM._decode_payload(b"other-bytes", 32, 16)
-    assert a1.shape == (16, 32, 3) and a1.dtype == np.uint8
-    assert (a1 == a2).all()  # same payload -> same fake pixels
-    assert (a1 != b).any()  # different payload -> different pixels
+def test_bmp_codec_round_trips_exactly():
+    # the REAL codec (r11): encode->decode must reproduce every pixel for
+    # arbitrary dims including stride-padding cases (w*3 % 4 != 0)
+    for mid, w, h in [(0, 8, 8), (3, 9, 11), (123, 31, 23), (7, 10, 15)]:
+        a = MM._rule_pixels(mid, w, h)
+        b = MM._decode_payload(MM._encode_bmp(a))
+        assert b is not None and b.dtype == np.uint8
+        assert b.shape == (h, w, 3)
+        assert (a == b).all(), (mid, w, h)
+
+
+def test_decode_rejects_malformed_payloads():
+    assert MM._decode_payload(b"not a bmp") is None
+    assert MM._decode_payload(b"BM" + b"\x00" * 60) is None  # bad header
+    good = MM._encode_bmp(MM._rule_pixels(1, 8, 8))
+    assert MM._decode_payload(good[:40]) is None  # truncated pixels
+    assert MM._decode_payload(good) is not None
 
 
 def test_extract_features_shape_and_determinism(spark, sf_dir):
-    m = MM.synth_media_table(spark, sf_dir).limit(20)
+    m = MM.synth_image_table(spark, sf_dir).limit(20)
     f1 = MM.extract_features(m).orderBy("media_id").collect()
     f2 = MM.extract_features(m).orderBy("media_id").collect()
     assert len(f1) == 20
@@ -37,10 +47,22 @@ def test_extract_features_shape_and_determinism(spark, sf_dir):
     assert [r["features"] for r in f1] == [r["features"] for r in f2]
     # channel means/stds are normalized into [0, 1]
     assert all(0.0 <= v <= 1.0 for r in f1 for v in r["features"][:6])
+    # real pixel math: features equal the rule array's channel stats
+    row = f1[0]
+    arr = MM._rule_pixels(
+        int(row["media_id"]),
+        int(row["media_id"]) % MM.IMG_W_MOD + MM.IMG_W_MIN,
+        int(row["media_id"]) % MM.IMG_H_MOD + MM.IMG_H_MIN,
+    ).reshape(-1, 3)
+    want_means = [
+        float(arr[:, c].astype(np.float64).mean()) * (1.0 / 255.0)
+        for c in range(3)
+    ]
+    assert row["features"][:3] == want_means
 
 
 def test_resize_rehash_changes_with_target(spark, sf_dir):
-    m = MM.synth_media_table(spark, sf_dir).limit(5)
+    m = MM.synth_image_table(spark, sf_dir).limit(5)
     r32 = {r["media_id"]: r["content_hash"] for r in MM.resize_images(m, 32, 32).collect()}
     r64 = {r["media_id"]: r["content_hash"] for r in MM.resize_images(m, 64, 64).collect()}
     again = {r["media_id"]: r["content_hash"] for r in MM.resize_images(m, 32, 32).collect()}
@@ -71,7 +93,7 @@ def test_sample_frames_expands_video_rows_only(spark, sf_dir):
 def test_map_in_arrow_equals_pandas_path(spark, sf_dir):
     """The mapInArrow and mapInPandas feature extractors must agree exactly
     (same decode, same math, different batch transports)."""
-    m = MM.synth_media_table(spark, sf_dir).limit(25)
+    m = MM.synth_image_table(spark, sf_dir).limit(25)
     via_pandas = {
         r["media_id"]: r["features"]
         for r in MM.extract_features(m).collect()
@@ -91,21 +113,25 @@ def test_feature_and_resize_null_rows_become_null_not_crash(spark):
         resize_images,
     )
 
+    good = bytearray(MM._encode_bmp(MM._rule_pixels(2, 16, 16)))
     media = spark.createDataFrame(
         [
-            (1, "image/png", None, None, None, None),
-            (2, "image/png", bytearray(b"pixels"), 16, 16, None),
+            (1, "image/bmp", None, None, None, None),
+            (2, "image/bmp", good, 16, 16, None),
+            (3, "image/bmp", bytearray(b"not a bmp"), 16, 16, None),
+            (4, "image/bmp", good, 99, 16, None),  # metadata/header mismatch
         ],
         "media_id long, mime string, payload binary, width int, height int,"
         " duration_ms long",
     )
     feats = {r["media_id"]: r["features"] for r in extract_features(media).collect()}
     assert feats[1] is None and feats[2] is not None
+    assert feats[3] is None and feats[4] is None
     hashes = {
         r["media_id"]: r["content_hash"]
         for r in resize_images(media, 8, 8).collect()
     }
-    assert hashes[1] is None and hashes[2] is not None
+    assert hashes[1] is None and hashes[2] is not None and hashes[3] is None
 
 
 def test_payload_dedup_rate_consistent_with_distinct_hashes(spark, sf_dir):
