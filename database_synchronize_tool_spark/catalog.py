@@ -159,3 +159,37 @@ def schema_diff(expected, observed):
                 )
             )
     return out
+
+
+def evolve_target(target, source, evolve_schema: bool = True):
+    """Consume a :func:`schema_diff` for one sync step (r10 verdict #6):
+    a column ADDED on the source auto-evolves the target — pre-existing
+    target rows read NULL for it (the reference re-derives target DDL from
+    the source every run, ``sync_utils.py:137-166``, so an added prod
+    column must widen staging, not fail the sync). A REMOVED column or a
+    TYPE change raises with the full diff: both mean upstream broke the
+    contract, and merging would silently poison the target.
+    Nullability-only drift is ignored — DataFrame nullability is advisory
+    and flaps through unions/outer joins. Returns the (possibly widened)
+    target. Shared by ``operators.watermark.incremental_sync`` and
+    ``sources.sinks.ParquetMergeSink``."""
+    from pyspark.sql import functions as F
+
+    diff = schema_diff(target.schema, source.schema)
+    breaking = [d for d in diff if d[1] in ("removed", "type_changed")]
+    if breaking:
+        raise ValueError(
+            "schema drift: source diverges from the target in a "
+            f"non-evolvable way: {breaking} (full diff: {diff})"
+        )
+    added = [d for d in diff if d[1] == "added"]
+    if added and not evolve_schema:
+        raise ValueError(
+            f"schema drift: source added columns {added} and "
+            "evolve_schema=False"
+        )
+    for name, _, _, _ in added:
+        target = target.withColumn(
+            name, F.lit(None).cast(source.schema[name].dataType)
+        )
+    return target

@@ -100,6 +100,7 @@ def incremental_sync(
     parity: bool = True,
     lateness: dt.timedelta | int | None = None,
     materialize_delta: bool = False,
+    evolve_schema: bool = True,
 ) -> DataFrame:
     """One full sync step: probe destination watermark, extract the delta,
     merge it in (upsert). Returns the new destination state.
@@ -107,9 +108,16 @@ def incremental_sync(
     ``materialize_delta=True`` checkpoints the extracted delta so the
     merge's two references to it (anti-join probe + union) read it once —
     pass it whenever the source is a remote extraction (JDBC), where the
-    default lazy plan would run the remote query twice per sync."""
+    default lazy plan would run the remote query twice per sync.
+
+    Schema drift (r10 verdict item #6 — ``catalog.schema_diff`` reported
+    drift but nothing consumed it): ``catalog.evolve_target`` auto-widens
+    the target for source-ADDED columns (NULL for pre-existing rows) and
+    fails fast with the full diff on removed/retyped columns."""
+    from database_synchronize_tool_spark.catalog import evolve_target
     from database_synchronize_tool_spark.operators.merge import merge_upsert
 
+    target = evolve_target(target, source, evolve_schema=evolve_schema)
     wm = probe_watermark(target, check_column, check_type)
     if check_type == "id" and wm == 0:
         delta = source  # empty destination: delta path with wm=0 still scans all

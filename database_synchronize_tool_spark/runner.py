@@ -64,6 +64,14 @@ def sync_table(
     ``sync_utils.py:239-287``, re-expressed as a lazy DAG)."""
     src = prune_ignored(source.read(spark, cfg.table), cfg)
     target = sink.read_target(spark, cfg.table, src.schema)
+    # drift check BEFORE the watermark probe and the empty-delta early
+    # return: a removed/retyped column must fail the sync run loudly even
+    # when this cycle's delta happens to be empty (r10 verdict #6); an
+    # added column widens the target (the sink applies the same evolution
+    # to the on-disk copy when it merges)
+    from database_synchronize_tool_spark.catalog import evolve_target
+
+    target = evolve_target(target, src)
 
     wm = probe_watermark(target, cfg.check_column, cfg.check_type)
     if cfg.check_type == "id":

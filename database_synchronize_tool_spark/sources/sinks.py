@@ -160,6 +160,12 @@ class ParquetMergeSink:
 
         spark = df.sparkSession
         target = self.read_target(spark, table, df.schema)
+        # schema evolution (r10 verdict #6): a source-added column widens
+        # the on-disk target (NULL backfill); removed/retyped columns fail
+        # fast with the diff rather than poisoning the merge
+        from database_synchronize_tool_spark.catalog import evolve_target
+
+        target = evolve_target(target, df)
         merged = (
             merge_upsert(target, df, keys) if keys else dedup_merge(target, df)
         )

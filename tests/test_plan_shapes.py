@@ -556,6 +556,36 @@ def test_no_low_ndv_partition_windows_anywhere(spark, sf_dir):
     )
 
 
+def test_incremental_minhash_shuffles_only_candidate_pairs(spark, sf_dir):
+    # r10 flagged the 0.046->0.204 s drift after the r9 array-replication
+    # fix; the executed plan documents the exchange budget as the minimum
+    # for correctness: exactly ONE non-broadcast exchange, and it carries
+    # only (doc_new, doc_old) candidate ids — the cross-band pair dedup.
+    # The corpus (signatures, shingles, bands) must NEVER shuffle: the new
+    # side broadcasts, survivors broadcast back into the corpus table.
+    import re
+
+    from database_synchronize_tool_spark.caching import cache_scope
+
+    with cache_scope():
+        df = all_queries()["dedup_minhash_incremental"].builder(
+            spark, sf_dir
+        )
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    sigs = set()
+    for line in plan.splitlines():
+        if "Exchange" in line and "Broadcast" not in line:
+            m = re.search(r"Exchange (\w+partitioning\([^)]*\))", line)
+            if m:
+                sig = re.sub(r"#\d+L?", "", m.group(1))
+                sigs.add(re.sub(r", \d+\)$", ")", sig))
+    assert sigs == {"hashpartitioning(doc_new, doc_old)"}, (
+        "incremental LSH grew a data shuffle beyond the candidate-pair "
+        f"dedup: {sorted(sigs)}"
+    )
+
+
 def test_two_pass_ranks_shuffle_data_exactly_once(spark):
     # the r10 review found Window.partitionBy(__pid) silently re-exchanged
     # the whole table by hash on top of the range exchange; the mii /

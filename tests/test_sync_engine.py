@@ -497,3 +497,51 @@ def test_source_freshness_report_invariants(spark, sf_dir):
         assert r["lag_us"] >= 0
         assert r["n_rows"] > 0
         assert r["is_stale"] == (r["lag_us"] > 86_400_000_000)
+
+
+def test_sync_table_auto_evolves_added_source_column(spark, sf_dir, tmp_path):
+    """r10 verdict #6 E2E: after a full sync, prod adds a nullable column —
+    the next incremental sync must widen the staging parquet (NULL backfill
+    for pre-existing rows) instead of failing the merge."""
+    import pyspark.sql.functions as F
+
+    source = ParquetSource(sf_dir)
+    sink = ParquetMergeSink(str(tmp_path))
+    cfg = _events_cfg()
+    sync_table(spark, cfg, source, sink)
+    before = spark.read.parquet(sink.path("events"))
+    max_id = before.agg(F.max("event_id")).first()[0]
+
+    # drifted prod: same events plus new rows, with an ADDED column
+    drift_dir = str(tmp_path / "drifted_src")
+    drifted = (
+        source.read(spark, "events")
+        .unionByName(
+            source.read(spark, "events")
+            .limit(5)
+            .withColumn("event_id", F.col("event_id") + F.lit(max_id) + 1)
+        )
+        .withColumn("origin_dc", F.concat(F.lit("dc-"), (F.col("event_id") % 3).cast("string")))
+    )
+    drifted.write.parquet(f"{drift_dir}/events.parquet")
+
+    r = sync_table(spark, cfg, ParquetSource(drift_dir), sink)
+    assert r.ok and r.rows_synced == 5
+    after = spark.read.parquet(sink.path("events"))
+    assert "origin_dc" in after.columns
+    assert after.filter(F.col("event_id") > max_id).filter(
+        F.col("origin_dc").isNull()
+    ).count() == 0  # new rows carry the column
+    assert after.filter(
+        (F.col("event_id") <= max_id) & F.col("origin_dc").isNotNull()
+    ).count() == 0  # pre-existing rows NULL-backfilled
+
+    # breaking drift fails fast with the diff in the error
+    bad_dir = str(tmp_path / "bad_src")
+    source.read(spark, "events").drop("event_type").write.parquet(
+        f"{bad_dir}/events.parquet"
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="removed"):
+        sync_table(spark, cfg, ParquetSource(bad_dir), sink)

@@ -100,3 +100,46 @@ def test_incremental_sync_only_above_watermark(spark):
     )
     out = incremental_sync(target, source, ["id"], "ts")
     assert sorted(r["v"] for r in out.collect()) == ["above", "seen"]
+
+
+def test_incremental_sync_auto_evolves_added_column(spark):
+    """r10 verdict #6: an added nullable source column must auto-evolve the
+    target (pre-existing rows read NULL), not fail the sync."""
+    target = spark.createDataFrame(
+        [(1, TS, "old")], "id bigint, ts timestamp, v string"
+    )
+    source = spark.createDataFrame(
+        [(2, TS + dt.timedelta(hours=1), "new", "extra")],
+        "id bigint, ts timestamp, v string, note string",
+    )
+    out = incremental_sync(target, source, ["id"], "ts")
+    assert set(out.columns) == {"id", "ts", "v", "note"}
+    rows = {r["id"]: r["note"] for r in out.collect()}
+    assert rows == {1: None, 2: "extra"}
+    # replay over the evolved target: diff is now empty, result unchanged
+    again = incremental_sync(out, source, ["id"], "ts")
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_incremental_sync_fails_fast_on_breaking_drift(spark):
+    import pytest
+
+    target = spark.createDataFrame(
+        [(1, TS, "old")], "id bigint, ts timestamp, v string"
+    )
+    # type change: v string -> bigint
+    retyped = spark.createDataFrame(
+        [(2, TS, 9)], "id bigint, ts timestamp, v bigint"
+    )
+    with pytest.raises(ValueError, match="type_changed"):
+        incremental_sync(target, retyped, ["id"], "ts")
+    # removed column
+    narrowed = spark.createDataFrame([(2, TS)], "id bigint, ts timestamp")
+    with pytest.raises(ValueError, match="removed"):
+        incremental_sync(target, narrowed, ["id"], "ts")
+    # evolution disabled -> added column is an error too
+    widened = spark.createDataFrame(
+        [(2, TS, "x", "y")], "id bigint, ts timestamp, v string, note string"
+    )
+    with pytest.raises(ValueError, match="evolve_schema=False"):
+        incremental_sync(target, widened, ["id"], "ts", evolve_schema=False)
