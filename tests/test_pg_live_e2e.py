@@ -455,3 +455,109 @@ def test_streaming_upserts_into_live_pg(pg, pg_connect, spark, tmp_path):
     cur.execute("DROP TABLE stream_tgt")
     con.commit()
     con.close()
+
+
+def test_copy_rows_round_trips_adversarial_values(pg, pg_connect, spark):
+    """COPY FROM STDIN text format (r10 verdict #5): escaping-hostile
+    values — tabs, newlines, backslashes, bytea, NaN, dates, NULLs —
+    must round-trip exactly through copy_rows and match what the
+    INSERT path would have written."""
+    import datetime as dt
+    from decimal import Decimal
+
+    con = pg_connect()
+    cur = con.cursor()
+    cur.execute("DROP TABLE IF EXISTS copy_adversarial")
+    cur.execute(
+        """CREATE TABLE copy_adversarial (
+             id bigint PRIMARY KEY, t text, f float8, n numeric,
+             d date, b bytea, ok boolean)"""
+    )
+    con.commit()
+    rows = [
+        (1, "tab\there", 1.5, Decimal("2.50"), dt.date(2024, 2, 29),
+         b"\x00\xde\xad", True),
+        (2, "new\nline and back\\slash", float("nan"), None, None, None,
+         False),
+        (3, None, float("-inf"), Decimal("-7"), dt.date(1999, 12, 31),
+         b"", None),
+    ]
+    n = cur.copy_rows("copy_adversarial", ["id", "t", "f", "n", "d", "b", "ok"], rows)
+    con.commit()
+    assert n == 3
+    cur.execute("SELECT id, t, f, n, d, b, ok FROM copy_adversarial ORDER BY id")
+    got = cur.fetchall()
+    assert got[0][1] == "tab\there" and got[0][5] == b"\x00\xde\xad"
+    assert got[1][1] == "new\nline and back\\slash"
+    assert got[1][2] != got[1][2]  # NaN
+    assert got[2][2] == float("-inf") and got[2][5] == b""
+    assert [r[0] for r in got] == [1, 2, 3]
+    cur.execute("DROP TABLE copy_adversarial")
+    con.commit()
+    con.close()
+
+
+def test_initial_full_copy_routes_through_copy(pg, pg_connect, spark, monkeypatch):
+    """sync_table's NULL-watermark first pass must take the COPY path;
+    the incremental second pass must take the upsert path."""
+    import datetime as dt
+
+    from database_synchronize_tool_spark.runner import sync_table
+    from database_synchronize_tool_spark.sources import sinks as sk
+    from database_synchronize_tool_spark.sources.config import SyncConfig
+    from database_synchronize_tool_spark.sources.sinks import (
+        PgWireWatermarkTarget,
+    )
+
+    con = pg_connect()
+    cur = con.cursor()
+    cur.execute("DROP TABLE IF EXISTS copy_route")
+    cur.execute(
+        "CREATE TABLE copy_route (id bigint PRIMARY KEY, ts timestamp, v text)"
+    )
+    con.commit()
+
+    calls = []
+    orig_copy = sk.DbApiUpsertSink.write_copy
+    orig_write = sk.DbApiUpsertSink.write
+    monkeypatch.setattr(
+        sk.DbApiUpsertSink, "write_copy",
+        lambda self, df, t, keys=(): (calls.append("copy"), orig_copy(self, df, t, keys))[1],
+    )
+    monkeypatch.setattr(
+        sk.DbApiUpsertSink, "write",
+        lambda self, df, t, keys: (calls.append("insert"), orig_write(self, df, t, keys))[1],
+    )
+
+    frames = {
+        "copy_route": spark.createDataFrame(
+            [(i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i), f"r{i}")
+             for i in range(10)],
+            "id long, ts timestamp, v string",
+        )
+    }
+
+    class DictSource:
+        def read(self, spark, table):
+            return frames[table]
+
+    sink = PgWireWatermarkTarget(
+        connect=pg_connect, check_columns={"copy_route": "ts"}
+    )
+    cfg = SyncConfig("copy_route", "ts", "timestamp", merge_keys=("id",))
+    r1 = sync_table(spark, cfg, DictSource(), sink)
+    assert r1.rows_synced == 10 and calls == ["copy"]
+
+    frames["copy_route"] = frames["copy_route"].unionByName(
+        spark.createDataFrame(
+            [(99, dt.datetime(2024, 3, 1), "late")],
+            "id long, ts timestamp, v string",
+        )
+    )
+    r2 = sync_table(spark, cfg, DictSource(), sink)
+    assert r2.rows_synced == 1 and calls == ["copy", "insert"]
+    cur.execute("SELECT COUNT(*) FROM copy_route")
+    assert cur.fetchall() == [(11,)]
+    cur.execute("DROP TABLE copy_route")
+    con.commit()
+    con.close()

@@ -76,3 +76,38 @@ def test_interpolate_percent_escape():
         == "SELECT 'v' WHERE n LIKE 'a%s'"
     )
     assert _interpolate("SELECT '100%%'", ()) == "SELECT '100%'"
+
+
+def test_copy_text_rendering():
+    import datetime as dt
+    from decimal import Decimal
+
+    from database_synchronize_tool_spark.sources.pgwire import _copy_text
+
+    assert _copy_text(None) == r"\N"
+    assert _copy_text(True) == "t" and _copy_text(False) == "f"
+    assert _copy_text(42) == "42"
+    assert _copy_text(Decimal("1.50")) == "1.50"
+    assert _copy_text(float("nan")) == "NaN"
+    assert _copy_text(float("-inf")) == "-Infinity"
+    assert _copy_text(dt.date(2024, 2, 29)) == "2024-02-29"
+    assert _copy_text(b"\x00\xff") == "\\\\x00ff"
+    assert _copy_text("a\tb\nc\\d") == "a\\tb\\nc\\\\d"
+    import pytest
+
+    with pytest.raises(ValueError, match="NUL"):
+        _copy_text("bad\0value")
+
+
+def test_nonfinite_decimal_literals():
+    from decimal import Decimal
+
+    from database_synchronize_tool_spark.sources.pgwire import _literal
+
+    assert _literal(Decimal("NaN")) == "'NaN'::numeric"
+    assert _literal(Decimal("Infinity")) == "'Infinity'::numeric"
+    assert _literal(Decimal("-Infinity")) == "'-Infinity'::numeric"
+    import pytest
+
+    with pytest.raises(ValueError, match="NUL"):
+        _literal("bad\0value")
