@@ -498,3 +498,88 @@ def test_multibatch_replay_keeps_null_ts_rows(spark, tmp_path):
         "SELECT event_id FROM nullts_replay_tbl ORDER BY event_id"
     ).collect()
     assert [r["event_id"] for r in replayed] == [1, 2, 3, 4, 5]
+
+
+def test_changelog_compact_kill_and_resume_from_checkpoint(
+    spark, sf_dir, tmp_path
+):
+    """r10 verdict #8 — streaming fault-tolerance attestation: kill the
+    t12 stateful compaction MID-STREAM (a foreachBatch crash after two
+    committed micro-batches), restart from the SAME checkpoint, and
+    assert the merged emissions still equal the batch oracle per key:
+    winner by (us, event_id) AND n_events == COUNT(*) — the state-
+    integrity witness that cannot survive lost or double-counted state."""
+    from database_synchronize_tool_spark.streaming.events import (
+        read_events_stream_multibatch,
+    )
+    from database_synchronize_tool_spark.streaming.stateful import (
+        compact_latest_stateful,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    captured: list = []
+
+    class Boom(Exception):
+        pass
+
+    def crashing(df, batch_id):
+        if batch_id >= 2:
+            raise Boom("simulated crash before commit of batch 2")
+        captured.extend(df.collect())
+
+    def capture(df, batch_id):
+        captured.extend(df.collect())
+
+    def start(fn):
+        stream = compact_latest_stateful(
+            read_events_stream_multibatch(spark, sf_dir, n_chunks=4)
+        )
+        return (
+            stream.writeStream.foreachBatch(fn)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start(crashing)
+    with pytest.raises(Exception):
+        q1.awaitTermination()
+    assert captured, "no batch committed before the simulated crash"
+    n_before = len(captured)
+
+    # restart from the checkpoint: batches 2..3 resume with carried state
+    q2 = start(capture)
+    q2.awaitTermination()
+    assert len(captured) > n_before, "restart processed no further batches"
+
+    # per key, the last emission wins (n_events strictly increases)
+    best: dict = {}
+    for r in captured:
+        k = r["user_id"]
+        if k not in best or r["n_events"] > best[k]["n_events"]:
+            best[k] = r
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    want = {
+        r["user_id"]: (r["event_id"], r["n"])
+        for r in ev.withColumn("n", F.count(F.lit(1)).over(
+            Window.partitionBy("user_id")
+        ))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col("us").isNotNull())
+        .collect()
+    }
+    got = {k: (r["event_id"], r["n_events"]) for k, r in best.items()}
+    for k, (eid, n) in want.items():
+        assert got.get(k) == (eid, n), (k, got.get(k), (eid, n))
