@@ -1817,6 +1817,29 @@ def dedup_containment_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.containment_banded_pairs(d, threshold=0.9)
 
 
+# 2048-bit screen for the prefix-containment oracle (64 x 32-bit words —
+# the repo's pack-<=32-bits-per-BIGINT DuckDB convention): sound bound
+# |A∩B| <= popcount(bmA∧bmB) + (|A| − popcount(bmA)), so pruning pairs with
+# 10*bound < 9*|A| is RESULT-NEUTRAL; it exists purely to make the oracle
+# bench-pairable at sf0.1 (r10 verdict item #9 — the unscreened verify ran
+# >120 s per execution there). Mirrors the Spark side's measured-6x screen
+# (operators/dedup.py SCREEN_BITMAP_WORDS) without having to match its
+# exact layout: the screen never reaches the compared result.
+_SCR_WORDS = 64
+_SCR_BM_COLS = ",\n             ".join(
+    f"bit_or(CASE WHEN (h % 2048) // 32 = {w} THEN CAST(1 AS BIGINT) "
+    f"<< CAST(h % 32 AS INT) ELSE 0 END) AS w{w}"
+    for w in range(_SCR_WORDS)
+)
+# bit_count returns TINYINT in DuckDB — cast each term before summing
+_SCR_AND_POP = " + ".join(
+    f"CAST(bit_count(a.w{w} & b.w{w}) AS BIGINT)" for w in range(_SCR_WORDS)
+)
+_SCR_SELF_POP = " + ".join(
+    f"CAST(bit_count(a.w{w}) AS BIGINT)" for w in range(_SCR_WORDS)
+)
+
+
 @declared(
     "dedup_containment_prefix",
     oracle=f"""
@@ -1838,12 +1861,22 @@ def dedup_containment_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT p.doc_id AS doc_inner, e.doc_id AS doc_outer
       FROM pref p JOIN ex e USING (h)
       WHERE p.doc_id <> e.doc_id
+    ), bm AS (
+      SELECT doc_id,
+             {_SCR_BM_COLS},
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ex GROUP BY doc_id
+    ), scr AS (
+      SELECT cand.doc_inner, cand.doc_outer
+      FROM cand JOIN bm a ON a.doc_id = cand.doc_inner
+                JOIN bm b ON b.doc_id = cand.doc_outer
+      WHERE 10 * (({_SCR_AND_POP}) + (a.n - ({_SCR_SELF_POP}))) >= 9 * a.n
     )
     SELECT doc_inner, doc_outer, cont FROM (
-      SELECT cand.doc_inner, cand.doc_outer,
+      SELECT scr.doc_inner, scr.doc_outer,
              len(list_intersect(sa.sh, sb.sh)) / greatest(len(sa.sh), 1) AS cont
-      FROM cand JOIN sh sa ON sa.doc_id = cand.doc_inner
-                JOIN sh sb ON sb.doc_id = cand.doc_outer
+      FROM scr JOIN sh sa ON sa.doc_id = scr.doc_inner
+               JOIN sh sb ON sb.doc_id = scr.doc_outer
     ) WHERE cont >= 0.9
     """,
     doc="EXACT unblocked directional containment (>= 9/10) via prefix "
