@@ -62,21 +62,28 @@ def cap_per_group(
     ``id_col`` with the id itself as the unique tiebreak — a stable "random"
     subset that never changes across reruns or partitionings.
 
-    Scale: one rank window PARTITIONED by the group (no global sort); the
-    cap bounds every partition's output, and AQE splits a mega-group's
-    skewed window partition. Same selection rule as the graded
-    ``curation_source_cap`` query.
+    Scale: per-group row numbers via ``ranks.grouped_row_numbers`` (one
+    range shuffle on (group, hash, id), parallelism n_parts) — a rank
+    window PARTITIONED by the group would run each group's sort in ONE
+    task, and contrary to the claim this code used to make, AQE does NOT
+    split a skewed WINDOW partition (skew splitting is a join/rebalance
+    optimization); a mega-host under a per-host cap would single-thread
+    (r11 review, same class as the r10-verdict low-NDV rank windows).
+    Same selection rule as the graded ``curation_source_cap`` query.
     """
-    from pyspark.sql import Window
+    from database_synchronize_tool_spark.operators.ranks import (
+        grouped_row_numbers,
+    )
 
-    w = Window.partitionBy(group_col).orderBy(
-        F.md5(F.col(id_col).cast("string").cast("binary")), id_col
+    ranked = grouped_row_numbers(
+        df.withColumn(
+            "__h", F.md5(F.col(id_col).cast("string").cast("binary"))
+        ),
+        group_col,
+        [F.col("__h"), F.col(id_col)],
+        "__rk",
     )
-    return (
-        df.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    return ranked.filter(F.col("__rk") <= k).drop("__rk", "__h")
 
 
 def priority_sample(
