@@ -269,7 +269,9 @@ def grouped_doubled_avg_ranks(
     offsets = (
         counts.join(
             earlier,
-            (F.col("__g_e") == F.col(group_col))
+            # eqNullSafe: a NULL group is a real group (the window form
+            # ranks it); a null-unsafe condition would zero its offsets
+            F.col("__g_e").eqNullSafe(F.col(group_col))
             & (F.col("__pid_e") < F.col("__pid")),
             "left",
         )
@@ -284,7 +286,17 @@ def grouped_doubled_avg_ranks(
         import pandas as pd
 
         carry = None  # trailing tie group of the previous batch
-        state = {"g": None, "pos": 0}  # current group + rows emitted in it
+        # current group + rows emitted in it; "started" distinguishes "no
+        # group yet" from "current group is NULL" — without it a NULL
+        # group spanning two emits would silently reset its rank counter.
+        # (NaN group keys would still split — float group columns are not
+        # supported here; every caller groups by a string/int dimension.)
+        state = {"g": None, "pos": 0, "started": False}
+
+        def same_key(a, b):
+            return (a is None and b is None) or (
+                a is not None and b is not None and a == b
+            )
 
         def rank_complete(frame):
             gv = frame[group_col].to_numpy()
@@ -302,11 +314,12 @@ def grouped_doubled_avg_ranks(
                 np.where(newg, np.arange(len(starts)), 0)
             )
             pos_before = cum - cum[rs]
-            if state["g"] is not None and gstart[0] == state["g"]:
+            if state["started"] and same_key(gstart[0], state["g"]):
                 pos_before[rs == 0] += state["pos"]
             r2 = 2 * pos_before + sizes + 1
             state["g"] = gstart[-1]
             state["pos"] = int(pos_before[-1] + sizes[-1])
+            state["started"] = True
             out = frame.copy()
             out["__lr2"] = np.repeat(r2, sizes)
             return out
@@ -325,11 +338,24 @@ def grouped_doubled_avg_ranks(
         if carry is not None and len(carry):
             yield rank_complete(carry)
 
-    ranked = part.mapInPandas(local_tie_scan, out_schema)
+    ranked = part.mapInPandas(local_tie_scan, out_schema).alias("__r")
+    off = F.broadcast(
+        offsets.select(
+            F.col("__pid").alias("__pid_o"),
+            F.col(group_col).alias("__g_o"),
+            "__off",
+        )
+    )
     return (
-        ranked.join(F.broadcast(offsets), ["__pid", group_col])
+        # eqNullSafe on the group: a name-list join would silently DROP
+        # every NULL-group row (null-unsafe equality — r11 review)
+        ranked.join(
+            off,
+            (F.col("__r.__pid") == F.col("__pid_o"))
+            & F.col(f"__r.{group_col}").eqNullSafe(F.col("__g_o")),
+        )
         .withColumn(alias, F.col("__lr2") + F.lit(2) * F.col("__off"))
-        .drop("__pid", "__off", "__lr2")
+        .drop("__pid", "__pid_o", "__g_o", "__off", "__lr2")
     )
 
 
@@ -402,19 +428,34 @@ def grouped_row_numbers(
     offsets = (
         stats.join(
             earlier,
-            (F.col("__g_e") == F.col(group_col))
+            # eqNullSafe: a NULL group is a real group; null-unsafe
+            # equality would zero its offsets and drop its rows below
+            F.col("__g_e").eqNullSafe(F.col(group_col))
             & (F.col("__pid_e") < F.col("__pid")),
             "left",
         )
         .groupBy("__pid", group_col, "__first")
         .agg(F.coalesce(F.sum("__cnt_e"), F.lit(0)).alias("__off"))
     )
+    part_a = part.alias("__r")
+    off = F.broadcast(
+        offsets.select(
+            F.col("__pid").alias("__pid_o"),
+            F.col(group_col).alias("__g_o"),
+            "__first",
+            "__off",
+        )
+    )
     return (
-        part.join(F.broadcast(offsets), ["__pid", group_col])
+        part_a.join(
+            off,
+            (F.col("__r.__pid") == F.col("__pid_o"))
+            & F.col(f"__r.{group_col}").eqNullSafe(F.col("__g_o")),
+        )
         .withColumn(
             alias, F.col("__lrn") - F.col("__first") + 1 + F.col("__off")
         )
-        .drop("__pid", "__off", "__mii", "__lrn", "__first")
+        .drop("__pid", "__pid_o", "__g_o", "__off", "__mii", "__lrn", "__first")
     )
 
 

@@ -564,3 +564,46 @@ def test_revenue_waterfall_reconciles_exactly(spark, sf_dir):
         ) < 1e-6
         assert abs(r["charged"] - (r["net"] + r["tax_amt"])) < 1e-6
         assert 0 < r["discount_amt"] < r["gross"]
+
+
+def test_grouped_doubled_avg_ranks_null_group_spanning_batches(spark):
+    # a NULL group whose tie groups span Arrow-batch boundaries must keep
+    # its rank counter (r11 self-review: None == None guard reset it)
+    from pyspark.sql import Window
+
+    from database_synchronize_tool_spark.caching import cache_scope
+    from database_synchronize_tool_spark.operators.ranks import (
+        grouped_doubled_avg_ranks,
+    )
+
+    df = spark.createDataFrame(
+        [(i, None if i % 2 == 0 else "g", i % 5) for i in range(200)],
+        "id bigint, grp string, v bigint",
+    )
+    w = Window.partitionBy("grp").orderBy("v")
+    want = {
+        r["id"]: r["r2"]
+        for r in df.select(
+            "id",
+            (
+                F.lit(2) * F.rank().over(w)
+                + F.count(F.lit(1)).over(w.rangeBetween(0, 0))
+                - F.lit(1)
+            ).alias("r2"),
+        ).collect()
+    }
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        with cache_scope():
+            got = {
+                r["id"]: int(r["rx"])
+                for r in grouped_doubled_avg_ranks(
+                    df, "grp", "v", "rx", n_parts=3
+                ).collect()
+            }
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old or "10000"
+        )
+    assert got == want
