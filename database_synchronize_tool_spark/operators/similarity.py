@@ -1406,15 +1406,7 @@ def semantic_dedup_pairs(
     (:func:`train_centroids_kmeans`) with no downstream change.
     """
     if n_cells is None:
-        # Adaptive cell count: cells ∝ N keeps expected cell size constant,
-        # so Σ|cell|² grows LINEARLY with the corpus instead of
-        # quadratically-per-cell. Round-9 sf1 probe measured the fixed-16
-        # default at 35× wall for 10× vectors (cells 10× fatter → 100×
-        # block work per cell); with cells scaled the same corpus is
-        # near-linear. The declared query pins n_cells=16 because its SQL
-        # oracle bakes the cell count into the rebuild; pipelines should
-        # pass None (or a trained centroid set sized to the corpus).
-        n_cells = max(16, -(-vectors.count() // _ADAPTIVE_CELL_TARGET))
+        n_cells = adaptive_cell_count(vectors.count())
     cents = (
         centroids
         if centroids is not None
@@ -1426,11 +1418,37 @@ def semantic_dedup_pairs(
     )
 
 
-# Target mean vectors-per-cell for the adaptive mode: big enough that a
-# cell's block product amortizes Arrow/task overhead, small enough that
-# |cell|² work and the (|cell| × dim) block both stay comfortably inside
-# one task (400² × 8 B ≈ 1.3 MB of scores at fp64).
-_ADAPTIVE_CELL_TARGET = 400
+# Hard cap on mean vectors-per-cell in the adaptive mode: a cell's block
+# product and (|cell| × dim) slab must fit one task (2000² × 8 B ≈ 32 MB
+# of scores at fp64).
+_ADAPTIVE_CELL_MAX = 2000
+# reciprocal MULTIPLY, never divide-by-literal: DuckDB constant-folds
+# x/2000.0 into a 1-ulp-different reciprocal multiply, which can flip a
+# ceil() at exact multiples — write the same multiply on both engines
+_ADAPTIVE_CELL_MAX_INV = 0.0005
+
+
+def adaptive_cell_count(n: int) -> int:
+    """Cell count for flat coarse quantization over ``n`` vectors:
+    ``max(16, ceil(sqrt(n)), ceil(n * 1/2000))``.
+
+    Flat assignment costs N·cells and the within-cell verify costs
+    Σ|cell|² ≈ N·(N/cells); the two balance at cells = sqrt(N) — both
+    terms N^1.5, the true optimum for a FLAT quantizer (the r11 sf1
+    probe measured the cells-∝-N form assignment-bound at 10.9 s and the
+    fixed-16 form verify-bound at 13.4 s; sqrt sizing beats both). The
+    N/2000 floor keeps a cell's block product inside one task past
+    N ≈ 4M; beyond that flat assignment is the bottleneck by nature and
+    the answer is a TRAINED hierarchical quantizer via ``centroids=``,
+    not more flat cells. Float chain (sqrt, ceil, reciprocal multiply)
+    mirrors the oracle SQL exactly."""
+    import math
+
+    return max(
+        16,
+        math.ceil(math.sqrt(float(n))),
+        math.ceil(n * _ADAPTIVE_CELL_MAX_INV),
+    )
 
 
 def _blockwise_cosine_pairs(
