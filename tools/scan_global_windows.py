@@ -20,6 +20,7 @@ from database_synchronize_tool_spark.session import get_spark
 from database_synchronize_tool_spark.plan_checks import (  # noqa: E402
     STREAMING_PREFIXES,
     jchildren,
+    low_ndv_partition_windows,
     subtree_has_limit,
 )
 
@@ -48,7 +49,13 @@ def main() -> int:
         if name.startswith(STREAMING_PREFIXES):
             continue
         try:
-            tags = global_window_report(q.builder(spark, sf_dir))
+            # clear persisted subtrees from earlier builders: an
+            # InMemoryRelation hides the already-reduced-input exemption
+            # from the low-NDV check (same guard as test_plan_shapes)
+            spark.catalog.clearCache()
+            df = q.builder(spark, sf_dir)
+            tags = global_window_report(df)
+            n_low = low_ndv_partition_windows(df)
         except Exception as exc:  # noqa: BLE001
             print(f"ERR   {name}: {exc}")
             bad.append(name)
@@ -60,6 +67,9 @@ def main() -> int:
             bad.append(name)
         elif n_bounded:
             print(f"BOUNDED {name}: {n_bounded} limit-bounded global windows")
+        if n_low:
+            print(f"LOWNDV {name}: {n_low} bounded-NDV partition windows")
+            bad.append(name)
     print(f"\n{len(bad)} queries with unbounded global windows: {sorted(bad)}")
     return 1 if bad else 0
 
