@@ -247,6 +247,13 @@ def grouped_doubled_avg_ranks(
     (the repo's cross-engine rank-parity form; see plans/approx.py rank
     statistics), so downstream sufficient statistics remain BIGINT/
     DECIMAL-exact.
+
+    Precondition: ``value_col`` must be NULL-free and NaN-free — the tie
+    scan compares values with numpy ``!=`` where NaN != NaN is True, so a
+    NaN/NULL would become its own tie group and silently diverge from the
+    window form (which ranks NULL/NaN as peers). The scan fails fast with
+    a ValueError instead of returning wrong ranks; callers filter or
+    coalesce first (current callers rank non-null TPC-H measures).
     """
     import numpy as np
     from pyspark.sql.types import LongType, StructField, StructType
@@ -327,6 +334,13 @@ def grouped_doubled_avg_ranks(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            if pdf[value_col].isna().any():
+                raise ValueError(
+                    "grouped_doubled_avg_ranks: NULL/NaN in value column "
+                    f"{value_col!r} — the numpy tie scan would rank each "
+                    "NaN as its own tie group (NaN != NaN), diverging from "
+                    "window-rank semantics. Filter or coalesce first."
+                )
             buf = pd.concat([carry, pdf]) if carry is not None else pdf
             gv = buf[group_col].to_numpy()
             vv = buf[value_col].to_numpy()

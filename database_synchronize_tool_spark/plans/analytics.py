@@ -792,8 +792,14 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         c, "c_mktsegment", [F.col("c_acctbal"), F.col("c_custkey")], "__rn"
     )
     sizes = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("__n"))
+    # eqNullSafe sizes join: grouped_row_numbers deliberately ranks a NULL
+    # segment as a real group, so the sizes broadcast must not drop it
+    # (r11 advice — null-unsafe name join disagreed with the rank side)
     return (
-        rn.join(F.broadcast(sizes), "c_mktsegment")
+        rn.join(
+            F.broadcast(sizes.withColumnRenamed("c_mktsegment", "__seg")),
+            F.col("c_mktsegment").eqNullSafe(F.col("__seg")),
+        )
         .select(
             "c_mktsegment",
             "c_custkey",

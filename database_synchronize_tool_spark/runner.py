@@ -105,11 +105,16 @@ def sync_table(
     obs = Observation(f"sync_metrics_{cfg.table}")
     observed = delta.observe(obs, F.count(F.lit(1)).alias("rows_synced"))
     keys = list(cfg.merge_keys)
-    # initial full copy (NULL watermark = empty target, reference
-    # sync_utils.py:255-266): a COPY-capable sink bulk-loads instead of
-    # paying batched-INSERT prices — upsert conflict handling buys nothing
-    # against an empty table (r10 verdict item #5)
-    if wm is None and hasattr(sink, "write_copy"):
+    # initial full copy (empty target, reference sync_utils.py:255-266): a
+    # COPY-capable sink bulk-loads instead of paying batched-INSERT prices —
+    # upsert conflict handling buys nothing against an empty table (r10
+    # verdict item #5). Gate on an EXPLICIT empty-target probe, not
+    # `wm is None` (r11 advice): id-type probes return 0 (never None), so
+    # id-watermarked empty tables would miss the COPY fast path; and a
+    # NON-empty ts-type target whose check column is all-NULL yields
+    # wm=None, which must upsert (COPY into a populated keyed table trips
+    # the PK). take(1)-style probe — one early-terminating job.
+    if hasattr(sink, "write_copy") and target.isEmpty():
         written = sink.write_copy(observed, cfg.table, keys)
     else:
         written = sink.write(observed, cfg.table, keys)

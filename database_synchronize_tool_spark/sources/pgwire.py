@@ -255,10 +255,13 @@ class Cursor:
         # SET standard_conforming_strings=off arrives as ParameterStatus
         # and would make quote-doubling unsafe from that point on
         scs = self._conn.parameter_status.get("standard_conforming_strings")
-        if scs is not None and scs.lower() != "on":
+        # None = unknown is as unsafe as off (r11 advice): connect() probes
+        # a server that never reported the GUC, so a None here means even
+        # the probe failed — never interpolate on an unknown setting
+        if scs is None or scs.lower() != "on":
             raise PgError(
-                {"M": "standard_conforming_strings is off; refusing to "
-                 "interpolate literals with quote-doubling escape"}
+                {"M": f"standard_conforming_strings is {scs!r}; refusing "
+                 "to interpolate literals with quote-doubling escape"}
             )
 
     def execute(self, sql: str, params=None) -> None:
@@ -341,7 +344,20 @@ class Connection:
         # SQL injection via row data. Fail closed instead of emitting a
         # single unsafe byte. (ADVICE r10: verify, don't assume.)
         scs = self.parameter_status.get("standard_conforming_strings")
-        if scs is not None and scs.lower() != "on":
+        if scs is None:
+            # An absent ParameterStatus is NOT "on" (r11 advice): pre-8.2
+            # servers and some proxies don't report the GUC — exactly the
+            # population where SCS defaults off. Probe explicitly; a probe
+            # failure (e.g. unrecognized parameter on a pre-8.2 server)
+            # also refuses the connection.
+            try:
+                rows, _, _ = self._query("SHOW standard_conforming_strings")
+                scs = rows[0][0] if rows and rows[0] else None
+            except Exception:
+                scs = None
+            if scs is not None:
+                self.parameter_status["standard_conforming_strings"] = scs
+        if scs is None or scs.lower() != "on":
             self.close()
             raise PgError(
                 {

@@ -607,3 +607,30 @@ def test_grouped_doubled_avg_ranks_null_group_spanning_batches(spark):
             "spark.sql.execution.arrow.maxRecordsPerBatch", old or "10000"
         )
     assert got == want
+
+
+def test_grouped_doubled_avg_ranks_rejects_null_value(spark):
+    # precondition enforcement (r11 advice): a NULL/NaN in value_col would
+    # silently become its own tie group under numpy != — fail fast instead
+    import pytest
+
+    from database_synchronize_tool_spark.caching import cache_scope
+    from database_synchronize_tool_spark.operators.ranks import (
+        grouped_doubled_avg_ranks,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "g", 5.0), (2, "g", None), (3, "g", 5.0)],
+        "id bigint, grp string, v double",
+    )
+    with cache_scope():
+        with pytest.raises(Exception, match="NULL/NaN in value column"):
+            grouped_doubled_avg_ranks(df, "grp", "v", "rx", n_parts=2).collect()
+
+    nan_df = spark.createDataFrame(
+        [(1, "g", 5.0), (2, "g", float("nan")), (3, "g", 5.0)],
+        "id bigint, grp string, v double",
+    )
+    with cache_scope():
+        with pytest.raises(Exception, match="NULL/NaN in value column"):
+            grouped_doubled_avg_ranks(nan_df, "grp", "v", "rx", n_parts=2).collect()

@@ -99,6 +99,31 @@ def test_copy_text_rendering():
         _copy_text("bad\0value")
 
 
+def test_check_scs_unknown_refuses_interpolation():
+    # r11 advice: an ABSENT standard_conforming_strings (pre-8.2 server /
+    # proxy that strips ParameterStatus) must refuse interpolation exactly
+    # like an explicit off — unknown is not "on"
+    from database_synchronize_tool_spark.sources.pgwire import Cursor, PgError
+
+    class FakeConn:
+        def __init__(self, status):
+            self.parameter_status = status
+
+    for status, ok in (
+        ({}, False),
+        ({"standard_conforming_strings": "off"}, False),
+        ({"standard_conforming_strings": "on"}, True),
+        ({"standard_conforming_strings": "ON"}, True),
+    ):
+        cur = Cursor.__new__(Cursor)
+        cur._conn = FakeConn(status)
+        if ok:
+            cur._check_scs()
+        else:
+            with pytest.raises(PgError):
+                cur._check_scs()
+
+
 def test_nonfinite_decimal_literals():
     from decimal import Decimal
 

@@ -171,6 +171,51 @@ def test_sync_table_single_pass_no_count_action(spark, sf_dir, tmp_path, monkeyp
     assert spark.read.parquet(sink.path("events")).count() == expected
 
 
+def test_copy_path_gates_on_empty_target(spark, sf_dir, tmp_path):
+    """r11 advice: the COPY bulk-load fast path fires iff the TARGET IS
+    EMPTY — not ``wm is None``. id-type probes return 0 (never None), so an
+    id-watermarked empty table must still take COPY; and a NON-empty
+    ts-type target whose check column is all NULL yields wm=None but must
+    upsert (COPY into a populated keyed table would trip the PK)."""
+    calls = []
+
+    class CopyCapableSink(ParquetMergeSink):
+        def write_copy(self, df, table, keys=()):
+            calls.append("copy")
+            return ParquetMergeSink.write(self, df, table, keys)
+
+        def write(self, df, table, keys):
+            calls.append("upsert")
+            return ParquetMergeSink.write(self, df, table, keys)
+
+    # id-type + empty target -> COPY (the old `wm is None` gate missed
+    # this: probe_watermark returns 0 for id tables, never None)
+    sink = CopyCapableSink(str(tmp_path / "a"))
+    r1 = sync_table(spark, _events_cfg(), ParquetSource(sf_dir), sink)
+    assert r1.ok and calls == ["copy"]
+
+    # ts-type + NON-empty target + all-NULL check column -> wm is None,
+    # but a populated keyed table must take the upsert path, never COPY
+    calls.clear()
+    sink2 = CopyCapableSink(str(tmp_path / "b"))
+    spark.createDataFrame(
+        [(999999999, None, None, None, None, None)],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(sink2.path("events"))
+    cfg = SyncConfig(
+        table="events", check_column="ts", check_type="timestamp",
+        merge_keys=("event_id",),
+    )
+    r2 = sync_table(spark, cfg, ParquetSource(sf_dir), sink2)
+    assert r2.ok and calls == ["upsert"]
+    # the pre-seeded row survives the merge (proof COPY didn't clobber it)
+    assert (
+        spark.read.parquet(sink2.path("events"))
+        .filter("event_id = 999999999").count() == 1
+    )
+
+
 def test_run_all_syncs_isolates_failures(spark, sf_dir, tmp_path):
     source = ParquetSource(sf_dir)
     sink = ParquetMergeSink(str(tmp_path))
