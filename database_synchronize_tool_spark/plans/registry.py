@@ -84,12 +84,12 @@ def _load_all() -> None:
 # engines, r8 advice). The rest of the window drains the queue head: the
 # 27-name re-verify cohort the r8 additions displaced (s1-s7/p2-p4/a1-a2/
 # j1-j6/f1-f4 sync-ops core), then the stalest r5 cohort as slots allow.
-# The two permanently rows-only trained-PQ queries
-# (ann_pq_trained_recall, ann_ivf_pq_residual_trained: k-means training is
-# not SQL-expressible, the driver reports err:no_oracle forever) are
-# rotated OUT of the window for good — window slots only hold
-# hash-gradeable queries (r8 "what's wrong" #3); their rows-run stays
-# attested by the full local sweep every round. Names listed before their
+# The two trained-PQ queries
+# (ann_pq_trained_recall, ann_ivf_pq_residual_trained) were rows-only at
+# the time (k-means training seemed not SQL-expressible) and sat outside
+# the window — OBSOLETE since r11's integer-grid Lloyd gave them real
+# unrolled-CTE DuckDB oracles (plans/extensions.py); they lead the r12
+# window for their first driver CORRECTNESS rows. Names listed before their
 # module declares them are skipped harmlessly by all_queries().
 #
 # Late-r9 addition: the 11 new sketch/graph/linkage/skyline/incremental/
@@ -185,90 +185,36 @@ def _load_all() -> None:
 # (no name filter = all queries). A rotation is only committed after that
 # sweep reports 0 FAIL; the sweep output is the local evidence for the
 # rotated-out set.
-# Round-10 window: changed code leads (fresh driver evidence) — the 11
-# global-window rewrites (r9 verdict #1: every single-partition
-# Window.orderBy replaced by TakeOrderedAndProject top-k or the
-# range-partitioned two-pass in operators/ranks.py; hashes unchanged,
-# re-proven at both SFs locally) plus the three queries over the r10
-# advice fixes (cms left-join-0 semantics on BOTH engines, bloom probe
-# row-id grouping, minhash_lsh_join id-only banding). Then the 8
-# remaining never-driver-attested closing-r9 additions (r9 verdict #2 —
-# corpus_bigram_lift_topk and stats_lorenz_top_share are already in the
-# changed-code lead), completing cumulative driver attestation at
-# 225/225 oracle-checkable. The rest of the window drains the queue
-# head: the sync-ops re-verify cohort displaced in r9 (s1-s7/p2-p4/
-# a1-a2/j1-j6/f1-f5).
+# Round-12 window: changed code leads (fresh driver evidence) — the r11
+# verdict's top item executed: r11's window was NOT rotated (CORRECTNESS_r11
+# re-graded the identical 50 names as r10), so every r11-changed query goes
+# first. The two trained-quantizer queries lead — they gained real DuckDB
+# oracles in r11 (integer-grid Lloyd replayed as unrolled CTEs,
+# plans/extensions.py) and have NEVER had a driver CORRECTNESS row; green
+# rows for them complete cumulative driver attestation at 243/243. Then the
+# real-BMP-codec multimodal trio, the sqrt-N-cells semantic dedup, the
+# grouped-rank spearman/auc rewrites, the grouped-row-number source cap,
+# and window_ntile_quartiles (r12: eqNullSafe sizes join, hash unchanged,
+# re-verified). The rest of the window drains the stale re-verify queue
+# head (r9-displaced sync-ops remainder, then the r5 remainder).
 #
-# Mid-r10 additions (each green at BOTH sf0.001 and sf0.01 at add time,
-# each taking a window slot from the re-verify tail, displaced names to
-# the queue head): t18_stream_funnel + the stats wave (kendall/benford/
-# k-anonymity/autocorr) + common-neighbors link prediction; then
-# cramers_v + seasonal decomposition; then the dedup keep-best manifest;
-# then the recursive-CTE calendar gap audit; then position-based
-# attribution + cohort LTV + FK inference; then growth accounting +
-# Mann-Kendall; finally char diversity. The round ends with a full
-# sweep at the final 243-query registry (SWEEP_r10.log) — no additions
-# after the sweep (r9 verdict #2).
+# Mid-r12 additions (each green at BOTH sf0.001 and sf0.01 at add time)
+# take window slots from the re-verify tail, displaced names to the
+# queue head — the r10/r11 discipline. The round ends with a full sweep
+# at the final registry; no additions after the sweep.
 _WINDOW: tuple[str, ...] = (
-    # --- changed in round 10: fresh driver evidence required ---
-    "text_bm25_topk",
-    "search_hybrid_rrf",
-    "corpus_bigram_lift_topk",
-    "stats_calibration_bins",
-    "stats_gini_concentration",
-    "stats_lorenz_top_share",
-    "events_rfm_scores",
-    "layout_zonemap_pruning",
-    "events_session_concurrency",
-    "corpus_drift_ks",
-    "window_cume_dist_percent_rank",
-    "sketch_cms_part_freq",
-    "sketch_bloom_decontam",
-    "dedup_minhash_incremental",
-    # --- NEW in round 10 (never attested; green at both SFs at add time) ---
-    "t18_stream_funnel",
-    "stats_kendall_tau_contingency",
-    "stats_benford_first_digit",
-    "privacy_k_anonymity",
-    "ts_autocorrelation_lag1",
-    "graph_common_neighbors_topk",
-    "stats_cramers_v",
-    "ts_seasonal_decompose",
-    "dedup_keep_best_manifest",
-    "calendar_gap_audit_rcte",
-    "events_attribution_position_based",
-    "orders_cohort_ltv",
-    "catalog_fk_inference",
-    "events_growth_accounting",
-    "stats_mann_kendall_trend",
-    "text_char_diversity",
-    # --- never driver-attested (closing-r9 additions; sweep-green) ---
-    "dedup_minhash_estimate_error",
-    "events_behavior_diversity",
-    "events_dau_wau_stickiness",
-    "events_rate_spike_zscore",
-    "lineitem_revenue_waterfall",
-    "multimodal_payload_dedup_rate",
-    "orders_customer_adoption",
-    "orders_dow_seasonality",
-    # --- re-verify cohort: queue head (displaced in r9, stalest first) ---
-    "agg_approx_percentile",
-    "j7_sync_diff_audit",
-    "catalog_live_columns_sql",
-    "s7_file_listing_distributed",
-    "s1_full_scan_projection",
-    "s2_delta_scan_ts",
-    "s2_delta_scan_id",
-    "s3_schema_discovery",
-    "s4_primary_keys",
-    "s7_file_listing",
-    "p2_ignore_columns",
-    "p3_watermark_tie_parity",
-)
-
-_QUEUE: tuple[str, ...] = (
-    # head = next re-verify cohort for round 11 (r9-displaced remainder,
-    # then the r5 remainder), after whatever round-11 changes lead
+    # --- changed in r11/r12: fresh driver evidence required ---
+    "ann_pq_trained_recall",
+    "ann_ivf_pq_residual_trained",
+    "multimodal_feature_extract",
+    "multimodal_binary_meta",
+    "multimodal_frame_sample",
+    "dedup_semantic_pairs",
+    "stats_spearman_rank",
+    "stats_auc_mannwhitney",
+    "curation_source_cap",
+    "window_ntile_quartiles",
+    # --- re-verify cohort: stale queue head (r9-displaced, stalest first) ---
     "p4_empty_delta_guard",
     "a1_watermark_probe_ts",
     "a1_watermark_probe_id",
@@ -289,7 +235,7 @@ _QUEUE: tuple[str, ...] = (
     "t1_incremental_replay",
     "embedding_quantize_int8",
     "dedup_simhash_banded64",
-    # r9-displaced by the 11 new sketch/graph/streaming queries:
+    # --- r5-remainder re-verify (continuing the queue drain) ---
     "q11_important_part_value",
     "q9_product_type_profit",
     "q16_supplier_part_counts",
@@ -304,14 +250,17 @@ _QUEUE: tuple[str, ...] = (
     "cube_events",
     "pivot_status_by_year",
     "window_topk_per_group",
-    # Head = next re-verify cohort for round 10 (continue the r5 remainder),
-    # after whatever round-10 adds or changes takes the lead slots.
     "window_running_sum",
     "window_lag_lead",
     "set_except_nations",
     "set_intersect_nations",
     "set_union_distinct",
     "scalar_subquery_above_avg",
+)
+
+_QUEUE: tuple[str, ...] = (
+    # head = next re-verify cohort for round 13 (the r5 remainder continues),
+    # after whatever round-13 changes lead
     "scalar_function_showcase",
     "case_when_bucketing",
     "skew_salted_twophase_agg",
@@ -319,7 +268,6 @@ _QUEUE: tuple[str, ...] = (
     "q4_order_priority",
     "q14_promo_revenue",
     "q19_disjunctive_predicates",
-    "window_ntile_quartiles",
     "map_functions_showcase",
     "date_functions_showcase",
     "q2_min_per_group_scalar_subquery",
@@ -357,9 +305,6 @@ _QUEUE: tuple[str, ...] = (
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
-    "multimodal_binary_meta",
-    "multimodal_frame_sample",
-    "multimodal_feature_extract",
     "text_bpe_token_count",
     "text_chunking",
     "text_vocab_topk",
@@ -393,7 +338,6 @@ _QUEUE: tuple[str, ...] = (
     "ts_rolling_features",
     "bitmap_rollup_distinct",
     "outlier_mad_orders",
-    "curation_source_cap",
     "j10_merkle_range_diff",
     "stats_grouped_ols_trend",
     "stats_pearson_exact",
@@ -418,7 +362,6 @@ _QUEUE: tuple[str, ...] = (
     "corpus_quality_filter",
     "text_pii_redact",
     "ann_ivf_pq_refine_topk",
-    "dedup_semantic_pairs",
     "t11_stream_stream_join",
     "dedup_substring_spans",
     "corpus_quality_report",
@@ -451,8 +394,6 @@ _QUEUE: tuple[str, ...] = (
     "embedding_covariance_stats",
     "stats_ab_test_proportions",
     "t15_stream_weighted_sample",
-    "stats_spearman_rank",
-    "stats_auc_mannwhitney",
     "profile_column_stats",
     "sketch_hll_intersection",
     "ann_lsh_recall_at_k",
@@ -467,12 +408,58 @@ _QUEUE: tuple[str, ...] = (
     "source_freshness_report",
     "j14_time_travel_snapshot",
     "ann_multiprobe_recall_at_k",
-    # --- permanently rows-only (k-means training ∉ SQL): kept OUT of the
-    # 50-slot window forever — the driver can only report err:no_oracle for
-    # them; their rows-run is attested by the full local sweep each round
-    # and their structure is unit-pinned (tests/test_similarity.py) ---
-    "ann_pq_trained_recall",
-    "ann_ivf_pq_residual_trained",
+    # --- freshest greens: driver-attested round 11 (CORRECTNESS_r11),
+    # rotated out of the r12 window ---
+    "text_bm25_topk",
+    "search_hybrid_rrf",
+    "corpus_bigram_lift_topk",
+    "stats_calibration_bins",
+    "stats_gini_concentration",
+    "stats_lorenz_top_share",
+    "events_rfm_scores",
+    "layout_zonemap_pruning",
+    "events_session_concurrency",
+    "corpus_drift_ks",
+    "window_cume_dist_percent_rank",
+    "sketch_cms_part_freq",
+    "sketch_bloom_decontam",
+    "dedup_minhash_incremental",
+    "t18_stream_funnel",
+    "stats_kendall_tau_contingency",
+    "stats_benford_first_digit",
+    "privacy_k_anonymity",
+    "ts_autocorrelation_lag1",
+    "graph_common_neighbors_topk",
+    "stats_cramers_v",
+    "ts_seasonal_decompose",
+    "dedup_keep_best_manifest",
+    "calendar_gap_audit_rcte",
+    "events_attribution_position_based",
+    "orders_cohort_ltv",
+    "catalog_fk_inference",
+    "events_growth_accounting",
+    "stats_mann_kendall_trend",
+    "text_char_diversity",
+    "dedup_minhash_estimate_error",
+    "events_behavior_diversity",
+    "events_dau_wau_stickiness",
+    "events_rate_spike_zscore",
+    "lineitem_revenue_waterfall",
+    "multimodal_payload_dedup_rate",
+    "orders_customer_adoption",
+    "orders_dow_seasonality",
+    "agg_approx_percentile",
+    "j7_sync_diff_audit",
+    "catalog_live_columns_sql",
+    "s7_file_listing_distributed",
+    "s1_full_scan_projection",
+    "s2_delta_scan_ts",
+    "s2_delta_scan_id",
+    "s3_schema_discovery",
+    "s4_primary_keys",
+    "s7_file_listing",
+    "p2_ignore_columns",
+    "p3_watermark_tie_parity",
 )
 
 _PRIORITY: tuple[str, ...] = _WINDOW + _QUEUE
