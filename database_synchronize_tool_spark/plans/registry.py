@@ -214,6 +214,8 @@ _WINDOW: tuple[str, ...] = (
     "stats_auc_mannwhitney",
     "curation_source_cap",
     "window_ntile_quartiles",
+    # --- NEW in round 12 (never attested; green at both SFs at add time) ---
+    "link_fuzzy_banded",
     # --- re-verify cohort: stale queue head (r9-displaced, stalest first) ---
     "p4_empty_delta_guard",
     "a1_watermark_probe_ts",
@@ -255,12 +257,12 @@ _WINDOW: tuple[str, ...] = (
     "set_except_nations",
     "set_intersect_nations",
     "set_union_distinct",
-    "scalar_subquery_above_avg",
 )
 
 _QUEUE: tuple[str, ...] = (
     # head = next re-verify cohort for round 13 (the r5 remainder continues),
     # after whatever round-13 changes lead
+    "scalar_subquery_above_avg",
     "scalar_function_showcase",
     "case_when_bucketing",
     "skew_salted_twophase_agg",

@@ -520,6 +520,127 @@ def link_fuzzy_noisy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINKB_LEV_MAX = 3  # banded variant threshold: k where pigeonhole banding is sound
+
+
+@declared(
+    "link_fuzzy_banded",
+    oracle=f"""
+    WITH dirty AS (
+      SELECT doc_id + 1000000 AS rec_id, lang,
+             translate(substr(text, 1, {_LINK_PREFIX}), 'o', '0') AS key,
+             length(text) // 32 AS lb
+      FROM documents WHERE length(text) >= 4
+    ),
+    clean AS (
+      SELECT doc_id AS rec_id, lang, substr(text, 1, {_LINK_PREFIX}) AS key,
+             length(text) // 32 AS lb
+      FROM documents WHERE length(text) >= 4
+    )
+    SELECT c.rec_id AS doc_clean, d.rec_id AS doc_noisy,
+           CAST(levenshtein(c.key, d.key) AS INT) AS lev_dist
+    FROM clean c JOIN dirty d ON c.lang = d.lang AND c.lb = d.lb
+    WHERE levenshtein(c.key, d.key) <= {_LINKB_LEV_MAX}
+    """,
+    doc="SUB-QUADRATIC fuzzy record linkage (the production companion to "
+    "link_fuzzy_noisy_docs, r11 verdict #2): a light OCR channel "
+    f"(translate 'o' -> '0') at lev <= {_LINKB_LEV_MAX} over the "
+    f"{_LINK_PREFIX}-char key, where PassJoin-style pigeonhole banding IS "
+    "sound — partition the noisy key into k+1 contiguous segments; any "
+    "alignment with <= k edits leaves >= 1 segment untouched, and the "
+    "untouched segment's image in the clean key starts within +-k of its "
+    "own position (net indels before it are <= k). Candidates are an "
+    "EQUI-join on (lang, lb, segment_id, noisy_len, segment) between the "
+    "segment index (k+1 rows/record) and the probe substrings "
+    "((2k+1)-shift x (2k+1)-length window per segment, native exprs, no "
+    "UDF); the Levenshtein DP runs only on deduped candidates. Recall is "
+    "PROVABLY 1.0, so the oracle stays the plain blocked-lev form and the "
+    "value hash itself grades the coverage claim — unlike the "
+    f"lev<={_LINK_LEV_MAX} exact query (k/|key|=37%, no sound banding "
+    "exists; kept as the small-SF recall oracle), this shape stays linear "
+    "in candidates at 100 TB: the block-quadratic clean x dirty join is "
+    "replaced by a selective segment equi-join (~10-char keys), the same "
+    "move dedup_containment_banded makes on token prefixes.",
+)
+def link_fuzzy_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _LINKB_LEV_MAX
+    nseg = k + 1
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 4)
+    key = F.substring(F.col("text"), 1, _LINK_PREFIX)
+    lb = F.expr("length(text) div 32")
+    clean = d.select(
+        F.col("doc_id").alias("rec_id"), "lang", key.alias("key"), lb.alias("lb")
+    )
+    dirty = d.select(
+        (F.col("doc_id") + 1000000).alias("rec_id"),
+        "lang",
+        F.translate(key, "o", "0").alias("key"),
+        lb.alias("lb"),
+    )
+    # segment index over the NOISY side: k+1 even segments per record
+    # (segment j of a length-L key starts at (j*L div nseg)+1, 1-based)
+    segs = (
+        dirty.withColumn("len_b", F.length("key"))
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(k))))
+        .select(
+            F.col("rec_id").alias("rid_n"),
+            "lang",
+            "lb",
+            F.col("key").alias("key_n"),
+            "len_b",
+            "j",
+            F.expr(
+                f"substring(key, (j * len_b) div {nseg} + 1,"
+                f" ((j + 1) * len_b) div {nseg} - (j * len_b) div {nseg})"
+            ).alias("seg"),
+        )
+        .filter(F.length("seg") >= 1)  # degenerate only when len_b < nseg
+    )
+    # probe substrings over the CLEAN side: for each candidate noisy length
+    # (within +-k of the clean length — the length filter lev itself
+    # implies) and each segment slot, the clean substring at the segment's
+    # position shifted by d in [-k, k]
+    probes = (
+        clean.withColumn("len_a", F.length("key"))
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(k))))
+        .withColumn(
+            "len_b",
+            F.explode(
+                F.expr(f"sequence(greatest(length(key) - {k}, {nseg}),"
+                       f" length(key) + {k})")
+            ),
+        )
+        .withColumn("d", F.explode(F.sequence(F.lit(-k), F.lit(k))))
+        .withColumn("p", F.expr(f"(j * len_b) div {nseg} + 1 + d"))
+        .withColumn(
+            "l",
+            F.expr(f"((j + 1) * len_b) div {nseg} - (j * len_b) div {nseg}"),
+        )
+        .filter((F.col("p") >= 1) & (F.col("p") + F.col("l") - 1 <= F.col("len_a")))
+        .select(
+            F.col("rec_id").alias("rid_c"),
+            "lang",
+            "lb",
+            F.col("key").alias("key_c"),
+            "len_b",
+            "j",
+            F.expr("substring(key, p, l)").alias("seg"),
+        )
+    )
+    cand = (
+        probes.join(segs, ["lang", "lb", "j", "len_b", "seg"])
+        .select("rid_c", "rid_n", "key_c", "key_n")
+        # a pair can match through several (j, d) slots: one DP per pair
+        .distinct()
+    )
+    lev = F.levenshtein(F.col("key_c"), F.col("key_n"))
+    return cand.filter(lev <= k).select(
+        F.col("rid_c").alias("doc_clean"),
+        F.col("rid_n").alias("doc_noisy"),
+        lev.cast("int").alias("lev_dist"),
+    )
+
+
 # --- skyline / Pareto frontier ----------------------------------------------
 
 
