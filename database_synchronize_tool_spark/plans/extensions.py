@@ -713,10 +713,12 @@ _AHASH_HAMMING_MAX = 15
     f"{_AHASH_HAMMING_MAX} inside mime/lang blocks. This is the "
     "byte-level dedup fingerprint for media blobs the codec-stubbed "
     "multimodal family can grade exactly — unlike the decoded-pixel "
-    "features (now real pixel math, hash-graded). Scale: the char explode keeps the "
-    "oracle exact at test SF; at 100 TB compute the two words in one "
-    "Arrow pass per payload (the simhash-UDF precedent) and band the "
-    "64-bit signature (pigeonhole) instead of lang-blocking.",
+    "features (now real pixel math, hash-graded). Scale: the char explode "
+    "keeps the oracle exact at test SF; Hamming 15 of 64 defeats "
+    "pigeonhole banding (4-bit band keys have no discriminating power), "
+    "so the block-quadratic join IS this query's declared semantic — the "
+    "scale path is multimodal_phash128_banded (widened 128-bit hash, "
+    "16x8-bit bands + 1-bit multiprobe, recall-1.0).",
 )
 def multimodal_payload_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -738,6 +740,180 @@ def multimodal_payload_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFram
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= _AHASH_HAMMING_MAX)
+    )
+
+
+_PHASH128_HAMMING_MAX = 23
+
+
+@declared(
+    "multimodal_phash128_banded",
+    oracle=f"""
+    WITH ch AS (
+      SELECT doc_id, lang, length(text) AS L,
+             unnest(range(1, length(text)+1)) AS i, text
+      FROM documents
+    ), b AS (
+      SELECT doc_id, lang, L, ((i-1)*128) // L AS seg,
+             ascii(substr(text, CAST(i AS INT), 1)) AS a
+      FROM ch
+    ), segs AS (
+      SELECT doc_id, lang, L, seg, CAST(SUM(a) AS BIGINT) AS ssum,
+             CAST(COUNT(*) AS BIGINT) AS scnt
+      FROM b GROUP BY 1, 2, 3, 4
+    ), tot AS (
+      SELECT doc_id, CAST(SUM(ssum) AS BIGINT) AS tsum FROM segs GROUP BY 1
+    ), bits AS (
+      SELECT s.doc_id, s.lang, s.seg,
+             CASE WHEN s.ssum * s.L >= t.tsum * s.scnt THEN 1 ELSE 0 END AS bit
+      FROM segs s JOIN tot t USING (doc_id)
+    ), words AS (
+      SELECT doc_id, lang,
+             CAST(SUM(CASE WHEN seg < 32
+                  THEN CAST(bit AS BIGINT) << CAST(seg AS INT)
+                  ELSE 0 END) AS BIGINT) AS w0,
+             CAST(SUM(CASE WHEN seg >= 32 AND seg < 64
+                  THEN CAST(bit AS BIGINT) << CAST(seg - 32 AS INT)
+                  ELSE 0 END) AS BIGINT) AS w1,
+             CAST(SUM(CASE WHEN seg >= 64 AND seg < 96
+                  THEN CAST(bit AS BIGINT) << CAST(seg - 64 AS INT)
+                  ELSE 0 END) AS BIGINT) AS w2,
+             CAST(SUM(CASE WHEN seg >= 96
+                  THEN CAST(bit AS BIGINT) << CAST(seg - 96 AS INT)
+                  ELSE 0 END) AS BIGINT) AS w3
+      FROM bits GROUP BY 1, 2
+    )
+    SELECT media_a, media_b, hamming FROM (
+      SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+             CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+                + bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3))
+                  AS INT) AS hamming
+      FROM words a JOIN words b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    ) WHERE hamming <= {_PHASH128_HAMMING_MAX}
+    """,
+    doc="BANDED 128-bit perceptual-hash near-dup pairs — the scale path the "
+    "64-bit exact query (multimodal_payload_ahash_pairs) documents it "
+    "lacks (r11 verdict #5: Hamming 15 of 64 defeats pigeonhole — bands "
+    "would need 4-bit keys with no discriminating power). The hash widens "
+    "to 128 block-mean segments (four 32-bit words, same exact integer "
+    "cross-multiplication bit rule), and candidates come from 16 bands of "
+    "8-bit keys under the GENERAL pigeonhole (Qin et al. GPH family, "
+    f"public literature): at Hamming <= {_PHASH128_HAMMING_MAX}, if every "
+    "band differed by >= 2 bits the total would be >= 32 > "
+    f"{_PHASH128_HAMMING_MAX}, so SOME band differs by <= 1 bit — the "
+    "probe side therefore emits each band's byte plus its 8 one-bit flips "
+    "(9 keys/band, the ANN multiprobe device) and the equi-join on "
+    "(lang, band, byte) has recall EXACTLY 1.0; the XOR+popcount verify "
+    "runs only on deduped candidates. The oracle stays the plain "
+    "block-quadratic form, so the value hash itself grades the coverage "
+    "claim. Scale shape: candidate volume is sum-of-bucket-squares over "
+    "256-value byte keys instead of block-quadratic — the same move "
+    "dedup_simhash_banded makes at 64 bits, sound here only because the "
+    "widened hash affords 8-bit bands.",
+)
+def multimodal_phash128_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = _phash128_words(d)
+    byte_j = F.expr(
+        "shiftright(element_at(array(w0, w1, w2, w3),"
+        " CAST(j div 4 AS INT) + 1), CAST((j % 4) * 8 AS INT)) & 255"
+    )
+    # probe side: byte + its 8 one-bit flips per band (f=0 -> exact)
+    probe = (
+        words.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(15))))
+        .withColumn("bj", byte_j)
+        .withColumn("f", F.explode(F.sequence(F.lit(0), F.lit(8))))
+        .select(
+            F.col("doc_id").alias("media_a"),
+            "lang",
+            "j",
+            F.when(F.col("f") == 0, F.col("bj"))
+            .otherwise(F.expr("bj ^ shiftleft(1L, CAST(f - 1 AS INT))"))
+            .alias("bkey"),
+            F.col("w0").alias("a0"),
+            F.col("w1").alias("a1"),
+            F.col("w2").alias("a2"),
+            F.col("w3").alias("a3"),
+        )
+    )
+    build = (
+        words.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(15))))
+        .select(
+            F.col("doc_id").alias("media_b"),
+            "lang",
+            "j",
+            byte_j.alias("bkey"),
+            F.col("w0").alias("b0"),
+            F.col("w1").alias("b1"),
+            F.col("w2").alias("b2"),
+            F.col("w3").alias("b3"),
+        )
+    )
+    ham = (
+        F.bit_count(F.col("a0").bitwiseXOR(F.col("b0")))
+        + F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
+        + F.bit_count(F.col("a2").bitwiseXOR(F.col("b2")))
+        + F.bit_count(F.col("a3").bitwiseXOR(F.col("b3")))
+    ).cast("int")
+    from database_synchronize_tool_spark.operators.dedup import _wide_pair_dedup
+
+    cand = (
+        probe.join(build, ["lang", "j", "bkey"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= _PHASH128_HAMMING_MAX)
+        .select("media_a", "media_b", "hamming")
+    )
+    # hamming is functionally determined by the pair, so full-row dedup
+    # behind the explicit-width exchange keeps exactly one row per pair
+    return _wide_pair_dedup(cand, "media_a", "media_b")
+
+
+def _phash128_words(d: DataFrame) -> DataFrame:
+    """128-segment block-mean perceptual hash as four 32-bit words — the
+    widened twin of :func:`_ahash_words` (same integer bit rule)."""
+    ch = d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("L"),
+        F.posexplode(F.split(F.col("text"), "")).alias("pos", "c"),
+    ).filter(F.col("c") != "")
+    segs = (
+        ch.select(
+            "doc_id",
+            "lang",
+            "L",
+            F.expr("(pos * 128) div L").alias("seg"),
+            F.ascii("c").alias("a"),
+        )
+        .groupBy("doc_id", "lang", "L", "seg")
+        .agg(
+            F.sum("a").cast("bigint").alias("ssum"),
+            F.count(F.lit(1)).cast("bigint").alias("scnt"),
+        )
+    )
+    wdoc = Window.partitionBy("doc_id")
+    bits = segs.withColumn("tsum", F.sum("ssum").over(wdoc)).select(
+        "doc_id",
+        "lang",
+        "seg",
+        F.when(
+            F.col("ssum") * F.col("L") >= F.col("tsum") * F.col("scnt"), 1
+        ).otherwise(0).alias("bit"),
+    )
+    def _word(lo: int) -> F.Column:
+        return F.sum(
+            F.when(
+                (F.col("seg") >= lo) & (F.col("seg") < lo + 32),
+                F.expr(f"shiftleft(cast(bit as bigint), cast(seg - {lo} as int))"),
+            ).otherwise(0)
+        ).cast("bigint")
+
+    return bits.groupBy("doc_id", "lang").agg(
+        _word(0).alias("w0"),
+        _word(32).alias("w1"),
+        _word(64).alias("w2"),
+        _word(96).alias("w3"),
     )
 
 

@@ -216,6 +216,8 @@ _WINDOW: tuple[str, ...] = (
     "window_ntile_quartiles",
     # --- NEW in round 12 (never attested; green at both SFs at add time) ---
     "link_fuzzy_banded",
+    "multimodal_phash128_banded",
+    "dedup_containment_prefix",
     # --- re-verify cohort: stale queue head (r9-displaced, stalest first) ---
     "p4_empty_delta_guard",
     "a1_watermark_probe_ts",
@@ -255,13 +257,13 @@ _WINDOW: tuple[str, ...] = (
     "window_running_sum",
     "window_lag_lead",
     "set_except_nations",
-    "set_intersect_nations",
-    "set_union_distinct",
 )
 
 _QUEUE: tuple[str, ...] = (
     # head = next re-verify cohort for round 13 (the r5 remainder continues),
     # after whatever round-13 changes lead
+    "set_intersect_nations",
+    "set_union_distinct",
     "scalar_subquery_above_avg",
     "scalar_function_showcase",
     "case_when_bucketing",
@@ -374,7 +376,6 @@ _QUEUE: tuple[str, ...] = (
     "embedding_matryoshka_truncate",
     "dedup_minhash_lsh",
     "dedup_containment_banded",
-    "dedup_containment_prefix",
     "dedup_simhash",
     "dedup_simhash_banded",
     "agg_argmax_showcase",
