@@ -35,28 +35,33 @@ def subtree_has_limit(node) -> bool:
     return False
 
 
-# Catalog-known bounded-cardinality dimension columns: a Window
-# partitioned ONLY by these runs each group's sort in ONE task — 3 return
-# flags = 3 straggler tasks, and a third of the table through a single
-# sorter at 100 TB (r10 verdict "What's wrong"). Queries must use
+# MEASURED bounded-cardinality columns: a Window partitioned ONLY by
+# these runs each group's sort in ONE task — 3 return flags = 3 straggler
+# tasks, and a third of the table through a single sorter at 100 TB (r10
+# verdict "What's wrong"). Queries must use
 # operators/ranks.grouped_doubled_avg_ranks (or aggregate first) instead.
-LOW_NDV_COLUMNS: frozenset[str] = frozenset(
-    {
-        "l_returnflag",
-        "l_linestatus",
-        "l_shipmode",
-        "o_orderstatus",
-        "o_orderpriority",
-        "c_mktsegment",
-        "r_name",
-        "n_name",
-        "p_mfgr",
-        "p_brand",
-        "p_container",
-        "event_type",
-        "lang",
-    }
-)
+#
+# The list is DERIVED FROM DATA, not hand-maintained (r11 verdict #6):
+# tools/profile_ndv.py scans every testdata column at two scale factors
+# and classifies low-NDV iff the cardinality is small (<= 512) AND does
+# not scale with the data (<= 1.5x across 10x rows) — the dimension/enum
+# signature. The committed ndv_profile.json is the sweep's input; re-run
+# the tool when testdata changes. Deliberately wider than the old hand
+# list (l_quantity's 50 values or props' 100 templates are just as much
+# a straggler key as l_returnflag's 3).
+def _load_low_ndv() -> frozenset[str]:
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "ndv_profile.json")
+    with open(path) as f:
+        prof = json.load(f)
+    return frozenset(
+        c for c, v in prof["columns"].items() if v["low_ndv"]
+    )
+
+
+LOW_NDV_COLUMNS: frozenset[str] = _load_low_ndv()
 
 
 def _subtree_has_aggregate(node) -> bool:

@@ -1392,21 +1392,51 @@ def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
     doc="first/last/nth_value over an explicit full-partition frame (the "
-    "default frame would make last_value degenerate to the current row).",
+    "default frame would make last_value degenerate to the current row). "
+    "Scale shape (r12: the data-derived NDV sweep caught the original "
+    "25-task nationkey window): under the full-frame deterministic order "
+    "(s_acctbal, s_suppkey), first/last_value are the min/max-STRUCT "
+    "aggregates (one map-side-combined shuffle, no per-group sort) and "
+    "nth_value(2) is the rn=2 row from ranks.grouped_row_numbers (one "
+    "range shuffle, parallelism independent of group count); the "
+    "per-group scalars broadcast back onto the fact rows.",
 )
 def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = load_table(spark, sf_dir, "supplier")
-    w = (
-        Window.partitionBy("s_nationkey")
-        .orderBy("s_acctbal", "s_suppkey")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    from database_synchronize_tool_spark.operators.ranks import (
+        grouped_row_numbers,
     )
-    return s.select(
-        "s_suppkey",
-        "s_nationkey",
-        F.first("s_acctbal").over(w).alias("first_bal"),
-        F.last("s_acctbal").over(w).alias("last_bal"),
-        F.nth_value("s_acctbal", 2).over(w).alias("second_bal"),
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    key = F.struct("s_acctbal", "s_suppkey")
+    ends = s.groupBy("s_nationkey").agg(
+        F.min(key)["s_acctbal"].alias("first_bal"),
+        F.max(key)["s_acctbal"].alias("last_bal"),
+    )
+    rn = grouped_row_numbers(
+        s, "s_nationkey", [F.col("s_acctbal"), F.col("s_suppkey")], "__rn"
+    )
+    seconds = rn.filter(F.col("__rn") == 2).select(
+        F.col("s_nationkey").alias("__g2"),
+        F.col("s_acctbal").alias("second_bal"),
+    )
+    # eqNullSafe broadcasts: grouped_row_numbers ranks a NULL group as a
+    # real group, so the per-group scalars must not drop it
+    return (
+        s.join(
+            F.broadcast(ends.withColumnRenamed("s_nationkey", "__g1")),
+            F.col("s_nationkey").eqNullSafe(F.col("__g1")),
+            "left",
+        )
+        .join(
+            F.broadcast(seconds),
+            F.col("s_nationkey").eqNullSafe(F.col("__g2")),
+            "left",
+        )
+        .select(
+            "s_suppkey", "s_nationkey", "first_bal", "last_bal", "second_bal"
+        )
     )
 
 

@@ -218,6 +218,7 @@ _WINDOW: tuple[str, ...] = (
     "link_fuzzy_banded",
     "multimodal_phash128_banded",
     "dedup_containment_prefix",
+    "window_first_last_nth",
     # --- re-verify cohort: stale queue head (r9-displaced, stalest first) ---
     "p4_empty_delta_guard",
     "a1_watermark_probe_ts",
@@ -256,12 +257,12 @@ _WINDOW: tuple[str, ...] = (
     "window_topk_per_group",
     "window_running_sum",
     "window_lag_lead",
-    "set_except_nations",
 )
 
 _QUEUE: tuple[str, ...] = (
     # head = next re-verify cohort for round 13 (the r5 remainder continues),
     # after whatever round-13 changes lead
+    "set_except_nations",
     "set_intersect_nations",
     "set_union_distinct",
     "scalar_subquery_above_avg",
@@ -286,7 +287,6 @@ _QUEUE: tuple[str, ...] = (
     "q18_large_orders",
     "q22_global_sales_opportunity",
     "grouping_sets_events",
-    "window_first_last_nth",
     "q8_market_share",
     "q13_customer_order_distribution",
     "q21_sole_supplier_orders",

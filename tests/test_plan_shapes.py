@@ -613,3 +613,57 @@ def test_two_pass_ranks_shuffle_data_exactly_once(spark):
                     "a hash exchange is carrying data columns — the "
                     f"second full shuffle is back: {line.strip()}"
                 )
+
+
+def test_ndv_profile_classifier_and_sweep_catch_new_column(spark):
+    # r11 verdict #6: the low-NDV list is DERIVED from measured data, not
+    # hand-maintained. (a) the classifier flags a synthetic enum column
+    # (small NDV, no growth) and clears keys/measures that scale; (b) the
+    # sweep catches a window partitioned by a profiled-low column that the
+    # OLD hand list never contained (props: 100 event templates).
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from database_synchronize_tool_spark.plan_checks import (
+        LOW_NDV_COLUMNS,
+        low_ndv_partition_windows,
+    )
+    from tools.profile_ndv import classify
+
+    lo = {
+        "status": {"table": "t", "rows": 1000, "ndv": 7},
+        "id": {"table": "t", "rows": 1000, "ndv": 1000},
+        "bucket_400": {"table": "t", "rows": 1000, "ndv": 380},
+        "semi_key": {"table": "t", "rows": 1000, "ndv": 90},
+    }
+    hi = {
+        "status": {"table": "t", "rows": 10000, "ndv": 7},
+        "id": {"table": "t", "rows": 10000, "ndv": 10000},
+        "bucket_400": {"table": "t", "rows": 10000, "ndv": 400},
+        "semi_key": {"table": "t", "rows": 10000, "ndv": 450},  # scales 5x
+    }
+    cols = classify(lo, hi)["columns"]
+    assert cols["status"]["low_ndv"] is True
+    assert cols["bucket_400"]["low_ndv"] is True  # small and stable
+    assert cols["id"]["low_ndv"] is False  # exceeds the cap
+    assert cols["semi_key"]["low_ndv"] is False  # grows with the data
+
+    # props (100 distinct payload templates) was NOT in the old hand list;
+    # the measured profile flags it, and the sweep flags a window over it
+    assert "props" in LOW_NDV_COLUMNS and "s_nationkey" in LOW_NDV_COLUMNS
+    ev = spark.createDataFrame(
+        [(i, f"tmpl{i % 5}", float(i)) for i in range(50)],
+        "event_id long, props string, value double",
+    )
+    bad = ev.withColumn(
+        "rk", F.row_number().over(W.partitionBy("props").orderBy("value"))
+    )
+    assert low_ndv_partition_windows(bad) == 1
+    # aggregate-first input stays exempt
+    ok = (
+        ev.groupBy("props", "value").count()
+        .withColumn(
+            "rk", F.row_number().over(W.partitionBy("props").orderBy("value"))
+        )
+    )
+    assert low_ndv_partition_windows(ok) == 0
