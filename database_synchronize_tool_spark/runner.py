@@ -113,8 +113,16 @@ def sync_table(
     # id-watermarked empty tables would miss the COPY fast path; and a
     # NON-empty ts-type target whose check column is all-NULL yields
     # wm=None, which must upsert (COPY into a populated keyed table trips
-    # the PK). take(1)-style probe — one early-terminating job.
-    if hasattr(sink, "write_copy") and target.isEmpty():
+    # the PK). Sinks whose read_target is a pushed-down probe frame (the
+    # live-PG target returns a one-row MAX — never empty) expose
+    # target_empty() instead; otherwise a take(1)-style isEmpty probe on
+    # the read target — one early-terminating job either way.
+    empty = (
+        sink.target_empty(cfg.table)
+        if hasattr(sink, "target_empty")
+        else target.isEmpty()
+    )
+    if hasattr(sink, "write_copy") and empty:
         written = sink.write_copy(observed, cfg.table, keys)
     else:
         written = sink.write(observed, cfg.table, keys)

@@ -10,17 +10,22 @@ end-to-end against a live server:
 - startup + trust / cleartext / md5 authentication,
 - the SIMPLE query subprotocol (``Query`` → RowDescription / DataRow /
   CommandComplete / ReadyForQuery), text result format,
+- the EXTENDED query subprotocol (Parse/Bind/Describe/Execute/Sync) for
+  every parameterized statement: parameters travel as length-prefixed
+  Bind fields in text format, so row data is NEVER interpolated into SQL
+  text — parameterization is the injection fix; the
+  standard_conforming_strings fail-closed checks remain only as the
+  guard for the legacy interpolation helpers (r11 verdict #7). A whole
+  ``executemany`` batch pipelines Parse + N×(Bind/Execute) behind one
+  Sync: still one round trip per ``batch_size`` rows.
+- ``COPY FROM STDIN`` (text format) for bulk loads,
 - a DB-API-2-ish surface: ``connect()`` → Connection with ``cursor()`` /
   ``commit()`` / ``rollback()`` / ``close()``; Cursor with
   ``execute(sql, params)`` / ``executemany(sql, seq)`` / ``fetchall()``,
-  using the psycopg2 ``%s`` placeholder convention with CLIENT-side
-  literal interpolation (which is also what psycopg2 itself does).
+  using the psycopg2 ``%s`` placeholder convention.
 
 Scope notes, deliberate:
-- No extended protocol / prepared statements / COPY / SCRAM / TLS. The
-  upsert sink sends batched multi-statement simple queries; for the sync
-  workload the per-statement parse cost is dwarfed by the network round
-  trip it saves (one round trip per ``batch_size`` rows).
+- No SCRAM / TLS (the sandbox server trusts the unix socket).
 - Everything is one small file with zero dependencies so it pickles to
   Spark executors (``DbApiUpsertSink.connect`` runs partition-side).
 """
@@ -126,6 +131,75 @@ def _copy_text(v) -> str:
         .replace("\n", "\\n")
         .replace("\r", "\\r")
     )
+
+
+def _bind_text(v) -> str | None:
+    """Render one parameter in the TEXT wire format for a Bind message —
+    the extended-protocol twin of :func:`_literal`, with NO SQL quoting or
+    escaping at all: the value travels length-prefixed in its own protocol
+    field, so there is no literal surface to inject through (r11 verdict
+    #7 — parameterization is the fix the SCS checks only mitigate).
+    Returns None for SQL NULL (wire length -1)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, (int, Decimal)):
+        return str(v)  # PG numeric/int text input accepts NaN/Infinity bare
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        if v == float("inf"):
+            return "Infinity"
+        if v == float("-inf"):
+            return "-Infinity"
+        return repr(v)
+    if isinstance(v, dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return "\\x" + bytes(v).hex()
+    if isinstance(v, (list, tuple)):
+        # array TEXT input format: {e1,e2}; elements double-quoted with
+        # backslash escapes so delimiters/quotes/whitespace stay literal
+        def elem(x) -> str:
+            if x is None:
+                return "NULL"
+            if isinstance(x, (list, tuple)):
+                return _bind_text(x)  # nested array
+            t = _bind_text(x)
+            return '"' + t.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+        return "{" + ",".join(elem(x) for x in v) + "}"
+    s = str(v)
+    if "\0" in s:
+        raise ValueError("PostgreSQL text values cannot contain NUL (\\0)")
+    return s
+
+
+def _to_dollar(sql: str) -> tuple[str, int]:
+    """Rewrite psycopg2-style ``%s`` placeholders as ``$1..$n`` for the
+    extended protocol, honoring the ``%%`` escape. Returns (sql, n)."""
+    out: list[str] = []
+    k = 0
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "%" and i + 1 < n:
+            nxt = sql[i + 1]
+            if nxt == "s":
+                k += 1
+                out.append(f"${k}")
+                i += 2
+                continue
+            if nxt == "%":
+                out.append("%")
+                i += 2
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out), k
 
 
 def _interpolate(sql: str, params) -> str:
@@ -266,17 +340,30 @@ class Cursor:
 
     def execute(self, sql: str, params=None) -> None:
         if params is not None:
-            self._check_scs()
-            sql = _interpolate(sql, params)
+            # extended protocol: the parameters travel as length-prefixed
+            # Bind fields — NOTHING is interpolated into SQL text, so row
+            # data cannot reach the parser no matter what it contains
+            # (r11 verdict #7; _check_scs/_interpolate remain only for
+            # the paramless simple-query path's documentation of why)
+            self._conn._ensure_tx()
+            self._rows, self.description, self.rowcount = (
+                self._conn._query_ext(sql, [tuple(params)])
+            )
+            self._idx = 0
+            return
         self._run(sql)
 
     def executemany(self, sql: str, seq_of_params) -> None:
-        self._check_scs()
-        stmts = [_interpolate(sql, p) for p in seq_of_params]
-        if stmts:
-            # one round trip for the whole batch: the simple protocol runs
-            # a multi-statement Query inside the surrounding transaction
-            self._run(";".join(stmts))
+        batches = [tuple(p) for p in seq_of_params]
+        if batches:
+            # one Parse + pipelined Bind/Execute per row + one Sync: still
+            # one round trip for the whole batch (like the old
+            # multi-statement simple query), with zero literal rendering
+            self._conn._ensure_tx()
+            self._rows, self.description, self.rowcount = (
+                self._conn._query_ext(sql, batches)
+            )
+            self._idx = 0
 
     def _run(self, sql: str) -> None:
         self._conn._ensure_tx()
@@ -466,6 +553,116 @@ class Connection:
                     raise PgError(error)
                 return rows, desc, rowcount
             # 'N' NoticeResponse / 'I' EmptyQueryResponse: skip
+
+    @staticmethod
+    def _msg(type_byte: bytes, payload: bytes) -> bytes:
+        return type_byte + struct.pack("!I", len(payload) + 4) + payload
+
+    def _query_ext(self, sql: str, seq_of_params) -> tuple:
+        """One Parse + per-param-set Bind/Execute rounds of ``sql``
+        (psycopg2 ``%s`` placeholders) through the EXTENDED protocol,
+        pipelined behind a single Sync — parameters travel as
+        length-prefixed wire fields, so nothing is ever interpolated into
+        SQL text (r11 verdict #7). The statement is parsed ONCE per batch
+        and the whole message train goes out in one send, so an
+        executemany batch costs one round trip exactly like the old
+        multi-statement simple query did (throughput-pinned in
+        tools/pg_throughput.py / SCALE.md). Returns (rows, description,
+        total_rowcount) of the LAST execution."""
+        dollar_sql, nparams = _to_dollar(sql)
+        # Parse (unnamed statement, parameter types unspecified -> the
+        # server infers them from context, e.g. the INSERT target column)
+        out = bytearray(
+            self._msg(
+                b"P",
+                b"\0" + dollar_sql.encode() + b"\0" + struct.pack("!H", 0),
+            )
+        )
+        first = True
+        for params in seq_of_params:
+            if len(params) != nparams:
+                raise ValueError(
+                    f"statement has {nparams} placeholders, got "
+                    f"{len(params)} parameters"
+                )
+            # Bind (unnamed portal): 0 param-format codes = all text,
+            # length-prefixed values, 0 result-format codes = all text
+            body = bytearray(b"\0\0" + struct.pack("!H", 0))
+            body += struct.pack("!H", len(params))
+            for v in params:
+                t = _bind_text(v)
+                if t is None:
+                    body += struct.pack("!i", -1)
+                else:
+                    b = t.encode("utf-8")
+                    body += struct.pack("!i", len(b)) + b
+            body += struct.pack("!H", 0)
+            out += self._msg(b"B", bytes(body))
+            if first:
+                # Describe portal once (RowDescription/NoData) — identical
+                # statement, identical shape for every later portal
+                out += self._msg(b"D", b"P\0")
+                first = False
+            out += self._msg(b"E", b"\0" + struct.pack("!i", 0))
+        out += self._msg(b"S", b"")  # Sync
+        self._p._sock.sendall(bytes(out))
+        rows: list[tuple] = []
+        desc = None
+        oids: list[int] = []
+        total = 0
+        saw_count = False
+        error: dict[str, str] | None = None
+        while True:
+            mtype, payload = self._p.recv_message()
+            if mtype == b"T":  # RowDescription (from Describe)
+                rows, desc, oids = [], [], []
+                (nfields,) = struct.unpack("!H", payload[:2])
+                off = 2
+                for _ in range(nfields):
+                    end = payload.index(b"\0", off)
+                    name = payload[off:end].decode()
+                    _tbl, _att, oid, _sz, _mod, _fmt = struct.unpack(
+                        "!IHIhih", payload[end + 1 : end + 19]
+                    )
+                    desc.append((name, oid, None, None, None, None, None))
+                    oids.append(oid)
+                    off = end + 19
+            elif mtype == b"D":
+                (nfields,) = struct.unpack("!H", payload[:2])
+                off = 2
+                vals = []
+                for i in range(nfields):
+                    (ln,) = struct.unpack("!i", payload[off : off + 4])
+                    off += 4
+                    if ln == -1:
+                        vals.append(None)
+                    else:
+                        vals.append(
+                            _decode(
+                                oids[i],
+                                payload[off : off + ln].decode("utf-8"),
+                            )
+                        )
+                        off += ln
+                rows.append(tuple(vals))
+            elif mtype == b"C":
+                tag = payload.rstrip(b"\0").decode()
+                tail = tag.rsplit(" ", 1)[-1]
+                if tail.isdigit():
+                    total += int(tail)
+                    saw_count = True
+            elif mtype == b"S":
+                self._on_parameter_status(payload)
+            elif mtype == b"E":
+                error = _parse_error(payload)
+            elif mtype == b"Z":
+                if error is not None:
+                    # after an error the server skipped to Sync; the
+                    # enclosing transaction is aborted, like simple-query
+                    raise PgError(error)
+                return rows, desc, (total if saw_count else -1)
+            # '1' ParseComplete / '2' BindComplete / 'n' NoData /
+            # 's' PortalSuspended / 'N' notices: skip
 
     def _copy_in(self, sql: str, lines) -> int:
         """``COPY ... FROM STDIN`` (text format): send the Query, wait for

@@ -360,6 +360,20 @@ class PgWireWatermarkTarget(DbApiUpsertSink):
 
     check_columns: dict[str, str] | None = None
 
+    def target_empty(self, table: str) -> bool:
+        """Server-side emptiness probe for the runner's COPY-path gate
+        (r11 advice): ``read_target`` here is a one-row MAX frame — never
+        empty — so the generic ``isEmpty()`` gate would starve the COPY
+        fast path; and a NULL MAX alone is ambiguous (an all-NULL check
+        column in a populated keyed table must upsert, not COPY)."""
+        con = self.connect()
+        try:
+            cur = con.cursor()
+            cur.execute(f"SELECT NOT EXISTS (SELECT 1 FROM {table})")
+            return bool(cur.fetchall()[0][0])
+        finally:
+            con.close()
+
     def read_target(self, spark: SparkSession, table: str, schema):
         from pyspark.sql.types import StructField, StructType
 

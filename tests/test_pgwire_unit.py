@@ -136,3 +136,73 @@ def test_nonfinite_decimal_literals():
 
     with pytest.raises(ValueError, match="NUL"):
         _literal("bad\0value")
+
+
+def test_to_dollar_placeholder_rewrite():
+    from database_synchronize_tool_spark.sources.pgwire import _to_dollar
+
+    assert _to_dollar("INSERT INTO t VALUES (%s, %s)") == (
+        "INSERT INTO t VALUES ($1, $2)", 2
+    )
+    assert _to_dollar("SELECT 1") == ("SELECT 1", 0)
+    # %% stays a literal percent and never consumes a parameter slot
+    assert _to_dollar("SELECT %s WHERE n LIKE 'a%%s'") == (
+        "SELECT $1 WHERE n LIKE 'a%s'", 1
+    )
+
+
+def test_bind_text_rendering():
+    import datetime as dt
+    from decimal import Decimal
+
+    from database_synchronize_tool_spark.sources.pgwire import _bind_text
+
+    assert _bind_text(None) is None  # wire NULL (length -1), not a token
+    assert _bind_text(True) == "t" and _bind_text(False) == "f"
+    assert _bind_text(42) == "42"
+    assert _bind_text(Decimal("12.3400")) == "12.3400"
+    assert _bind_text(float("nan")) == "NaN"
+    # NO quoting/escaping: the value is a protocol field, not SQL text
+    assert _bind_text("o'brien; DROP TABLE x--") == "o'brien; DROP TABLE x--"
+    assert _bind_text(b"\xde\xad") == "\\xdead"
+    assert _bind_text(dt.date(2024, 3, 1)) == "2024-03-01"
+    assert _bind_text(["a", 'q"t', None]) == '{"a","q\\"t",NULL}'
+    assert _bind_text([]) == "{}"  # typable via Bind, unlike ARRAY[]
+    import pytest
+
+    with pytest.raises(ValueError, match="NUL"):
+        _bind_text("bad\0value")
+
+
+def test_parameterized_execute_never_interpolates(monkeypatch):
+    # r11 verdict #7: the injection posture is 'never interpolated', not
+    # 'escaped correctly' — any parameterized execute must route through
+    # the extended protocol, so _interpolate/_literal must be unreachable
+    from database_synchronize_tool_spark.sources import pgwire
+
+    def boom(*a, **k):
+        raise AssertionError("parameterized path touched the interpolator")
+
+    monkeypatch.setattr(pgwire, "_interpolate", boom)
+    monkeypatch.setattr(pgwire, "_literal", boom)
+
+    calls = []
+
+    class FakeConn:
+        parameter_status = {}
+
+        def _ensure_tx(self):
+            pass
+
+        def _query_ext(self, sql, batches):
+            calls.append((sql, batches))
+            return [], None, len(batches)
+
+    cur = pgwire.Cursor.__new__(pgwire.Cursor)
+    cur._conn = FakeConn()
+    cur.execute("INSERT INTO t VALUES (%s)", ("x'; --",))
+    cur.executemany("INSERT INTO t VALUES (%s)", [("a",), ("b",)])
+    assert calls == [
+        ("INSERT INTO t VALUES (%s)", [("x'; --",)]),
+        ("INSERT INTO t VALUES (%s)", [("a",), ("b",)]),
+    ]
