@@ -126,6 +126,73 @@ def load_ivfpq_index(spark: SparkSession, index_dir: str) -> IvfPqIndex:
     )
 
 
+def append_ivfpq_index(
+    index: IvfPqIndex,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfPqIndex:
+    """Incrementally maintain the persisted index (r11 verdict #8): encode
+    the NEW vectors with the index's OWN frozen quantizers (existing
+    centroids for the cell assignment, existing codebooks for the PQ
+    codes) and APPEND them into the cell-partitioned codes table — the
+    ``minhash_lsh_join`` batch-vs-corpus discipline applied to ANN. The
+    append writes files only under the touched ``cell=`` partitions;
+    existing code files are never read, rewritten, or moved (pinned by
+    test), so maintaining a 10^11-vector index costs O(batch), not
+    O(corpus).
+
+    Because the quantizers are frozen, search-after-append is BIT-IDENTICAL
+    to a full rebuild over the union corpus with the same quantizers
+    (pinned by test) — the only thing that degrades is how well the old
+    centroids fit the drifting data. The manifest tracks
+    ``n_appended_since_train``; :func:`needs_retrain` turns it into the
+    staleness rule (default: retrain once appends exceed half the corpus
+    the quantizers were trained on — past that, Lloyd-optimal cells for
+    the ORIGINAL distribution can be arbitrarily unbalanced for the
+    union, and cell skew is the thing that serializes probes).
+
+    Caller contract: ``new_vectors`` ids must be disjoint from the
+    indexed ids (a sync pipeline dedups upstream); appends are visible to
+    searches immediately via a fresh :func:`load_ivfpq_index`.
+    """
+    meta = dict(index.meta)
+    dim = len(new_vectors.select(F.col(vec_col).alias("v")).first()["v"])
+    if dim != meta["dim"]:
+        raise ValueError(
+            f"appended vectors have dim {dim}, index was built at "
+            f"{meta['dim']}"
+        )
+    assign = ivf_assign_cells(
+        new_vectors, index.centroids, id_col, vec_col, top_cells=1
+    )
+    codes = pq_encode(
+        new_vectors, index.codebooks, meta["m"], id_col, vec_col
+    ).join(assign.select("vid", "cell"), "vid")
+    n_new = codes.count()
+    codes.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(index.path, "codes")
+    )
+    meta["n_vectors"] = meta["n_vectors"] + n_new
+    meta["n_appended_since_train"] = (
+        meta.get("n_appended_since_train", 0) + n_new
+    )
+    with open(os.path.join(index.path, "manifest.json"), "w") as fh:
+        json.dump(meta, fh)
+    return load_ivfpq_index(index.codes.sparkSession, index.path)
+
+
+def needs_retrain(index: IvfPqIndex, max_appended_fraction: float = 0.5) -> bool:
+    """Staleness rule for the frozen quantizers: True once the appended
+    volume exceeds ``max_appended_fraction`` of the corpus the quantizers
+    were trained on. The retrain itself is :func:`build_ivfpq_index` with
+    freshly trained centroids/codebooks over the union — a full rewrite,
+    which is exactly why it is rule-triggered instead of per-append."""
+    appended = index.meta.get("n_appended_since_train", 0)
+    trained_on = index.meta["n_vectors"] - appended
+    return appended > max_appended_fraction * max(trained_on, 1)
+
+
 def search_ivfpq_index(
     index: IvfPqIndex,
     queries: DataFrame,
