@@ -179,6 +179,9 @@ HEADLINE = [
     "events_growth_accounting",
     "stats_mann_kendall_trend",
     "text_char_diversity",
+    # round-12 additions, benched from the round they land
+    "link_fuzzy_banded",
+    "multimodal_phash128_banded",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

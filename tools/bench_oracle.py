@@ -34,11 +34,31 @@ from database_synchronize_tool_spark.plans.registry import all_queries
 
 
 def run_oracle_bench(
-    sf_dir: str, names: list[str], passes: int = 3, echo=None
+    sf_dir: str,
+    names: list[str],
+    passes: int = 3,
+    echo=None,
+    memory_limit: str = "40GB",
 ) -> dict[str, float]:
-    """Best-of-``passes`` per-query oracle timings over hot native tables."""
+    """Best-of-``passes`` per-query oracle timings over hot native tables.
+
+    ``memory_limit`` caps DuckDB's allocator and routes overflow to a
+    spill directory instead of letting the kernel OOM-kill the whole
+    bench process: the r11 sf1 run died silently mid oracle pass 2 with
+    no traceback — DuckDB's default limit is 80% of PHYSICAL RAM, sized
+    without regard for what the (just-stopped, lazily-reclaimed) JVM and
+    the page cache still hold (r11 verdict #3). A spilling oracle query
+    shows up as a slow timing, which is honest; a killed process shows up
+    as a salvage job."""
+    import os as _os
+    import tempfile
+
     con = duckdb.connect()
     con.execute("SET enable_progress_bar = false")
+    con.execute(f"SET memory_limit = '{memory_limit}'")
+    spill = _os.path.join(tempfile.gettempdir(), "duckdb_bench_spill")
+    _os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory = '{spill}'")
     for t in TABLES:
         con.execute(
             f"CREATE TABLE {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
