@@ -563,8 +563,6 @@ _LINKB_LEV_MAX = 3  # banded variant threshold: k where pigeonhole banding is so
     "move dedup_containment_banded makes on token prefixes.",
 )
 def link_fuzzy_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    k = _LINKB_LEV_MAX
-    nseg = k + 1
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 4)
     key = F.substring(F.col("text"), 1, _LINK_PREFIX)
     lb = F.expr("length(text) div 32")
@@ -577,6 +575,20 @@ def link_fuzzy_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.translate(key, "o", "0").alias("key"),
         lb.alias("lb"),
     )
+    return fuzzy_link_banded_pairs(clean, dirty, _LINKB_LEV_MAX)
+
+
+def fuzzy_link_banded_pairs(
+    clean: DataFrame, dirty: DataFrame, k: int
+) -> DataFrame:
+    """PassJoin-banded lev <= ``k`` pairs between two keyed record sets
+    (columns ``rec_id, lang, key, lb`` each) — the candidate engine behind
+    :func:`link_fuzzy_banded`, split out so recall can be brute-force
+    property-tested on short and length-varying keys the testdata never
+    exercises. Recall is 1.0 by the segment pigeonhole (docstring above);
+    keys shorter than ``k + 1`` chars are assumed filtered by the caller
+    (their segments would be empty)."""
+    nseg = k + 1
     # segment index over the NOISY side: k+1 even segments per record
     # (segment j of a length-L key starts at (j*L div nseg)+1, 1-based)
     segs = (

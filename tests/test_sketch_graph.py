@@ -275,3 +275,59 @@ def test_cms_duplicate_probe_rows_each_survive(spark):
         for r in cms_point_estimate(sketch, probes, "k", 3, 32).collect()
     )
     assert rows == [("a", 7), ("a", 7), ("zz", 0)]
+
+
+def test_fuzzy_link_banded_recall_on_short_and_varying_keys(spark):
+    # The documents testdata only ever produces 40-char keys; this pins the
+    # PassJoin pigeonhole on the regimes it never exercises — short keys
+    # (down to k+1 chars), DIFFERENT-length pairs (real insert/delete
+    # alignments, where the +-k segment shift window earns its keep), and
+    # multi-block corpora. Ground truth is a brute-force Wagner-Fischer DP
+    # over every same-(lang, lb) pair.
+    from pyspark.sql import functions as F
+
+    from database_synchronize_tool_spark.plans.sketch_graph import (
+        fuzzy_link_banded_pairs,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    base = [
+        "abcd", "abce", "bcda",          # 4-char keys (minimum length)
+        "hello world", "hello wrld",     # deletion pair
+        "xhello world", "hello worlds",  # insertion variants
+        "the quick brown fox jumps",     # 25 chars
+        "the quick brown fox jump",      # deletion
+        "athe quick brown fox jumps",    # head insertion (shifts everything)
+        "zzzzzzzzzzzzzzzzzzzzzzzzz",     # unrelated same-length
+        "a" * 33, "a" * 33 + "bcd",      # straddles the lb=1 boundary
+    ]
+    rows_c = [(i, "en" if i % 2 else "fr", t, len(t) // 32)
+              for i, t in enumerate(base)]
+    rows_d = [(1000 + i, "en" if i % 2 else "fr", t, len(t) // 32)
+              for i, t in enumerate(base[::-1])]
+    schema = "rec_id long, lang string, key string, lb long"
+    clean = spark.createDataFrame(rows_c, schema)
+    dirty = spark.createDataFrame(rows_d, schema)
+
+    k = 3
+    got = sorted(
+        (r["doc_clean"], r["doc_noisy"], r["lev_dist"])
+        for r in fuzzy_link_banded_pairs(clean, dirty, k).collect()
+    )
+    want = sorted(
+        (ci, di, lev(ck, dk))
+        for (ci, cl, ck, cb) in rows_c
+        for (di, dl, dk, db) in rows_d
+        if cl == dl and cb == db and lev(ck, dk) <= k
+    )
+    assert got == want and want  # non-degenerate ground truth
