@@ -182,6 +182,8 @@ HEADLINE = [
     # round-12 additions, benched from the round they land
     "link_fuzzy_banded",
     "multimodal_phash128_banded",
+    "dedup_minhash_bbit_estimate",
+    "privacy_l_diversity",
 ]
 
 # Queries whose Spark side is benched (so regressions stay visible) but

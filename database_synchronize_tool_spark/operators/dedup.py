@@ -153,6 +153,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     max_bucket: int | None = None,
     with_estimate: bool = False,
+    with_bbit: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, verified by true
     Jaccard ≥ threshold. Returns (doc_a, doc_b, jacc); with
@@ -160,6 +161,16 @@ def minhash_lsh_pairs(
     sketch's own Jaccard ESTIMATE (matches/K) next to the exact value —
     the estimator-quality surface (E[matches/K] = J is the MinHash
     theorem; this exposes the realized error per pair).
+
+    ``with_bbit`` (implies the estimate columns) additionally keeps only
+    the LOWEST bit of each signature slot and rides the 1-bit agreement
+    count along — b-bit minhashing (Li & König 2010, public literature),
+    the storage-optimal sketch: 1/64th the signature bytes at a
+    quantified variance cost. Estimator: a slot collides iff the full
+    values agree (prob J) or they differ but share parity (prob ~1/2 for
+    hashes uniform mod a large odd prime), so E[A] = J + (1-J)/2 and
+    J_hat = 2A - 1 — integer agreement counts and exact divisions only,
+    so the realized-error surface hash-grades across engines.
 
     Plan shape: ONE pass computes shingles+signature per doc (narrow,
     persisted — every downstream branch reuses it instead of re-deriving the
@@ -211,6 +222,19 @@ def minhash_lsh_pairs(
             lambda acc, v: acc + v,
         )
 
+    def bbit_agreement(sa: Column, sb: Column) -> Column:
+        # 1-bit agreement: slots whose LOWEST bit matches — what survives
+        # when the sketch stores 1 bit per slot instead of the full value
+        # (signature values are nonnegative, so % 2 IS the low bit in both
+        # engines). Computed in the same in-row pass as sig_agreement.
+        return F.aggregate(
+            F.zip_with(
+                sa, sb, lambda x, y: F.when((x % 2) == (y % 2), 1).otherwise(0)
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+
     star = None
     if max_bucket is not None:
         # Hot-bucket cap: a boilerplate cluster (one template text repeated
@@ -243,6 +267,11 @@ def minhash_lsh_pairs(
             .select("doc_a", F.col("doc_id").alias("doc_b"), "sig_matches")
         )
 
+    if with_bbit and star is not None:
+        raise ValueError(
+            "with_bbit + max_bucket star-linking is not supported: star "
+            "rows carry no bbit agreement"
+        )
     a, b2 = bands.alias("a"), bands.alias("b")
     pre = (
         a.join(b2, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
@@ -255,6 +284,11 @@ def minhash_lsh_pairs(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             "sig_matches",
+            *(
+                [bbit_agreement(F.col("a.sig"), F.col("b.sig")).alias("bbit_matches")]
+                if with_bbit
+                else []
+            ),
         )
     )
     if star is not None:
@@ -268,6 +302,21 @@ def minhash_lsh_pairs(
         .withColumn("jacc", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jacc") >= threshold)
     )
+    if with_bbit:
+        est = F.col("sig_matches").cast("double") / F.lit(float(MINHASH_K))
+        a1 = F.col("bbit_matches").cast("double") / F.lit(float(MINHASH_K))
+        est1 = F.lit(2.0) * a1 - F.lit(1.0)
+        return verified.select(
+            "doc_a",
+            "doc_b",
+            F.col("sig_matches").cast("int").alias("sig_matches"),
+            F.col("bbit_matches").cast("int").alias("bbit_matches"),
+            est.alias("est_jacc"),
+            est1.alias("est_jacc_1bit"),
+            "jacc",
+            (est - F.col("jacc")).alias("err_full"),
+            (est1 - F.col("jacc")).alias("err_1bit"),
+        )
     if with_estimate:
         est = F.col("sig_matches").cast("double") / F.lit(float(MINHASH_K))
         return verified.select(

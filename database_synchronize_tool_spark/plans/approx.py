@@ -1884,6 +1884,73 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LDIV_L = 3
+
+
+@declared(
+    "privacy_l_diversity",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(COUNT(DISTINCT
+               (CAST(FLOOR(c_acctbal) AS BIGINT) + 1000) // 2000
+             ) AS BIGINT) AS l_div
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(MIN(l_div) AS BIGINT) AS l_diversity,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_div < {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_l,
+           CAST(SUM(CASE WHEN l_div < {_LDIV_L} THEN cnt ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(SUM(CASE WHEN l_div < {_LDIV_L} THEN cnt ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(cnt) AS DOUBLE) AS frac_at_risk,
+           CAST(SUM(CASE WHEN l_div = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_homogeneous
+    FROM g
+    """,
+    doc=f"Distinct l-diversity audit (Machanavajjhala et al. 2006, public "
+    "literature) over the same quasi-identifier pair as the k-anonymity "
+    "audit — the attack k-anonymity misses: an equivalence class can hold "
+    "k rows yet ONE sensitive value (homogeneity attack), so release "
+    "policy also floors the number of DISTINCT sensitive values per "
+    "class. Sensitive attribute = account-balance band (floor to whole "
+    "units, shift by the domain minimum so both engines' integer "
+    "division agrees, 2000-unit bands — floor() is correctly rounded on "
+    f"doubles, so the bucketing is exact). Reports the realized l, "
+    f"classes/rows below the l={_LDIV_L} floor, and the homogeneous-class "
+    "count (l=1, the worst case). Exact integers + ONE division. Scale "
+    "shape: one hash aggregate keyed by (QI, sensitive-band) folded into "
+    "a COUNT DISTINCT per QI class — partial aggregation map-side, the "
+    "raw table shuffles once; the class table is domain-bounded.",
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    band = F.expr("(CAST(FLOOR(c_acctbal) AS BIGINT) + 1000) div 2000")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.count_distinct(band).cast("bigint").alias("l_div"),
+    )
+    risky = F.sum(F.when(F.col("l_div") < _LDIV_L, F.col("cnt")).otherwise(0))
+    return g.agg(
+        F.min("l_div").cast("bigint").alias("l_diversity"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("l_div") < _LDIV_L, 1).otherwise(0))
+        .cast("bigint")
+        .alias("groups_below_l"),
+        risky.cast("bigint").alias("rows_at_risk"),
+        (risky.cast("double") / F.sum("cnt").cast("double")).alias(
+            "frac_at_risk"
+        ),
+        F.sum(F.when(F.col("l_div") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_homogeneous"),
+    )
+
+
 @declared(
     "ts_autocorrelation_lag1",
     oracle="""

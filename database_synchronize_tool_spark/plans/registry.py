@@ -217,6 +217,8 @@ _WINDOW: tuple[str, ...] = (
     # --- NEW in round 12 (never attested; green at both SFs at add time) ---
     "link_fuzzy_banded",
     "multimodal_phash128_banded",
+    "dedup_minhash_bbit_estimate",
+    "privacy_l_diversity",
     "dedup_containment_prefix",
     "window_first_last_nth",
     # --- re-verify cohort: stale queue head (r9-displaced, stalest first) ---
@@ -255,13 +257,16 @@ _WINDOW: tuple[str, ...] = (
     "cube_events",
     "pivot_status_by_year",
     "window_topk_per_group",
-    "window_running_sum",
-    "window_lag_lead",
 )
 
 _QUEUE: tuple[str, ...] = (
     # head = next re-verify cohort for round 13 (the r5 remainder continues),
-    # after whatever round-13 changes lead
+    # after whatever round-13 changes lead. window_running_sum and
+    # window_lag_lead were displaced mid-r12 by the two new declared
+    # queries (dedup_minhash_bbit_estimate, privacy_l_diversity) per the
+    # documented slot discipline.
+    "window_running_sum",
+    "window_lag_lead",
     "set_except_nations",
     "set_intersect_nations",
     "set_union_distinct",

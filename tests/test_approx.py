@@ -634,3 +634,51 @@ def test_grouped_doubled_avg_ranks_rejects_null_value(spark):
     with cache_scope():
         with pytest.raises(Exception, match="NULL/NaN in value column"):
             grouped_doubled_avg_ranks(nan_df, "grp", "v", "rx", n_parts=2).collect()
+
+
+def test_l_diversity_band_and_homogeneity(spark):
+    """The sensitive-attribute band must agree with DuckDB's floor
+    division on NEGATIVE balances (Spark `div` truncates toward zero, so
+    the +1000 domain shift is what keeps both engines on floor semantics),
+    and a k-anonymous-but-homogeneous class must be flagged."""
+    import duckdb
+
+    from database_synchronize_tool_spark.plans.approx import _LDIV_L
+
+    vals = [-999.99, -1000.0, -0.01, 0.0, 1999.99, 2000.0, 9999.99]
+    sdf = spark.createDataFrame([(v,) for v in vals], "c_acctbal double")
+    spark_bands = [
+        r[0]
+        for r in sdf.select(
+            F.expr("(CAST(FLOOR(c_acctbal) AS BIGINT) + 1000) div 2000")
+        ).collect()
+    ]
+    duck_bands = [
+        duckdb.sql(
+            f"SELECT (CAST(FLOOR(CAST({v!r} AS DOUBLE)) AS BIGINT) + 1000) // 2000"
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert spark_bands == duck_bands
+    assert min(spark_bands) >= 0  # the shift keeps the dividend nonnegative
+
+    # 5 rows in one QI class, all in ONE balance band: k-anonymity sees
+    # k=5 (fine), l-diversity must report the class as homogeneous
+    import tempfile
+
+    rows = [(0, f"name{i}", 1, "BUILDING", 100.0 + i) for i in range(5)]
+    cols = "c_custkey bigint, c_name string, c_nationkey int, c_mktsegment string, c_acctbal double"
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows, cols).toPandas().to_parquet(
+            f"{td}/customer.parquet"
+        )
+        from database_synchronize_tool_spark.plans.registry import all_queries
+
+        out = all_queries()["privacy_l_diversity"].builder(spark, td).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["l_diversity"] == 1
+    assert r["n_homogeneous"] == 1
+    assert r["groups_below_l"] == 1
+    assert r["rows_at_risk"] == 5
+    assert _LDIV_L > 1

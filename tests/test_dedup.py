@@ -4,6 +4,7 @@ documents; hamming/simhash basics."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from database_synchronize_tool_spark.operators.dedup import (
@@ -419,6 +420,43 @@ def test_simhash_udf_bit_identical_to_column_form(spark, sf_dir):
         )
         bad = both.filter(F.col("col_sig") != F.col("udf_sig")).count()
         assert bad == 0, f"{bad} mismatches at bits={bits}"
+
+
+def test_minhash_bbit_estimate_consistency(spark, sf_dir):
+    """The 1-bit sketch surface must agree with the full-width one on the
+    pair set and exact Jaccard, and obey the b-bit algebra: full-value
+    agreement implies parity agreement (bbit >= sig matches), and the
+    estimator is exactly 2A - 1 in power-of-two float arithmetic."""
+    from database_synchronize_tool_spark.catalog import load_table
+    from database_synchronize_tool_spark.operators.dedup import (
+        MINHASH_K,
+        minhash_lsh_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    rows = minhash_lsh_pairs(d, threshold=0.5, with_bbit=True).collect()
+    assert rows
+    base = {
+        (r["doc_a"], r["doc_b"]): r["jacc"]
+        for r in minhash_lsh_pairs(d, threshold=0.5).collect()
+    }
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == set(base)
+    for r in rows:
+        assert r["jacc"] == base[(r["doc_a"], r["doc_b"])]
+        # low bits can only ADD agreements on top of full-value ties
+        assert r["sig_matches"] <= r["bbit_matches"] <= MINHASH_K
+        assert r["est_jacc_1bit"] == 2.0 * (r["bbit_matches"] / MINHASH_K) - 1.0
+        assert r["err_1bit"] == r["est_jacc_1bit"] - r["jacc"]
+        assert r["err_full"] == r["est_jacc"] - r["jacc"]
+
+
+def test_minhash_bbit_star_linking_unsupported(spark, sf_dir):
+    from database_synchronize_tool_spark.catalog import load_table
+    from database_synchronize_tool_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="star"):
+        minhash_lsh_pairs(d, threshold=0.5, with_bbit=True, max_bucket=8)
 
 
 def test_minhash_estimate_error_consistency(spark, sf_dir):
