@@ -342,17 +342,33 @@ def main() -> None:
 
     # A DuckDB-side failure must not discard the already-collected Spark
     # timings — emit the artifact either way, with an oracle_error field.
+    # Per-query failures are isolated inside run_oracle_bench (r12: one
+    # spilling query must not void the other 100+ oracle timings) and land
+    # in oracle_failures; this except now only covers setup-level faults.
     oracle_timings: dict[str, float] = {}
+    oracle_failures: dict[str, str] = {}
     oracle_error = None
     try:
         oracle_timings = run_oracle_bench(
             sf_dir,
             [n for n in HEADLINE if n not in ORACLE_SKIP],
             echo=lambda s: print(s, file=sys.stderr),
+            failures=oracle_failures,
         )
     except Exception as exc:  # noqa: BLE001 - artifact must still be emitted
         oracle_error = f"{type(exc).__name__}: {exc}"
         print(f"# oracle bench failed: {oracle_error}", file=sys.stderr)
+    # The headline total/ratio must stay a BOTH-sides-measured comparison:
+    # a query whose oracle failed keeps its Spark timing in the artifact
+    # (under oracle_failed_queries) but leaves the paired totals.
+    oracle_failed_spark: dict[str, dict] = {}
+    for name in oracle_failures:
+        if name in timings:
+            oracle_failed_spark[name] = {
+                "spark_sec": timings.pop(name),
+                "oracle_error": oracle_failures[name],
+            }
+    total = round(sum(timings.values()), 3)
     oracle_total = round(sum(oracle_timings.values()), 3)
 
     small_paired: dict[str, dict] = {}
@@ -436,6 +452,8 @@ def main() -> None:
     }
     if oracle_error is not None:
         payload["oracle_error"] = oracle_error
+    if oracle_failed_spark:
+        payload["oracle_failed_queries"] = oracle_failed_spark
     print(json.dumps(payload))
 
 

@@ -38,7 +38,8 @@ def run_oracle_bench(
     names: list[str],
     passes: int = 3,
     echo=None,
-    memory_limit: str = "40GB",
+    memory_limit: str = "60GB",
+    failures: dict | None = None,
 ) -> dict[str, float]:
     """Best-of-``passes`` per-query oracle timings over hot native tables.
 
@@ -49,8 +50,19 @@ def run_oracle_bench(
     without regard for what the (just-stopped, lazily-reclaimed) JVM and
     the page cache still hold (r11 verdict #3). A spilling oracle query
     shows up as a slow timing, which is honest; a killed process shows up
-    as a salvage job."""
+    as a salvage job.
+
+    Fault isolation (r12): one pathological oracle must not discard every
+    other query's timings — the first r12 sf1 attempt lost the WHOLE
+    oracle table when one query's spill filled /tmp (the 40GB cap routed
+    ~80GB of operator state to a 79GB-headroom disk). Each execution is
+    wrapped per query: a failure records the query into ``failures``
+    (name -> error string), skips it for the remaining passes, and the
+    spill directory is swept between queries so one spill never eats the
+    next query's headroom. The warm pass echoes too, so a hang or failure
+    is attributable from the log."""
     import os as _os
+    import shutil
     import tempfile
 
     con = duckdb.connect()
@@ -59,24 +71,54 @@ def run_oracle_bench(
     spill = _os.path.join(tempfile.gettempdir(), "duckdb_bench_spill")
     _os.makedirs(spill, exist_ok=True)
     con.execute(f"SET temp_directory = '{spill}'")
+
+    def _sweep_spill() -> None:
+        for f in _os.listdir(spill):
+            try:
+                p = _os.path.join(spill, f)
+                shutil.rmtree(p) if _os.path.isdir(p) else _os.remove(p)
+            except OSError:
+                pass
+
     for t in TABLES:
         con.execute(
             f"CREATE TABLE {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
         )
     qs = all_queries()
     oracles = {n: qs[n].oracle for n in names if qs[n].oracle is not None}
-    for sql in oracles.values():  # warm pass (not timed)
-        con.execute(sql).fetchall()
+    if failures is None:
+        failures = {}
+    for name, sql in list(oracles.items()):  # warm pass (not timed)
+        if echo is not None:
+            echo(f"# oracle warm {name} ...")
+        try:
+            con.execute(sql).fetchall()
+        except Exception as exc:  # noqa: BLE001 - isolate per query
+            failures[name] = f"{type(exc).__name__}: {exc}"
+            del oracles[name]
+            if echo is not None:
+                echo(f"# oracle warm {name} FAILED: {failures[name]}")
+        _sweep_spill()
     timings: dict[str, float] = {}
     for _pass in range(passes):
-        for name, sql in oracles.items():
+        for name, sql in list(oracles.items()):
             t0 = time.perf_counter()
-            n_rows = len(con.execute(sql).fetchall())
+            try:
+                n_rows = len(con.execute(sql).fetchall())
+            except Exception as exc:  # noqa: BLE001 - isolate per query
+                failures[name] = f"{type(exc).__name__}: {exc}"
+                del oracles[name]
+                timings.pop(name, None)
+                if echo is not None:
+                    echo(f"# oracle {name} FAILED: {failures[name]}")
+                _sweep_spill()
+                continue
             elapsed = round(time.perf_counter() - t0, 3)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
             if echo is not None:
                 echo(f"# oracle {name}: {elapsed:.3f}s ({n_rows} rows)")
+            _sweep_spill()
     return timings
 
 
