@@ -54,71 +54,84 @@ def run_oracle_bench(
 
     Fault isolation (r12): one pathological oracle must not discard every
     other query's timings — the first r12 sf1 attempt lost the WHOLE
-    oracle table when one query's spill filled /tmp (the 40GB cap routed
-    ~80GB of operator state to a 79GB-headroom disk). Each execution is
-    wrapped per query: a failure records the query into ``failures``
-    (name -> error string), skips it for the remaining passes, and the
-    spill directory is swept between queries so one spill never eats the
-    next query's headroom. The warm pass echoes too, so a hang or failure
-    is attributable from the log."""
+    oracle table when spill accumulated across queries and filled /tmp
+    (the 40GB cap evicts hot-table and intermediate blocks to the temp
+    directory, and DuckDB holds some of them lazily, so headroom shrinks
+    monotonically over a 113-query pass). Each execution is wrapped per
+    query: a failure records the query into ``failures`` (name -> error
+    string) and the connection is REBUILT with a fresh spill directory —
+    never deleting temp files under a live connection (a mid-run sweep of
+    the shared temp dir broke two healthy queries in the second attempt).
+    The warm pass echoes too, so a hang or failure is attributable from
+    the log."""
     import os as _os
     import shutil
     import tempfile
 
-    con = duckdb.connect()
-    con.execute("SET enable_progress_bar = false")
-    con.execute(f"SET memory_limit = '{memory_limit}'")
     spill = _os.path.join(tempfile.gettempdir(), "duckdb_bench_spill")
-    _os.makedirs(spill, exist_ok=True)
-    con.execute(f"SET temp_directory = '{spill}'")
 
-    def _sweep_spill() -> None:
-        for f in _os.listdir(spill):
-            try:
-                p = _os.path.join(spill, f)
-                shutil.rmtree(p) if _os.path.isdir(p) else _os.remove(p)
-            except OSError:
-                pass
+    def _fresh_connection():
+        # start from a clean spill dir: nothing else may hold it (the
+        # previous connection, if any, is closed before this runs)
+        shutil.rmtree(spill, ignore_errors=True)
+        _os.makedirs(spill, exist_ok=True)
+        c = duckdb.connect()
+        c.execute("SET enable_progress_bar = false")
+        c.execute(f"SET memory_limit = '{memory_limit}'")
+        c.execute(f"SET temp_directory = '{spill}'")
+        for t in TABLES:
+            c.execute(
+                f"CREATE TABLE {t} AS "
+                f"SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+            )
+        return c
 
-    for t in TABLES:
-        con.execute(
-            f"CREATE TABLE {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
-        )
+    con = _fresh_connection()
     qs = all_queries()
     oracles = {n: qs[n].oracle for n in names if qs[n].oracle is not None}
     if failures is None:
         failures = {}
+
+    def _run_isolated(name: str, sql: str):
+        """fetchall() with per-query isolation; returns row count or None
+        (failure recorded, connection rebuilt)."""
+        nonlocal con
+        try:
+            return len(con.execute(sql).fetchall())
+        except Exception as exc:  # noqa: BLE001 - isolate per query
+            failures[name] = f"{type(exc).__name__}: {exc}"
+            if echo is not None:
+                echo(f"# oracle {name} FAILED: {failures[name]}")
+            try:
+                con.close()
+            except Exception:  # noqa: BLE001 - already broken
+                pass
+            con = _fresh_connection()
+            return None
+
     for name, sql in list(oracles.items()):  # warm pass (not timed)
         if echo is not None:
             echo(f"# oracle warm {name} ...")
-        try:
-            con.execute(sql).fetchall()
-        except Exception as exc:  # noqa: BLE001 - isolate per query
-            failures[name] = f"{type(exc).__name__}: {exc}"
+        if _run_isolated(name, sql) is None:
             del oracles[name]
-            if echo is not None:
-                echo(f"# oracle warm {name} FAILED: {failures[name]}")
-        _sweep_spill()
     timings: dict[str, float] = {}
     for _pass in range(passes):
         for name, sql in list(oracles.items()):
             t0 = time.perf_counter()
-            try:
-                n_rows = len(con.execute(sql).fetchall())
-            except Exception as exc:  # noqa: BLE001 - isolate per query
-                failures[name] = f"{type(exc).__name__}: {exc}"
+            n_rows = _run_isolated(name, sql)
+            if n_rows is None:
                 del oracles[name]
                 timings.pop(name, None)
-                if echo is not None:
-                    echo(f"# oracle {name} FAILED: {failures[name]}")
-                _sweep_spill()
                 continue
             elapsed = round(time.perf_counter() - t0, 3)
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
             if echo is not None:
                 echo(f"# oracle {name}: {elapsed:.3f}s ({n_rows} rows)")
-            _sweep_spill()
+    try:
+        con.close()
+    finally:
+        shutil.rmtree(spill, ignore_errors=True)
     return timings
 
 
