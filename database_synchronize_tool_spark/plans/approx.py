@@ -1928,7 +1928,18 @@ _LDIV_L = 3
 )
 def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    band = F.expr("(CAST(FLOOR(c_acctbal) AS BIGINT) + 1000) div 2000")
+    # The +1000 shift makes Spark's truncating `div` agree with DuckDB's
+    # floor `//` ONLY while the dividend stays non-negative, i.e. for
+    # c_acctbal >= -1000 (true of the TPC-H domain, min -999.99). Guarded
+    # at runtime (r13 advice): data below the shift would otherwise
+    # silently band differently between engines on negative dividends.
+    band = F.expr(
+        "CASE WHEN c_acctbal < -1000 THEN CAST(raise_error("
+        "'privacy_l_diversity: c_acctbal < -1000 breaks the div/floor "
+        "parity shift - re-derive the shift from min(c_acctbal)') "
+        "AS BIGINT) "
+        "ELSE (CAST(FLOOR(c_acctbal) AS BIGINT) + 1000) div 2000 END"
+    )
     g = c.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
         F.count_distinct(band).cast("bigint").alias("l_div"),

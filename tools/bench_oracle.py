@@ -68,12 +68,20 @@ def run_oracle_bench(
     import shutil
     import tempfile
 
-    spill = _os.path.join(tempfile.gettempdir(), "duckdb_bench_spill")
+    # Per-invocation UNIQUE spill root (r13 advice): a fixed shared name
+    # meant a concurrent bench (tools/bench_oracle.py CLI alongside
+    # bench.py, or two SFs in parallel) would rmtree the other process's
+    # LIVE spill files — the exact "never sweep under a live connection"
+    # failure mode the r12 isolation work fixed within one process.
+    spill_root = tempfile.mkdtemp(prefix="duckdb_bench_spill_")
+    spill_seq = [0]
 
     def _fresh_connection():
-        # start from a clean spill dir: nothing else may hold it (the
-        # previous connection, if any, is closed before this runs)
-        shutil.rmtree(spill, ignore_errors=True)
+        # each connection gets a fresh subdir under this invocation's
+        # private root — nothing else may hold it (the previous
+        # connection, if any, is closed before this runs)
+        spill_seq[0] += 1
+        spill = _os.path.join(spill_root, f"conn{spill_seq[0]}")
         _os.makedirs(spill, exist_ok=True)
         c = duckdb.connect()
         c.execute("SET enable_progress_bar = false")
@@ -109,19 +117,48 @@ def run_oracle_bench(
             con = _fresh_connection()
             return None
 
+    timings: dict[str, float] = {}
+
+    def _rewarm(pending):
+        """After a connection rebuild every surviving query's hot state
+        (native-table buffer residency) is gone; one untimed execution per
+        pending query restores the warm discipline so a cold timing never
+        enters an innocent neighbor's best-of-3 (r13 advice: a pass-3
+        failure previously left the inflation uncorrectable). Restarts the
+        sweep on a mid-rewarm failure — warms done on the now-dead
+        connection are cold again. Terminates: each failure permanently
+        removes a query from ``oracles``."""
+        clean = False
+        while not clean:
+            clean = True
+            for wname, wsql in pending:
+                if wname not in oracles:
+                    continue
+                if echo is not None:
+                    echo(f"# oracle re-warm {wname} (post-rebuild) ...")
+                if _run_isolated(wname, wsql) is None:
+                    del oracles[wname]
+                    timings.pop(wname, None)
+                    clean = False
+                    break
+
     for name, sql in list(oracles.items()):  # warm pass (not timed)
         if echo is not None:
             echo(f"# oracle warm {name} ...")
         if _run_isolated(name, sql) is None:
             del oracles[name]
-    timings: dict[str, float] = {}
+            _rewarm(list(oracles.items()))
     for _pass in range(passes):
-        for name, sql in list(oracles.items()):
+        pass_items = list(oracles.items())
+        for idx, (name, sql) in enumerate(pass_items):
+            if name not in oracles:
+                continue
             t0 = time.perf_counter()
             n_rows = _run_isolated(name, sql)
             if n_rows is None:
                 del oracles[name]
                 timings.pop(name, None)
+                _rewarm(pass_items[idx + 1 :])
                 continue
             elapsed = round(time.perf_counter() - t0, 3)
             if name not in timings or elapsed < timings[name]:
@@ -131,7 +168,7 @@ def run_oracle_bench(
     try:
         con.close()
     finally:
-        shutil.rmtree(spill, ignore_errors=True)
+        shutil.rmtree(spill_root, ignore_errors=True)
     return timings
 
 
