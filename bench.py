@@ -184,6 +184,8 @@ HEADLINE = [
     "multimodal_phash128_banded",
     "dedup_minhash_bbit_estimate",
     "privacy_l_diversity",
+    # round-13 additions, benched from the round they land
+    "dedup_containment_prefix_words",
 ]
 
 # Bench tiers (r12 verdict #1). The headline total/ratio measure the

@@ -107,6 +107,65 @@ def minhash_features(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"sh": sh_out, "sig": sig_out})
 
 
+WORD_SHINGLE_W = 5  # words per shingle; see word_shingle_features
+WORD_COMBINE_BASE = 1000003  # Horner base combining word hashes (mod prime)
+
+_WORD_FEATURES_TYPE = StructType(
+    [StructField("sh", ArrayType(LongType()), True)]
+)
+
+
+@F.pandas_udf(_WORD_FEATURES_TYPE)
+def word_shingle_features(texts: pd.Series) -> pd.DataFrame:
+    """Per doc, the DISTINCT w-word shingle hash set (w = WORD_SHINGLE_W)
+    over lowercase alphanumeric tokens — the shingle universe for the
+    production-declared exact containment semantic
+    (``dedup_containment_prefix_words``).
+
+    Why words, not character trigrams: prefix filtering is sub-quadratic
+    exactly when rare shingles EXIST. The 3-char universe saturates at
+    ~17k shingles, so on any large corpus every shingle's posting list
+    grows linearly and the rarest-prefix join degenerates toward the
+    all-pairs bound (measured 38× at 10× data, r12 verdict #1). Five-word
+    shingles live in a |vocab|^5 universe: measured on the sf0.1 corpus,
+    237,849 distinct shingles with MEDIAN document frequency 1 (max 4) vs
+    the trigram universe's median df 291 — rarest-prefix posting lists
+    are O(1), so candidate volume stays near-linear in corpus size.
+
+    Portable hashing, bit-identical in the DuckDB oracle: tokens =
+    ``lower(text)`` split on ``[^a-z0-9]+`` (empties dropped); per-word
+    Horner poly-31 over codepoints mod 2147483647 (the repo's shingle
+    convention); shingle hash = Horner over the w word hashes with base
+    WORD_COMBINE_BASE mod the same prime (intermediates < 2^51, exact in
+    BIGINT on both engines). Docs with < w words have an empty set."""
+    import re
+
+    p = MINHASH_PRIME
+    base = WORD_COMBINE_BASE
+    w = WORD_SHINGLE_W
+    sh_out = []
+    for t in texts:
+        words = (
+            [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+            if t is not None
+            else []
+        )
+        if len(words) < w:
+            sh_out.append([])
+            continue
+        hw = np.empty(len(words), dtype=np.int64)
+        for i, word in enumerate(words):
+            h = 0
+            for c in word:
+                h = (h * 31 + ord(c)) % p
+            hw[i] = h
+        g = hw[: len(hw) - w + 1].copy()
+        for j in range(1, w):
+            g = (g * base + hw[j : len(hw) - w + 1 + j]) % p
+        sh_out.append(np.unique(g).tolist())
+    return pd.DataFrame({"sh": sh_out})
+
+
 def _affine(a: int, b: int):
     # factory, not default-arg capture: PySpark derives higher-order-function
     # arity from the lambda's parameter count
@@ -892,6 +951,7 @@ def containment_prefix_pairs(
     id_col: str = "doc_id",
     threshold_num: int = 9,
     threshold_den: int = 10,
+    features_udf=None,
 ) -> DataFrame:
     """EXACT unblocked directional containment via prefix filtering — the
     classic set-similarity-join candidate bound (Chaudhuri et al. SSJoin /
@@ -939,7 +999,8 @@ def containment_prefix_pairs(
     from database_synchronize_tool_spark.functions.text import containment
 
     sh, cand = _containment_prefix_candidates(
-        docs, text_col, id_col, threshold_num, threshold_den
+        docs, text_col, id_col, threshold_num, threshold_den,
+        features_udf=features_udf,
     )
     # Shingle-bitmap screen + collision slack: a SOUND cheap filter before
     # the exact verify. Every x in A∩B sets a common bit, but in-set hash
@@ -1010,18 +1071,24 @@ def _containment_prefix_candidates(
     threshold_den: int,
     length_filter: bool = True,
     positional_filter: bool = True,
+    features_udf=None,
 ) -> tuple[DataFrame, DataFrame]:
     """(shingle table, candidate pairs) for :func:`containment_prefix_pairs`
     — split out so tests can assert each bound's candidate-count reduction
     directly. The flags disable the outer-length bound and the positional
     prefix bound (used only to measure their effect; recall is 1.0 with any
-    combination)."""
+    combination). ``features_udf`` selects the shingle universe: default
+    character trigrams (:func:`minhash_features` — the historical exact
+    semantic, kept as a small-SF recall oracle), or
+    :func:`word_shingle_features` for the production word-shingle
+    declaration where prefix rarity exists (see that docstring)."""
     if not 0 < threshold_num <= threshold_den:
         raise ValueError("threshold must be a rational in (0, 1]")
+    feats = features_udf if features_udf is not None else minhash_features
     spread = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
     spread = spread.repartition(spread.sparkSession.sparkContext.defaultParallelism)
     sh = scoped_persist(spread.select(
-        "doc_id", minhash_features(F.col("__text"))["sh"].alias("sh")
+        "doc_id", feats(F.col("__text"))["sh"].alias("sh")
     ))
     ex = sh.select("doc_id", F.explode("sh").alias("h"))
     dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))

@@ -2072,6 +2072,83 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.containment_prefix_pairs(d, threshold_num=9, threshold_den=10)
 
 
+# Word-hash list per doc: lower, split on non-alphanumeric, drop empties,
+# per-word Horner poly-31 over codepoints mod the repo shingle prime —
+# bit-identical to word_shingle_features (operators/dedup.py).
+_WORDHASH_SQL = (
+    "list_transform(list_filter(string_split_regex(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> ''), x -> list_reduce("
+    "[CAST(unicode(c) AS BIGINT) for c in regexp_extract_all(x, '.')], "
+    "(a, b) -> (a * 31 + b) % 2147483647))"
+)
+# 5-word shingle hash: Horner over the word hashes, base 1000003 mod the
+# same prime (intermediates < 2^51 — exact BIGINT on both engines).
+_WORD5_COMB_SQL = "hw[i]"
+for _j in range(1, DD.WORD_SHINGLE_W):
+    _WORD5_COMB_SQL = (
+        f"(({_WORD5_COMB_SQL}) * {DD.WORD_COMBINE_BASE} + hw[i+{_j}]) "
+        "% 2147483647"
+    )
+
+
+@declared(
+    "dedup_containment_prefix_words",
+    oracle=f"""
+    WITH wh AS (
+      SELECT doc_id, {_WORDHASH_SQL} AS hw FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct([{_WORD5_COMB_SQL}
+        for i in generate_series(1, len(hw) - {DD.WORD_SHINGLE_W - 1})]) AS sh
+      FROM wh
+    ), ex AS (
+      SELECT doc_id, unnest(sh) AS h FROM sh
+    ), dfreq AS (
+      SELECT h, COUNT(*) AS df FROM ex GROUP BY h
+    ), pref AS (
+      SELECT doc_id, h FROM (
+        SELECT e.doc_id, e.h,
+               ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.h) AS rk,
+               s.n
+        FROM ex e JOIN dfreq d USING (h)
+             JOIN (SELECT doc_id, len(sh) AS n FROM sh) s USING (doc_id)
+      ) WHERE rk <= n - CAST(ceil((9 * n) / 10) AS BIGINT) + 1
+    ), cand AS (
+      SELECT DISTINCT p.doc_id AS doc_inner, e.doc_id AS doc_outer
+      FROM pref p JOIN ex e USING (h)
+      WHERE p.doc_id <> e.doc_id
+    )
+    SELECT doc_inner, doc_outer, cont FROM (
+      SELECT cand.doc_inner, cand.doc_outer,
+             len(list_intersect(sa.sh, sb.sh)) / greatest(len(sa.sh), 1) AS cont
+      FROM cand JOIN sh sa ON sa.doc_id = cand.doc_inner
+                JOIN sh sb ON sb.doc_id = cand.doc_outer
+    ) WHERE cont >= 0.9
+    """,
+    doc="PRODUCTION exact directional containment (>= 9/10) via prefix "
+    "filtering on a shingle universe where prefix rarity EXISTS: 5-word "
+    "shingles over lowercase alphanumeric tokens (r12 verdict #2). The "
+    "character-trigram declaration (dedup_containment_prefix) is exact "
+    "but its 17k-shingle universe saturates — every posting list grows "
+    "linearly with the corpus and the rarest-prefix join degenerates "
+    "toward all-pairs (measured 38x at 10x data); it stays as a small-SF "
+    "recall oracle. Five-word shingles live in a |vocab|^5 universe "
+    "(measured sf0.1: 237,849 distinct shingles, median document "
+    "frequency 1, max 4), so each doc's rarest-prefix posting lists are "
+    "O(1) and candidate volume stays near-linear in corpus size — the "
+    "SSJoin/AllPairs/PPJoin bound (public literature) doing its job on a "
+    "universe sized for it. Same recall-1.0 machinery: rarest-prefix "
+    "join + positional/length bounds + bitmap screen + exact verify.",
+)
+def dedup_containment_prefix_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.containment_prefix_pairs(
+        d,
+        threshold_num=9,
+        threshold_den=10,
+        features_udf=DD.word_shingle_features,
+    )
+
+
 @declared(
     "ann_pq_trained_recall",
     oracle=f"""

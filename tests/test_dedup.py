@@ -225,13 +225,14 @@ def test_containment_directional(spark):
     assert jacc[(1, 2)] < 0.5
 
 
-def _brute_containment(spark, docs, threshold):
+def _brute_containment(spark, docs, threshold, features_udf=None):
     """All-pairs directional containment (test oracle only — O(n²))."""
     from database_synchronize_tool_spark.functions.text import containment
     from database_synchronize_tool_spark.operators.dedup import minhash_features
 
+    feats = features_udf if features_udf is not None else minhash_features
     sh = docs.select(
-        "doc_id", minhash_features(F.col("text"))["sh"].alias("sh")
+        "doc_id", feats(F.col("text"))["sh"].alias("sh")
     )
     a, b = sh.alias("a"), sh.alias("b")
     return {
@@ -283,6 +284,79 @@ def test_containment_banded_sound_and_prefix_exact(spark, sf_dir):
     )
     for pair, cont in prefix.items():
         assert abs(truth[pair] - cont) < 1e-12, pair
+
+
+def test_containment_prefix_words_exact_vs_brute(spark, sf_dir):
+    """The word-shingle production declaration (r12 verdict #2) reproduces
+    the brute-force directional containment measure over 5-word shingle
+    sets EXACTLY — recall 1.0 is the same prefix-filter theorem, on a
+    universe where the rarest-prefix posting lists are O(1)."""
+    from database_synchronize_tool_spark.catalog import load_table
+    from database_synchronize_tool_spark.operators.dedup import (
+        containment_prefix_pairs,
+        word_shingle_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = _brute_containment(
+        spark, docs, 0.9, features_udf=word_shingle_features
+    )
+    assert truth, "corpus has no word-shingle containment pairs — vacuous"
+    got = {
+        (r["doc_inner"], r["doc_outer"]): r["cont"]
+        for r in containment_prefix_pairs(
+            docs, features_udf=word_shingle_features
+        ).collect()
+    }
+    assert set(got) == set(truth), (
+        len(got), len(truth), list(set(truth) ^ set(got))[:5]
+    )
+    for pair, cont in got.items():
+        assert abs(truth[pair] - cont) < 1e-12, pair
+
+
+def test_word_shingle_features_hashing_and_edges(spark):
+    """Portable word-5-gram hashing: hand-computed Horner values, case/
+    separator normalization, and the short-doc empty-set edge."""
+    from database_synchronize_tool_spark.operators.dedup import (
+        MINHASH_PRIME,
+        WORD_COMBINE_BASE,
+        WORD_SHINGLE_W,
+        word_shingle_features,
+    )
+
+    def word_hash(w):
+        h = 0
+        for c in w:
+            h = (h * 31 + ord(c)) % MINHASH_PRIME
+        return h
+
+    def shingle_hash(words):
+        g = word_hash(words[0])
+        for w in words[1:]:
+            g = (g * WORD_COMBINE_BASE + word_hash(w)) % MINHASH_PRIME
+        return g
+
+    text = "The quick-BROWN fox  jumps, over the lazy dog"
+    words = ["the", "quick", "brown", "fox", "jumps", "over", "the", "lazy", "dog"]
+    expect = sorted(
+        {
+            shingle_hash(words[i : i + WORD_SHINGLE_W])
+            for i in range(len(words) - WORD_SHINGLE_W + 1)
+        }
+    )
+    rows = (
+        spark.createDataFrame(
+            [(1, text), (2, "only four words here"), (3, None)],
+            "doc_id bigint, text string",
+        )
+        .select("doc_id", word_shingle_features(F.col("text"))["sh"].alias("sh"))
+        .collect()
+    )
+    got = {r["doc_id"]: sorted(r["sh"]) for r in rows}
+    assert got[1] == expect
+    assert got[2] == []  # < 5 words -> empty shingle set
+    assert got[3] == []  # NULL text -> empty shingle set
 
 
 def test_containment_banded_finds_swallowed_doc_sharing_signature(spark):
