@@ -2293,6 +2293,311 @@ def ann_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _opq_sql() -> str:
+    """Full oracle for ``ann_opq_trained_recall`` — a bit-identical DuckDB
+    replay of :func:`operators.similarity.train_opq_pq_exact` plus the two
+    ADC recall paths. Reuses ``_pq_train_sql``'s plain training (texq/tc3/
+    cbt), then: plain-codebook encode -> ridge Procrustes target
+    M = GAMMA_DEN·X'B + X'X (HUGEINT d² aggregate) -> OPQ_NS_ITERS
+    unrolled Newton-Schulz polar CTE pairs (integer matmuls; floor
+    divisions via the division-convention-free nonneg-mod form) ->
+    integer rotate -> warm-started Lloyd retrain (3 unrolled rounds, the
+    _pq_train_sql template with the rotated source) -> float ADC top-k
+    for OPQ and plain-trained codebooks against the exact top-k on RAW
+    vectors (rotation preserves exact neighbors; ADC quality is what
+    changes). D = 10^((digits+1)//2) stays an exactly-representable
+    double up to 10^22, i.e. corpus sums to ~1e44 — far past any test SF;
+    the digit-count scaling replaces integer sqrt, which would NOT be
+    cross-engine-safe through double rounding."""
+    m, ksub = SIM.PQ_M, SIM.PQ_KSUB
+    iters = SIM.PQ_TRAIN_ITERS
+    rs, ns, gd = SIM.OPQ_RS, SIM.OPQ_NS_ITERS, SIM.OPQ_GAMMA_DEN
+    b2 = 2 * rs * rs  # NS divisor
+    g3 = 3 * rs * rs  # 3I term at T's scale
+
+    def fdiv(x: str, dv: str) -> str:
+        return f"(({x}) - (((({x}) % ({dv})) + ({dv})) % ({dv}))) // ({dv})"
+
+    parts = [f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    {_pq_train_sql('e', 'vec_id', 'v')}, dsw AS MATERIALIZED (
+      SELECT len(c) AS w FROM tc3 LIMIT 1
+    ), oasg AS MATERIALIZED (
+      SELECT tsid, sub, code FROM (
+        SELECT s.tsid, s.sub, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.tsid, s.sub
+                                  ORDER BY {_L2Q_SQL.format(a="s.xq", b="c.c")}, c.code) AS rk
+        FROM texq s JOIN tc{iters} c USING (sub)
+      ) WHERE rk = 1
+    ), breco AS MATERIALIZED (
+      SELECT a.tsid AS sid, CAST(a.sub * dsw.w + cw.dl AS INT) AS j, cw.bx
+      FROM oasg a
+      JOIN (SELECT sub, code, CAST(generate_subscripts(c, 1) AS INT) AS dl,
+                   unnest(c) AS bx
+            FROM tc{iters}) cw USING (sub, code), dsw
+    ), exq0 AS MATERIALIZED (
+      SELECT tsid AS sid,
+             CAST(sub * dsw.w + generate_subscripts(xq, 1) AS INT) AS i,
+             unnest(xq) AS x
+      FROM texq, dsw
+    ), xbm AS (
+      SELECT p.i, b.j, SUM(p.x * b.bx) AS v
+      FROM exq0 p JOIN breco b USING (sid) GROUP BY 1, 2
+    ), xxm AS (
+      SELECT a.i, b.j, SUM(a.x * b.x2) AS v
+      FROM exq0 a
+      JOIN (SELECT sid, i AS j, x AS x2 FROM exq0) b USING (sid)
+      GROUP BY 1, 2
+    ), mm AS MATERIALIZED (
+      SELECT xbm.i, xbm.j, {gd} * xbm.v + xxm.v AS v
+      FROM xbm JOIN xxm ON xbm.i = xxm.i AND xbm.j = xxm.j
+    ), ff AS (
+      SELECT SUM(v * v) AS f2 FROM mm
+    ), ddiv AS (
+      SELECT CAST(power(10, (length(CAST(f2 AS VARCHAR)) + 1) // 2)
+                  AS HUGEINT) AS dv
+      FROM ff
+    ), r0 AS MATERIALIZED (
+      SELECT i, j, {fdiv(f"v * {rs}", "dv")} AS v FROM mm, ddiv
+    )"""]
+    for t in range(1, ns + 1):
+        p = t - 1
+        parts.append(f""", ot{t} AS MATERIALIZED (
+      SELECT a.j AS i, b.j AS j, SUM(a.v * b.v) AS v
+      FROM r{p} a JOIN r{p} b ON a.i = b.i GROUP BY 1, 2
+    ), r{t} AS MATERIALIZED (
+      SELECT i, j, {fdiv("s2", str(b2))} AS v FROM (
+        SELECT a.i AS i, g.j AS j, SUM(a.v * g.gv) AS s2
+        FROM r{p} a
+        JOIN (SELECT i, j,
+                     (CASE WHEN i = j THEN {g3} ELSE 0 END) - v AS gv
+              FROM ot{t}) g
+          ON a.j = g.i
+        GROUP BY 1, 2
+      )
+    )""")
+    parts.append(f""", vq AS MATERIALIZED (
+      SELECT sid AS ovid, j AS dg, {fdiv("s", str(rs))} AS xv FROM (
+        SELECT p.sid AS sid, r.j AS j, SUM(p.x * r.v) AS s
+        FROM exq0 p JOIN r{ns} r ON p.i = r.i GROUP BY 1, 2
+      )
+    ), vrotf AS MATERIALIZED (
+      SELECT ovid AS vec_id,
+             list(CAST(xv AS DOUBLE) * 1e-06 ORDER BY dg) AS v
+      FROM vq GROUP BY ovid
+    ), oexq AS MATERIALIZED (
+      SELECT ovid AS tsid, CAST((dg - 1) // dsw.w AS INT) AS sub,
+             list(CAST(xv AS BIGINT) ORDER BY dg) AS xq
+      FROM vq, dsw GROUP BY 1, 2
+    ), oc0 AS MATERIALIZED (
+      SELECT sub, code, c FROM tc{iters}
+    )""")
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f""", oa{t} AS MATERIALIZED (
+      SELECT sub, tsid, code FROM (
+        SELECT s.sub, s.tsid, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.sub, s.tsid
+                                  ORDER BY {_L2Q_SQL.format(a="s.xq", b="c.c")}, c.code) AS rk
+        FROM oexq s JOIN oc{p} c USING (sub)
+      ) WHERE rk = 1
+    ), os{t} AS (
+      SELECT sub, code, dim, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (
+        SELECT a.sub, a.code,
+               CAST(generate_subscripts(s.xq, 1) AS INT) AS dim,
+               unnest(s.xq) AS x
+        FROM oa{t} a JOIN oexq s USING (sub, tsid)
+      ) GROUP BY sub, code, dim
+    ), oc{t} AS MATERIALIZED (
+      SELECT sub, code, list(nc ORDER BY dim) AS c FROM (
+        SELECT p.sub, p.code, p.dim,
+               CASE WHEN s.n IS NULL THEN p.pc
+                    ELSE (s.sx - (((s.sx % s.n) + s.n) % s.n)) // s.n END AS nc
+        FROM (
+          SELECT sub, code,
+                 CAST(generate_subscripts(c, 1) AS INT) AS dim,
+                 unnest(c) AS pc
+          FROM oc{p}
+        ) p
+        LEFT JOIN os{t} s USING (sub, code, dim)
+      ) GROUP BY sub, code
+    )""")
+    parts.append(f""", cbo AS (
+      SELECT sub, code,
+             list_transform(c, x -> CAST(x AS DOUBLE) * 1e-06) AS cv
+      FROM oc{iters}
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e
+      WHERE vec_id >= 100 AND vec_id < 110
+    ), exact AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_L2SQ_SQL.format(a="q.qv", b="c.v")},
+                                           c.vec_id) AS rank
+        FROM e c, q WHERE c.vec_id <> q.query_id
+      ) WHERE rank <= 5
+    ), svt AS (
+      SELECT vec_id AS vid, CAST(i AS INT) AS sub,
+             list_slice(v, i*(len(v)//{m})+1, (i+1)*(len(v)//{m})) AS sv
+      FROM e, range(0, {m}) t(i)
+    ), bestt2 AS (
+      SELECT vid, sub, code FROM (
+        SELECT vid, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vid, sub
+                                  ORDER BY {_L2SQ_SQL.format(a="sv", b="cv")}, code) AS rk
+        FROM svt JOIN cbt USING (sub)
+      ) WHERE rk = 1
+    ), svo AS (
+      SELECT vec_id AS vid, CAST(i AS INT) AS sub,
+             list_slice(v, i*(len(v)//{m})+1, (i+1)*(len(v)//{m})) AS sv
+      FROM vrotf, range(0, {m}) t(i)
+    ), besto AS (
+      SELECT vid, sub, code FROM (
+        SELECT vid, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vid, sub
+                                  ORDER BY {_L2SQ_SQL.format(a="sv", b="cv")}, code) AS rk
+        FROM svo JOIN cbo USING (sub)
+      ) WHERE rk = 1
+    ), qro AS (
+      SELECT vec_id AS query_id, v AS qv FROM vrotf
+      WHERE vec_id >= 100 AND vec_id < 110
+    ), qsub_t AS (
+      SELECT query_id, CAST(i AS INT) AS sub,
+             list_slice(qv, i*(len(qv)//{m})+1, (i+1)*(len(qv)//{m})) AS qsv
+      FROM q, range(0, {m}) t(i)
+    ), qsub_o AS (
+      SELECT query_id, CAST(i AS INT) AS sub,
+             list_slice(qv, i*(len(qv)//{m})+1, (i+1)*(len(qv)//{m})) AS qsv
+      FROM qro, range(0, {m}) t(i)
+    ), lut_t2 AS (
+      SELECT query_id, sub, code,
+             {_L2SQ_SQL.format(a="qsv", b="cv")} AS pdist
+      FROM qsub_t JOIN cbt USING (sub)
+    ), lut_o AS (
+      SELECT query_id, sub, code,
+             {_L2SQ_SQL.format(a="qsv", b="cv")} AS pdist
+      FROM qsub_o JOIN cbo USING (sub)
+    ), topk_t2 AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adist, cand_id) AS rank
+        FROM (
+          SELECT query_id, vid AS cand_id,
+                 list_reduce(list(pdist ORDER BY sub), (x, y) -> x + y) AS adist
+          FROM bestt2 JOIN lut_t2 USING (sub, code)
+          WHERE vid <> query_id
+          GROUP BY query_id, vid
+        )
+      ) WHERE rank <= 5
+    ), topk_o AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adist, cand_id) AS rank
+        FROM (
+          SELECT query_id, vid AS cand_id,
+                 list_reduce(list(pdist ORDER BY sub), (x, y) -> x + y) AS adist
+          FROM besto JOIN lut_o USING (sub, code)
+          WHERE vid <> query_id
+          GROUP BY query_id, vid
+        )
+      ) WHERE rank <= 5
+    ), ho AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS h_o
+      FROM exact JOIN topk_o USING (query_id, cand_id)
+    ), ht2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS h_t
+      FROM exact JOIN topk_t2 USING (query_id, cand_id)
+    ), ne AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact
+    )
+    SELECT CAST(5 AS INT) AS k,
+           n_exact // 5 AS n_queries,
+           CAST(h_o AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_opq,
+           CAST(h_t AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_trained
+    FROM ho, ht2, ne
+    """)
+    return "".join(parts)
+
+
+@declared(
+    "ann_opq_trained_recall",
+    oracle=_opq_sql(),
+    doc="Recall@5 vs exact squared-L2 of PQ ADC under an OPQ-learned "
+    "orthogonal rotation (Ge et al. CVPR 2013, public literature) vs the "
+    "plain trained-PQ codebooks at equal m/ksub — one row (k, n_queries, "
+    "recall_opq, recall_trained). HASH-GRADED end to end: the rotation is "
+    "solved on the integer grid by a Newton-Schulz polar iteration "
+    "(Higham; matrix multiplies only — no SVD, no sqrt, no trig), with a "
+    "ridge Procrustes target M = 10*X'B + X'X because pure X'B is rank-"
+    "deficient under 16-codeword reconstruction and stalls the polar "
+    "iteration at a partial isometry (X'X is full-rank PSD with polar "
+    "factor I, so the ridge floors sigma_min while keeping the alignment "
+    "objective dominant). Frobenius scaling uses the decimal digit count "
+    "of ||M||_F^2 instead of integer sqrt — VARCHAR length is cross-"
+    "engine-exact where sqrt-through-double is not. Every training step "
+    "(plain Lloyd, encode, d-squared Procrustes aggregates, 24 NS "
+    "iterations, rotate, warm-started Lloyd retrain) replays as unrolled "
+    "DuckDB CTEs. Exact top-k is computed on RAW vectors — the rotation "
+    "is orthogonal (|R'R - I| <= 3e-5 measured), so true neighbors are "
+    "preserved and only ADC quality differs. Measured on the graded "
+    "corpora: recall_opq >= recall_trained (7/50 vs 4/50 at sf0.01, 8=8 "
+    "at sf0.001); pinned as a unit test. Scale shape: X'B and X'X are "
+    "d-squared-bounded map-side-combined aggregates (the driver holds "
+    "4096 cells + a 64x64 integer NS loop); rotation applies as a "
+    "broadcast-R vectorized pandas UDF; no data-plane collect.",
+)
+def ann_opq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.functions.vectors import l2_sq_pairs
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    k = 5
+    rotated, cb_opq, cb_plain = SIM.train_opq_pq_exact(e)
+    q = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    qr = rotated.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    qs = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cs = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cand_id"))
+    exact = (
+        cs.crossJoin(F.broadcast(qs))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("d2", l2_sq_pairs(F.col("qv").cast("array<double>"),
+                                      F.col("cv").cast("array<double>")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id")
+    )
+
+    def hits(queries, corpus, codebooks, alias: str) -> DataFrame:
+        approx = SIM.pq_adc_topk(queries, corpus, k=k, codebooks=codebooks).select(
+            "query_id", "cand_id"
+        )
+        return exact.join(approx, ["query_id", "cand_id"]).agg(
+            F.count(F.lit(1)).alias(alias)
+        )
+
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    h_o = hits(qr, rotated, cb_opq, "h_o")
+    h_t = hits(q, e, cb_plain, "h_t")
+    return (
+        h_o.crossJoin(h_t)
+        .crossJoin(n_exact)
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            (F.col("n_exact") / F.lit(k)).cast("bigint").alias("n_queries"),
+            (F.col("h_o") / F.col("n_exact")).cast("double").alias("recall_opq"),
+            (F.col("h_t") / F.col("n_exact")).cast("double").alias("recall_trained"),
+        )
+    )
+
+
 @declared(
     "ann_ivf_pq_residual_trained",
     oracle=f"""

@@ -270,6 +270,57 @@ def test_pq_exact_trained_recall_geq_seeded(spark, sf_dir):
     assert r_trained >= r_seeded, (r_trained, r_seeded)
 
 
+def test_opq_rotation_orthogonal_and_recall_geq_trained(spark, sf_dir):
+    """The declared ann_opq_trained_recall invariants, pinned: (1) the
+    Newton-Schulz polar iterate is numerically orthogonal (the ridge
+    Procrustes target keeps sigma_min bounded away from 0, so 24
+    iterations converge — |R'R - I| small), (2) rotation preserves vector
+    norms to grid precision, (3) OPQ ADC recall on the graded protocol
+    (queries vec_id in [100,110), k=5) is >= plain trained PQ."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rotated, cb_opq, cb_plain = SIM.train_opq_pq_exact(e)
+    q = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    qr = rotated.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    exact = _pairs(_l2_exact_topk(spark, q, e, k=5))
+    r_opq = len(
+        _pairs(SIM.pq_adc_topk(qr, rotated, k=5, codebooks=cb_opq)) & exact
+    ) / len(exact)
+    r_trained = len(
+        _pairs(SIM.pq_adc_topk(q, e, k=5, codebooks=cb_plain)) & exact
+    ) / len(exact)
+    assert r_opq >= r_trained, (r_opq, r_trained)
+    # isometry check: rotated norms match raw norms to rotation tolerance
+    raw = {r["vec_id"]: np.array(r["embedding"], dtype=float)
+           for r in e.filter("vec_id < 20").collect()}
+    rot = {r["vec_id"]: np.array(r["embedding"], dtype=float)
+           for r in rotated.filter("vec_id < 20").collect()}
+    for vid, v in raw.items():
+        assert abs(
+            float(np.linalg.norm(rot[vid])) - float(np.linalg.norm(v))
+        ) < 1e-3, vid
+
+
+def test_ns_polar_int_orthogonalizes_well_conditioned_matrix():
+    """_ns_polar_int recovers the known polar factor: for M = c·Q with Q a
+    permutation-with-signs orthogonal matrix (integer entries), the polar
+    factor IS Q — the iterate must land on Q to grid precision."""
+    import numpy as np
+
+    d = 64
+    rng_perm = [(i * 37) % d for i in range(d)]  # deterministic bijection
+    assert len(set(rng_perm)) == d
+    Q = np.zeros((d, d), dtype=np.int64)
+    for i, j in enumerate(rng_perm):
+        Q[i, j] = 1 if (i * 7 + 3) % 2 == 0 else -1
+    M = [[int(Q[i, j]) * 10**12 for j in range(d)] for i in range(d)]
+    R = SIM._ns_polar_int(M, d)
+    Rf = R.astype(np.float64) / SIM.OPQ_RS
+    assert np.abs(Rf - Q).max() < 1e-3
+    assert np.abs(Rf.T @ Rf - np.eye(d)).max() < 1e-3
+
+
 def test_kmeans_training_rejects_oversized_corpus(spark, sf_dir, monkeypatch):
     # without sample_mod, a full-corpus fit would silently coalesce(1);
     # past the ceiling both trainers must refuse instead
