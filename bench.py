@@ -186,6 +186,7 @@ HEADLINE = [
     "privacy_l_diversity",
     # round-13 additions, benched from the round they land
     "dedup_containment_prefix_words",
+    "text_extract_markup",
 ]
 
 # Bench tiers (r12 verdict #1). The headline total/ratio measure the

@@ -84,6 +84,93 @@ def lang_id(text: Column) -> Column:
     return out
 
 
+# --- markup / boilerplate extraction (r12 verdict #4) -------------------
+# The first stage of a real web-corpus pipeline: raw HTML in, clean text
+# out, BEFORE quality scoring / lang-id ever run. Pure Column regex
+# chains (JVM-side, whole-stage codegen) with an exact DuckDB twin —
+# patterns stay inside the Java-regex ∩ RE2 common subset: inline (?is)
+# flags, non-greedy spans, character classes; NO backreferences or
+# lookarounds (RE2 has neither), so <script>/<style> strip as separate
+# passes instead of <(script|style)>.*?</\1>.
+
+# Order constraint: "header" MUST precede "head" — the regex `<head[^>]*>`
+# also matches an opening `<header>` (RE2 has no lookahead to anchor the
+# tag-name boundary), so header blocks are removed first and the head rule
+# then only ever meets real <head> tags. script/style stay listed even
+# though <head> subsumes the fixture's: real pages put them in <body> too.
+MARKUP_DROP_BLOCKS = (
+    "script", "style", "header", "nav", "footer", "aside", "head",
+)
+# decode order matters: &amp; LAST, or '&amp;lt;' would double-decode
+MARKUP_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_markup(html: Column) -> Column:
+    """Clean text from raw HTML: drop non-content blocks wholesale
+    (``script``/``style`` payloads plus the ``nav``/``header``/``footer``/
+    ``aside`` boilerplate subtrees — the RefinedWeb/trafilatura intuition
+    that chrome text poisons quality stats), strip remaining tags, decode
+    the common entities, collapse whitespace. Non-nested blocks assumed
+    (true of the synthetic fixture; real-world nesting needs a parser,
+    which is out of regex scope and documented as such)."""
+    out = html
+    for tag in MARKUP_DROP_BLOCKS:
+        out = F.regexp_replace(out, f"(?is)<{tag}[^>]*>.*?</{tag}>", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]*>", " ")
+    for ent, rep in MARKUP_ENTITIES:
+        out = F.regexp_replace(out, ent, rep)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def markup_title(html: Column) -> Column:
+    """<title> payload, entity-decoded and whitespace-collapsed (empty
+    string when absent — regexp_extract's no-match convention)."""
+    t = F.regexp_extract(html, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    for ent, rep in MARKUP_ENTITIES:
+        t = F.regexp_replace(t, ent, rep)
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def markup_link_count(html: Column) -> Column:
+    """Anchor-tag count — the link-density signal boilerplate classifiers
+    key on (nav/footer chrome is link-dense, content is not)."""
+    return F.regexp_count(html, F.lit(r"(?i)<a\s")).cast("bigint")
+
+
+def synth_html(doc_id: Column, text: Column, tail: bool = True) -> Column:
+    """Deterministic raw-HTML fixture wrapping a document — the
+    ``synth_media_table`` convention applied to markup: every byte is an
+    integer/string function of (doc_id, text), so the DuckDB oracle
+    re-derives the same page. Exercises each extraction hazard: title
+    with an entity, <style>/<script> payloads containing '<' and '&&',
+    link-dense nav/header/aside/footer chrome, a per-doc varying link
+    count (doc_id % 4 extra anchors), and (when ``tail``) entities inside
+    the content paragraph."""
+    did = doc_id.cast("string")
+    content = F.concat(text, F.lit(" &amp; tail&nbsp;end")) if tail else text
+    return F.concat(
+        F.lit("<html><head><title>Doc "), did, F.lit(" &amp; notes</title>"),
+        F.lit("<style>body { color: #000; }</style>"),
+        F.lit("<script>var x = 1 < 2 && doc;</script></head>"),
+        F.lit('<body><nav>home | about | <a href="/x">contact</a></nav>'),
+        F.lit("<header>site "), (doc_id % 5).cast("string"), F.lit("</header>"),
+        F.repeat(
+            F.lit('<a href="https://example.com/p?q=1">link</a> '),
+            (doc_id % 4).cast("int"),
+        ),
+        F.lit("<h1>Doc "), did, F.lit("</h1><p>"), content, F.lit("</p>"),
+        F.lit("<aside>ads ads ads</aside>"),
+        F.lit("<footer>&copy; 2024 example</footer></body></html>"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the normalized text (lower, collapse
     whitespace, strip non-alphanumerics). Stable, portable, join-friendly."""

@@ -80,6 +80,7 @@ def curate_corpus(
     docs: DataFrame | None = None,
     emb: DataFrame | None = None,
     held_out: DataFrame | None = None,
+    raw_html: bool = False,
 ) -> CurationResult:
     """Run the full curation chain. Deterministic end to end (portable-hash
     sampling, seeded quantizers) — rerunning yields the same survivor set.
@@ -100,6 +101,14 @@ def curate_corpus(
         docs = load_table(spark, sf_dir, "documents")
         if emb is None:
             emb = load_table(spark, sf_dir, "embeddings")
+
+    # 0. markup extraction (r12 verdict #4): when the corpus is raw HTML,
+    #    strip boilerplate/tags/entities BEFORE any text statistic runs —
+    #    quality scores and lang-id over nav/footer chrome measure the
+    #    site template, not the document. Same Column chain the
+    #    text_extract_markup oracle grades; one extra narrow projection.
+    if raw_html:
+        docs = docs.withColumn("text", TX.strip_markup(F.col("text")))
 
     # 1. quality cascade (keep only 'keep' verdicts) — one narrow scan of
     #    the SAME verdict expression corpus_quality_filter grades

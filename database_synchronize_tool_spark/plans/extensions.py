@@ -4923,3 +4923,104 @@ def text_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.sum(F.col("n") * F.col("n")).cast("double") / (sn * sn)
         ).alias("char_diversity"),
     )
+
+
+def _markup_strip_sql(col: str) -> str:
+    """DuckDB twin of functions.text.strip_markup — the same drop-block /
+    tag-strip / entity-decode / collapse chain (DuckDB regexp_replace
+    needs the explicit 'g' option where Spark's is global by default;
+    patterns stay in the Java-regex ∩ RE2 common subset)."""
+    out = col
+    for tag in TX.MARKUP_DROP_BLOCKS:
+        out = f"regexp_replace({out}, '(?is)<{tag}[^>]*>.*?</{tag}>', ' ', 'g')"
+    out = f"regexp_replace({out}, '(?s)<[^>]*>', ' ', 'g')"
+    for ent, rep in TX.MARKUP_ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        out = f"regexp_replace({out}, '{ent}', '{rep_sql}', 'g')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+def _markup_entity_sql(col: str) -> str:
+    out = col
+    for ent, rep in TX.MARKUP_ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        out = f"regexp_replace({out}, '{ent}', '{rep_sql}', 'g')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+_SYNTH_HTML_SQL = """
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; notes</title>'
+    || '<style>body {{ color: #000; }}</style>'
+    || '<script>var x = 1 < 2 && doc;</script></head>'
+    || '<body><nav>home | about | <a href="/x">contact</a></nav>'
+    || '<header>site ' || CAST(doc_id % 5 AS VARCHAR) || '</header>'
+    || repeat('<a href="https://example.com/p?q=1">link</a> ',
+              CAST(doc_id % 4 AS INT))
+    || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+    || ' &amp; tail&nbsp;end</p>'
+    || '<aside>ads ads ads</aside>'
+    || '<footer>&copy; 2024 example</footer></body></html>'
+""".replace("{{", "{").replace("}}", "}")
+
+
+@declared(
+    "text_extract_markup",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, text,
+             {_SYNTH_HTML_SQL} AS html
+      FROM documents
+    )
+    SELECT doc_id,
+           {_markup_entity_sql("regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1)")} AS title,
+           CAST(len(regexp_extract_all(html, '(?i)<a\\s')) AS BIGINT) AS n_links,
+           {_markup_strip_sql('html')} AS clean,
+           {_markup_strip_sql('html')} =
+             trim(regexp_replace(repeat('link ', CAST(doc_id % 4 AS INT))
+                                 || 'Doc ' || CAST(doc_id AS VARCHAR) || ' '
+                                 || text || ' & tail end',
+                                 '\\s+', ' ', 'g')) AS roundtrip_ok
+    FROM raw
+    """,
+    doc="HTML/boilerplate extraction — the FIRST stage of a real "
+    "web-corpus curation pipeline, ahead of text_quality_score/lang_id "
+    "(r12 verdict #4; trafilatura/RefinedWeb intuition, public "
+    "literature): drop <script>/<style> payloads and the nav/header/"
+    "footer/aside boilerplate subtrees wholesale, strip remaining tags, "
+    "decode common entities (&amp; last so '&amp;lt;' cannot "
+    "double-decode), collapse whitespace. The raw-HTML fixture is "
+    "derived deterministically from the documents table in-query (the "
+    "synth_media_table convention): per-doc varying link counts, entity "
+    "payloads in title and body, script text containing '<' and '&&'. "
+    "roundtrip_ok pins extraction fidelity per row: the cleaned text "
+    "must equal the whitespace-collapsed source content. Pure Column "
+    "regex chains — JVM-side, whole-stage codegen, no UDFs; patterns in "
+    "the Java-regex ∩ RE2 common subset (no backreferences/lookarounds). "
+    "Scale shape: one narrow scan, zero shuffles, zero joins.",
+)
+def text_extract_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    html = TX.synth_html(F.col("doc_id"), F.col("text"))
+    # anchor TEXT is content — link chrome strips, link text stays (the
+    # body anchors contribute 'link ' x (doc_id % 4) ahead of the h1)
+    expected = F.trim(
+        F.regexp_replace(
+            F.concat(
+                F.repeat(F.lit("link "), (F.col("doc_id") % 4).cast("int")),
+                F.lit("Doc "),
+                F.col("doc_id").cast("string"),
+                F.lit(" "),
+                F.col("text"),
+                F.lit(" & tail end"),
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        TX.markup_title(html).alias("title"),
+        TX.markup_link_count(html).alias("n_links"),
+        TX.strip_markup(html).alias("clean"),
+        (TX.strip_markup(html) == expected).alias("roundtrip_ok"),
+    )

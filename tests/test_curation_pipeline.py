@@ -116,3 +116,50 @@ def test_pipeline_accepts_jsonl_corpus_without_embeddings(spark, tmp_path):
     # no embeddings => semantic stage is a no-op
     assert counts["semantic_deduped"] == counts["decontaminated"]
     assert counts["sampled"] <= counts["semantic_deduped"]
+
+
+def test_pipeline_accepts_raw_html_corpus(spark, sf_dir):
+    """raw_html=True strips markup before any text stage runs (r12 verdict
+    #4): wrapping every document in the deterministic HTML fixture
+    (WITHOUT the entity tail, so extraction recovers byte-identical body
+    text modulo the h1/anchor content prefix) and curating with
+    raw_html=True must keep the pipeline functional and the quality stage
+    meaningful — and the recovered text must contain the original, not
+    the nav/footer chrome."""
+    from pyspark.sql import functions as F
+
+    from database_synchronize_tool_spark.catalog import load_table
+    from database_synchronize_tool_spark.functions import text as TX
+
+    docs = load_table(spark, sf_dir, "documents")
+    html_docs = docs.withColumn(
+        "text", TX.synth_html(F.col("doc_id"), F.col("text"), tail=False)
+    )
+    res = curate_corpus(spark, docs=html_docs, raw_html=True)
+    counts = res.counts()
+    assert counts["sampled"] > 0
+    # extraction happened: no surviving text carries tags or chrome words
+    sample = res.sampled.limit(50).collect()
+    for r in sample:
+        assert "<" not in r["text"] and ">" not in r["text"], r["text"][:80]
+        assert "ads ads ads" not in r["text"]  # <aside> stripped
+        assert "2024 example" not in r["text"]  # <footer> stripped
+    # parity with the clean-text pipeline: the html wrapper adds only the
+    # deterministic 'link'*k + 'Doc N' prefix, so the quality-kept set is
+    # identical to curating the clean corpus with the same prefix applied
+    prefixed = docs.withColumn(
+        "text",
+        F.concat(
+            F.repeat(F.lit("link "), (F.col("doc_id") % 4).cast("int")),
+            F.lit("Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" "),
+            F.col("text"),
+        ),
+    )
+    res_clean = curate_corpus(spark, docs=prefixed)
+    got = sorted(r["doc_id"] for r in res.sampled.select("doc_id").collect())
+    want = sorted(
+        r["doc_id"] for r in res_clean.sampled.select("doc_id").collect()
+    )
+    assert got == want

@@ -419,3 +419,42 @@ def test_bigram_lift_is_monotone_pmi_and_supported(spark, sf_dir):
         if prev is not None:
             assert r["lift"] <= prev + 1e-12  # descending
         prev = r["lift"]
+
+
+def test_strip_markup_hazards(spark):
+    """Extraction edges the fixture can't cover individually: '<' inside
+    script payloads, entity double-decode ('&amp;lt;' must yield '&lt;',
+    not '<'), header-vs-head pattern ambiguity, missing title, and
+    nested whitespace collapse."""
+    from database_synchronize_tool_spark.functions.text import (
+        markup_link_count,
+        markup_title,
+        strip_markup,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            (1, "<html><head><title>T</title></head><body>"
+                "<script>if (a < b && c > d) { x(); }</script>"
+                "<p>keep   this</p></body></html>"),
+            (2, "<body><p>literal &amp;lt; stays</p></body>"),
+            (3, "<body><header>chrome</header><p>content</p></body>"),
+            (4, "<body><p>no title here</p></body>"),
+            (5, "<body><a href='/x'>one</a> <A HREF='/y'>two</A></body>"),
+        ],
+        "id bigint, html string",
+    )
+    got = {
+        r["id"]: (r["clean"], r["title"], r["links"])
+        for r in rows.select(
+            "id",
+            strip_markup(F.col("html")).alias("clean"),
+            markup_title(F.col("html")).alias("title"),
+            markup_link_count(F.col("html")).alias("links"),
+        ).collect()
+    }
+    assert got[1] == ("keep this", "T", 0)
+    assert got[2][0] == "literal &lt; stays"  # &amp; decoded LAST
+    assert got[3][0] == "content"  # <header> stripped, content kept
+    assert got[4] == ("no title here", "", 0)
+    assert got[5] == ("one two", "", 2)  # case-insensitive anchor count
