@@ -1071,3 +1071,152 @@ def t18_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step_name",
         F.col("users").cast("bigint").alias("users"),
     )
+
+
+_T19_CELLS = 16
+_T19_PROBE = 2
+_T19_KSUB = 16
+_T19_M = 4
+_T19_L2 = (
+    "list_reduce(list_transform(range(1, len({a})+1), "
+    "i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])), (x, y) -> x + y)"
+)
+_T19_COS = (
+    "list_reduce(list_transform(range(1, len({a})+1), "
+    "i -> {a}[i]*{b}[i]), (x, y) -> x + y) "
+    "/ sqrt(list_reduce(list_transform(range(1, len({a})+1), "
+    "i -> {a}[i]*{a}[i]), (x, y) -> x + y)) "
+    "/ sqrt(list_reduce(list_transform(range(1, len({b})+1), "
+    "i -> {b}[i]*{b}[i]), (x, y) -> x + y))"
+)
+
+
+@declared(
+    "t19_stream_ann_append",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), base AS (
+      SELECT vec_id, v FROM e WHERE vec_id % 3 < 2
+    ), cents AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY sid) - 1 AS INT) AS cell,
+             centroid AS ccv
+      FROM (SELECT vec_id AS sid, v AS centroid FROM base
+            ORDER BY vec_id LIMIT {_T19_CELLS})
+    ), coded AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY sid) - 1 AS INT) AS code, v
+      FROM (SELECT vec_id AS sid, v FROM base ORDER BY vec_id LIMIT {_T19_KSUB})
+    ), cb AS (
+      SELECT CAST(i AS INT) AS sub, code,
+             list_slice(v, i*(len(v)//{_T19_M})+1,
+                        (i+1)*(len(v)//{_T19_M})) AS cv
+      FROM coded, range(0, {_T19_M}) t(i)
+    ), sv AS (
+      SELECT vec_id AS vid, CAST(i AS INT) AS sub,
+             list_slice(v, i*(len(v)//{_T19_M})+1,
+                        (i+1)*(len(v)//{_T19_M})) AS sv
+      FROM e, range(0, {_T19_M}) t(i)
+    ), best AS (
+      SELECT vid, sub, code FROM (
+        SELECT vid, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vid, sub
+                                  ORDER BY {_T19_L2.format(a="sv", b="cv")}, code) AS rk
+        FROM sv JOIN cb USING (sub)
+      ) WHERE rk = 1
+    ), cand_assign AS (
+      SELECT vec_id AS cand_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_T19_COS.format(a='e.v', b='c.ccv')} DESC, c.cell) AS rk
+        FROM e, cents c
+      ) WHERE rk = 1
+    ), q_assign AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_T19_COS.format(a='e.v', b='c.ccv')} DESC, c.cell) AS rk
+        FROM e, cents c WHERE e.vec_id >= 100 AND e.vec_id < 110
+      ) WHERE rk <= {_T19_PROBE}
+    ), qsub AS (
+      SELECT vec_id AS query_id, CAST(i AS INT) AS sub,
+             list_slice(v, i*(len(v)//{_T19_M})+1,
+                        (i+1)*(len(v)//{_T19_M})) AS qsv
+      FROM e, range(0, {_T19_M}) t(i) WHERE vec_id >= 100 AND vec_id < 110
+    ), lut AS (
+      SELECT query_id, sub, code,
+             {_T19_L2.format(a="qsv", b="cv")} AS pdist
+      FROM qsub JOIN cb USING (sub)
+    ), surv AS (
+      SELECT q.query_id, c.cand_id
+      FROM cand_assign c JOIN q_assign q USING (cell)
+      WHERE c.cand_id <> q.query_id
+    ), adist AS (
+      SELECT s.query_id, s.cand_id,
+             list_reduce(list(l.pdist ORDER BY l.sub), (x, y) -> x + y) AS adist
+      FROM surv s JOIN best b ON b.vid = s.cand_id
+           JOIN lut l ON l.query_id = s.query_id AND l.sub = b.sub
+                     AND l.code = b.code
+      GROUP BY s.query_id, s.cand_id
+    )
+    SELECT query_id, cand_id, adist, CAST(rank AS INT) AS rank FROM (
+      SELECT query_id, cand_id, adist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist, cand_id) AS rank
+      FROM adist
+    ) WHERE rank <= 5
+    """,
+    doc="Streaming ANN-index maintenance (r12 verdict #5): build the "
+    "persisted cell-partitioned IVF-PQ index on TWO THIRDS of the corpus "
+    "(vec_id % 3 < 2), then stream the remaining third in as THREE true "
+    "micro-batches (file replay, maxFilesPerTrigger=1) whose foreachBatch "
+    "calls append_ivfpq_index — each append encodes ONLY its batch with "
+    "the index's frozen quantizers and writes ONLY the touched cell= "
+    "partitions, O(batch) not O(corpus). The search after the streamed "
+    "appends probes the persisted codes (partition pruning = the FAISS "
+    "inverted-list probe). The oracle is the BATCH IVF-PQ search over the "
+    "full union with base-seeded quantizers — the hash matches only "
+    "because frozen-quantizer appends are bit-identical to a full rebuild "
+    "ACROSS the streaming boundary (the r12 in-process pin, now driver-"
+    "attested through a real multi-batch stream). Kill-resume is "
+    "attested in tests/test_streaming.py: a foreachBatch crash between "
+    "appends restarts from the checkpoint without double-appending "
+    "(idempotence witness: row count + search equality).",
+)
+def t19_stream_ann_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from database_synchronize_tool_spark.operators.vector_index import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        load_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from database_synchronize_tool_spark.streaming.events import (
+        read_embeddings_stream_multibatch,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 3 < 2)
+    index_dir = tempfile.mkdtemp(prefix="t19_ivfpq_")
+    build_ivfpq_index(base, index_dir, n_cells=_T19_CELLS)
+
+    def do_append(df, batch_id):
+        if df.isEmpty():
+            return
+        append_ivfpq_index(
+            load_ivfpq_index(spark, index_dir),
+            df,
+            batch_token=f"b{batch_id}",
+        )
+
+    q = (
+        read_embeddings_stream_multibatch(spark, sf_dir, n_chunks=3)
+        .writeStream.foreachBatch(do_append)
+        .option("checkpointLocation", index_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    idx = load_ivfpq_index(spark, index_dir)
+    queries = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    return search_ivfpq_index(idx, queries, k=5, n_probe=_T19_PROBE)

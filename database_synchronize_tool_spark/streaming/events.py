@@ -250,3 +250,87 @@ def read_events_stream_multibatch(
         .option("recursiveFileLookup", "true")
         .parquet(stage)
     )
+
+
+def read_embeddings_stream_multibatch(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 3,
+    mod: int = 3,
+    rem: int = 2,
+) -> DataFrame:
+    """Embedding-vector stream that REALLY arrives as ``n_chunks``
+    micro-batches — the ingest side of streaming ANN-index maintenance
+    (t19). Stages the append subset (``vec_id % mod == rem`` — the slice
+    t19's base index deliberately excludes) as ``n_chunks`` vec_id-ordered
+    parquet files with ascending mtimes and replays them with
+    ``maxFilesPerTrigger=1``, exactly the
+    :func:`read_events_stream_multibatch` discipline: availableNow then
+    processes one file per micro-batch, so the index-append foreachBatch
+    runs once per chunk and cross-batch correctness is attested by the
+    driver's oracle comparison, not just the unit suite.
+
+    Staging is idempotent per (sf_dir, n_chunks, mod, rem, source file
+    signature) — atomic rename on first write, reused afterwards."""
+    import hashlib
+    import os
+    import shutil
+
+    src_path = table_path(sf_dir, "embeddings")
+    try:
+        st = os.stat(src_path)
+        sig = f"{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        sig = "missing"
+    key = hashlib.md5(
+        f"emb|{os.path.abspath(sf_dir)}|{n_chunks}|{mod}|{rem}|{sig}".encode()
+    ).hexdigest()[:12]
+    stage = os.path.join("/tmp", f"spark_graft_replay_{key}")
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        tmp = stage + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        from database_synchronize_tool_spark.catalog import load_table
+
+        batch = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % mod == rem
+        )
+        qs = [i / n_chunks for i in range(1, n_chunks)]
+        cuts = batch.select(
+            F.expr(
+                "percentile(vec_id, array("
+                + ", ".join(str(q) for q in qs)
+                + "))"
+            ).alias("c")
+        ).collect()[0]["c"]
+        bounds = [float("-inf"), *cuts, float("inf")]
+        vid = F.col("vec_id")
+        for i in range(n_chunks):
+            lo, hi = bounds[i], bounds[i + 1]
+            lo_pred = F.lit(True) if lo == float("-inf") else vid > F.lit(lo)
+            hi_pred = F.lit(True) if hi == float("inf") else vid <= F.lit(hi)
+            chunk = batch.filter(lo_pred & hi_pred)
+            path = os.path.join(tmp, f"chunk_{i}")
+            chunk.coalesce(1).write.mode("overwrite").parquet(path)
+            for root_, _dirs, files in os.walk(path):
+                for f in files:
+                    os.utime(
+                        os.path.join(root_, f),
+                        (1_000_000 + i, 1_000_000 + i),
+                    )
+        open(os.path.join(tmp, "_STAGED"), "w").write("ok")
+        shutil.rmtree(stage, ignore_errors=True)
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            if not os.path.exists(done):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
+    schema = spark.read.parquet(os.path.join(stage, "chunk_0")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )

@@ -583,3 +583,104 @@ def test_changelog_compact_kill_and_resume_from_checkpoint(
     got = {k: (r["event_id"], r["n_events"]) for k, r in best.items()}
     for k, (eid, n) in want.items():
         assert got.get(k) == (eid, n), (k, got.get(k), (eid, n))
+
+
+def test_stream_ann_append_kill_and_resume_no_double_append(
+    spark, sf_dir, tmp_path
+):
+    """t19 fault-tolerance attestation: crash the index-append foreachBatch
+    between committed micro-batches, restart from the SAME checkpoint, and
+    assert (1) no vector is appended twice (row-count witness: codes table
+    cardinality equals the corpus), (2) the post-resume search is
+    bit-identical to a one-shot batch rebuild over the union with the same
+    frozen quantizers — the t19 invariant surviving a mid-stream kill."""
+    from database_synchronize_tool_spark.catalog import load_table
+    from database_synchronize_tool_spark.operators.vector_index import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        load_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from database_synchronize_tool_spark.streaming.events import (
+        read_embeddings_stream_multibatch,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 3 < 2)
+    index_dir = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    build_ivfpq_index(base, index_dir, n_cells=16)
+
+    class Boom(Exception):
+        pass
+
+    state = {"batches": 0}
+
+    def crashing(df, batch_id):
+        # crash AFTER the batch-1 append committed its data AND manifest —
+        # the checkpoint never records batch 1, so restart RE-DELIVERS it;
+        # only the manifest batch_token makes the redelivery a no-op
+        if not df.isEmpty():
+            append_ivfpq_index(
+                load_ivfpq_index(spark, index_dir),
+                df,
+                batch_token=f"b{batch_id}",
+            )
+            state["batches"] += 1
+        if batch_id >= 1:
+            raise Boom("simulated crash after append, before ckpt commit")
+
+    def appending(df, batch_id):
+        if not df.isEmpty():
+            append_ivfpq_index(
+                load_ivfpq_index(spark, index_dir),
+                df,
+                batch_token=f"b{batch_id}",
+            )
+            state["batches"] += 1
+
+    def start(fn):
+        return (
+            read_embeddings_stream_multibatch(spark, sf_dir, n_chunks=3)
+            .writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start(crashing)
+    with pytest.raises(Exception):
+        q1.awaitTermination()
+    assert state["batches"] == 2, "batches 0+1 appended before the crash"
+
+    # restart: batch 1 is RE-DELIVERED (its append ran but its checkpoint
+    # commit did not) — the manifest token turns it into a no-op — then
+    # batch 2 appends normally
+    q2 = start(appending)
+    q2.awaitTermination()
+    assert state["batches"] == 4, state
+
+    idx = load_ivfpq_index(spark, index_dir)
+    n_corpus = e.count()
+    assert idx.codes.count() == n_corpus  # no double-append
+    assert idx.meta["n_vectors"] == n_corpus
+
+    # bit-identical to the one-shot batch rebuild with the same quantizers
+    rebuild_dir = str(tmp_path / "rebuild")
+    full = build_ivfpq_index(
+        e,
+        rebuild_dir,
+        n_cells=16,
+        centroids=idx.centroids,
+        codebooks=idx.codebooks,
+    )
+    queries = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+    got = sorted(
+        (r["query_id"], r["rank"], r["cand_id"], r["adist"])
+        for r in search_ivfpq_index(idx, queries, k=5, n_probe=2).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["cand_id"], r["adist"])
+        for r in search_ivfpq_index(full, queries, k=5, n_probe=2).collect()
+    )
+    assert got == want
