@@ -287,6 +287,7 @@ def write_curated_corpus(
     sort_within: Sequence[str] = ("doc_id",),
     max_records_per_file: int = 1_000_000,
     target_files_per_partition: int | None = None,
+    stats_columns: Sequence[str] | None = ("doc_id",),
 ) -> None:
     """Write a curated corpus as the training-data layout a 100 TB consumer
     reads: hive-partitioned parquet (one directory level per
@@ -337,6 +338,62 @@ def write_curated_corpus(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+    # Zone-map stats at write time (r12 verdict #7): per output FILE,
+    # (count, min, max) for each stats column — the parquet row-group /
+    # Delta file-stats model as a queryable artifact, written under the
+    # data root in an underscore dir (ignored by parquet readers, like
+    # _SUCCESS). Because rows are sortWithinPartitions-ordered by
+    # ``sort_within``, file ranges on those columns are tight and a range
+    # predicate can SOUNDLY skip files whose [min, max] cannot intersect
+    # it (layout_zonemap_pruning's rule, now emitted by the sink instead
+    # of demoed read-side). One extra column-pruned scan of the output.
+    present = [
+        c for c in (stats_columns or ()) if c in df.columns
+    ]
+    if present:
+        spark = df.sparkSession
+        back = spark.read.parquet(path).select(
+            F.input_file_name().alias("file"), *present
+        )
+        aggs = [F.count(F.lit(1)).cast("bigint").alias("cnt")]
+        for c in present:
+            aggs.append(F.min(c).alias(f"{c}_min"))
+            aggs.append(F.max(c).alias(f"{c}_max"))
+        back.groupBy("file").agg(*aggs).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path.rstrip("/") + "/_layout_stats")
+
+
+def read_layout_stats(spark: SparkSession, path: str) -> DataFrame:
+    """The sink-emitted per-file zone maps of :func:`write_curated_corpus`."""
+    return spark.read.parquet(path.rstrip("/") + "/_layout_stats")
+
+
+def layout_stats_prune_report(
+    stats: DataFrame, column: str, lo, hi
+) -> dict:
+    """SOUND file-skip report for the half-open predicate
+    ``lo <= column < hi`` against sink-emitted zone maps: a file is
+    skipped iff ``max < lo OR min >= hi`` — a skipped file provably holds
+    zero matching rows (the layout_zonemap_pruning rule). Returns
+    {n_files, n_pruned, frac_pruned, rows_total, rows_scanned}."""
+    cmin, cmax = F.col(f"{column}_min"), F.col(f"{column}_max")
+    skip = (cmax < F.lit(lo)) | (cmin >= F.lit(hi))
+    row = stats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum(F.when(skip, 1).otherwise(0)).cast("bigint").alias("n_pruned"),
+        F.sum("cnt").cast("bigint").alias("rows_total"),
+        F.sum(F.when(skip, 0).otherwise(F.col("cnt")))
+        .cast("bigint")
+        .alias("rows_scanned"),
+    ).collect()[0]
+    return {
+        "n_files": row["n_files"],
+        "n_pruned": row["n_pruned"],
+        "frac_pruned": row["n_pruned"] / max(row["n_files"], 1),
+        "rows_total": row["rows_total"],
+        "rows_scanned": row["rows_scanned"],
+    }
 
 
 @dataclass
