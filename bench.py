@@ -187,6 +187,7 @@ HEADLINE = [
     # round-13 additions, benched from the round they land
     "dedup_containment_prefix_words",
     "text_extract_markup",
+    "curation_dsir_topk",
 ]
 
 # Bench tiers (r12 verdict #1). The headline total/ratio measure the
@@ -409,6 +410,45 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"# small-SF oracle pairing failed: {exc}", file=sys.stderr)
 
+    # Cap-matched oracle protocol (r12 verdict #6): the 60GB cap protects
+    # the whole table from one OOM-killing query, but it also slows
+    # spill-heavy oracles (r12: graph_pagerank_parts 143 s -> 405 s at
+    # sf1), inflating the headline ratio in Spark's favor. With
+    # SPARK_GRAFT_UNCAP_SLOW_ORACLES=1 (set for sf1 artifact runs), every
+    # oracle whose capped best-of-3 exceeds the threshold is re-timed
+    # UNCAPPED in its own subprocess — an OOM kill there costs one number,
+    # not the artifact — and the ratio is recomputed with the uncapped
+    # figures so it is quotable without the cap asterisk.
+    oracle_uncapped: dict[str, float] = {}
+    ratio_uncapped = None
+    if os.environ.get("SPARK_GRAFT_UNCAP_SLOW_ORACLES") and oracle_timings:
+        import subprocess
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        thresh = float(os.environ.get("SPARK_GRAFT_UNCAP_THRESHOLD_SEC", "30"))
+        for name, sec in sorted(oracle_timings.items()):
+            if sec <= thresh:
+                continue
+            print(f"# re-timing {name} uncapped (capped: {sec:.1f}s)",
+                  file=sys.stderr)
+            try:
+                out = subprocess.run(
+                    [sys.executable,
+                     os.path.join(here, "tools", "bench_oracle.py"),
+                     "--single", sf_dir, name, "--uncapped"],
+                    capture_output=True, text=True, timeout=3600,
+                )
+                parsed = json.loads(out.stdout.strip().splitlines()[-1])
+                if parsed.get("sec") is not None:
+                    oracle_uncapped[name] = parsed["sec"]
+            except Exception as exc:  # noqa: BLE001 - one number, not the run
+                print(f"# uncapped re-time of {name} failed: {exc}",
+                      file=sys.stderr)
+        if oracle_uncapped:
+            adj = {**oracle_timings, **oracle_uncapped}
+            adj_total = round(sum(adj.values()), 3)
+            ratio_uncapped = round(total / adj_total, 3) if adj_total else None
+
     baseline_name, prev_artifact = _previous_artifact()
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # per-query regressions are only meaningful against an artifact measured
@@ -496,6 +536,14 @@ def main() -> None:
         "round 7; earlier rounds timed Spark count(), which pruned narrow "
         "projections), measured back-to-back in one process",
     }
+    if oracle_uncapped:
+        payload["oracle_uncapped_queries"] = oracle_uncapped
+        payload["ratio_vs_oracle_uncapped"] = ratio_uncapped
+        payload["uncapped_note"] = (
+            "spill-heavy oracles re-timed WITHOUT the 60GB cap in isolated "
+            "subprocesses (r12 verdict #6); ratio_vs_oracle_uncapped uses "
+            "these figures so the headline is cap-asterisk-free"
+        )
     if oracle_error is not None:
         payload["oracle_error"] = oracle_error
     if oracle_failed_spark:

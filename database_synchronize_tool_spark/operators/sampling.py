@@ -5,8 +5,11 @@ finding: the temperature-sample math existed in two copies)."""
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
 
 # Knuth's 2^32 golden-ratio multiplier: the portable deterministic draw
 # every sampling operator in the engine uses (cf. deterministic_sample).
@@ -209,5 +212,154 @@ def priority_sample_stratified(
         .withColumn(
             "ht_contrib",
             F.greatest(F.col(weight_col).cast("double"), F.col("tau")),
+        )
+    )
+
+
+# --- DSIR-style importance selection (r13; Xie et al. NeurIPS 2023,
+# "Data Selection for Language Models via Importance Resampling" — public
+# literature), on the integer grid so the DuckDB oracle replays scoring
+# bit-identically.
+DSIR_BUCKETS = 1024  # hashed-bigram feature space
+DSIR_SCALE = 2**20  # fixed-point scale of the per-bucket ratio terms
+
+_DSIR_PRIME = 2147483647
+_DSIR_COMBINE = 1000003
+
+
+@F.pandas_udf(ArrayType(IntegerType()))
+def word_bigram_buckets(texts: pd.Series) -> pd.Series:
+    """Per doc, the hashed word-bigram bucket of EVERY bigram occurrence
+    (non-distinct — the feature is a count vector). Same portable word
+    hashing as word_shingle_features: lowercase split on
+    non-alphanumerics, Horner poly-31 mod p per word, bigram =
+    (h1*1000003 + h2) mod p, bucket = bigram mod DSIR_BUCKETS."""
+    import re
+
+    p, base, nb = _DSIR_PRIME, _DSIR_COMBINE, DSIR_BUCKETS
+    out = []
+    for t in texts:
+        words = (
+            [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+            if t is not None
+            else []
+        )
+        if len(words) < 2:
+            out.append([])
+            continue
+        hw = np.empty(len(words), dtype=np.int64)
+        for i, word in enumerate(words):
+            h = 0
+            for c in word:
+                h = (h * 31 + ord(c)) % p
+            hw[i] = h
+        bg = (hw[:-1] * base + hw[1:]) % p
+        out.append((bg % nb).astype(np.int32).tolist())
+    return pd.Series(out)
+
+
+def dsir_topk(
+    docs: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_mod: int = 7,
+    target_rem: int = 0,
+) -> DataFrame:
+    """DSIR-style hashed-ngram importance selection: score every document
+    by how much its hashed word-bigram distribution looks like a TARGET
+    set's distribution relative to the raw corpus, take the top-k — the
+    published recipe for matching pretraining data to a quality domain
+    without training a classifier. Target = the ``doc_id % 7 == 0`` slice
+    (the repo's held-out convention, same as decontamination); real
+    deployments pass their curated target here.
+
+    Cross-engine-exact departure from the paper, documented: DSIR weights
+    are log-likelihood ratios ``Σ c_b·ln(p_t[b]/p_r[b])`` and ln is not
+    bit-reproducible across engines (neither Java's Math.log nor C's
+    std::log is required to be correctly rounded, and a 1-ulp divergence
+    breaks value-hash grading). The score here is the LINEAR-ratio sum on
+    a fixed-point grid:
+
+        term[b] = floor(SCALE · (ct[b]+1) · (Nr+B) / ((cr[b]+1) · (Nt+B)))
+        score   = Σ_occurrences term[bucket]      (integers end to end)
+
+    — add-one-smoothed ``p_t/p_r`` per bucket, scaled and floored once,
+    then summed exactly. Monotone in each bucket ratio (the ordering
+    agrees with log-DSIR when per-doc bucket ratios are on the same side
+    of 1; it up-weights strong positive evidence more than log does),
+    deterministic, and HUGEINT-safe in the oracle. ``score_norm`` divides
+    by the doc's bigram count (integer floor) to remove the length bias
+    both formulations share; ranking uses (score_norm, score, doc_id).
+
+    Scale shape: one vectorized featurize pass, two 1024-row global
+    aggregates (target + raw bucket counts — bounded index metadata,
+    collected and folded into a broadcast term table), one scoring map
+    with NO shuffle (the term table rides into the UDF closure), and a
+    TakeOrderedAndProject top-k. The corpus never shuffles."""
+    from pyspark.sql.types import LongType
+
+    from database_synchronize_tool_spark.caching import scoped_persist
+
+    feats = scoped_persist(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            word_bigram_buckets(F.col(text_col)).alias("bks"),
+        )
+    )
+    ex = feats.select("doc_id", F.explode("bks").alias("b"))
+    raw_rows = ex.groupBy("b").count().collect()
+    tgt_rows = (
+        ex.filter(F.col("doc_id") % target_mod == target_rem)
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    cr = {int(r["b"]): int(r["count"]) for r in raw_rows}
+    ct = {int(r["b"]): int(r["count"]) for r in tgt_rows}
+    n_raw, n_tgt = sum(cr.values()), sum(ct.values())
+    nb, scale = DSIR_BUCKETS, DSIR_SCALE
+    # exact Python-int terms (arbitrary precision; the oracle uses HUGEINT)
+    term = np.zeros(nb, dtype=np.int64)
+    for b in range(nb):
+        term[b] = (
+            scale * (ct.get(b, 0) + 1) * (n_raw + nb)
+        ) // ((cr.get(b, 0) + 1) * (n_tgt + nb))
+    spark = docs.sparkSession
+    term_b = spark.sparkContext.broadcast(term)
+
+    @F.pandas_udf(LongType())
+    def score_udf(bks: pd.Series) -> pd.Series:
+        tv = term_b.value
+        return pd.Series(
+            [int(tv[np.asarray(b, dtype=np.int64)].sum()) if len(b) else 0
+             for b in bks]
+        )
+
+    from pyspark.sql import Window
+
+    scored = feats.select(
+        "doc_id",
+        F.size("bks").cast("bigint").alias("n_bigrams"),
+        score_udf(F.col("bks")).alias("score"),
+    ).withColumn(
+        # integer floor division (non-negative, so Spark's truncating div
+        # == DuckDB's floor //) — never a double quotient in the ranking
+        "score_norm",
+        F.expr("score div greatest(n_bigrams, 1L)").cast("bigint"),
+    )
+    order = [
+        F.col("score_norm").desc(), F.col("score").desc(), F.col("doc_id")
+    ]
+    w = F.row_number().over(Window.orderBy(*order))
+    return (
+        scored.orderBy(*order)
+        .limit(k)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "score",
+            "score_norm",
+            w.cast("int").alias("rank"),
         )
     )

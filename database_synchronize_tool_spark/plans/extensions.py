@@ -5024,3 +5024,72 @@ def text_extract_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.strip_markup(html).alias("clean"),
         (TX.strip_markup(html) == expected).alias("roundtrip_ok"),
     )
+
+
+@declared(
+    "curation_dsir_topk",
+    oracle=f"""
+    WITH wh AS (
+      SELECT doc_id, {_WORDHASH_SQL} AS hw FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest([CAST(((hw[i] * 1000003 + hw[i+1]) % 2147483647) % 1024
+                          AS INT)
+                     for i in generate_series(1, len(hw) - 1)]) AS b
+      FROM wh
+    ), rcnt AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM bg GROUP BY b
+    ), tcnt AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM bg
+      WHERE doc_id % 7 = 0 GROUP BY b
+    ), nr AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bg
+    ), nt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bg WHERE doc_id % 7 = 0
+    ), term AS (
+      SELECT sp.b,
+             (CAST(1048576 AS HUGEINT) * (COALESCE(tc.ct, 0) + 1)
+              * (nr.n + 1024))
+             // ((COALESCE(rc.cr, 0) + 1) * (nt.n + 1024)) AS tv
+      FROM (SELECT unnest(generate_series(0, 1023)) AS b) sp
+      LEFT JOIN tcnt tc USING (b)
+      LEFT JOIN rcnt rc USING (b), nr, nt
+    ), scored AS (
+      SELECT bg.doc_id, CAST(SUM(tv) AS BIGINT) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams
+      FROM bg JOIN term USING (b) GROUP BY bg.doc_id
+    ), full_s AS (
+      SELECT d.doc_id,
+             COALESCE(s.n_bigrams, 0) AS n_bigrams,
+             COALESCE(s.score, 0) AS score,
+             COALESCE(s.score, 0) // greatest(COALESCE(s.n_bigrams, 0), 1)
+               AS score_norm
+      FROM documents d LEFT JOIN scored s USING (doc_id)
+    )
+    SELECT doc_id, n_bigrams, score, score_norm, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY score_norm DESC, score DESC, doc_id) AS rank
+      FROM full_s
+    ) WHERE rank <= 50
+    """,
+    doc="DSIR-style hashed-ngram importance selection (Xie et al. NeurIPS "
+    "2023, public literature): score every document by how much its "
+    "hashed word-bigram count vector looks like the TARGET distribution "
+    "(the doc_id %% 7 held-out slice — the repo's benchmark convention) "
+    "relative to the raw corpus, take the length-normalized top-50. "
+    "Cross-engine-exact departure from the paper, documented in "
+    "operators/sampling.py: the log-likelihood-ratio weight is replaced "
+    "by a fixed-point LINEAR-ratio sum (ln is not bit-reproducible "
+    "across engines), add-one smoothed, floored once per bucket — "
+    "integers end to end, HUGEINT-safe. Scale shape: one vectorized "
+    "featurize pass, two 1024-row bounded aggregates folded into a "
+    "broadcast term table, a shuffle-FREE scoring map (terms ride in the "
+    "UDF closure), and a TakeOrderedAndProject top-k; the corpus never "
+    "shuffles.",
+)
+def curation_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.operators.sampling import dsir_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_topk(d, k=50)

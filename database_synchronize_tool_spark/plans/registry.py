@@ -203,68 +203,25 @@ def _load_all() -> None:
 # queue head — the r10/r11 discipline. The round ends with a full sweep
 # at the final registry; no additions after the sweep.
 _WINDOW: tuple[str, ...] = (
-    # --- changed in r11/r12: fresh driver evidence required ---
+    # --- changed/new in round 13: fresh driver evidence required ---
+    # NEW: OPQ rotation (integer-grid Newton-Schulz Procrustes), the
+    # word-shingle exact containment production declaration, the markup
+    # extraction stage, and the streaming ANN-index append (t19)
+    "ann_opq_trained_recall",
+    "dedup_containment_prefix_words",
+    "text_extract_markup",
+    "t19_stream_ann_append",
+    # CHANGED: the trained-PQ family's Lloyd loop was refactored into
+    # _lloyd_int for OPQ warm-starts (results pinned identical, re-proof
+    # anyway), containment_prefix gained the features_udf parameter, and
+    # privacy_l_diversity gained the raise_error domain guard
+    "curation_dsir_topk",
     "ann_pq_trained_recall",
     "ann_ivf_pq_residual_trained",
-    "multimodal_feature_extract",
-    "multimodal_binary_meta",
-    "multimodal_frame_sample",
-    "dedup_semantic_pairs",
-    "stats_spearman_rank",
-    "stats_auc_mannwhitney",
-    "curation_source_cap",
-    "window_ntile_quartiles",
-    # --- NEW in round 12 (never attested; green at both SFs at add time) ---
-    "link_fuzzy_banded",
-    "multimodal_phash128_banded",
-    "dedup_minhash_bbit_estimate",
-    "privacy_l_diversity",
     "dedup_containment_prefix",
-    "window_first_last_nth",
-    # --- re-verify cohort: stale queue head (r9-displaced, stalest first) ---
-    "p4_empty_delta_guard",
-    "a1_watermark_probe_ts",
-    "a1_watermark_probe_id",
-    "a2_row_count",
-    "j1_anti_join_missing",
-    "j2_semi_join_existing",
-    "j3_merge_upsert",
-    "j3_merge_full_outer",
-    "j4_dedup_full_row",
-    "j5_asof_join",
-    "j6_range_join_value_bands",
-    "f1_null_to_empty_array",
-    "f3_json_extract",
-    "f3_json_repair",
-    "f4_int_coercion_compat",
-    "f5_string_normalize_compat",
-    "o1_sort_limit_topk",
-    "t1_incremental_replay",
-    "embedding_quantize_int8",
-    "dedup_simhash_banded64",
-    # --- r5-remainder re-verify (continuing the queue drain) ---
-    "q11_important_part_value",
-    "q9_product_type_profit",
-    "q16_supplier_part_counts",
-    "q20_potential_part_promotion",
-    "q5_revenue_by_nation",
-    "q6_revenue_forecast",
-    "q10_returned_revenue",
-    "agg_having",
-    "agg_distinct_count",
-    "agg_stats_moments",
-    "rollup_returns",
-    "cube_events",
-    "pivot_status_by_year",
-    "window_topk_per_group",
-)
-
-_QUEUE: tuple[str, ...] = (
-    # head = next re-verify cohort for round 13 (the r5 remainder continues),
-    # after whatever round-13 changes lead. window_running_sum and
-    # window_lag_lead were displaced mid-r12 by the two new declared
-    # queries (dedup_minhash_bbit_estimate, privacy_l_diversity) per the
-    # documented slot discipline.
+    "privacy_l_diversity",
+    # --- re-verify cohort: stale queue head (r5/r6 remainder, stalest
+    # first; 0-name overlap with the r12 window beyond the changed set) ---
     "window_running_sum",
     "window_lag_lead",
     "set_except_nations",
@@ -296,7 +253,6 @@ _QUEUE: tuple[str, ...] = (
     "q13_customer_order_distribution",
     "q21_sole_supplier_orders",
     "dedup_exact",
-    # --- greens verified round 6 ---
     "j8_scd2_merge",
     "ann_pq_encode",
     "dedup_containment",
@@ -307,6 +263,16 @@ _QUEUE: tuple[str, ...] = (
     "text_pack_streams",
     "dedup_cluster_assign",
     "ann_lsh_bucket_topk",
+)
+
+_QUEUE: tuple[str, ...] = (
+    # head = next re-verify cohort for round 14 (the r6/r8 remainder
+    # continues after whatever round-14 changes lead); the r5/r6 names the
+    # r13 window consumed are gone from this list, and the 46 names the
+    # r13 rotation displaced from the r12 window sit at the tail
+    # (freshest — driver-attested round 12). q12_priority_by_linestatus
+    # was displaced mid-r13 by the new curation_dsir_topk per the
+    # documented slot discipline.
     "q12_priority_by_linestatus",
     "agg_approx_count_distinct",
     "array_agg_sorted_per_group",
@@ -468,6 +434,54 @@ _QUEUE: tuple[str, ...] = (
     "s7_file_listing",
     "p2_ignore_columns",
     "p3_watermark_tie_parity",
+    # --- freshest greens: driver-attested round 12 (CORRECTNESS_r12),
+    # rotated out of the r13 window ---
+    "multimodal_feature_extract",
+    "multimodal_binary_meta",
+    "multimodal_frame_sample",
+    "dedup_semantic_pairs",
+    "stats_spearman_rank",
+    "stats_auc_mannwhitney",
+    "curation_source_cap",
+    "window_ntile_quartiles",
+    "link_fuzzy_banded",
+    "multimodal_phash128_banded",
+    "dedup_minhash_bbit_estimate",
+    "window_first_last_nth",
+    "p4_empty_delta_guard",
+    "a1_watermark_probe_ts",
+    "a1_watermark_probe_id",
+    "a2_row_count",
+    "j1_anti_join_missing",
+    "j2_semi_join_existing",
+    "j3_merge_upsert",
+    "j3_merge_full_outer",
+    "j4_dedup_full_row",
+    "j5_asof_join",
+    "j6_range_join_value_bands",
+    "f1_null_to_empty_array",
+    "f3_json_extract",
+    "f3_json_repair",
+    "f4_int_coercion_compat",
+    "f5_string_normalize_compat",
+    "o1_sort_limit_topk",
+    "t1_incremental_replay",
+    "embedding_quantize_int8",
+    "dedup_simhash_banded64",
+    "q11_important_part_value",
+    "q9_product_type_profit",
+    "q16_supplier_part_counts",
+    "q20_potential_part_promotion",
+    "q5_revenue_by_nation",
+    "q6_revenue_forecast",
+    "q10_returned_revenue",
+    "agg_having",
+    "agg_distinct_count",
+    "agg_stats_moments",
+    "rollup_returns",
+    "cube_events",
+    "pivot_status_by_year",
+    "window_topk_per_group",
 )
 
 _PRIORITY: tuple[str, ...] = _WINDOW + _QUEUE

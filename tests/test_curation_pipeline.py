@@ -215,3 +215,38 @@ def test_curated_write_emits_layout_stats_that_prune(spark, curated, tmp_path):
             .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
         )
         assert back.count() == 0
+
+
+def test_dsir_topk_prefers_target_like_documents(spark):
+    """The importance direction is right: documents sharing the target
+    slice's bigram distribution outrank documents from a disjoint
+    vocabulary, and the edge cases (sub-2-word and NULL docs) score 0."""
+    from database_synchronize_tool_spark.operators.sampling import dsir_topk
+
+    target_text = "the quick brown fox jumps over the lazy dog again"
+    alien_text = "zzz qqq www eee rrr ttt yyy uuu iii ooo"
+    rows = []
+    # ids divisible by 7 form the target slice (the operator's default)
+    for i in range(0, 70, 7):  # 10 target docs, target-like text
+        rows.append((i, target_text))
+    for i in range(1, 40, 3):  # 13 non-target docs, target-like
+        if i % 7 != 0:
+            rows.append((i, target_text))
+    for i in range(101, 114):  # 13 non-target docs, alien vocabulary
+        if i % 7 != 0:
+            rows.append((i, alien_text))
+    rows.append((200, "one"))  # < 2 words
+    rows.append((201, None))  # NULL text
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = dsir_topk(docs, k=len(rows)).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    target_like = [r for r in got if r["doc_id"] < 100]
+    alien = [r for r in got if 100 < r["doc_id"] < 200]
+    assert target_like and alien
+    worst_target_like = min(r["score_norm"] for r in target_like)
+    best_alien = max(r["score_norm"] for r in alien)
+    assert worst_target_like > best_alien, (worst_target_like, best_alien)
+    assert by_id[200]["score"] == 0 and by_id[200]["n_bigrams"] == 0
+    assert by_id[201]["score"] == 0
+    # ranks are 1..n, deterministic ordering
+    assert sorted(r["rank"] for r in got) == list(range(1, len(rows) + 1))

@@ -85,7 +85,8 @@ def run_oracle_bench(
         _os.makedirs(spill, exist_ok=True)
         c = duckdb.connect()
         c.execute("SET enable_progress_bar = false")
-        c.execute(f"SET memory_limit = '{memory_limit}'")
+        if memory_limit is not None:
+            c.execute(f"SET memory_limit = '{memory_limit}'")
         c.execute(f"SET temp_directory = '{spill}'")
         for t in TABLES:
             c.execute(
@@ -172,6 +173,26 @@ def run_oracle_bench(
     return timings
 
 
+def main_single() -> None:
+    """``--single <sf_dir> <query> [--uncapped]`` — time ONE query in this
+    (sub)process and print ``{"query": ..., "sec": ...}``. The cap-matched
+    sf1 protocol (r12 verdict #6): the main bench keeps the 60GB cap so a
+    spilling oracle can't OOM-kill the whole table, and re-times the
+    spill-heavy queries UNCAPPED in their own subprocesses — a subprocess
+    OOM kill costs one number, not the artifact. Both timings land in the
+    artifact so the headline ratio is quotable without the cap asterisk."""
+    args = [a for a in sys.argv[2:] if a != "--uncapped"]
+    uncapped = "--uncapped" in sys.argv
+    sf_dir, name = args[0], args[1]
+    timings = run_oracle_bench(
+        sf_dir,
+        [name],
+        memory_limit=None if uncapped else "60GB",
+        echo=lambda s: print(s, file=sys.stderr),
+    )
+    print(json.dumps({"query": name, "sec": timings.get(name)}))
+
+
 def main() -> None:
     from bench import HEADLINE, ORACLE_SKIP
 
@@ -196,4 +217,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--single":
+        main_single()
+    else:
+        main()
