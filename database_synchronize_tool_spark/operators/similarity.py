@@ -1073,7 +1073,8 @@ def train_opq_pq_exact(
     iters: int = PQ_TRAIN_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+    with_rotation: bool = False,
+) -> tuple:
     """Cross-engine-EXACT Optimized Product Quantization (Ge et al. CVPR
     2013, public literature): learn an orthogonal rotation R alongside the
     per-subvector codebooks so the m independent quantizers cut the space
@@ -1224,10 +1225,56 @@ def train_opq_pq_exact(
         cents_opq = _lloyd_int(spark, subq_rot, dict(cents_plain), iters)
     finally:
         xq_full.unpersist()
-    return (
+    out = (
         rotated,
         _cents_to_codebooks(spark, cents_opq),
         _cents_to_codebooks(spark, cents_plain),
+    )
+    # ``with_rotation`` appends the integer rotation matrix (scale OPQ_RS)
+    # so callers that must re-apply R later — the persisted OPQ index
+    # rotating queries and appended vectors — can store it (r13).
+    return (*out, R) if with_rotation else out
+
+
+def rotate_vectors_exact(
+    vectors: DataFrame,
+    rotation: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply a stored integer OPQ rotation (scale OPQ_RS) to float vectors
+    with the SAME grid arithmetic the trainer used — quantize to the 1e-6
+    grid, integer matmul, floor-divide by OPQ_RS, re-enter double space by
+    the exact-parity reciprocal multiply — so a query rotated at search
+    time lands on bit-identical coordinates to a corpus vector rotated at
+    build time (the invariant the persisted OPQ index's bit-identical
+    append/rebuild pin rests on)."""
+    spark = vectors.sparkSession
+    rot_b = spark.sparkContext.broadcast(np.asarray(rotation, dtype=np.int64))
+    out_t = ArrayType(LongType())
+
+    @F.pandas_udf(out_t)
+    def rotate_udf(xqs: pd.Series) -> pd.Series:
+        if len(xqs) == 0:
+            return pd.Series([], dtype=object)
+        Rm = rot_b.value
+        Xm = np.array(xqs.tolist(), dtype=np.int64)
+        return pd.Series(list(np.floor_divide(Xm @ Rm, OPQ_RS)))
+
+    inv = 1.0 / PQ_TRAIN_SCALE
+    xq = vectors.select(
+        F.col(id_col),
+        F.transform(
+            as_double(F.col(vec_col)),
+            lambda x: F.floor(x * F.lit(float(PQ_TRAIN_SCALE))),
+        ).alias("__xq"),
+    )
+    return xq.select(
+        F.col(id_col),
+        F.transform(
+            rotate_udf(F.col("__xq")),
+            lambda x: x.cast("double") * F.lit(inv),
+        ).alias(vec_col),
     )
 
 

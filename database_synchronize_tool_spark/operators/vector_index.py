@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from database_synchronize_tool_spark.operators.similarity import (
     PQ_KSUB,
     PQ_M,
+    rotate_vectors_exact,
     _adc_accumulate,
     _codebook_np,
     _collect_queries,
@@ -57,6 +58,10 @@ class IvfPqIndex:
     codebooks: DataFrame
     codes: DataFrame  # (vid, codes, cell) — cell is the partition column
     meta: dict
+    # OPQ rotation (integer matrix, scale OPQ_RS) or None for plain PQ —
+    # stored with the index because queries and appended vectors must be
+    # rotated with the SAME matrix the build used (r13)
+    rotation: "np.ndarray | None" = None
 
 
 def build_ivfpq_index(
@@ -69,14 +74,27 @@ def build_ivfpq_index(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
+    rotation=None,
 ) -> IvfPqIndex:
     """Build and persist the index. ``centroids``/``codebooks`` accept
     trained tables (:func:`train_centroids_kmeans` /
     :func:`train_pq_codebooks`); the deterministic data-seeded defaults
     otherwise. The codes write is one narrow encode pass + a
     partitionBy(cell) write — no shuffle beyond the write's own file
-    routing."""
+    routing.
+
+    ``rotation`` (r13): an OPQ integer rotation matrix (scale
+    ``similarity.OPQ_RS``, e.g. from ``train_opq_pq_exact(...,
+    with_rotation=True)``). The corpus is rotated BEFORE assignment and
+    encoding, and the matrix is persisted as a fourth index artifact —
+    searches and appends then rotate queries/new vectors with the stored
+    matrix automatically, so callers never handle rotated coordinates.
+    Pass codebooks trained in ROTATED space alongside (the OPQ trainer's
+    cb_opq); centroids default to data-seeded over the rotated corpus."""
     spark = vectors.sparkSession
+    if rotation is not None:
+        rotation = np.asarray(rotation, dtype=np.int64)
+        vectors = rotate_vectors_exact(vectors, rotation, id_col, vec_col)
     cents = (
         centroids
         if centroids is not None
@@ -96,6 +114,13 @@ def build_ivfpq_index(
     )
     cents.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
     cb.write.mode("overwrite").parquet(os.path.join(index_dir, "codebooks"))
+    if rotation is not None:
+        spark.createDataFrame(
+            [(i, [int(x) for x in row]) for i, row in enumerate(rotation)],
+            "i int, rv array<long>",
+        ).write.mode("overwrite").parquet(
+            os.path.join(index_dir, "rotation")
+        )
     codes.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(index_dir, "codes")
     )
@@ -106,6 +131,7 @@ def build_ivfpq_index(
         "dim": dim,
         "n_vectors": codes.count(),
         "format": "ivfpq-parquet-v1",
+        "rotation": rotation is not None,
     }
     with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
         json.dump(meta, fh)
@@ -117,12 +143,21 @@ def load_ivfpq_index(spark: SparkSession, index_dir: str) -> IvfPqIndex:
         meta = json.load(fh)
     if meta.get("format") != "ivfpq-parquet-v1":
         raise ValueError(f"unknown index format in {index_dir}: {meta}")
+    rotation = None
+    if meta.get("rotation"):
+        rows = (
+            spark.read.parquet(os.path.join(index_dir, "rotation"))
+            .orderBy("i")
+            .collect()
+        )
+        rotation = np.array([r["rv"] for r in rows], dtype=np.int64)
     return IvfPqIndex(
         path=index_dir,
         centroids=spark.read.parquet(os.path.join(index_dir, "centroids")),
         codebooks=spark.read.parquet(os.path.join(index_dir, "codebooks")),
         codes=spark.read.parquet(os.path.join(index_dir, "codes")),
         meta=meta,
+        rotation=rotation,
     )
 
 
@@ -174,6 +209,10 @@ def append_ivfpq_index(
         "applied_tokens", []
     ):
         return index
+    if index.rotation is not None:
+        new_vectors = rotate_vectors_exact(
+            new_vectors, index.rotation, id_col, vec_col
+        )
     dim = len(new_vectors.select(F.col(vec_col).alias("v")).first()["v"])
     if dim != meta["dim"]:
         raise ValueError(
@@ -228,6 +267,10 @@ def search_ivfpq_index(
     unprobed cells never leave the parquet footer (PartitionFilters); the
     scanned bytes are ``(probed fraction) × m bytes/vector``.
     """
+    if index.rotation is not None:
+        queries = rotate_vectors_exact(
+            queries, index.rotation, id_col, vec_col
+        )
     cb_np = _codebook_np(index.codebooks)
     cent_rows = index.centroids.orderBy("cell").collect()
     cent_np = np.array(

@@ -125,3 +125,70 @@ def test_append_matches_rebuild_and_never_rewrites_corpus(spark, sf_dir, tmp_pat
     assert needs_retrain(idx2, max_appended_fraction=0.3)
     assert not needs_retrain(idx2, max_appended_fraction=0.8)
     assert not needs_retrain(idx, max_appended_fraction=0.3)
+
+
+def test_opq_rotated_index_roundtrip_append_and_search(spark, sf_dir, tmp_path):
+    """r13: the OPQ rotation is a first-class persisted index artifact.
+    (1) the integer matrix round-trips exactly through load; (2) searches
+    rotate queries automatically — equal to searching an unrotated index
+    built over the pre-rotated corpus with pre-rotated queries; (3) the
+    frozen-quantizer append/rebuild bit-identity holds THROUGH the
+    rotation (appended vectors rotate with the stored matrix)."""
+    import numpy as np
+
+    from database_synchronize_tool_spark.catalog import load_table
+    from database_synchronize_tool_spark.operators.similarity import (
+        rotate_vectors_exact,
+        train_opq_pq_exact,
+    )
+    from database_synchronize_tool_spark.operators.vector_index import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        load_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") % 3 < 2)
+    rotated, cb_opq, _cb_plain, R = train_opq_pq_exact(
+        base, with_rotation=True
+    )
+
+    idx_dir = str(tmp_path / "opq_idx")
+    idx = build_ivfpq_index(base, idx_dir, codebooks=cb_opq, rotation=R)
+    assert idx.meta["rotation"] is True
+    assert np.array_equal(idx.rotation, np.asarray(R, dtype=np.int64))
+
+    queries = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+
+    # (2) auto-rotation equivalence: plain index over the pre-rotated
+    # corpus, searched with pre-rotated queries
+    plain_dir = str(tmp_path / "plain_idx")
+    base_rot = rotate_vectors_exact(base, R)
+    plain = build_ivfpq_index(base_rot, plain_dir, codebooks=cb_opq)
+    q_rot = rotate_vectors_exact(queries, R)
+
+    def pairs(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["cand_id"], r["adist"])
+            for r in df.collect()
+        )
+
+    got = pairs(search_ivfpq_index(idx, queries, k=5, n_probe=2))
+    want = pairs(search_ivfpq_index(plain, q_rot, k=5, n_probe=2))
+    assert got == want
+
+    # (3) append rotates with the stored matrix; search == full rebuild
+    rest = e.filter(F.col("vec_id") % 3 == 2)
+    appended = append_ivfpq_index(idx, rest)
+    assert appended.meta["n_vectors"] == e.count()
+    rebuild_dir = str(tmp_path / "rebuild_idx")
+    full = build_ivfpq_index(
+        e,
+        rebuild_dir,
+        centroids=idx.centroids,
+        codebooks=cb_opq,
+        rotation=R,
+    )
+    assert pairs(search_ivfpq_index(appended, queries, k=5, n_probe=2)) == \
+        pairs(search_ivfpq_index(full, queries, k=5, n_probe=2))
