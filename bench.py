@@ -188,6 +188,7 @@ HEADLINE = [
     "dedup_containment_prefix_words",
     "text_extract_markup",
     "curation_dsir_topk",
+    "corpus_gopher_rules",
 ]
 
 # Bench tiers (r12 verdict #1). The headline total/ratio measure the

@@ -372,3 +372,53 @@ def quality_verdict(
         )
         .otherwise(F.lit("keep"))
     )
+
+
+# --- Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# ... Gopher", Appendix A1.1 — public literature): the citable rule set
+# real pretraining pipelines apply before model-based filtering. Every
+# threshold is evaluated by INTEGER cross-multiplication (e.g. mean word
+# length in [3, 10] ⇔ 3·n ≤ chars ≤ 10·n), so both engines compare exact
+# integers and the per-doc booleans hash-grade.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+
+def gopher_quality_flags(text: Column) -> dict[str, Column]:
+    """Per-document Gopher rule booleans + their integer evidence columns.
+    Rules: word count in [50, 100k]; mean word length in [3, 10];
+    symbol-to-word ratio ('#' chars + '...' occurrences) ≤ 0.1; ≥ 80% of
+    words contain an alphabetic character; ≥ 2 stop words present.
+    (The bullet/ellipsis LINE-fraction rules need multi-line documents —
+    this corpus is single-line; they are derivable with the same integer
+    pattern over split('\\n') when the input has lines.)"""
+    toks = tokens(text)
+    n = F.size(toks).cast("bigint")
+    chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    symbols = (
+        char_count(text, r"#").cast("bigint")
+        + F.regexp_count(text, F.lit(r"\.\.\.")).cast("bigint")
+    )
+    alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    stops = F.size(
+        F.filter(tokens(F.lower(text)), lambda t: t.isin(*GOPHER_STOPWORDS))
+    ).cast("bigint")
+    return {
+        "n_words": n,
+        "n_word_chars": chars,
+        "n_symbols": symbols,
+        "n_alpha_words": alpha_words,
+        "n_stopwords": stops,
+        "r_word_count": (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
+        "r_mean_word_len": (F.lit(3) * n <= chars) & (chars <= F.lit(10) * n),
+        "r_symbol_ratio": F.lit(10) * symbols <= n,
+        "r_alpha_words": F.lit(5) * alpha_words >= F.lit(4) * n,
+        "r_stopwords": stops >= 2,
+    }

@@ -5093,3 +5093,79 @@ def curation_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return dsir_topk(d, k=50)
+
+
+_GOPHER_STOPS_SQL = ", ".join(f"'{w}'" for w in TX.GOPHER_STOPWORDS)
+
+
+@declared(
+    "corpus_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+               AS toks,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS ltoks,
+             CAST(length(text) - length(regexp_replace(text, '#', '', 'g'))
+                  AS BIGINT)
+             + CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT)
+               AS n_symbols
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(list_sum([CAST(length(x) AS BIGINT) for x in toks])
+                  AS BIGINT) AS n_word_chars,
+             n_symbols,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS BIGINT) AS n_alpha_words,
+             CAST(len(list_filter(ltoks,
+                  x -> x IN ({_GOPHER_STOPS_SQL}))) AS BIGINT) AS n_stopwords
+      FROM t
+    )
+    SELECT doc_id, n_words,
+           COALESCE(n_word_chars, 0) AS n_word_chars,
+           n_symbols, n_alpha_words, n_stopwords,
+           (n_words >= {TX.GOPHER_MIN_WORDS}
+            AND n_words <= {TX.GOPHER_MAX_WORDS}) AS r_word_count,
+           (3 * n_words <= COALESCE(n_word_chars, 0)
+            AND COALESCE(n_word_chars, 0) <= 10 * n_words)
+             AS r_mean_word_len,
+           (10 * n_symbols <= n_words) AS r_symbol_ratio,
+           (5 * n_alpha_words >= 4 * n_words) AS r_alpha_words,
+           (n_stopwords >= 2) AS r_stopwords,
+           ((n_words >= {TX.GOPHER_MIN_WORDS}
+             AND n_words <= {TX.GOPHER_MAX_WORDS})
+            AND (3 * n_words <= COALESCE(n_word_chars, 0)
+                 AND COALESCE(n_word_chars, 0) <= 10 * n_words)
+            AND (10 * n_symbols <= n_words)
+            AND (5 * n_alpha_words >= 4 * n_words)
+            AND (n_stopwords >= 2)) AS pass
+    FROM m
+    """,
+    doc="The Gopher quality-rule table (Rae et al. 2021, Appendix A1.1 — "
+    "public literature), per document: word count in [50, 100k], mean "
+    "word length in [3, 10], symbol-to-word ratio ('#' chars + '...' "
+    "occurrences) <= 0.1, >= 80%% of words alphabetic, >= 2 stop words — "
+    "the citable pre-filter real pretraining pipelines run before any "
+    "model-based scoring, complementing the repo's composite "
+    "quality_score with individually-attributable rule verdicts. Every "
+    "threshold evaluates by INTEGER cross-multiplication (3n <= chars <= "
+    "10n etc.), so the booleans hash-grade with no float compare. Scale "
+    "shape: one narrow scan, per-row array math in codegen, zero "
+    "shuffles, zero joins.",
+)
+def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    flags = TX.gopher_quality_flags(F.col("text"))
+    cols = [F.col("doc_id")]
+    cols += [v.alias(k) for k, v in flags.items()]
+    passed = (
+        flags["r_word_count"]
+        & flags["r_mean_word_len"]
+        & flags["r_symbol_ratio"]
+        & flags["r_alpha_words"]
+        & flags["r_stopwords"]
+    )
+    return d.select(*cols, passed.alias("pass"))

@@ -216,6 +216,7 @@ _WINDOW: tuple[str, ...] = (
     # anyway), containment_prefix gained the features_udf parameter, and
     # privacy_l_diversity gained the raise_error domain guard
     "curation_dsir_topk",
+    "corpus_gopher_rules",
     "ann_pq_trained_recall",
     "ann_ivf_pq_residual_trained",
     "dedup_containment_prefix",
@@ -262,7 +263,6 @@ _WINDOW: tuple[str, ...] = (
     "split_dedup_safe",
     "text_pack_streams",
     "dedup_cluster_assign",
-    "ann_lsh_bucket_topk",
 )
 
 _QUEUE: tuple[str, ...] = (
@@ -271,8 +271,10 @@ _QUEUE: tuple[str, ...] = (
     # r13 window consumed are gone from this list, and the 46 names the
     # r13 rotation displaced from the r12 window sit at the tail
     # (freshest — driver-attested round 12). q12_priority_by_linestatus
-    # was displaced mid-r13 by the new curation_dsir_topk per the
-    # documented slot discipline.
+    # and ann_lsh_bucket_topk were displaced mid-r13 by the new
+    # curation_dsir_topk and corpus_gopher_rules per the documented slot
+    # discipline.
+    "ann_lsh_bucket_topk",
     "q12_priority_by_linestatus",
     "agg_approx_count_distinct",
     "array_agg_sorted_per_group",

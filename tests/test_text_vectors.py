@@ -458,3 +458,38 @@ def test_strip_markup_hazards(spark):
     assert got[3][0] == "content"  # <header> stripped, content kept
     assert got[4] == ("no title here", "", 0)
     assert got[5] == ("one two", "", 2)  # case-insensitive anchor count
+
+
+def test_gopher_rules_each_violation_trips_its_own_rule(spark):
+    from database_synchronize_tool_spark.functions.text import (
+        gopher_quality_flags,
+    )
+
+    good = ("the quick brown fox and the lazy dog have gone to be of use "
+            "with that other fox ") * 3  # 51 words, all rules pass
+    rows = [
+        (1, good),
+        (2, "the and of to be"),  # too few words
+        (3, good.replace("fox", "supercalifragilisticexpialidocious" * 2)),
+        (4, good + " " + "# " * 20),  # symbol ratio blown
+        (5, good.replace("fox", "123").replace("dog", "456")
+            .replace("quick", "789").replace("brown", "000")
+            .replace("lazy", "111").replace("other", "222")
+            .replace("gone", "333").replace("use", "444")),
+        (6, "alpha beta gamma delta epsilon " * 12),  # no stopwords
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    flags = gopher_quality_flags(F.col("text"))
+    got = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id", *[v.alias(k) for k, v in flags.items()]
+        ).collect()
+    }
+    assert all(
+        got[1][k] for k in got[1].asDict() if k.startswith("r_")
+    ), got[1]
+    assert not got[2]["r_word_count"]
+    assert not got[3]["r_mean_word_len"] and got[3]["r_word_count"]
+    assert not got[4]["r_symbol_ratio"] and got[4]["r_stopwords"]
+    assert not got[6]["r_stopwords"] and got[6]["r_alpha_words"]
