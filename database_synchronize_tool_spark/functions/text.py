@@ -389,7 +389,9 @@ def gopher_quality_flags(text: Column) -> dict[str, Column]:
     """Per-document Gopher rule booleans + their integer evidence columns.
     Rules: word count in [50, 100k]; mean word length in [3, 10];
     symbol-to-word ratio ('#' chars + '...' occurrences) ≤ 0.1; ≥ 80% of
-    words contain an alphabetic character; ≥ 2 stop words present.
+    words contain an alphabetic character; ≥ 2 DISTINCT stop words
+    present (the paper's "at least two of the following English words" —
+    occurrences of one word do not count twice).
     (The bullet/ellipsis LINE-fraction rules need multi-line documents —
     this corpus is single-line; they are derivable with the same integer
     pattern over split('\\n') when the input has lines.)"""
@@ -407,8 +409,14 @@ def gopher_quality_flags(text: Column) -> dict[str, Column]:
     alpha_words = F.size(
         F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
     ).cast("bigint")
+    # DISTINCT stop words present (r13 review): Rae et al. A1.1 requires
+    # the document to "contain at least two of the following English
+    # words" — two occurrences of one word do not satisfy it
     stops = F.size(
-        F.filter(tokens(F.lower(text)), lambda t: t.isin(*GOPHER_STOPWORDS))
+        F.array_intersect(
+            F.array_distinct(tokens(F.lower(text))),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
     ).cast("bigint")
     return {
         "n_words": n,

@@ -322,19 +322,36 @@ def dsir_topk(
     # exact Python-int terms (arbitrary precision; the oracle uses HUGEINT)
     term = np.zeros(nb, dtype=np.int64)
     for b in range(nb):
-        term[b] = (
+        tv = (
             scale * (ct.get(b, 0) + 1) * (n_raw + nb)
         ) // ((cr.get(b, 0) + 1) * (n_tgt + nb))
+        # int64-wrap guard (r13 review): the oracle sums in HUGEINT, the
+        # scoring UDF in numpy int64 — fail FAST instead of silently
+        # diverging. Bound: raw counts include the target, so tv <=
+        # SCALE*(Nr+B)/(Nt+B); with tv < 2^40 any doc under 2^23 bigram
+        # occurrences (the score_udf assert) sums below 2^63.
+        if tv >= 2**40:
+            raise ValueError(
+                f"dsir term {tv} for bucket {b} exceeds the int64-safe "
+                "scoring bound; lower DSIR_SCALE or raise the target share"
+            )
+        term[b] = tv
     spark = docs.sparkSession
     term_b = spark.sparkContext.broadcast(term)
 
     @F.pandas_udf(LongType())
     def score_udf(bks: pd.Series) -> pd.Series:
         tv = term_b.value
-        return pd.Series(
-            [int(tv[np.asarray(b, dtype=np.int64)].sum()) if len(b) else 0
-             for b in bks]
-        )
+        out = []
+        for b in bks:
+            if not len(b):
+                out.append(0)
+                continue
+            # paired with the term < 2^40 build-time guard: 2^40 * 2^23
+            # < 2^63, so the int64 sum cannot wrap past this assert
+            assert len(b) < 2**23, "document bigram count exceeds scoring bound"
+            out.append(int(tv[np.asarray(b, dtype=np.int64)].sum()))
+        return pd.Series(out)
 
     from pyspark.sql import Window
 

@@ -1189,18 +1189,7 @@ def train_opq_pq_exact(
         # distributed rotate: Vq = floor(Xq·R / RS); floats re-enter via
         # the exact-parity reciprocal multiply (values < 2^53)
         rot_b = spark.sparkContext.broadcast(R)
-        out_t = ArrayType(LongType())
-
-        @F.pandas_udf(out_t)
-        def rotate_udf(xqs: pd.Series) -> pd.Series:
-            if len(xqs) == 0:
-                return pd.Series([], dtype=object)
-            Rm = rot_b.value
-            Xm = np.array(xqs.tolist(), dtype=np.int64)
-            # |sum| <= d * 1e6 * sqrt(3)*1e5 < 2^63; int64 exact
-            return pd.Series(
-                list(np.floor_divide(Xm @ Rm, OPQ_RS))
-            )
+        rotate_udf = _make_rotate_udf(rot_b)
 
         # scoped: the returned `rotated` plan references this lazily;
         # consumers wrap build+collect in caching.cache_scope() (sweep and
@@ -1236,6 +1225,24 @@ def train_opq_pq_exact(
     return (*out, R) if with_rotation else out
 
 
+def _make_rotate_udf(rot_broadcast):
+    """The bit-identity-critical rotation kernel, defined ONCE (r13
+    review: two closure copies of this UDF could drift and silently break
+    the build-time vs search-time coordinate identity): integer matmul of
+    1e-6-grid vectors against the broadcast R, floor-divided by OPQ_RS.
+    |sum| <= d * 1e6 * sqrt(3)*1e5 < 2^63 — int64 exact."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def rotate_udf(xqs: pd.Series) -> pd.Series:
+        if len(xqs) == 0:
+            return pd.Series([], dtype=object)
+        Rm = rot_broadcast.value
+        Xm = np.array(xqs.tolist(), dtype=np.int64)
+        return pd.Series(list(np.floor_divide(Xm @ Rm, OPQ_RS)))
+
+    return rotate_udf
+
+
 def rotate_vectors_exact(
     vectors: DataFrame,
     rotation: "np.ndarray",
@@ -1251,16 +1258,7 @@ def rotate_vectors_exact(
     append/rebuild pin rests on)."""
     spark = vectors.sparkSession
     rot_b = spark.sparkContext.broadcast(np.asarray(rotation, dtype=np.int64))
-    out_t = ArrayType(LongType())
-
-    @F.pandas_udf(out_t)
-    def rotate_udf(xqs: pd.Series) -> pd.Series:
-        if len(xqs) == 0:
-            return pd.Series([], dtype=object)
-        Rm = rot_b.value
-        Xm = np.array(xqs.tolist(), dtype=np.int64)
-        return pd.Series(list(np.floor_divide(Xm @ Rm, OPQ_RS)))
-
+    rotate_udf = _make_rotate_udf(rot_b)
     inv = 1.0 / PQ_TRAIN_SCALE
     xq = vectors.select(
         F.col(id_col),

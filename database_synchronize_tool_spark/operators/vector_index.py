@@ -194,11 +194,19 @@ def append_ivfpq_index(
 
     Streaming idempotence (r13, t19): foreachBatch delivery is
     at-least-once — a crash after the data write but before the
-    CHECKPOINT commit re-delivers the whole batch on restart. Passing the
-    stream's batch id as ``batch_token`` makes re-delivery a no-op: the
-    manifest records every applied token, and a token already present
-    skips the append entirely (the common re-delivery case, since the
-    manifest is written in the same foreachBatch invocation as the data).
+    CHECKPOINT commit re-delivers the whole batch on restart. Passing a
+    ``batch_token`` makes re-delivery a no-op: the manifest records every
+    applied token, and a token already present skips the append entirely
+    (the common re-delivery case, since the manifest is written in the
+    same foreachBatch invocation as the data). Token UNIQUENESS is the
+    caller's contract (r13 review): a bare micro-batch id collides when a
+    SECOND stream feeds the same index or a recreated checkpoint restarts
+    numbering at 0 — silently dropping real data. Scope the token by the
+    stream's identity, e.g. ``f"{checkpoint_id}-b{batch_id}"`` (t19 does).
+    The manifest keeps only the most recent 1024 tokens: Structured
+    Streaming re-delivers only batches at or after the last uncommitted
+    checkpoint entry, never batches 1024 commits back, so the trim cannot
+    break the no-op guarantee while bounding manifest growth.
     The remaining window — a crash BETWEEN the parquet append and the
     manifest write — can still double-append; closing it needs an atomic
     data+manifest commit (a table format's job, e.g. Delta's txn log,
@@ -237,7 +245,7 @@ def append_ivfpq_index(
         meta["applied_tokens"] = [
             *meta.get("applied_tokens", []),
             batch_token,
-        ]
+        ][-1024:]
     with open(os.path.join(index.path, "manifest.json"), "w") as fh:
         json.dump(meta, fh)
     return load_ivfpq_index(index.codes.sparkSession, index.path)

@@ -5120,8 +5120,8 @@ _GOPHER_STOPS_SQL = ", ".join(f"'{w}'" for w in TX.GOPHER_STOPWORDS)
              n_symbols,
              CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
                   AS BIGINT) AS n_alpha_words,
-             CAST(len(list_filter(ltoks,
-                  x -> x IN ({_GOPHER_STOPS_SQL}))) AS BIGINT) AS n_stopwords
+             CAST(len(list_intersect(list_distinct(ltoks),
+                  [{_GOPHER_STOPS_SQL}])) AS BIGINT) AS n_stopwords
       FROM t
     )
     SELECT doc_id, n_words,
@@ -5147,7 +5147,7 @@ _GOPHER_STOPS_SQL = ", ".join(f"'{w}'" for w in TX.GOPHER_STOPWORDS)
     doc="The Gopher quality-rule table (Rae et al. 2021, Appendix A1.1 — "
     "public literature), per document: word count in [50, 100k], mean "
     "word length in [3, 10], symbol-to-word ratio ('#' chars + '...' "
-    "occurrences) <= 0.1, >= 80%% of words alphabetic, >= 2 stop words — "
+    "occurrences) <= 0.1, >= 80%% of words alphabetic, >= 2 DISTINCT stop words — "
     "the citable pre-filter real pretraining pipelines run before any "
     "model-based scoring, complementing the repo's composite "
     "quality_score with individually-attributable rule verdicts. Every "

@@ -1183,6 +1183,8 @@ _T19_COS = (
     "(idempotence witness: row count + search equality).",
 )
 def t19_stream_ann_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
     import tempfile
 
     from database_synchronize_tool_spark.operators.vector_index import (
@@ -1206,17 +1208,33 @@ def t19_stream_ann_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_ivfpq_index(
             load_ivfpq_index(spark, index_dir),
             df,
-            batch_token=f"b{batch_id}",
+            # token scoped by this run's unique checkpoint identity (the
+            # append docstring's uniqueness contract): bare batch ids
+            # collide across streams/recreated checkpoints
+            batch_token=f"{os.path.basename(index_dir)}-b{batch_id}",
         )
 
-    q = (
-        read_embeddings_stream_multibatch(spark, sf_dir, n_chunks=3)
-        .writeStream.foreachBatch(do_append)
-        .option("checkpointLocation", index_dir + "_ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    idx = load_ivfpq_index(spark, index_dir)
-    queries = e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
-    return search_ivfpq_index(idx, queries, k=5, n_probe=_T19_PROBE)
+    try:
+        q = (
+            read_embeddings_stream_multibatch(spark, sf_dir, n_chunks=3)
+            .writeStream.foreachBatch(do_append)
+            .option("checkpointLocation", index_dir + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        idx = load_ivfpq_index(spark, index_dir)
+        queries = e.filter(
+            (F.col("vec_id") >= 100) & (F.col("vec_id") < 110)
+        )
+        result = search_ivfpq_index(idx, queries, k=5, n_probe=_T19_PROBE)
+        # materialize BEFORE cleanup: the lazy search plan reads the
+        # index's codes parquet; returning it while deleting the dir
+        # would hand the harness a plan over missing files — and NOT
+        # deleting leaked a full index copy per invocation into /tmp
+        # (r13 review). The result is k x |queries| rows — tiny.
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+        shutil.rmtree(index_dir + "_ckpt", ignore_errors=True)

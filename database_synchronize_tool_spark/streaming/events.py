@@ -149,6 +149,84 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     return q
 
 
+def _source_signature(src_path: str) -> str:
+    """Source-file identity (size + mtime; per-file for directory layouts)
+    — part of every staging key so regenerated testdata re-stages instead
+    of serving stale replay rows."""
+    import os
+
+    try:
+        st = os.stat(src_path)
+        if os.path.isdir(src_path):
+            parts = []
+            for root_, _dirs, files in os.walk(src_path):
+                for f in sorted(files):
+                    fst = os.stat(os.path.join(root_, f))
+                    parts.append(f"{f}:{fst.st_size}:{fst.st_mtime_ns}")
+            return "dir|" + "|".join(parts)
+        return f"{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        return "missing"
+
+
+def _stage_replay_chunks(spark, key_material: str, build_chunks) -> str:
+    """Idempotent, atomic staging of replay chunks shared by every
+    multibatch reader (r13 review: the events and embeddings readers each
+    carried a verbatim copy of this machinery — one replay-discipline fix
+    must not need applying twice). ``build_chunks`` is a CALLABLE
+    returning the chunk DataFrames in replay order — invoked only when
+    staging is actually needed, so the chunk-boundary Spark job (a
+    percentile aggregate) is not re-paid on every already-staged call.
+    Each chunk is written as one parquet file with ascending mtimes (the
+    file source replays oldest-first). First writer wins the atomic
+    rename; a concurrent stager's copy is byte-identical (deterministic
+    chunking), so losing the race is harmless. Returns the stage dir."""
+    import hashlib
+    import os
+    import shutil
+
+    key = hashlib.md5(key_material.encode()).hexdigest()[:12]
+    stage = os.path.join("/tmp", f"spark_graft_replay_{key}")
+    done = os.path.join(stage, "_STAGED")
+    if not os.path.exists(done):
+        tmp = stage + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        for i, chunk in enumerate(build_chunks()):
+            path = os.path.join(tmp, f"chunk_{i}")
+            chunk.coalesce(1).write.mode("overwrite").parquet(path)
+            # one data file per chunk dir; ascending mtimes pin replay order
+            for root_, _dirs, files in os.walk(path):
+                for f in files:
+                    os.utime(
+                        os.path.join(root_, f),
+                        (1_000_000 + i, 1_000_000 + i),
+                    )
+        open(os.path.join(tmp, "_STAGED"), "w").write("ok")
+        shutil.rmtree(stage, ignore_errors=True)
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            # concurrent stager won the rename; its staged copy is
+            # byte-identical (deterministic cuts), use it
+            if not os.path.exists(done):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
+    return stage
+
+
+def _read_staged_stream(spark: SparkSession, stage: str) -> DataFrame:
+    import os
+
+    schema = spark.read.parquet(os.path.join(stage, "chunk_0")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+
+
 def read_events_stream_multibatch(
     spark: SparkSession, sf_dir: str, n_chunks: int = 4
 ) -> DataFrame:
@@ -169,43 +247,17 @@ def read_events_stream_multibatch(
     event time, i.e. arrival order == event-time order, the realistic
     replay of an append-only log.
     """
-    import hashlib
     import os
-    import shutil
 
     from pyspark.sql import functions as F
 
-    src_path = table_path(sf_dir, "events")
-    try:
-        st = os.stat(src_path)
-        if os.path.isdir(src_path):
-            # directory layout: fold every file's (name, size, mtime) into
-            # the signature so regenerated multi-file testdata re-stages
-            parts = []
-            for root_, _dirs, files in os.walk(src_path):
-                for f in sorted(files):
-                    fst = os.stat(os.path.join(root_, f))
-                    parts.append(f"{f}:{fst.st_size}:{fst.st_mtime_ns}")
-            sig = "dir|" + "|".join(parts)
-        else:
-            sig = f"{st.st_mtime_ns}|{st.st_size}"
-    except OSError:
-        sig = "missing"
-    # the source's identity is part of the key: regenerated testdata
-    # must re-stage, or the replay would serve stale rows
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{n_chunks}|{sig}".encode()
-    ).hexdigest()[:12]
-    stage = os.path.join("/tmp", f"spark_graft_replay_{key}")
-    done = os.path.join(stage, "_STAGED")
-    if not os.path.exists(done):
-        tmp = stage + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp, exist_ok=True)
-        from database_synchronize_tool_spark.catalog import load_table
+    from database_synchronize_tool_spark.catalog import load_table
 
+    sig = _source_signature(table_path(sf_dir, "events"))
+
+    def build_chunks():
         batch = load_table(spark, sf_dir, "events")
-        # percentile split on event time: equal-ish row counts, time-ordered
+        # percentile split on event time: equal-ish rows, time-ordered
         qs = [i / n_chunks for i in range(1, n_chunks)]
         cuts = batch.select(
             F.expr(
@@ -216,6 +268,7 @@ def read_events_stream_multibatch(
         ).collect()[0]["c"]
         bounds = [float("-inf"), *cuts, float("inf")]
         us = F.unix_micros(F.col("ts").cast("timestamp"))
+        chunks = []
         for i in range(n_chunks):
             lo, hi = bounds[i], bounds[i + 1]
             # chunk 0 also takes NULL-ts rows explicitly: us(NULL) makes
@@ -226,30 +279,13 @@ def read_events_stream_multibatch(
             pred = lo_pred & hi_pred
             if i == 0:
                 pred = F.col("ts").isNull() | pred
-            chunk = batch.filter(pred)
-            path = os.path.join(tmp, f"chunk_{i}")
-            chunk.coalesce(1).write.mode("overwrite").parquet(path)
-            # one data file per chunk dir; pin ascending mtimes for replay order
-            for root_, _dirs, files in os.walk(path):
-                for f in files:
-                    os.utime(os.path.join(root_, f), (1_000_000 + i, 1_000_000 + i))
-        open(os.path.join(tmp, "_STAGED"), "w").write("ok")
-        shutil.rmtree(stage, ignore_errors=True)
-        try:
-            os.rename(tmp, stage)
-        except OSError:
-            # concurrent stager won the rename; its staged copy is
-            # byte-identical (deterministic cuts), use it
-            if not os.path.exists(done):
-                raise
-            shutil.rmtree(tmp, ignore_errors=True)
-    schema = spark.read.parquet(os.path.join(stage, "chunk_0")).schema
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("recursiveFileLookup", "true")
-        .parquet(stage)
+            chunks.append(batch.filter(pred))
+        return chunks
+
+    stage = _stage_replay_chunks(
+        spark, f"{os.path.abspath(sf_dir)}|{n_chunks}|{sig}", build_chunks
     )
+    return _read_staged_stream(spark, stage)
 
 
 def read_embeddings_stream_multibatch(
@@ -272,27 +308,13 @@ def read_embeddings_stream_multibatch(
 
     Staging is idempotent per (sf_dir, n_chunks, mod, rem, source file
     signature) — atomic rename on first write, reused afterwards."""
-    import hashlib
     import os
-    import shutil
 
-    src_path = table_path(sf_dir, "embeddings")
-    try:
-        st = os.stat(src_path)
-        sig = f"{st.st_mtime_ns}|{st.st_size}"
-    except OSError:
-        sig = "missing"
-    key = hashlib.md5(
-        f"emb|{os.path.abspath(sf_dir)}|{n_chunks}|{mod}|{rem}|{sig}".encode()
-    ).hexdigest()[:12]
-    stage = os.path.join("/tmp", f"spark_graft_replay_{key}")
-    done = os.path.join(stage, "_STAGED")
-    if not os.path.exists(done):
-        tmp = stage + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.makedirs(tmp, exist_ok=True)
-        from database_synchronize_tool_spark.catalog import load_table
+    from database_synchronize_tool_spark.catalog import load_table
 
+    sig = _source_signature(table_path(sf_dir, "embeddings"))
+
+    def build_chunks():
         batch = load_table(spark, sf_dir, "embeddings").filter(
             F.col("vec_id") % mod == rem
         )
@@ -306,31 +328,17 @@ def read_embeddings_stream_multibatch(
         ).collect()[0]["c"]
         bounds = [float("-inf"), *cuts, float("inf")]
         vid = F.col("vec_id")
+        chunks = []
         for i in range(n_chunks):
             lo, hi = bounds[i], bounds[i + 1]
             lo_pred = F.lit(True) if lo == float("-inf") else vid > F.lit(lo)
             hi_pred = F.lit(True) if hi == float("inf") else vid <= F.lit(hi)
-            chunk = batch.filter(lo_pred & hi_pred)
-            path = os.path.join(tmp, f"chunk_{i}")
-            chunk.coalesce(1).write.mode("overwrite").parquet(path)
-            for root_, _dirs, files in os.walk(path):
-                for f in files:
-                    os.utime(
-                        os.path.join(root_, f),
-                        (1_000_000 + i, 1_000_000 + i),
-                    )
-        open(os.path.join(tmp, "_STAGED"), "w").write("ok")
-        shutil.rmtree(stage, ignore_errors=True)
-        try:
-            os.rename(tmp, stage)
-        except OSError:
-            if not os.path.exists(done):
-                raise
-            shutil.rmtree(tmp, ignore_errors=True)
-    schema = spark.read.parquet(os.path.join(stage, "chunk_0")).schema
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("recursiveFileLookup", "true")
-        .parquet(stage)
+            chunks.append(batch.filter(lo_pred & hi_pred))
+        return chunks
+
+    stage = _stage_replay_chunks(
+        spark,
+        f"emb|{os.path.abspath(sf_dir)}|{n_chunks}|{mod}|{rem}|{sig}",
+        build_chunks,
     )
+    return _read_staged_stream(spark, stage)

@@ -73,7 +73,25 @@ def run_oracle_bench(
     # bench.py, or two SFs in parallel) would rmtree the other process's
     # LIVE spill files — the exact "never sweep under a live connection"
     # failure mode the r12 isolation work fixed within one process.
-    spill_root = tempfile.mkdtemp(prefix="duckdb_bench_spill_")
+    # PID-stamped + orphan sweep (r13 review): an OOM-KILLED run (the
+    # cap-matched protocol deliberately invites one in its uncapped
+    # subprocesses) never reaches the finally-rmtree, so before creating
+    # this run's root, reclaim roots whose owning pid is dead — a dead
+    # pid provably holds no open spill files, so the sweep is safe where
+    # an age-based one would not be.
+    for stale in _os.listdir(tempfile.gettempdir()):
+        if not stale.startswith("duckdb_bench_spill_"):
+            continue
+        parts = stale.split("_")
+        pid = parts[3] if len(parts) > 3 and parts[3].isdigit() else None
+        if pid is not None and not _os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(
+                _os.path.join(tempfile.gettempdir(), stale),
+                ignore_errors=True,
+            )
+    spill_root = tempfile.mkdtemp(
+        prefix=f"duckdb_bench_spill_{_os.getpid()}_"
+    )
     spill_seq = [0]
 
     def _fresh_connection():
@@ -143,12 +161,19 @@ def run_oracle_bench(
                     clean = False
                     break
 
-    for name, sql in list(oracles.items()):  # warm pass (not timed)
+    warm_items = list(oracles.items())
+    for idx, (name, sql) in enumerate(warm_items):  # warm pass (not timed)
+        if name not in oracles:  # dropped by an earlier _rewarm
+            continue
         if echo is not None:
             echo(f"# oracle warm {name} ...")
         if _run_isolated(name, sql) is None:
             del oracles[name]
-            _rewarm(list(oracles.items()))
+            # only the ALREADY-WARMED prefix lost its hot state with the
+            # connection; the suffix gets its normal warm next anyway
+            # (review r13: rewarming the full list both doubled the warm
+            # phase and re-raised KeyError on a twice-failing query)
+            _rewarm(warm_items[:idx])
     for _pass in range(passes):
         pass_items = list(oracles.items())
         for idx, (name, sql) in enumerate(pass_items):
