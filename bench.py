@@ -292,6 +292,14 @@ def main() -> None:
         extra_conf={"spark.sql.adaptive.enabled": "false"},
     )
     qs = all_queries()
+    headline = list(HEADLINE)
+    # SPARK_GRAFT_SKIP_UNPAIRED_SPARK: drop the exact-semantics tier from
+    # the Spark phase entirely (set for the big-SF artifact runs where
+    # those queries' Spark side costs ~230 s/pass and their large-SF
+    # timings are already recorded in SCALE.md's in-table measurements;
+    # they keep their real sf0.01 ratios in small_sf_paired).
+    if os.environ.get("SPARK_GRAFT_SKIP_UNPAIRED_SPARK"):
+        headline = [n for n in headline if n not in ORACLE_SKIP]
 
     # The whole Spark phase runs in ONE cache_scope: operator-internal
     # scoped_persist intermediates (dedup shingle/signature tables) stay hot
@@ -304,7 +312,7 @@ def main() -> None:
         # headline plan once, and run it once (JVM/codegen warm).
         for t in TABLES:
             load_table(spark, sf_dir, t).cache().count()
-        built = {name: qs[name].builder(spark, sf_dir) for name in HEADLINE}
+        built = {name: qs[name].builder(spark, sf_dir) for name in headline}
         for df in built.values():
             df.collect()
 
@@ -316,7 +324,7 @@ def main() -> None:
         # phantom sub-oracle timings (caught in round 7 when the bigram miner
         # was the only narrow query whose aggregate forced real evaluation).
         for _pass in range(3):
-            for name in HEADLINE:
+            for name in headline:
                 t0 = time.perf_counter()
                 n = len(built[name].collect())
                 elapsed = round(time.perf_counter() - t0, 3)
@@ -367,7 +375,7 @@ def main() -> None:
     try:
         oracle_timings = run_oracle_bench(
             sf_dir,
-            [n for n in HEADLINE if n not in ORACLE_SKIP],
+            [n for n in headline if n not in ORACLE_SKIP],
             echo=lambda s: print(s, file=sys.stderr),
             failures=oracle_failures,
         )
@@ -433,10 +441,14 @@ def main() -> None:
             print(f"# re-timing {name} uncapped (capped: {sec:.1f}s)",
                   file=sys.stderr)
             try:
+                # warm + 1 timed pass: this is a secondary correction
+                # number for multi-minute queries whose run-to-run spread
+                # is far below the cap effect being measured; best-of-3
+                # would triple an already ~10-min-per-query protocol
                 out = subprocess.run(
                     [sys.executable,
                      os.path.join(here, "tools", "bench_oracle.py"),
-                     "--single", sf_dir, name, "--uncapped"],
+                     "--single", sf_dir, name, "--uncapped", "--passes=1"],
                     capture_output=True, text=True, timeout=3600,
                 )
                 parsed = json.loads(out.stdout.strip().splitlines()[-1])

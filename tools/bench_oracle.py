@@ -206,12 +206,17 @@ def main_single() -> None:
     spill-heavy queries UNCAPPED in their own subprocesses — a subprocess
     OOM kill costs one number, not the artifact. Both timings land in the
     artifact so the headline ratio is quotable without the cap asterisk."""
-    args = [a for a in sys.argv[2:] if a != "--uncapped"]
+    args = [a for a in sys.argv[2:] if not a.startswith("--")]
     uncapped = "--uncapped" in sys.argv
+    passes = 3
+    for a in sys.argv[2:]:
+        if a.startswith("--passes="):
+            passes = int(a.split("=", 1)[1])
     sf_dir, name = args[0], args[1]
     timings = run_oracle_bench(
         sf_dir,
         [name],
+        passes=passes,
         memory_limit=None if uncapped else "60GB",
         echo=lambda s: print(s, file=sys.stderr),
     )
