@@ -358,6 +358,41 @@ def main() -> None:
                     if name not in small_spark or elapsed < small_spark[name]:
                         small_spark[name] = elapsed
 
+    # Full-registry timing tier (r13 verdict #3): ONE timed execution of
+    # EVERY declared query at sf0.01 with hot tables — the 131 registry
+    # queries outside HEADLINE previously had no per-round timing row
+    # anywhere, so a silent 10x slowdown in any of them was invisible
+    # until it hit a sweep timeout. Single-pass by design (the tier is a
+    # regression tripwire, not a quotable benchmark): timing includes
+    # plan construction + codegen, which is consistent round-over-round,
+    # and the >10% flags remain re-measure prompts exactly like the
+    # headline's. SPARK_GRAFT_SKIP_FULL_REGISTRY=1 skips it (sf1 protocol,
+    # where wall-clock is already budgeted to the hour).
+    full_registry: dict[str, float] = {}
+    fr_dir = small_sf_dir if os.path.isdir(small_sf_dir) else sf_dir
+    if not os.environ.get("SPARK_GRAFT_SKIP_FULL_REGISTRY"):
+        with cache_scope():
+            for t in TABLES:
+                load_table(spark, fr_dir, t).cache().count()
+            for name, q in sorted(qs.items()):
+                t0 = time.perf_counter()
+                try:
+                    with cache_scope():
+                        n = len(q.builder(spark, fr_dir).collect())
+                except Exception as exc:  # noqa: BLE001 - tripwire row, not the run
+                    print(
+                        f"# full-registry {name} FAILED: "
+                        f"{type(exc).__name__}: {exc}",
+                        file=sys.stderr,
+                    )
+                    continue
+                full_registry[name] = round(time.perf_counter() - t0, 3)
+                print(
+                    f"# full-registry {name}: {full_registry[name]:.3f}s "
+                    f"({n} rows)",
+                    file=sys.stderr,
+                )
+
     # Oracle side, back-to-back on the now-idle machine (JVM stopped), same
     # warm+best-of-3 methodology — both totals land in one artifact.
     spark.stop()
@@ -561,7 +596,80 @@ def main() -> None:
         payload["oracle_error"] = oracle_error
     if oracle_failed_spark:
         payload["oracle_failed_queries"] = oracle_failed_spark
+
+    if full_registry:
+        prev_fr = (
+            prev_artifact.get("full_registry", {}).get("timings", {})
+            if prev_artifact.get("full_registry", {}).get("sf_dir") == fr_dir
+            else {}
+        )
+        payload["full_registry"] = {
+            "sf_dir": fr_dir,
+            "n": len(full_registry),
+            "timings": full_registry,
+            "note": "single timed pass per declared query, hot tables "
+            "(regression TRIPWIRE for the non-headline registry, not a "
+            "quotable benchmark: includes plan+codegen, no best-of-3)",
+            "regressions": {
+                name: {"prev": prev_fr[name], "now": t}
+                for name, t in full_registry.items()
+                if name in prev_fr
+                and prev_fr[name] > 0
+                and t > prev_fr[name] * (1 + REGRESSION_PCT / 100)
+                # sub-100ms rows flap on plan/codegen jitter alone; the
+                # tripwire is for data-plane slowdowns, which at any
+                # meaningful size cross this floor
+                and t >= 0.1
+            },
+        }
+
+    # Full document -> committed artifact file + first stdout line; a
+    # COMPACT final line last (r13 verdict #2: the driver records only a
+    # 2 kB stdout tail, so three rounds of BENCH_r*.json had parsed:null
+    # once the full document outgrew the capture).
+    here = os.path.dirname(os.path.abspath(__file__))
+    rnd = _current_round()
+    art_name = (
+        f"BENCH_LOCAL_r{rnd:02d}.json"
+        if sf_val == 0.1
+        else f"BENCH_LOCAL_r{rnd:02d}_sf{sf}.json"
+    ) if rnd is not None else "BENCH_LOCAL_latest.json"
+    art_path = os.environ.get("SPARK_GRAFT_ARTIFACT_PATH") or os.path.join(
+        here, "bench_artifacts", art_name
+    )
+    try:
+        os.makedirs(os.path.dirname(art_path), exist_ok=True)
+        with open(art_path, "w") as fh:
+            json.dump(payload, fh)
+        payload["artifact_path"] = art_path
+    except OSError as exc:
+        print(f"# artifact write failed: {exc}", file=sys.stderr)
     print(json.dumps(payload))
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    compact = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "queries_note": f"10 slowest of {len(timings)} paired; full "
+        "per-query timings in the artifact file",
+        "sf": sf_val,
+        "oracle_total_sec": oracle_total,
+        "ratio_vs_oracle": payload["ratio_vs_oracle"],
+        "n_regressions": len(regressions),
+        "full_registry_n": len(full_registry),
+        "full_registry_regressions": len(
+            payload.get("full_registry", {}).get("regressions", {})
+        ),
+        "artifact_path": art_path,
+    }
+    if ratio_uncapped is not None:
+        compact["ratio_vs_oracle_uncapped"] = ratio_uncapped
+    if oracle_error is not None:
+        compact["oracle_error"] = oracle_error[:200]
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -22,10 +22,18 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+# ASCII whitespace, spelled out (r13 advice #5): Java's \s includes \x0B
+# (vertical tab), RE2's — the DuckDB oracle engine — does not. Every
+# Java/Python-side tokenize/collapse pattern uses this explicit class,
+# which IS RE2's \s, so the oracles' '\s' stays correct by construction
+# and a \x0B-bearing document can no longer split differently per engine.
+WS = r"[ \t\n\f\r]"
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization with empty strings dropped (split + filter —
     stable across engines regardless of leading/trailing whitespace)."""
-    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    return F.filter(F.split(text, WS + "+"), lambda t: t != "")
 
 
 def token_count(text: Column) -> Column:
@@ -126,7 +134,7 @@ def strip_markup(html: Column) -> Column:
     out = F.regexp_replace(out, r"(?s)<[^>]*>", " ")
     for ent, rep in MARKUP_ENTITIES:
         out = F.regexp_replace(out, ent, rep)
-    return F.trim(F.regexp_replace(out, r"\s+", " "))
+    return F.trim(F.regexp_replace(out, WS + "+", " "))
 
 
 def markup_title(html: Column) -> Column:
@@ -135,13 +143,13 @@ def markup_title(html: Column) -> Column:
     t = F.regexp_extract(html, r"(?is)<title[^>]*>(.*?)</title>", 1)
     for ent, rep in MARKUP_ENTITIES:
         t = F.regexp_replace(t, ent, rep)
-    return F.trim(F.regexp_replace(t, r"\s+", " "))
+    return F.trim(F.regexp_replace(t, WS + "+", " "))
 
 
 def markup_link_count(html: Column) -> Column:
     """Anchor-tag count — the link-density signal boilerplate classifiers
     key on (nav/footer chrome is link-dense, content is not)."""
-    return F.regexp_count(html, F.lit(r"(?i)<a\s")).cast("bigint")
+    return F.regexp_count(html, F.lit("(?i)<a" + WS)).cast("bigint")
 
 
 def synth_html(doc_id: Column, text: Column, tail: bool = True) -> Column:
@@ -175,7 +183,7 @@ def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the normalized text (lower, collapse
     whitespace, strip non-alphanumerics). Stable, portable, join-friendly."""
     norm = F.regexp_replace(F.lower(text), r"[^a-z0-9 ]", "")
-    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    norm = F.trim(F.regexp_replace(norm, WS + "+", " "))
     return F.md5(norm)
 
 
@@ -303,10 +311,10 @@ def repetition_signals_batches(id_col: str = "doc_id", text_col: str = "text"):
 
     import pandas as pd
 
-    # re.ASCII: Python's \s is Unicode-aware by default, but Java's (the
-    # Column form) and RE2's (the DuckDB oracle) \s match ASCII whitespace
-    # only — the ASCII flag aligns all three engines on e.g. NBSP/U+0085
-    ws = re.compile(r"\s+", re.ASCII)
+    # explicit class (= RE2's \s; see WS): Python's \s is Unicode-aware
+    # AND includes \x0B, Java's is ASCII but includes \x0B, RE2's is
+    # neither — the spelled-out class aligns all three engines
+    ws = re.compile(WS + "+")
 
     def batches(it):
         for pdf in it:

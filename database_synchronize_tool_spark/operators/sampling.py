@@ -299,43 +299,15 @@ def dsir_topk(
     TakeOrderedAndProject top-k. The corpus never shuffles."""
     from pyspark.sql.types import LongType
 
-    from database_synchronize_tool_spark.caching import scoped_persist
-
-    feats = scoped_persist(
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            word_bigram_buckets(F.col(text_col)).alias("bks"),
-        )
+    feats, cr, ct, n_raw, n_tgt = _bigram_bucket_counts(
+        docs, text_col, id_col, target_mod, target_rem
     )
-    ex = feats.select("doc_id", F.explode("bks").alias("b"))
-    raw_rows = ex.groupBy("b").count().collect()
-    tgt_rows = (
-        ex.filter(F.col("doc_id") % target_mod == target_rem)
-        .groupBy("b")
-        .count()
-        .collect()
-    )
-    cr = {int(r["b"]): int(r["count"]) for r in raw_rows}
-    ct = {int(r["b"]): int(r["count"]) for r in tgt_rows}
-    n_raw, n_tgt = sum(cr.values()), sum(ct.values())
-    nb, scale = DSIR_BUCKETS, DSIR_SCALE
-    # exact Python-int terms (arbitrary precision; the oracle uses HUGEINT)
-    term = np.zeros(nb, dtype=np.int64)
-    for b in range(nb):
-        tv = (
-            scale * (ct.get(b, 0) + 1) * (n_raw + nb)
-        ) // ((cr.get(b, 0) + 1) * (n_tgt + nb))
-        # int64-wrap guard (r13 review): the oracle sums in HUGEINT, the
-        # scoring UDF in numpy int64 — fail FAST instead of silently
-        # diverging. Bound: raw counts include the target, so tv <=
-        # SCALE*(Nr+B)/(Nt+B); with tv < 2^40 any doc under 2^23 bigram
-        # occurrences (the score_udf assert) sums below 2^63.
-        if tv >= 2**40:
-            raise ValueError(
-                f"dsir term {tv} for bucket {b} exceeds the int64-safe "
-                "scoring bound; lower DSIR_SCALE or raise the target share"
-            )
-        term[b] = tv
+    # exact Python-int terms (arbitrary precision; the oracle uses
+    # HUGEINT), int64-wrap guarded in _ratio_terms (r13 review): with
+    # every term < 2^40 any doc under 2^23 bigram occurrences (the
+    # score_udf assert) sums below 2^63. Shared with nb_quality_topk —
+    # one implementation per formula.
+    term = _ratio_terms(ct, cr, n_tgt, n_raw)
     spark = docs.sparkSession
     term_b = spark.sparkContext.broadcast(term)
 
@@ -379,4 +351,258 @@ def dsir_topk(
             "score_norm",
             w.cast("int").alias("rank"),
         )
+    )
+
+
+def _bigram_bucket_counts(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_mod: int,
+    target_rem: int,
+):
+    """Shared featurize + bounded count step of the hashed-bigram selectors
+    (DSIR, NB quality): per-doc bucket lists (scoped-persisted — the
+    caller's cache_scope releases them) plus the raw/target per-bucket
+    count dicts and grand totals. The two aggregates are 1024-row bounded
+    index metadata; the corpus itself never shuffles."""
+    from database_synchronize_tool_spark.caching import scoped_persist
+
+    feats = scoped_persist(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            word_bigram_buckets(F.col(text_col)).alias("bks"),
+        )
+    )
+    ex = feats.select("doc_id", F.explode("bks").alias("b"))
+    raw_rows = ex.groupBy("b").count().collect()
+    tgt_rows = (
+        ex.filter(F.col("doc_id") % target_mod == target_rem)
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    cr = {int(r["b"]): int(r["count"]) for r in raw_rows}
+    ct = {int(r["b"]): int(r["count"]) for r in tgt_rows}
+    return feats, cr, ct, sum(cr.values()), sum(ct.values())
+
+
+def _ratio_terms(num_counts, den_counts, n_num: int, n_den: int) -> "np.ndarray":
+    """Fixed-point add-one-smoothed ratio table shared by DSIR and NB:
+    term[b] = floor(SCALE·(num[b]+1)·(n_den+B) / ((den[b]+1)·(n_num+B))),
+    exact Python ints, int64-wrap guarded (the oracle replays in HUGEINT,
+    the scoring UDF sums in numpy int64)."""
+    nb, scale = DSIR_BUCKETS, DSIR_SCALE
+    term = np.zeros(nb, dtype=np.int64)
+    for b in range(nb):
+        tv = (
+            scale * (num_counts.get(b, 0) + 1) * (n_den + nb)
+        ) // ((den_counts.get(b, 0) + 1) * (n_num + nb))
+        if tv >= 2**40:
+            raise ValueError(
+                f"ratio term {tv} for bucket {b} exceeds the int64-safe "
+                "scoring bound; lower DSIR_SCALE or rebalance the classes"
+            )
+        term[b] = tv
+    return term
+
+
+def nb_quality_topk(
+    docs: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_mod: int = 7,
+    target_rem: int = 0,
+) -> DataFrame:
+    """Naive-Bayes quality classifier over hashed word-bigram buckets —
+    the CCNet/fastText-recipe companion to :func:`dsir_topk` (Wenzek et
+    al. 2020 train a linear classifier on a quality domain vs the crawl;
+    multinomial NB over hashed n-gram counts is its training-free exact
+    analogue, public literature). Positive class = the ``doc_id %
+    target_mod == target_rem`` slice (the repo's held-out quality-domain
+    convention), negative class = THE REST — where DSIR weighs target vs
+    the WHOLE raw corpus, NB weighs class vs class, so the two selectors
+    genuinely differ on docs near the target share.
+
+    Cross-engine-exact scoring, same documented departure as DSIR: the NB
+    log-posterior ``Σ c_b·ln(p(b|pos)/p(b|neg))`` is replaced by the
+    fixed-point LINEAR-ratio sum with add-one smoothing (ln is not
+    bit-reproducible across engines; the linear form is monotone in each
+    bucket ratio), integers end to end:
+
+        term[b] = floor(SCALE·(cpos[b]+1)·(Nneg+B) / ((cneg[b]+1)·(Npos+B)))
+        nb_score = Σ_occurrences term[bucket]; nb_score_norm = score div n
+
+    ``in_dsir_topk`` marks overlap with the DSIR top-k computed over the
+    SAME featurize pass (selection-agreement is the quantity a curation
+    pipeline actually tunes on) — both rankings use the
+    (score_norm desc, score desc, doc_id) tie-break.
+
+    Scale shape: one vectorized featurize pass, two 1024-row bounded
+    aggregates folded into TWO broadcast term tables, ONE shuffle-free
+    scoring map emitting both scores, and two TakeOrderedAndProject
+    top-ks joined broadcast (k×k). The corpus never shuffles."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import LongType
+
+    feats, cr, ct, n_raw, n_tgt = _bigram_bucket_counts(
+        docs, text_col, id_col, target_mod, target_rem
+    )
+    cneg = {b: cr[b] - ct.get(b, 0) for b in cr}
+    n_neg = n_raw - n_tgt
+    nb_term = _ratio_terms(ct, cneg, n_tgt, n_neg)
+    dsir_term = _ratio_terms(ct, cr, n_tgt, n_raw)
+    spark = docs.sparkSession
+    terms_b = spark.sparkContext.broadcast(
+        np.stack([nb_term, dsir_term])
+    )
+
+    @F.pandas_udf("nb_score long, dsir_score long")
+    def score2_udf(bks: pd.Series) -> pd.DataFrame:
+        tv = terms_b.value
+        nb_out, ds_out = [], []
+        for b in bks:
+            if not len(b):
+                nb_out.append(0)
+                ds_out.append(0)
+                continue
+            # paired with the term < 2^40 build-time guard: 2^40 * 2^23
+            # < 2^63, so the int64 sums cannot wrap past this assert
+            assert len(b) < 2**23, "document bigram count exceeds scoring bound"
+            idx = np.asarray(b, dtype=np.int64)
+            nb_out.append(int(tv[0][idx].sum()))
+            ds_out.append(int(tv[1][idx].sum()))
+        return pd.DataFrame({"nb_score": nb_out, "dsir_score": ds_out})
+
+    scored = (
+        feats.select(
+            "doc_id",
+            F.size("bks").cast("bigint").alias("n_bigrams"),
+            score2_udf(F.col("bks")).alias("s"),
+        )
+        .select("doc_id", "n_bigrams", "s.nb_score", "s.dsir_score")
+        .withColumn(
+            "nb_score_norm",
+            F.expr("nb_score div greatest(n_bigrams, 1L)").cast("bigint"),
+        )
+        .withColumn(
+            "dsir_score_norm",
+            F.expr("dsir_score div greatest(n_bigrams, 1L)").cast("bigint"),
+        )
+    )
+    from database_synchronize_tool_spark.caching import scoped_persist
+
+    scored = scoped_persist(scored)
+    nb_order = [
+        F.col("nb_score_norm").desc(), F.col("nb_score").desc(), F.col("doc_id")
+    ]
+    ds_order = [
+        F.col("dsir_score_norm").desc(),
+        F.col("dsir_score").desc(),
+        F.col("doc_id"),
+    ]
+    w = F.row_number().over(Window.orderBy(*nb_order))
+    dsir_top = scored.orderBy(*ds_order).limit(k).select("doc_id")
+    return (
+        scored.orderBy(*nb_order)
+        .limit(k)
+        .join(
+            F.broadcast(dsir_top.withColumn("in_dsir_topk", F.lit(1))),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.col("nb_score"),
+            F.col("nb_score_norm"),
+            w.cast("int").alias("rank"),
+            F.coalesce("in_dsir_topk", F.lit(0)).cast("int").alias(
+                "in_dsir_topk"
+            ),
+        )
+    )
+
+
+# --- token-balanced shard manifest (r14; r13 verdict #7) ----------------
+CURATION_SHARDS = 8
+CURATION_SUBBINS = 128  # 16 sub-bins per shard: LPT input granularity
+
+
+def shard_manifest(
+    docs: DataFrame,
+    n_shards: int = CURATION_SHARDS,
+    n_bins: int = CURATION_SUBBINS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-balanced output sharding: assign every document to one of
+    ``n_shards`` shards so per-shard token totals are near-equal — the
+    write-path manifest a training pipeline needs for equal-cost data
+    files. Hierarchical design, because item-level greedy LPT is
+    inherently SEQUENTIAL (each placement depends on all previous loads —
+    a global sort + serial scan, the single-partition scale-killer
+    class):
+
+    1. hash-bin: doc -> sub_bin via the portable Knuth draw on the id
+       (``n_bins`` >> ``n_shards``, so bin totals concentrate tightly
+       around corpus/n_bins — law of large numbers; no sort, no window,
+       no shuffle beyond a 128-key aggregate);
+    2. exact greedy LPT over the BOUNDED bin totals (longest-processing-
+       time: bins by total DESC, each to the currently least-loaded
+       shard, ties -> lowest index on both levels) — 128 collected rows
+       of index metadata, replayed in the oracle as a recursive CTE
+       carrying the loads list.
+
+    Deterministic end to end (integer totals, fixed tie-breaks), so the
+    per-doc manifest is hash-gradable. The balance bound (max/min shard
+    token ratio) is pytest-pinned; at 100 TB the hash-binning spread
+    only tightens."""
+    m = _doc_token_bins(docs, n_bins, text_col, id_col)
+    mapping = shard_bin_mapping(m, n_shards)
+    return m.join(F.broadcast(mapping), "sub_bin").select(
+        "doc_id", "n_tokens", "sub_bin", "shard"
+    )
+
+
+def sub_bin_expr(id_col: str, n_bins: int = CURATION_SUBBINS):
+    """The doc -> sub-bin assignment expression (portable Knuth draw)."""
+    return (
+        (F.col(id_col) * F.lit(KNUTH_MULT)) % F.lit(HASH_MOD) % n_bins
+    ).cast("int")
+
+
+def _doc_token_bins(
+    docs: DataFrame, n_bins: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, n_tokens, sub_bin): the narrow per-doc featurize of the
+    shard manifest — a pure expression, no shuffle."""
+    from database_synchronize_tool_spark.functions import text as TX
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        TX.token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+    ).withColumn("sub_bin", sub_bin_expr("doc_id", n_bins))
+
+
+def shard_bin_mapping(
+    binned: DataFrame, n_shards: int = CURATION_SHARDS
+) -> DataFrame:
+    """Exact greedy LPT over the bounded sub-bin token totals of
+    ``binned`` (a :func:`_doc_token_bins` output): bins by total DESC
+    (ties: lowest sub_bin) each to the currently least-loaded shard
+    (ties: lowest shard). Returns the (sub_bin, shard) mapping — bounded
+    index metadata, broadcast-joinable onto a corpus of any size."""
+    bins = binned.groupBy("sub_bin").agg(
+        F.sum("n_tokens").cast("bigint").alias("total")
+    ).collect()
+    loads = [0] * n_shards
+    assign = []
+    for r in sorted(bins, key=lambda r: (-int(r["total"]), int(r["sub_bin"]))):
+        s = loads.index(min(loads))  # first (lowest) least-loaded shard
+        assign.append((int(r["sub_bin"]), s))
+        loads[s] += int(r["total"])
+    return binned.sparkSession.createDataFrame(
+        assign, "sub_bin int, shard int"
     )

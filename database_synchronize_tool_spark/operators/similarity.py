@@ -1063,6 +1063,19 @@ def _ns_polar_int(M_rows: list[list[int]], d: int) -> "np.ndarray":
         G = eye3 - T
         assert int(np.abs(G).max()) <= 6 * RS * RS
         R = np.floor_divide(R @ G, 2 * RS * RS)
+    # Terminal orthogonality check (r13 advice #3): a degenerate Procrustes
+    # target (all-zero / near-rank-deficient M) converges to R ≈ 0, which
+    # the per-iteration bound asserts cannot catch — every rotated vector
+    # would silently collapse. The polar factor satisfies R'R = RS²·I on
+    # this grid up to fixed-point truncation; fail fast otherwise.
+    err = int(np.abs(R.T @ R - np.int64(RS) * RS * np.eye(d, dtype=np.int64)).max())
+    if err > RS * RS // 10_000:  # 1e-4 relative, vs the measured <=3e-5
+        raise ValueError(
+            "Newton-Schulz polar iteration did not converge to an "
+            f"orthogonal factor (max |R'R - RS^2 I| = {err}, bound "
+            f"{RS * RS // 10_000}); the Procrustes target is degenerate "
+            "or near-rank-deficient — train OPQ on more/varied vectors"
+        )
     return R
 
 

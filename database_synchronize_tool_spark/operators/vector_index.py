@@ -8,14 +8,19 @@ scan needs, in the layout that makes the 100 TB search cheap:
 
 - ``centroids/``  — (cell, centroid) parquet. Bounded quantizer metadata.
 - ``codebooks/``  — (sub, code, cv) parquet. Bounded (m × ksub) metadata.
-- ``codes/``      — (vid, codes) parquet **partitioned by cell**. This is
-  the big artifact (m bytes per vector instead of dim×8) and the
-  partitioning is the point: an ``n_probe``-cell search reads ONLY the
+- ``codes/``      — (vid, codes) parquet laid out ``batch=<label>/cell=<c>``.
+  This is the big artifact (m bytes per vector instead of dim×8) and the
+  cell partitioning is the point: an ``n_probe``-cell search reads ONLY the
   probed cells' files — Spark partition pruning turns the inverted-list
   probe of FAISS into plain ``PartitionFilters`` on a parquet scan, no
   index server required. A pinned test asserts the pruning is visible in
-  the executed plan.
-- ``manifest.json`` — dims/params for validation at load time.
+  the executed plan. The ``batch=`` level is the append unit: each
+  incremental append owns one token-keyed subdir (written with
+  mode=overwrite, so a re-delivered micro-batch rewrites rather than
+  duplicates) and the manifest's ``batches`` list is the visibility log
+  read at load time (r14 — closes the crash-between-data-and-manifest
+  double-append window the r13 advice flagged).
+- ``manifest.json`` — dims/params + the committed-batches log.
 
 ``search_ivfpq_index`` is bit-identical to :func:`similarity.ivf_pq_topk`
 run end-to-end on the raw vectors (pinned by test): same stable argmax
@@ -122,7 +127,7 @@ def build_ivfpq_index(
             os.path.join(index_dir, "rotation")
         )
     codes.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(index_dir, "codes")
+        os.path.join(index_dir, "codes", "batch=base")
     )
     meta = {
         "n_cells": n_cells,
@@ -130,8 +135,13 @@ def build_ivfpq_index(
         "ksub": ksub,
         "dim": dim,
         "n_vectors": codes.count(),
-        "format": "ivfpq-parquet-v1",
+        "format": "ivfpq-parquet-v2",
         "rotation": rotation is not None,
+        # the mini transaction log (r13 advice): only batch subdirs listed
+        # here are visible to load_ivfpq_index, so a crash between a data
+        # append and its manifest commit leaves an INVISIBLE orphan dir
+        # that the re-delivered batch overwrites in place
+        "batches": ["base"],
     }
     with open(os.path.join(index_dir, "manifest.json"), "w") as fh:
         json.dump(meta, fh)
@@ -141,7 +151,7 @@ def build_ivfpq_index(
 def load_ivfpq_index(spark: SparkSession, index_dir: str) -> IvfPqIndex:
     with open(os.path.join(index_dir, "manifest.json")) as fh:
         meta = json.load(fh)
-    if meta.get("format") != "ivfpq-parquet-v1":
+    if meta.get("format") not in ("ivfpq-parquet-v1", "ivfpq-parquet-v2"):
         raise ValueError(f"unknown index format in {index_dir}: {meta}")
     rotation = None
     if meta.get("rotation"):
@@ -151,14 +161,45 @@ def load_ivfpq_index(spark: SparkSession, index_dir: str) -> IvfPqIndex:
             .collect()
         )
         rotation = np.array([r["rv"] for r in rows], dtype=np.int64)
+    codes_dir = os.path.join(index_dir, "codes")
+    if meta.get("format") == "ivfpq-parquet-v2":
+        # Reconcile-on-load (r13 advice): read ONLY the committed batch
+        # subdirs from the manifest's transaction list. An orphan
+        # batch= dir from a crash between data append and manifest
+        # commit is never read; its re-delivery overwrites it in place.
+        codes = (
+            spark.read.option("basePath", codes_dir)
+            .parquet(
+                *[
+                    os.path.join(codes_dir, f"batch={b}")
+                    for b in meta["batches"]
+                ]
+            )
+            .drop("batch")
+        )
+    else:  # v1: flat cell-partitioned layout, no batch log
+        codes = spark.read.parquet(codes_dir)
     return IvfPqIndex(
         path=index_dir,
         centroids=spark.read.parquet(os.path.join(index_dir, "centroids")),
         codebooks=spark.read.parquet(os.path.join(index_dir, "codebooks")),
-        codes=spark.read.parquet(os.path.join(index_dir, "codes")),
+        codes=codes,
         meta=meta,
         rotation=rotation,
     )
+
+
+def _batch_label(token: str) -> str:
+    """Directory-safe, collision-free label for a batch token: the token
+    itself when it is already path-safe, else a sanitized form suffixed
+    with a content hash so distinct tokens can never alias one dir."""
+    import hashlib
+    import re
+
+    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", token)
+    if safe == token and token:
+        return token
+    return f"{safe}-{hashlib.sha1(token.encode()).hexdigest()[:10]}"
 
 
 def append_ivfpq_index(
@@ -207,25 +248,32 @@ def append_ivfpq_index(
     Streaming re-delivers only batches at or after the last uncommitted
     checkpoint entry, never batches 1024 commits back, so the trim cannot
     break the no-op guarantee while bounding manifest growth.
-    The remaining window — a crash BETWEEN the parquet append and the
-    manifest write — can still double-append; closing it needs an atomic
-    data+manifest commit (a table format's job, e.g. Delta's txn log,
-    env-gated out of this sandbox), documented rather than papered over.
+    A crash BETWEEN the parquet write and the manifest commit cannot
+    double-append either (r14, closing the r13 advice item): each append
+    writes an OWN ``batch=`` subdir (token-derived label, mode=overwrite)
+    and the manifest's ``batches`` list is the visibility log —
+    ``load_ivfpq_index`` reads only listed dirs, so the orphan from a
+    crashed attempt is invisible until the re-delivered batch overwrites
+    it in place and commits. This is a minimal txn-log of the kind table
+    formats provide (Delta/Iceberg), scoped to exactly this append path.
     """
     meta = dict(index.meta)
     if batch_token is not None and batch_token in meta.get(
         "applied_tokens", []
     ):
         return index
-    if index.rotation is not None:
-        new_vectors = rotate_vectors_exact(
-            new_vectors, index.rotation, id_col, vec_col
-        )
+    # dim check on the RAW vectors, before any rotation (r13 advice #2):
+    # a wrong-dimension append must fail with this ValueError, not an
+    # opaque matmul shape error inside rotate_vectors_exact's UDF
     dim = len(new_vectors.select(F.col(vec_col).alias("v")).first()["v"])
     if dim != meta["dim"]:
         raise ValueError(
             f"appended vectors have dim {dim}, index was built at "
             f"{meta['dim']}"
+        )
+    if index.rotation is not None:
+        new_vectors = rotate_vectors_exact(
+            new_vectors, index.rotation, id_col, vec_col
         )
     assign = ivf_assign_cells(
         new_vectors, index.centroids, id_col, vec_col, top_cells=1
@@ -234,9 +282,28 @@ def append_ivfpq_index(
         new_vectors, index.codebooks, meta["m"], id_col, vec_col
     ).join(assign.select("vid", "cell"), "vid")
     n_new = codes.count()
-    codes.write.mode("append").partitionBy("cell").parquet(
-        os.path.join(index.path, "codes")
-    )
+    if meta.get("format") == "ivfpq-parquet-v2":
+        # Token-keyed batch subdir + overwrite (r13 advice #1): the data
+        # write is idempotent BY PATH. Re-delivery after a crash at ANY
+        # point (including between data and manifest) rewrites the same
+        # batch= dir instead of appending duplicates; until the manifest
+        # commit below lists the label, load_ivfpq_index never reads it.
+        # "t-" prefix keeps token labels disjoint from the "base" build
+        # dir and the "a<n>" counter labels of tokenless appends
+        label = (
+            f"t-{_batch_label(batch_token)}"
+            if batch_token is not None
+            else f"a{len(meta.get('batches', []))}"
+        )
+        codes.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(index.path, "codes", f"batch={label}")
+        )
+        if label not in meta.get("batches", []):
+            meta["batches"] = [*meta.get("batches", []), label]
+    else:  # v1 back-compat: flat append, double-append window documented
+        codes.write.mode("append").partitionBy("cell").parquet(
+            os.path.join(index.path, "codes")
+        )
     meta["n_vectors"] = meta["n_vectors"] + n_new
     meta["n_appended_since_train"] = (
         meta.get("n_appended_since_train", 0) + n_new

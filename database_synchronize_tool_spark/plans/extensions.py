@@ -1053,7 +1053,7 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(
             F.regexp_extract_all(
-                F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+                F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"), 0
             )
         )
         .cast("bigint")
@@ -3912,7 +3912,7 @@ def corpus_divergence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(
             F.filter(
-                F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+                F.split(F.lower(F.col("text")), TX.WS + "+"), lambda t: t != ""
             )
         ).alias("token"),
     )
@@ -5013,7 +5013,7 @@ def text_extract_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("text"),
                 F.lit(" & tail end"),
             ),
-            r"\s+",
+            TX.WS + "+",
             " ",
         )
     )
@@ -5093,6 +5093,236 @@ def curation_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return dsir_topk(d, k=50)
+
+
+@declared(
+    "curation_nb_quality_topk",
+    oracle=f"""
+    WITH wh AS (
+      SELECT doc_id, {_WORDHASH_SQL} AS hw FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest([CAST(((hw[i] * 1000003 + hw[i+1]) % 2147483647) % 1024
+                          AS INT)
+                     for i in generate_series(1, len(hw) - 1)]) AS b
+      FROM wh
+    ), rcnt AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM bg GROUP BY b
+    ), tcnt AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM bg
+      WHERE doc_id % 7 = 0 GROUP BY b
+    ), nr AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bg
+    ), nt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bg WHERE doc_id % 7 = 0
+    ), term AS (
+      SELECT sp.b,
+             (CAST(1048576 AS HUGEINT) * (COALESCE(tc.ct, 0) + 1)
+              * ((nr.n - nt.n) + 1024))
+             // ((COALESCE(rc.cr, 0) - COALESCE(tc.ct, 0) + 1)
+                 * (nt.n + 1024)) AS tvnb,
+             (CAST(1048576 AS HUGEINT) * (COALESCE(tc.ct, 0) + 1)
+              * (nr.n + 1024))
+             // ((COALESCE(rc.cr, 0) + 1) * (nt.n + 1024)) AS tvds
+      FROM (SELECT unnest(generate_series(0, 1023)) AS b) sp
+      LEFT JOIN tcnt tc USING (b)
+      LEFT JOIN rcnt rc USING (b), nr, nt
+    ), scored AS (
+      SELECT bg.doc_id,
+             CAST(SUM(tvnb) AS BIGINT) AS nb_score,
+             CAST(SUM(tvds) AS BIGINT) AS dsir_score,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams
+      FROM bg JOIN term USING (b) GROUP BY bg.doc_id
+    ), full_s AS (
+      SELECT d.doc_id,
+             COALESCE(s.n_bigrams, 0) AS n_bigrams,
+             COALESCE(s.nb_score, 0) AS nb_score,
+             COALESCE(s.dsir_score, 0) AS dsir_score,
+             COALESCE(s.nb_score, 0)
+               // greatest(COALESCE(s.n_bigrams, 0), 1) AS nb_score_norm,
+             COALESCE(s.dsir_score, 0)
+               // greatest(COALESCE(s.n_bigrams, 0), 1) AS dsir_score_norm
+      FROM documents d LEFT JOIN scored s USING (doc_id)
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               ORDER BY nb_score_norm DESC, nb_score DESC, doc_id) AS rank,
+             ROW_NUMBER() OVER (
+               ORDER BY dsir_score_norm DESC, dsir_score DESC, doc_id
+             ) AS drank
+      FROM full_s
+    )
+    SELECT doc_id, n_bigrams, nb_score, nb_score_norm,
+           CAST(rank AS INT) AS rank,
+           CAST(CASE WHEN drank <= 50 THEN 1 ELSE 0 END AS INT)
+             AS in_dsir_topk
+    FROM ranked WHERE rank <= 50
+    """,
+    doc="Naive-Bayes quality classifier over hashed word-bigram buckets "
+    "(r13 verdict #5) — the CCNet/fastText-recipe companion to "
+    "curation_dsir_topk (Wenzek et al. 2020, public literature): where "
+    "DSIR weighs the target slice against the WHOLE raw corpus, NB "
+    "weighs class against class (positive = the doc_id %% 7 held-out "
+    "quality domain, negative = the rest), so the two selectors "
+    "genuinely disagree on docs near the target share. Same cross-"
+    "engine-exact discipline as DSIR, documented in operators/"
+    "sampling.py: add-one-smoothed fixed-point LINEAR-ratio terms "
+    "(ln is not bit-reproducible across engines), HUGEINT-replayed, "
+    "integer floor-div length normalization. in_dsir_topk grades "
+    "selection overlap with the DSIR top-50 computed over the SAME "
+    "featurize pass — the agreement number a curation pipeline tunes "
+    "on. Scale shape: one featurize pass, two 1024-row bounded "
+    "aggregates -> two broadcast term tables, one shuffle-free scoring "
+    "map emitting both scores, two TakeOrderedAndProject top-ks joined "
+    "broadcast; the corpus never shuffles.",
+)
+def curation_nb_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.operators.sampling import (
+        nb_quality_topk,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return nb_quality_topk(d, k=50)
+
+
+def _bpe_oracle_sql(n: int) -> str:
+    """DuckDB replay of train_bpe_merges: the whole training loop —
+    pair count, argmax with the (cnt DESC, pair ASC) tie-break, and the
+    lookahead-free merge fold — unrolled as n CTE stages (the
+    integer-Lloyd trainer discipline applied to tokenizer training)."""
+    parts = [
+        """w0 AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(list_filter(
+                 string_split_regex(lower(text), '[^a-z0-9]+'),
+                 x -> x <> '')) AS word
+        FROM documents
+      ) GROUP BY word
+    )""",
+        """s0 AS (
+      SELECT freq, regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS seq
+      FROM w0
+    )""",
+    ]
+    for i in range(1, n + 1):
+        parts.append(f"""p{i} AS (
+      SELECT pair, SUM(freq) AS cnt FROM (
+        SELECT freq,
+               unnest([syms[j] || ' ' || syms[j+1]
+                       for j in generate_series(1, len(syms) - 1)]) AS pair
+        FROM (SELECT freq, string_split(seq, ' ') AS syms FROM s{i - 1})
+      ) GROUP BY pair
+    )""")
+        parts.append(f"""b{i} AS (
+      SELECT pair, CAST(cnt AS BIGINT) AS cnt,
+             string_split(pair, ' ')[1] AS l, string_split(pair, ' ')[2] AS r
+      FROM p{i} ORDER BY cnt DESC, pair LIMIT 1
+    )""")
+        parts.append(f"""s{i} AS (
+      SELECT freq,
+             list_reduce(string_split(s.seq, ' '),
+               (acc, x) -> CASE WHEN regexp_extract(acc, '([^ ]*)$', 1) = b.l
+                                     AND x = b.r
+                                THEN acc || x ELSE acc || ' ' || x END) AS seq
+      FROM s{i - 1} s, b{i} b
+    )""")
+        parts.append(f"""r{i} AS (
+      SELECT CAST({i} AS INT) AS step, b.l AS left_sym, b.r AS right_sym,
+             b.l || b.r AS merged, b.cnt AS pair_count,
+             (SELECT CAST(SUM(freq * len(string_split(seq, ' '))) AS BIGINT)
+              FROM s{i}) AS tokens_after
+      FROM b{i} b
+    )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM r{i}" for i in range(1, n + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + union
+
+
+_BPE_N_MERGES = 10
+
+
+@declared(
+    "text_bpe_train_merges",
+    oracle=_bpe_oracle_sql(_BPE_N_MERGES),
+    doc="Distributed BPE merge training (r13 verdict #6; Sennrich et al. "
+    "2016, public literature): train the merge table itself — the engine "
+    "previously only counted tokens against a fixed vocab "
+    "(text_bpe_token_count). One corpus scan builds the (word, freq) "
+    "table (the only corpus-sized shuffle); each of the 10 iterations "
+    "then costs O(vocabulary): an explode+groupBy pair count over "
+    "DISTINCT words, a 1-row argmax collect (bounded metadata, like the "
+    "Lloyd centroid collects), and a narrow merge-apply fold. The merge "
+    "fold needs no lookahead state (within one (a,b) pass a just-merged "
+    "'ab' can never be the LEFT of another (a,b) merge since b is "
+    "non-empty), so it runs as F.aggregate on Spark and list_reduce in "
+    "DuckDB — the ENTIRE training replays bit-identically as unrolled "
+    "CTEs, argmax tie-break (count DESC, pair-string ASC) included. "
+    "tokens_after is the freq-weighted corpus token count per step, the "
+    "monotone compression witness. See operators/bpe.py.",
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.operators.bpe import train_bpe_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    return train_bpe_merges(d, n_merges=_BPE_N_MERGES)
+
+
+@declared(
+    "curation_shard_manifest",
+    oracle="""
+    WITH RECURSIVE m AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens,
+             CAST((doc_id * 2654435761) % 4294967296 % 128 AS INT) AS sub_bin
+      FROM documents
+    ), bins AS (
+      SELECT sub_bin, CAST(SUM(n_tokens) AS BIGINT) AS total
+      FROM m GROUP BY sub_bin
+    ), ordered AS (
+      SELECT sub_bin, total,
+             CAST(ROW_NUMBER() OVER (ORDER BY total DESC, sub_bin) AS INT)
+               AS i
+      FROM bins
+    ), lpt AS (
+      SELECT CAST(0 AS INT) AS i, CAST(NULL AS INT) AS sub_bin,
+             CAST(NULL AS INT) AS shard,
+             [CAST(0 AS BIGINT) for k in generate_series(1, 8)] AS loads
+      UNION ALL
+      SELECT o.i, o.sub_bin,
+             CAST(list_position(l.loads, list_min(l.loads)) - 1 AS INT),
+             [CASE WHEN k = list_position(l.loads, list_min(l.loads))
+                   THEN l.loads[k] + o.total ELSE l.loads[k] END
+              for k in generate_series(1, 8)]
+      FROM lpt l JOIN ordered o ON o.i = l.i + 1
+    )
+    SELECT m.doc_id, m.n_tokens, m.sub_bin, a.shard
+    FROM m JOIN (SELECT sub_bin, shard FROM lpt WHERE sub_bin IS NOT NULL) a
+      USING (sub_bin)
+    """,
+    doc="Token-balanced output-shard manifest (r13 verdict #7): assign "
+    "every document to one of 8 shards so per-shard token totals are "
+    "near-equal — the write-path manifest behind "
+    "write_curated_corpus(shard_balanced=True). Hierarchical by design, "
+    "documented in operators/sampling.py: item-level greedy LPT is "
+    "inherently sequential (a global sort + serial scan — the single-"
+    "partition scale-killer class this repo's plan checks flag), so "
+    "docs hash-bin into 128 sub-bins via the portable Knuth draw (no "
+    "sort, no window; bin totals concentrate by law of large numbers) "
+    "and exact greedy LPT runs over the BOUNDED bin totals (128 "
+    "collected rows of index metadata; bins by total DESC to the least-"
+    "loaded shard, ties to the lowest index). The oracle replays the "
+    "LPT loop as a recursive CTE carrying the per-shard loads list. "
+    "Balance bound pytest-pinned in test_curation_pipeline.py.",
+)
+def curation_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.operators.sampling import (
+        shard_manifest,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return shard_manifest(d)
 
 
 _GOPHER_STOPS_SQL = ", ".join(f"'{w}'" for w in TX.GOPHER_STOPWORDS)

@@ -203,77 +203,29 @@ def _load_all() -> None:
 # queue head — the r10/r11 discipline. The round ends with a full sweep
 # at the final registry; no additions after the sweep.
 _WINDOW: tuple[str, ...] = (
-    # --- changed/new in round 13: fresh driver evidence required ---
-    # NEW: OPQ rotation (integer-grid Newton-Schulz Procrustes), the
-    # word-shingle exact containment production declaration, the markup
-    # extraction stage, and the streaming ANN-index append (t19)
-    "ann_opq_trained_recall",
-    "dedup_containment_prefix_words",
-    "text_extract_markup",
-    "t19_stream_ann_append",
-    # CHANGED: the trained-PQ family's Lloyd loop was refactored into
-    # _lloyd_int for OPQ warm-starts (results pinned identical, re-proof
-    # anyway), containment_prefix gained the features_udf parameter, and
-    # privacy_l_diversity gained the raise_error domain guard
+    # --- changed/new in round 14: fresh driver evidence required ---
+    # NEW: the NB quality classifier beside DSIR, distributed BPE
+    # merge training, and the token-balanced shard manifest
+    "curation_nb_quality_topk",
+    "text_bpe_train_merges",
+    "curation_shard_manifest",
+    # CHANGED: curation_dsir_topk rides the shared
+    # _bigram_bucket_counts/_ratio_terms helpers (results pinned
+    # identical, re-proof anyway); the OPQ trainer gained the
+    # Newton-Schulz terminal orthogonality check; t19's append path
+    # moved to the batch-keyed txn-log layout; the markup/token
+    # family's whitespace class is now spelled out (= RE2's \s,
+    # advice r13 #5) across tokens()/strip_markup/fingerprint
     "curation_dsir_topk",
+    "ann_opq_trained_recall",
+    "t19_stream_ann_append",
+    "text_extract_markup",
     "corpus_gopher_rules",
-    "ann_pq_trained_recall",
-    "ann_ivf_pq_residual_trained",
-    "dedup_containment_prefix",
-    "privacy_l_diversity",
-    # --- re-verify cohort: stale queue head (r5/r6 remainder, stalest
-    # first; 0-name overlap with the r12 window beyond the changed set) ---
-    "window_running_sum",
-    "window_lag_lead",
-    "set_except_nations",
-    "set_intersect_nations",
-    "set_union_distinct",
-    "scalar_subquery_above_avg",
-    "scalar_function_showcase",
-    "case_when_bucketing",
-    "skew_salted_twophase_agg",
-    "correlated_exists_subquery",
-    "q4_order_priority",
-    "q14_promo_revenue",
-    "q19_disjunctive_predicates",
-    "map_functions_showcase",
-    "date_functions_showcase",
-    "q2_min_per_group_scalar_subquery",
-    "agg_exact_percentiles",
-    "unpivot_order_metrics",
-    "join_strategy_hints",
-    "set_intersect_all_statuses",
-    "set_except_all_statuses",
-    "q7_volume_shipping",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q22_global_sales_opportunity",
-    "grouping_sets_events",
-    "q8_market_share",
-    "q13_customer_order_distribution",
-    "q21_sole_supplier_orders",
-    "dedup_exact",
-    "j8_scd2_merge",
-    "ann_pq_encode",
-    "dedup_containment",
-    "agg_incremental_maintenance",
-    "text_tfidf_topk",
-    "stratified_rebalance_sample",
-    "split_dedup_safe",
-    "text_pack_streams",
-    "dedup_cluster_assign",
-)
-
-_QUEUE: tuple[str, ...] = (
-    # head = next re-verify cohort for round 14 (the r6/r8 remainder
-    # continues after whatever round-14 changes lead); the r5/r6 names the
-    # r13 window consumed are gone from this list, and the 46 names the
-    # r13 rotation displaced from the r12 window sit at the tail
-    # (freshest — driver-attested round 12). q12_priority_by_linestatus
-    # and ann_lsh_bucket_topk were displaced mid-r13 by the new
-    # curation_dsir_topk and corpus_gopher_rules per the documented slot
-    # discipline.
+    "corpus_quality_filter",
+    "text_repetition_signals",
+    # --- re-verify cohort: stale queue head (r6/r8 remainder,
+    # stalest first; 0-name overlap with the r13 window beyond the
+    # changed set) ---
     "ann_lsh_bucket_topk",
     "q12_priority_by_linestatus",
     "agg_approx_count_distinct",
@@ -303,7 +255,6 @@ _QUEUE: tuple[str, ...] = (
     "t8_stream_dedup",
     "t9_stream_static_join",
     "t10_stream_session_window",
-    # --- freshest greens: driver-attested round 8 (CORRECTNESS_r08) ---
     "text_heavy_hitters",
     "corpus_bigram_avg_prob",
     "layout_zorder_stats",
@@ -315,6 +266,14 @@ _QUEUE: tuple[str, ...] = (
     "ts_rolling_features",
     "bitmap_rollup_distinct",
     "outlier_mad_orders",
+)
+
+_QUEUE: tuple[str, ...] = (
+    # head = next re-verify cohort for round 15 (the r8/r9 remainder
+    # continues after whatever round-15 changes lead); the names the
+    # r14 window consumed are gone, and the 45 names the r14 rotation
+    # displaced from the r13 window sit at the tail (freshest --
+    # driver-attested round 13).
     "j10_merkle_range_diff",
     "stats_grouped_ols_trend",
     "stats_pearson_exact",
@@ -334,9 +293,7 @@ _QUEUE: tuple[str, ...] = (
     "decontam_ngram_overlap",
     "source_mix_report",
     "lang_temperature_sample",
-    "text_repetition_signals",
     "corpus_ngram_topk",
-    "corpus_quality_filter",
     "text_pii_redact",
     "ann_ivf_pq_refine_topk",
     "t11_stream_stream_join",
@@ -344,8 +301,6 @@ _QUEUE: tuple[str, ...] = (
     "corpus_quality_report",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    # --- freshest greens: driver-attested round 9 (CORRECTNESS_r09),
-    # rotated out of the r10 window ---
     "embedding_matryoshka_truncate",
     "dedup_minhash_lsh",
     "dedup_containment_banded",
@@ -384,8 +339,6 @@ _QUEUE: tuple[str, ...] = (
     "source_freshness_report",
     "j14_time_travel_snapshot",
     "ann_multiprobe_recall_at_k",
-    # --- freshest greens: driver-attested round 11 (CORRECTNESS_r11),
-    # rotated out of the r12 window ---
     "text_bm25_topk",
     "search_hybrid_rrf",
     "corpus_bigram_lift_topk",
@@ -436,8 +389,6 @@ _QUEUE: tuple[str, ...] = (
     "s7_file_listing",
     "p2_ignore_columns",
     "p3_watermark_tie_parity",
-    # --- freshest greens: driver-attested round 12 (CORRECTNESS_r12),
-    # rotated out of the r13 window ---
     "multimodal_feature_extract",
     "multimodal_binary_meta",
     "multimodal_frame_sample",
@@ -484,7 +435,53 @@ _QUEUE: tuple[str, ...] = (
     "cube_events",
     "pivot_status_by_year",
     "window_topk_per_group",
+    "dedup_containment_prefix_words",
+    "ann_pq_trained_recall",
+    "ann_ivf_pq_residual_trained",
+    "dedup_containment_prefix",
+    "privacy_l_diversity",
+    "window_running_sum",
+    "window_lag_lead",
+    "set_except_nations",
+    "set_intersect_nations",
+    "set_union_distinct",
+    "scalar_subquery_above_avg",
+    "scalar_function_showcase",
+    "case_when_bucketing",
+    "skew_salted_twophase_agg",
+    "correlated_exists_subquery",
+    "q4_order_priority",
+    "q14_promo_revenue",
+    "q19_disjunctive_predicates",
+    "map_functions_showcase",
+    "date_functions_showcase",
+    "q2_min_per_group_scalar_subquery",
+    "agg_exact_percentiles",
+    "unpivot_order_metrics",
+    "join_strategy_hints",
+    "set_intersect_all_statuses",
+    "set_except_all_statuses",
+    "q7_volume_shipping",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q22_global_sales_opportunity",
+    "grouping_sets_events",
+    "q8_market_share",
+    "q13_customer_order_distribution",
+    "q21_sole_supplier_orders",
+    "dedup_exact",
+    "j8_scd2_merge",
+    "ann_pq_encode",
+    "dedup_containment",
+    "agg_incremental_maintenance",
+    "text_tfidf_topk",
+    "stratified_rebalance_sample",
+    "split_dedup_safe",
+    "text_pack_streams",
+    "dedup_cluster_assign",
 )
+
 
 _PRIORITY: tuple[str, ...] = _WINDOW + _QUEUE
 

@@ -1170,8 +1170,11 @@ _T19_COS = (
     "(vec_id % 3 < 2), then stream the remaining third in as THREE true "
     "micro-batches (file replay, maxFilesPerTrigger=1) whose foreachBatch "
     "calls append_ivfpq_index — each append encodes ONLY its batch with "
-    "the index's frozen quantizers and writes ONLY the touched cell= "
-    "partitions, O(batch) not O(corpus). The search after the streamed "
+    "the index's frozen quantizers and writes ONLY its own token-keyed "
+    "batch=/cell= subtree (mode=overwrite + a manifest visibility log, "
+    "so redelivery after a crash at ANY point — even between the data "
+    "write and the manifest commit — overwrites in place instead of "
+    "double-appending; r14), O(batch) not O(corpus). The search after the streamed "
     "appends probes the persisted codes (partition pruning = the FAISS "
     "inverted-list probe). The oracle is the BATCH IVF-PQ search over the "
     "full union with base-seeded quantizers — the hash matches only "

@@ -1,0 +1,81 @@
+"""BPE merge training: parity with a canonical reference implementation
+(Sennrich et al. 2016 greedy skip-ahead scan), including the repeated-pair
+run edge cases the merge fold must get right, and the monotone
+compression witness."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from database_synchronize_tool_spark.operators.bpe import (
+    BPE_EOW,
+    train_bpe_merges,
+)
+
+
+def _canonical_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Reference BPE trainer: dict-of-tuples symbol sequences, canonical
+    skip-ahead merge scan (after merging at i, continue at i+2)."""
+    seqs = {tuple(w) + (BPE_EOW,): f for w, f in word_freqs.items()}
+    out = []
+    for step in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for syms, f in seqs.items():
+            for j in range(len(syms) - 1):
+                counts[(syms[j], syms[j + 1])] += f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        (a, b), cnt = best
+        new_seqs: dict = {}
+        for syms, f in seqs.items():
+            merged = []
+            j = 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    merged.append(a + b)
+                    j += 2
+                else:
+                    merged.append(syms[j])
+                    j += 1
+            new_seqs[tuple(merged)] = new_seqs.get(tuple(merged), 0) + f
+        seqs = new_seqs
+        tokens_after = sum(f * len(syms) for syms, f in seqs.items())
+        out.append((step, a, b, a + b, cnt, tokens_after))
+    return out
+
+
+def test_train_matches_canonical_reference(spark):
+    # run-heavy words exercise the fold's skip-ahead semantics: within one
+    # (a, b) pass a just-merged 'ab' must not act as the left of another
+    # merge ("aaaa" -> "aa aa", "aaaaa" -> "aa aa a", never "a aaa ...")
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat aaaa"),
+            (2, "the cat ran aaaaa abab"),
+            (3, "mat mat mat the the banana"),
+            (4, "abababab banana cat"),
+        ],
+        "doc_id long, text string",
+    )
+    word_freqs: Counter = Counter()
+    for _, t in docs.collect():
+        for w in t.lower().split():
+            word_freqs[w] += 1
+    want = _canonical_bpe(dict(word_freqs), 8)
+    got = [tuple(r) for r in train_bpe_merges(docs, n_merges=8).collect()]
+    assert got == want, (got, want)
+
+
+def test_tokens_after_is_monotone_and_counts_drop(spark, sf_dir):
+    from database_synchronize_tool_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(100)
+    rows = train_bpe_merges(d, n_merges=5).collect()
+    assert [r["step"] for r in rows] == [1, 2, 3, 4, 5]
+    toks = [r["tokens_after"] for r in rows]
+    # each merge removes exactly pair_count-applied symbols, so the
+    # corpus token count strictly decreases while merges exist
+    assert all(a > b for a, b in zip(toks, toks[1:]))
+    assert all(r["merged"] == r["left_sym"] + r["right_sym"] for r in rows)
+    assert all(r["pair_count"] > 0 for r in rows)

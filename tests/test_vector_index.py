@@ -192,3 +192,50 @@ def test_opq_rotated_index_roundtrip_append_and_search(spark, sf_dir, tmp_path):
     )
     assert pairs(search_ivfpq_index(appended, queries, k=5, n_probe=2)) == \
         pairs(search_ivfpq_index(full, queries, k=5, n_probe=2))
+
+
+def test_append_crash_between_data_and_manifest_is_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """r13 advice #1 (closed in r14): a crash BETWEEN the parquet append
+    and the manifest commit leaves an orphan batch= dir that (a) is
+    invisible to load_ivfpq_index and (b) is overwritten in place by the
+    re-delivered batch — no double-append at any crash point."""
+    import json
+    import os
+
+    from database_synchronize_tool_spark.operators.vector_index import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        load_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+    idx_dir = str(tmp_path / "idx")
+    idx = build_ivfpq_index(old, idx_dir, n_cells=8)
+    pre_manifest = open(os.path.join(idx_dir, "manifest.json")).read()
+
+    append_ivfpq_index(idx, new, batch_token="ck-b1")
+    # simulate the crash: the data landed, the manifest commit did not
+    with open(os.path.join(idx_dir, "manifest.json"), "w") as fh:
+        fh.write(pre_manifest)
+
+    crashed = load_ivfpq_index(spark, idx_dir)
+    # (a) the orphan batch dir exists on disk but is invisible
+    assert os.path.isdir(os.path.join(idx_dir, "codes", "batch=t-ck-b1"))
+    assert crashed.codes.count() == old.count()
+    assert crashed.meta["n_vectors"] == old.count()
+
+    # (b) re-delivery overwrites in place and commits exactly once
+    recovered = append_ivfpq_index(crashed, new, batch_token="ck-b1")
+    assert recovered.codes.count() == emb.count()
+    assert recovered.meta["n_vectors"] == emb.count()
+    man = json.load(open(os.path.join(idx_dir, "manifest.json")))
+    assert man["batches"] == ["base", "t-ck-b1"]
+    assert man["applied_tokens"] == ["ck-b1"]
+
+    # a SECOND delivery of the same token is the manifest no-op path
+    again = append_ivfpq_index(recovered, new, batch_token="ck-b1")
+    assert again.meta["n_vectors"] == emb.count()

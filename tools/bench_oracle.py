@@ -79,18 +79,42 @@ def run_oracle_bench(
     # this run's root, reclaim roots whose owning pid is dead — a dead
     # pid provably holds no open spill files, so the sweep is safe where
     # an age-based one would not be.
+    # The dir name also carries the owning process's START TIME (r13
+    # advice #4: /proc/<pid> existence alone leaks the dir forever if an
+    # unrelated process recycles the pid) — a live pid with a DIFFERENT
+    # start time is a recycled pid, so its dir is provably orphaned too.
+    def _proc_start(pid: str) -> str | None:
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                # field 22 (starttime, clock ticks since boot); fields
+                # 1-2 can contain spaces inside the comm parens, so
+                # parse from AFTER the closing paren
+                return fh.read().rsplit(")", 1)[1].split()[19]
+        except OSError:
+            return None
+
     for stale in _os.listdir(tempfile.gettempdir()):
         if not stale.startswith("duckdb_bench_spill_"):
             continue
         parts = stale.split("_")
         pid = parts[3] if len(parts) > 3 and parts[3].isdigit() else None
-        if pid is not None and not _os.path.exists(f"/proc/{pid}"):
+        if pid is None:
+            continue
+        live_start = _proc_start(pid)
+        stamped = parts[4] if len(parts) > 4 and parts[4].isdigit() else None
+        dead = live_start is None or (
+            stamped is not None and live_start != stamped
+        )
+        if dead:
             shutil.rmtree(
                 _os.path.join(tempfile.gettempdir(), stale),
                 ignore_errors=True,
             )
     spill_root = tempfile.mkdtemp(
-        prefix=f"duckdb_bench_spill_{_os.getpid()}_"
+        prefix=(
+            f"duckdb_bench_spill_{_os.getpid()}_"
+            f"{_proc_start(str(_os.getpid())) or 0}_"
+        )
     )
     spill_seq = [0]
 
