@@ -189,6 +189,15 @@ HEADLINE = [
     "text_extract_markup",
     "curation_dsir_topk",
     "corpus_gopher_rules",
+    # round-14 additions. text_bpe_train_merges is excluded like the
+    # trained-quantizer family: its Spark training happens at plan-build
+    # time (bounded argmax collects), so the timed collect would
+    # materialize a 10-row local table while the ORACLE replays the full
+    # 10-iteration training per execution — a pairing asymmetric in
+    # Spark's favor. It gets its per-round timing row from the
+    # full-registry tier instead.
+    "curation_nb_quality_topk",
+    "curation_shard_manifest",
 ]
 
 # Bench tiers (r12 verdict #1). The headline total/ratio measure the
