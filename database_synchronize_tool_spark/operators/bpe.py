@@ -62,20 +62,14 @@ def _fold_str(s, a: str, b: str):
     )
 
 
-def train_bpe_merges(
-    docs: DataFrame,
-    n_merges: int = 10,
-    text_col: str = "text",
-) -> DataFrame:
-    """Train ``n_merges`` BPE merges over the corpus; returns the merge
-    table (step, left_sym, right_sym, merged, pair_count, tokens_after)
-    — bounded training metadata, like the Lloyd centroid tables.
-    ``tokens_after`` is the corpus token count after applying the step's
-    merge (freq-weighted symbol count over the vocabulary), the monotone
-    compression witness."""
+def _train_vocab(
+    docs: DataFrame, n_merges: int, text_col: str
+) -> tuple[DataFrame, list[tuple]]:
+    """Shared training loop: returns the final (word, freq, seq) vocab
+    table (persisted) and the merge rows — train_bpe_merges emits the
+    rows, bpe-apply consumers join the vocab."""
     from database_synchronize_tool_spark.caching import scoped_persist
 
-    spark = docs.sparkSession
     words = (
         docs.select(
             F.explode(
@@ -90,6 +84,7 @@ def train_bpe_merges(
     )
     cur = scoped_persist(
         words.select(
+            "word",
             "freq",
             # "hello" -> "h e l l o </w>" (single-space separated symbols)
             F.concat(
@@ -147,10 +142,69 @@ def train_bpe_merges(
                 int(tokens_after),
             )
         )
-    return spark.createDataFrame(
+    return cur, rows
+
+
+def train_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges over the corpus; returns the merge
+    table (step, left_sym, right_sym, merged, pair_count, tokens_after)
+    — bounded training metadata, like the Lloyd centroid tables.
+    ``tokens_after`` is the corpus token count after applying the step's
+    merge (freq-weighted symbol count over the vocabulary), the monotone
+    compression witness."""
+    _, rows = _train_vocab(docs, n_merges, text_col)
+    return docs.sparkSession.createDataFrame(
         rows,
         "step int, left_sym string, right_sym string, merged string, "
         "pair_count bigint, tokens_after bigint",
+    )
+
+
+def bpe_learned_token_counts(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token counts under the LEARNED merges — the inference
+    side of :func:`train_bpe_merges` consuming its vocab (the 'optionally
+    consuming the learned table' leg of the r13 verdict #6): each doc's
+    count is the sum, over its word occurrences, of the trained vocab's
+    per-word symbol count. One doc->word explode joined against the
+    vocab's (word, n_syms) — the vocab is distinct-word-bounded (broadcast
+    at moderate scale, an ordinary shuffle join past it), never a per-doc
+    re-segmentation."""
+    vocab, _ = _train_vocab(docs, n_merges, text_col)
+    per_word = vocab.select(
+        "word", F.size(F.split("seq", " ")).cast("bigint").alias("n_syms")
+    )
+    docw = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), BPE_WORD_SPLIT),
+                lambda t: t != "",
+            )
+        ).alias("word"),
+    )
+    counts = (
+        docw.join(per_word, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_syms").cast("bigint").alias("n"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias(
+                "n_bpe_tokens_learned"
+            ),
+        )
     )
 
 

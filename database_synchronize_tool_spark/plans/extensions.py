@@ -5185,7 +5185,7 @@ def curation_nb_quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_quality_topk(d, k=50)
 
 
-def _bpe_oracle_sql(n: int) -> str:
+def _bpe_cte_parts(n: int) -> list:
     """DuckDB replay of train_bpe_merges: the whole training loop —
     pair count, argmax with the (cnt DESC, pair ASC) tie-break, and the
     lookahead-free merge fold — unrolled as n CTE stages (the
@@ -5200,7 +5200,8 @@ def _bpe_oracle_sql(n: int) -> str:
       ) GROUP BY word
     )""",
         """s0 AS (
-      SELECT freq, regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS seq
+      SELECT word, freq,
+             regexp_replace(word, '(.)', '\\1 ', 'g') || '</w>' AS seq
       FROM w0
     )""",
     ]
@@ -5219,7 +5220,7 @@ def _bpe_oracle_sql(n: int) -> str:
       FROM p{i} ORDER BY cnt DESC, pair LIMIT 1
     )""")
         parts.append(f"""s{i} AS (
-      SELECT freq,
+      SELECT s.word, s.freq,
              list_reduce(string_split(s.seq, ' '),
                (acc, x) -> CASE WHEN regexp_extract(acc, '([^ ]*)$', 1) = b.l
                                      AND x = b.r
@@ -5233,10 +5234,40 @@ def _bpe_oracle_sql(n: int) -> str:
               FROM s{i}) AS tokens_after
       FROM b{i} b
     )""")
+    return parts
+
+
+def _bpe_oracle_sql(n: int) -> str:
+    parts = _bpe_cte_parts(n)
     union = "\n    UNION ALL ".join(
         f"SELECT * FROM r{i}" for i in range(1, n + 1)
     )
     return "WITH " + ",\n    ".join(parts) + "\n    " + union
+
+
+def _bpe_apply_oracle_sql(n: int) -> str:
+    """The inference twin: per-doc token counts under the trained vocab —
+    the SAME training CTE chain, final select joins each document's word
+    occurrences against s{n}'s per-word symbol counts."""
+    parts = _bpe_cte_parts(n)
+    parts.append("""docw AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS word
+      FROM documents
+    )""")
+    parts.append(f"""percnt AS (
+      SELECT docw.doc_id,
+             CAST(SUM(len(string_split(v.seq, ' '))) AS BIGINT) AS n
+      FROM docw JOIN s{n} v USING (word) GROUP BY docw.doc_id
+    )""")
+    return (
+        "WITH " + ",\n    ".join(parts) + """
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n, 0) AS BIGINT) AS n_bpe_tokens_learned
+    FROM documents d LEFT JOIN percnt p USING (doc_id)"""
+    )
 
 
 _BPE_N_MERGES = 10
@@ -5266,6 +5297,29 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return train_bpe_merges(d, n_merges=_BPE_N_MERGES)
+
+
+@declared(
+    "text_bpe_apply_learned",
+    oracle=_bpe_apply_oracle_sql(_BPE_N_MERGES),
+    doc="Inference side of text_bpe_train_merges — per-document token "
+    "counts under the LEARNED merges (the 'bpe_token_count consuming "
+    "the learned table' leg of r13 verdict #6). NOT a per-doc "
+    "re-segmentation: each doc's count is the sum over its word "
+    "occurrences of the trained vocab's per-word symbol count, so the "
+    "apply pass is one doc->word explode joined against the distinct-"
+    "word-bounded vocab (broadcastable at moderate scale, an ordinary "
+    "shuffle join past it). The oracle re-runs the full training CTE "
+    "chain and joins s10 — training AND inference replay bit-"
+    "identically.",
+)
+def text_bpe_apply_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.operators.bpe import (
+        bpe_learned_token_counts,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_learned_token_counts(d, n_merges=_BPE_N_MERGES)
 
 
 @declared(

@@ -208,6 +208,7 @@ _WINDOW: tuple[str, ...] = (
     # merge training, and the token-balanced shard manifest
     "curation_nb_quality_topk",
     "text_bpe_train_merges",
+    "text_bpe_apply_learned",
     "curation_shard_manifest",
     # CHANGED: curation_dsir_topk rides the shared
     # _bigram_bucket_counts/_ratio_terms helpers (results pinned
@@ -265,7 +266,6 @@ _WINDOW: tuple[str, ...] = (
     "events_retention_cohorts",
     "ts_rolling_features",
     "bitmap_rollup_distinct",
-    "outlier_mad_orders",
 )
 
 _QUEUE: tuple[str, ...] = (
@@ -274,6 +274,7 @@ _QUEUE: tuple[str, ...] = (
     # r14 window consumed are gone, and the 45 names the r14 rotation
     # displaced from the r13 window sit at the tail (freshest --
     # driver-attested round 13).
+    "outlier_mad_orders",
     "j10_merkle_range_diff",
     "stats_grouped_ols_trend",
     "stats_pearson_exact",

@@ -79,3 +79,49 @@ def test_tokens_after_is_monotone_and_counts_drop(spark, sf_dir):
     assert all(a > b for a, b in zip(toks, toks[1:]))
     assert all(r["merged"] == r["left_sym"] + r["right_sym"] for r in rows)
     assert all(r["pair_count"] > 0 for r in rows)
+
+
+def test_learned_counts_match_canonical(spark):
+    from database_synchronize_tool_spark.operators.bpe import (
+        bpe_learned_token_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat aaaa"),
+            (2, "the cat ran aaaaa abab"),
+            (3, "mat mat mat the the banana"),
+            (4, "abababab banana cat"),
+            (5, ""),  # wordless doc -> 0 tokens
+        ],
+        "doc_id long, text string",
+    )
+    word_freqs: Counter = Counter()
+    for _, t in docs.collect():
+        for w in t.lower().split():
+            word_freqs[w] += 1
+    # canonical training, then replay the merge list on each word
+    merges = [(a, b) for _, a, b, _, _, _ in _canonical_bpe(dict(word_freqs), 6)]
+    vocab: dict[str, int] = {}
+    for w in word_freqs:
+        syms = list(w) + [BPE_EOW]
+        for a, b in merges:
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            syms = out
+        vocab[w] = len(syms)
+    want = {
+        did: sum(vocab[w] for w in t.lower().split())
+        for did, t in docs.collect()
+    }
+    got = {
+        r["doc_id"]: r["n_bpe_tokens_learned"]
+        for r in bpe_learned_token_counts(docs, n_merges=6).collect()
+    }
+    assert got == want, (got, want)

@@ -667,3 +667,20 @@ def test_ndv_profile_classifier_and_sweep_catch_new_column(spark):
         )
     )
     assert low_ndv_partition_windows(ok) == 0
+
+
+def test_shard_manifest_mapping_join_is_broadcast(spark, sf_dir):
+    # r14: the 128-row bin->shard mapping must broadcast onto the corpus —
+    # a SortMergeJoin here would shuffle the whole corpus on sub_bin
+    plan = plan_of(spark, sf_dir, "curation_shard_manifest")
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "SortMergeJoin" not in plan
+
+
+def test_nb_quality_topk_is_take_ordered_with_broadcast_overlap(spark, sf_dir):
+    # r14: both top-ks are TakeOrderedAndProject (per-partition heaps, no
+    # global sort) and the kxk overlap join broadcasts
+    plan = plan_of(spark, sf_dir, "curation_nb_quality_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
