@@ -1788,8 +1788,9 @@ def q20_potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n,
-           CAST(CAST(n * sxy - sx * sy AS DOUBLE)
-                / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE) AS slope
+           CAST(CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                AS DOUBLE) AS slope
     FROM s
     """,
     doc="Grouped OLS trend (closed-form least squares): per event_type, the "
@@ -1798,7 +1799,8 @@ def q20_potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "form that replaces any iterative fit at 100 TB (one aggregate, no "
     "second pass, mergeable partials). Every sum is integer or DECIMAL "
     "(order-exact); only the final slope division happens in doubles, with "
-    "identical association on both engines. Spark's built-in regr_slope "
+    "identical association on both engines and via-string decimal->double "
+    "conversions (correctly rounded on both engines, r14). Spark's built-in regr_slope "
     "would sum doubles in partition order and flap the hash — this is the "
     "deterministic equivalent.",
 )
@@ -1813,8 +1815,18 @@ def stats_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x * y).alias("sxy"),
         F.sum(x * x).alias("sxx"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    # via-string decimal->double: correctly rounded on both engines (the
+    # pearson r14 fix; the direct cast diverges on >2^53 significands)
+    num = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("string")
+        .cast("double")
+    )
+    den = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("string")
+        .cast("double")
+    )
     return s.select(
         "event_type",
         F.col("n").cast("long").alias("n"),
@@ -1839,9 +1851,10 @@ def stats_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-           CAST(CAST(n * sxy - sx * sy AS DOUBLE)
-                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS DOUBLE)
+           CAST(CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                / (sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+                   * sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)))
+                AS DOUBLE)
              AS pearson_r
     FROM s
     """,
@@ -1850,6 +1863,9 @@ def stats_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shape as the OLS trend. The only floating-point steps are two sqrt "
     "calls (IEEE 754 requires sqrt correctly rounded, so both engines "
     "agree bit-for-bit), one multiply, one divide, written with identical "
+    "association, and the decimal->double conversions go VIA STRING so "
+    "they are correctly rounded on both engines (>2^53 significands "
+    "diverge under the direct cast — r14 sf0.1 sweep finding) "
     "association. Spark's corr() sums doubles in partition order — "
     "nondeterministic at the hash level; this is the order-exact form.",
 )
@@ -1865,9 +1881,19 @@ def stats_pearson_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x * x).alias("sxx"),
         F.sum(y * y).alias("syy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    denx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
-    deny = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    # decimal -> double through a STRING cast (r14, caught by the sf0.1
+    # sweep): these exact decimals carry >2^53 significands, and the
+    # DIRECT decimal->double conversion is 1 ulp off between engines
+    # (measured: DuckDB 0x...819 vs correctly rounded 0x...818). A
+    # decimal->string cast is exact and string->double is REQUIRED to be
+    # correctly rounded on both engines (Double.parseDouble / fast_float),
+    # so the via-string conversion is bit-identical always.
+    def d(c):
+        return c.cast("string").cast("double")
+
+    num = d(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    denx = F.sqrt(d(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    deny = F.sqrt(d(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")))
     return s.select(
         "l_returnflag",
         F.col("n").cast("long").alias("n"),

@@ -750,23 +750,27 @@ _COV_D = 16  # leading dims: d(d+1)/2 = 136 cells — bounded statistics output
     ),
     s AS (
       SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(CAST(x AS DECIMAL(18,9))) AS sx,
-             SUM(CAST(y AS DECIMAL(18,9))) AS sy,
-             SUM(CAST(x * y AS DECIMAL(18,9))) AS sxy
+             SUM(CAST(floor(x * 1000000000.0 + 0.5) AS BIGINT)) AS sx,
+             SUM(CAST(floor(y * 1000000000.0 + 0.5) AS BIGINT)) AS sy,
+             SUM(CAST(floor(x * y * 1000000000.0 + 0.5) AS BIGINT)) AS sxy
       FROM cells GROUP BY 1, 2
     )
     SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, n,
-           CAST(sxy AS DOUBLE) AS sxy,
-           (CAST(sxy AS DOUBLE)
-            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+           CAST(sxy AS DOUBLE) / 1000000000.0 AS sxy,
+           (CAST(sxy AS DOUBLE) / 1000000000.0
+            - (CAST(sx AS DOUBLE) / 1000000000.0)
+              * (CAST(sy AS DOUBLE) / 1000000000.0) / CAST(n AS DOUBLE))
              / CAST(n AS DOUBLE) AS cov
     FROM s
     """,
     doc=f"Covariance sufficient statistics of the leading {_COV_D} "
     "embedding dimensions: per (i, j <= i..d) cell, one pass accumulates "
-    "(n, Sigma x, Sigma y, Sigma xy) with each per-row product rounded "
-    "through DECIMAL(18,9) before the order-insensitive exact sum (the "
-    "chi2 pattern), then ONE identically-written float chain produces "
+    "(n, Sigma x, Sigma y, Sigma xy) with each per-row value/product "
+    "quantized by the explicit IEEE half-up rule floor(v*1e9+0.5) before "
+    "the order-insensitive exact integer sum (r14: the DECIMAL cast "
+    "rounds HALF_UP in Spark vs HALF_EVEN in DuckDB and float32 values "
+    "CAN be exact 9-decimal midpoints), then ONE identically-written "
+    "float chain produces "
     "cov = (Sxy - Sx*Sy/n)/n. The d(d+1)/2-cell upper triangle is "
     "generated IN-ROW (no self-join of exploded tables): each vector "
     "emits its 136 products inside whole-stage codegen and the shuffle "
@@ -793,25 +797,29 @@ def embedding_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("c")
     ).select("c.i", "c.j", "c.x", "c.y")
+    def q(c):
+        # explicit IEEE half-up quantization at 1e-9 (r14: the DECIMAL
+        # cast rounds HALF_UP in Spark but HALF_EVEN in DuckDB, and
+        # float32-derived values CAN be exact 9-decimal midpoints —
+        # caught by the sf0.1 sweep on embedding_label_centroids)
+        return F.floor(c * F.lit(1.0e9) + F.lit(0.5)).cast("decimal(38,0)")
+
     s = cells.groupBy("i", "j").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("x").cast("decimal(18,9)")).alias("sx"),
-        F.sum(F.col("y").cast("decimal(18,9)")).alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast("decimal(18,9)")).alias("sxy"),
+        F.sum(q(F.col("x"))).alias("sx"),
+        F.sum(q(F.col("y"))).alias("sy"),
+        F.sum(q(F.col("x") * F.col("y"))).alias("sxy"),
     )
     nd = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double") / F.lit(1.0e9)
+    sy_d = F.col("sy").cast("double") / F.lit(1.0e9)
+    sxy_d = F.col("sxy").cast("double") / F.lit(1.0e9)
     return s.select(
         F.col("i").cast("int").alias("i"),
         F.col("j").cast("int").alias("j"),
         "n",
-        F.col("sxy").cast("double").alias("sxy"),
-        (
-            (
-                F.col("sxy").cast("double")
-                - F.col("sx").cast("double") * F.col("sy").cast("double") / nd
-            )
-            / nd
-        ).alias("cov"),
+        sxy_d.alias("sxy"),
+        ((sxy_d - sx_d * sy_d / nd) / nd).alias("cov"),
     )
 
 
@@ -958,9 +966,10 @@ def stats_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM r GROUP BY l_returnflag
     )
     SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-           CAST(CAST(n * sxy - sx * sy AS DOUBLE)
-                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS DOUBLE)
+           CAST(CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                / (sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+                   * sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)))
+                AS DOUBLE)
              AS spearman_rho
     FROM s
     """,
@@ -1004,9 +1013,16 @@ def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
         F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    denx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
-    deny = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    # via-string decimal->double (r14 pearson fix): the rank-product
+    # DECIMAL stats reach 4n^3 ~ 2^58 at sf0.1, where the direct cast's
+    # rounding diverges across engines; decimal->string->double is
+    # correctly rounded on both.
+    def d(c):
+        return c.cast("string").cast("double")
+
+    num = d(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    denx = F.sqrt(d(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    deny = F.sqrt(d(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")))
     return s.select(
         g,
         F.col("n").cast("bigint").alias("n"),
@@ -1184,14 +1200,15 @@ _WHITEN_VECS = 50
       FROM embeddings CROSS JOIN range({_WHITEN_D}) i(i)
     ), stats AS (
       SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(CAST(x AS DECIMAL(18,9))) AS sx,
-             SUM(CAST(x * x AS DECIMAL(18,9))) AS sxx
+             SUM(CAST(floor(x * 1000000000.0 + 0.5) AS BIGINT)) AS sx,
+             SUM(CAST(floor(x * x * 1000000000.0 + 0.5) AS BIGINT)) AS sxx
       FROM vals GROUP BY pos
     )
     SELECT v.vec_id, CAST(v.pos AS INT) AS pos,
-           (v.x - CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE))
-           / sqrt((CAST(s.sxx AS DOUBLE)
-                   - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)
+           (v.x - CAST(s.sx AS DOUBLE) / 1000000000.0 / CAST(s.n AS DOUBLE))
+           / sqrt((CAST(s.sxx AS DOUBLE) / 1000000000.0
+                   - (CAST(s.sx AS DOUBLE) / 1000000000.0)
+                     * (CAST(s.sx AS DOUBLE) / 1000000000.0)
                      / CAST(s.n AS DOUBLE))
                   / CAST(s.n AS DOUBLE)) AS z
     FROM vals v JOIN stats s USING (pos)
@@ -1199,7 +1216,7 @@ _WHITEN_VECS = 50
     """,
     doc=f"Diagonal whitening (per-dimension z-score) of the leading "
     f"{_WHITEN_D} embedding dimensions: corpus-wide per-dim (n, Sigma x, "
-    "Sigma x^2) via the DECIMAL(18,9)-rounded exact-sum pattern "
+    "Sigma x^2) via the explicit-IEEE-quantize exact-sum pattern "
     "(embedding_covariance_stats' discipline), then each value is "
     "standardized with ONE identically-associated float chain "
     "(x - Sx/n) / sqrt((Sxx - Sx*Sx/n)/n). The full-covariance version "
@@ -1221,14 +1238,19 @@ def embedding_zscore_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos", "xf"
         ),
     ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    def q(c):
+        # explicit IEEE half-up quantization at 1e-9 (see
+        # embedding_covariance_stats / the r14 sweep finding)
+        return F.floor(c * F.lit(1.0e9) + F.lit(0.5)).cast("decimal(38,0)")
+
     stats = vals.groupBy("pos").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("x").cast("decimal(18,9)")).alias("sx"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(18,9)")).alias("sxx"),
+        F.sum(q(F.col("x"))).alias("sx"),
+        F.sum(q(F.col("x") * F.col("x"))).alias("sxx"),
     )
     n_d = F.col("n").cast("double")
-    sx_d = F.col("sx").cast("double")
-    sxx_d = F.col("sxx").cast("double")
+    sx_d = F.col("sx").cast("double") / F.lit(1.0e9)
+    sxx_d = F.col("sxx").cast("double") / F.lit(1.0e9)
     mean = sx_d / n_d
     var = (sxx_d - sx_d * sx_d / n_d) / n_d
     return (

@@ -406,21 +406,26 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_label_centroids",
     oracle="""
     SELECT label, i - 1 AS dim,
-           CAST(CAST(SUM(CAST(CAST(embedding AS DOUBLE[])[i]
-                              AS DECIMAL(18,9))) AS DOUBLE)
-                / COUNT(*) AS DOUBLE) AS centroid
+           CAST(SUM(CAST(floor(CAST(embedding AS DOUBLE[])[i]
+                                * 1000000000.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1000000000.0 / COUNT(*) AS centroid
     FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
     GROUP BY label, i
     """,
     doc="Per-label embedding centroids (class prototypes — the nearest-"
     "centroid classifier / SemDeDup seed): posexplode each vector to "
-    "(label, dim, value), sum per cell through DECIMAL (float32 -> "
-    "float64 is exact, and both engines round double -> DECIMAL(18,9) "
-    "identically on non-midpoint binary values), then one final double "
-    "division by the class count. One shuffle keyed by (label, dim) — "
-    "|labels|·d cells regardless of corpus size, with map-side partials "
-    "doing the reduction; the transpose-free alternative (array-typed "
-    "zip_with fold) would be order-dependent in floats.",
+    "(label, dim, value), quantize each value with the EXPLICIT IEEE "
+    "half-up rule floor(v*1e9 + 0.5) — the r14 sf0.1 sweep caught the "
+    "previous cast-to-DECIMAL(18,9) form diverging, because a float32 "
+    "value CAN be an exact 9-decimal midpoint (e.g. n·2^-10) and Spark "
+    "rounds the cast HALF_UP while DuckDB rounds HALF_EVEN; the "
+    "multiply/add/floor chain is one correctly-rounded IEEE op each, so "
+    "both engines produce the identical integer ALWAYS — then exact "
+    "integer sums and one identically-associated double division chain. "
+    "One shuffle keyed by (label, dim) — |labels|·d cells regardless of "
+    "corpus size, with map-side partials doing the reduction; the "
+    "transpose-free alternative (array-typed zip_with fold) would be "
+    "order-dependent in floats.",
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -429,10 +434,16 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "label",
         F.col("pos").alias("dim"),
-        F.col("col").cast("decimal(18,9)").alias("v"),
+        F.floor(F.col("col") * F.lit(1.0e9) + F.lit(0.5)).alias("q"),
     )
     return cells.groupBy("label", "dim").agg(
-        (F.sum("v").cast("double") / F.count("*")).cast("double").alias("centroid")
+        (
+            # decimal(38,0) sum: exact at any corpus size (Spark's bigint
+            # sum would wrap silently past 2^63; DuckDB's is HUGEINT)
+            F.sum(F.col("q").cast("decimal(38,0)")).cast("double")
+            / F.lit(1.0e9)
+            / F.count("*")
+        ).alias("centroid")
     )
 
 

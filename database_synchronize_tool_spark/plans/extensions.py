@@ -489,11 +489,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT label, COUNT(*) AS n,
-           CAST(SUM(CAST(nrm AS DECIMAL(18,9))) AS DOUBLE) AS sum_norm
+           CAST(SUM(CAST(floor(nrm * 1000000000.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1000000000.0 AS sum_norm
     FROM e GROUP BY label
     """,
-    doc="Per-label embedding norm statistics (vector math + decimal-exact "
-    "aggregation).",
+    doc="Per-label embedding norm statistics (vector math + explicit-IEEE-"
+    "quantized exact aggregation; r14: the former DECIMAL(18,9) cast "
+    "rounds HALF_UP in Spark vs HALF_EVEN in DuckDB).",
 )
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_synchronize_tool_spark.functions.vectors import norm
@@ -504,7 +506,16 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("nrm").cast("decimal(18,9)")).cast("double").alias("sum_norm"),
+            (
+                # explicit IEEE half-up quantization at 1e-9 (r14 sweep
+                # finding: cast-to-DECIMAL rounding modes differ per engine)
+                F.sum(
+                    F.floor(F.col("nrm") * F.lit(1.0e9) + F.lit(0.5)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / F.lit(1.0e9)
+            ).alias("sum_norm"),
         )
     )
 

@@ -224,6 +224,20 @@ _WINDOW: tuple[str, ...] = (
     "corpus_gopher_rules",
     "corpus_quality_filter",
     "text_repetition_signals",
+    # CHANGED (mid-r14, caught by the sf0.1 sweep): the embedding
+    # decimal-sum family moved to explicit IEEE quantization
+    # (floor(v*1e9+0.5)) — Spark rounds double->DECIMAL HALF_UP,
+    # DuckDB HALF_EVEN, and float32 values can be exact midpoints
+    "embedding_label_centroids",
+    "embedding_covariance_stats",
+    "embedding_zscore_whiten",
+    # CHANGED (mid-r14, same sweep finding class): the correlation-
+    # family decimal->double conversions now go VIA STRING (exact
+    # decimal->string + correctly-rounded string->double on both
+    # engines; the direct cast is 1 ulp off past 2^53 significands)
+    "stats_pearson_exact",
+    "stats_grouped_ols_trend",
+    "stats_spearman_rank",
     # --- re-verify cohort: stale queue head (r6/r8 remainder,
     # stalest first; 0-name overlap with the r13 window beyond the
     # changed set) ---
@@ -260,12 +274,6 @@ _WINDOW: tuple[str, ...] = (
     "corpus_bigram_avg_prob",
     "layout_zorder_stats",
     "ann_hamming_binary_topk",
-    "j9_cdc_changelog_compaction",
-    "ts_gap_fill_interpolate",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "ts_rolling_features",
-    "bitmap_rollup_distinct",
 )
 
 _QUEUE: tuple[str, ...] = (
@@ -274,6 +282,12 @@ _QUEUE: tuple[str, ...] = (
     # r14 window consumed are gone, and the 45 names the r14 rotation
     # displaced from the r13 window sit at the tail (freshest --
     # driver-attested round 13).
+    "j9_cdc_changelog_compaction",
+    "ts_gap_fill_interpolate",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "ts_rolling_features",
+    "bitmap_rollup_distinct",
     "outlier_mad_orders",
     "j10_merkle_range_diff",
     "stats_grouped_ols_trend",
