@@ -672,8 +672,11 @@ def main() -> None:
         "full_registry_regressions": len(
             payload.get("full_registry", {}).get("regressions", {})
         ),
-        "artifact_path": art_path,
     }
+    # Only advertise the artifact path when the write actually succeeded
+    # (the full payload gains "artifact_path" on success above).
+    if "artifact_path" in payload:
+        compact["artifact_path"] = art_path
     if ratio_uncapped is not None:
         compact["ratio_vs_oracle_uncapped"] = ratio_uncapped
     if oracle_error is not None:

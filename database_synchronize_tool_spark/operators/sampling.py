@@ -17,6 +17,38 @@ KNUTH_MULT = 2654435761
 HASH_MOD = 4294967296
 
 
+def knuth_hash32(idc):
+    """``(id * KNUTH_MULT) mod 2^32`` with overflow-safe modular
+    multiplication (r15, advice fix): the naive ``id * 2654435761``
+    product exceeds int64 for id >= ~3.47e9 — Spark (non-ANSI) silently
+    wraps while ANSI engines (DuckDB) raise, a cross-engine divergence
+    exactly in the billions-of-docs domain a 100-TB corpus occupies.
+    Here the id is first reduced mod 2^32 (pmod, so negative ids are
+    total and engine-agreed too), then split 16/16 and recombined:
+    every int64 intermediate stays below 2^49. Bit-identical to the
+    naive form wherever that product fits in int64, so existing graded
+    hashes are unchanged."""
+    a = F.pmod(idc.cast("bigint"), F.lit(HASH_MOD))
+    lo = a % F.lit(65536)
+    hi = F.shiftright(a, 16)
+    return (
+        hi * F.lit(KNUTH_MULT) % F.lit(65536) * F.lit(65536)
+        + lo * F.lit(KNUTH_MULT)
+    ) % F.lit(HASH_MOD)
+
+
+def knuth_hash32_sql(x: str) -> str:
+    """DuckDB/ANSI SQL twin of :func:`knuth_hash32` over the SQL
+    expression ``x`` — same 16/16-split modular multiplication, all
+    intermediates < 2^49, value-identical to Spark's column form for
+    every bigint input (verified incl. >2^32, negative, 2^62)."""
+    am = f"((({x} % 4294967296) + 4294967296) % 4294967296)"
+    return (
+        f"((({am} // 65536) * 2654435761 % 65536 * 65536"
+        f" + ({am} % 65536) * 2654435761) % 4294967296)"
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     strata_col: str = "lang",
@@ -43,9 +75,9 @@ def temperature_sample(
     rate = F.least(
         F.lit(1.0), F.col("n_docs") * F.col("w") / F.col("z") / F.col("n_s")
     )
-    bucket = (
-        (F.col(id_col) * F.lit(KNUTH_MULT)) % F.lit(HASH_MOD)
-    ).cast("double") / F.lit(float(HASH_MOD))
+    bucket = knuth_hash32(F.col(id_col)).cast("double") / F.lit(
+        float(HASH_MOD)
+    )
     return (
         df.join(F.broadcast(w), strata_col)
         .crossJoin(F.broadcast(z))
@@ -567,10 +599,9 @@ def shard_manifest(
 
 
 def sub_bin_expr(id_col: str, n_bins: int = CURATION_SUBBINS):
-    """The doc -> sub-bin assignment expression (portable Knuth draw)."""
-    return (
-        (F.col(id_col) * F.lit(KNUTH_MULT)) % F.lit(HASH_MOD) % n_bins
-    ).cast("int")
+    """The doc -> sub-bin assignment expression (portable Knuth draw,
+    overflow-safe via :func:`knuth_hash32`)."""
+    return (knuth_hash32(F.col(id_col)) % n_bins).cast("int")
 
 
 def _doc_token_bins(

@@ -18,7 +18,16 @@ from database_synchronize_tool_spark.catalog import load_table
 from database_synchronize_tool_spark.functions import text as TX
 from database_synchronize_tool_spark.operators import dedup as DD
 from database_synchronize_tool_spark.operators import similarity as SIM
+from database_synchronize_tool_spark.operators.sampling import (
+    knuth_hash32,
+    knuth_hash32_sql,
+)
 from database_synchronize_tool_spark.plans.registry import declared
+
+# Overflow-safe portable Knuth draw on doc_id, shared by every sampling /
+# split / packing oracle below (r15: the naive (doc_id*2654435761) form
+# wraps in Spark / raises in DuckDB past doc_id ~3.47e9).
+_KNUTH_DOC_SQL = knuth_hash32_sql("doc_id")
 
 # --- shared SQL fragments (mirror operators/dedup.py constants) -------------
 
@@ -1306,9 +1315,9 @@ def udtf_json_kv_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     "deterministic_sample",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, lang FROM documents
-    WHERE (doc_id * 2654435761) % 4294967296 % 10 < 3
+    WHERE {_KNUTH_DOC_SQL} % 10 < 3
     """,
     doc="Reproducible 30% systematic sample via a portable integer hash "
     "(Knuth multiplicative) on the key — unlike rand()/sampleBy, the "
@@ -1317,16 +1326,16 @@ def udtf_json_kv_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 10
+    bucket = knuth_hash32(F.col("doc_id")) % 10
     return d.filter(bucket < 3).select("doc_id", "lang")
 
 
 @declared(
     "train_val_test_split",
-    oracle="""
+    oracle=f"""
     SELECT split, COUNT(*) AS n FROM (
       SELECT CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split
-      FROM (SELECT (doc_id * 2654435761) % 4294967296 % 10 AS b FROM documents)
+      FROM (SELECT {_KNUTH_DOC_SQL} % 10 AS b FROM documents)
     ) GROUP BY split
     """,
     doc="80/10/10 train/val/test assignment from the same portable key "
@@ -1335,7 +1344,7 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    b = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 10
+    b = knuth_hash32(F.col("doc_id")) % 10
     split = (
         F.when(b < 8, "train").when(b < 9, "val").otherwise("test")
     )
@@ -1441,7 +1450,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     "stratified_rebalance_sample",
-    oracle="""
+    oracle=f"""
     WITH counts AS (
       SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
     ), m AS (
@@ -1449,7 +1458,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, lang FROM documents
     JOIN counts USING (lang) CROSS JOIN m
-    WHERE CAST((doc_id * 2654435761) % 4294967296 AS DECIMAL(38,0)) * n_lang
+    WHERE CAST({_KNUTH_DOC_SQL} AS DECIMAL(38,0)) * n_lang
           < CAST(min_n AS DECIMAL(38,0)) * 4294967296
     """,
     doc="Stratified corpus rebalancing: downsample every language to ~the "
@@ -1466,9 +1475,7 @@ def stratified_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
     m = counts.agg(F.min("n_lang").alias("min_n"))
-    bucket = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).cast(
-        "decimal(38,0)"
-    )
+    bucket = knuth_hash32(F.col("doc_id")).cast("decimal(38,0)")
     keep = bucket * F.col("n_lang") < F.col("min_n").cast("decimal(38,0)") * F.lit(
         4294967296
     )
@@ -1482,12 +1489,12 @@ def stratified_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     "text_pack_streams",
-    oracle="""
+    oracle=f"""
     WITH t AS (
       SELECT doc_id,
              CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
                                   x -> x <> '')) AS BIGINT) AS n_tokens,
-             (doc_id * 2654435761) % 4294967296 AS hkey
+             {_KNUTH_DOC_SQL} AS hkey
       FROM documents
     ), s AS (
       SELECT doc_id, n_tokens, hkey % 8 AS stream,
@@ -1521,7 +1528,7 @@ def text_pack_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select(
         "doc_id",
         token_count(F.col("text")).cast("bigint").alias("n_tokens"),
-        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).alias("hkey"),
+        knuth_hash32(F.col("doc_id")).alias("hkey"),
     ).withColumn("stream", F.col("hkey") % 8)
     w = (
         Window.partitionBy("stream")
@@ -2903,7 +2910,7 @@ def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     "lang_temperature_sample",
-    oracle="""
+    oracle=f"""
     WITH counts AS (
       SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang
     ), n AS (
@@ -2917,7 +2924,7 @@ def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id, d.lang FROM documents d
     JOIN w USING (lang) CROSS JOIN z
-    WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0
+    WHERE CAST({knuth_hash32_sql("d.doc_id")} AS DOUBLE) / 4294967296.0
           < LEAST(1.0, n_docs * w / z / n_s)
     """,
     doc="Temperature-based stratum resampling (alpha = 0.5): target share "
@@ -5335,12 +5342,12 @@ def text_bpe_apply_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     "curation_shard_manifest",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE m AS (
       SELECT doc_id,
              CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
                                   x -> x <> '')) AS BIGINT) AS n_tokens,
-             CAST((doc_id * 2654435761) % 4294967296 % 128 AS INT) AS sub_bin
+             CAST({_KNUTH_DOC_SQL} % 128 AS INT) AS sub_bin
       FROM documents
     ), bins AS (
       SELECT sub_bin, CAST(SUM(n_tokens) AS BIGINT) AS total

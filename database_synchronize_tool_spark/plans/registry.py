@@ -290,12 +290,9 @@ _QUEUE: tuple[str, ...] = (
     "bitmap_rollup_distinct",
     "outlier_mad_orders",
     "j10_merkle_range_diff",
-    "stats_grouped_ols_trend",
-    "stats_pearson_exact",
     "t12_stream_changelog_compact",
     "events_transition_matrix",
     "market_basket_pairs",
-    "embedding_label_centroids",
     "corpus_divergence_chi2",
     "events_attribution_last_touch",
     "events_debounce",
@@ -337,7 +334,6 @@ _QUEUE: tuple[str, ...] = (
     "sample_weighted_stratified",
     "layout_bloom_skipping",
     "t14_stream_hll_distinct",
-    "embedding_covariance_stats",
     "stats_ab_test_proportions",
     "t15_stream_weighted_sample",
     "profile_column_stats",
@@ -345,7 +341,6 @@ _QUEUE: tuple[str, ...] = (
     "ann_lsh_recall_at_k",
     "j13_point_in_time_join",
     "t16_stream_scd2",
-    "embedding_zscore_whiten",
     "text_inverted_index",
     "stats_weighted_median",
     "ts_time_weighted_avg",
@@ -408,7 +403,6 @@ _QUEUE: tuple[str, ...] = (
     "multimodal_binary_meta",
     "multimodal_frame_sample",
     "dedup_semantic_pairs",
-    "stats_spearman_rank",
     "stats_auc_mannwhitney",
     "curation_source_cap",
     "window_ntile_quartiles",

@@ -291,6 +291,7 @@ def write_curated_corpus(
     shard_balanced: bool = False,
     n_shards: int | None = None,
     shard_text_col: str = "text",
+    shard_id_col: str = "doc_id",
 ) -> None:
     """Write a curated corpus as the training-data layout a 100 TB consumer
     reads: hive-partitioned parquet (one directory level per
@@ -319,6 +320,8 @@ def write_curated_corpus(
     and the 128-row mapping broadcast-joins onto the corpus. A
     ``_shard_manifest`` parquet (shard, n_docs, total_tokens) lands
     beside ``_layout_stats``; the max/min balance bound is pytest-pinned.
+    ``shard_id_col`` names the id column the Knuth draw hashes (r15
+    advice fix — the rest of the writer is column-agnostic).
     """
     shard_mapping = None
     if shard_balanced:
@@ -331,10 +334,12 @@ def write_curated_corpus(
         )
 
         ns = n_shards or CURATION_SHARDS
-        binned = _doc_token_bins(df, CURATION_SUBBINS, shard_text_col, "doc_id")
+        binned = _doc_token_bins(
+            df, CURATION_SUBBINS, shard_text_col, shard_id_col
+        )
         shard_mapping = shard_bin_mapping(binned, ns)
         df = (
-            df.withColumn("__sub_bin", sub_bin_expr("doc_id"))
+            df.withColumn("__sub_bin", sub_bin_expr(shard_id_col))
             .join(
                 F.broadcast(
                     shard_mapping.withColumnRenamed("sub_bin", "__sub_bin")

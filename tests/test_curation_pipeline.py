@@ -298,3 +298,76 @@ def test_curated_write_shard_balanced(spark, curated, tmp_path):
     }
     got = {r["doc_id"]: r["shard"] for r in back.select("doc_id", "shard").collect()}
     assert got == want
+
+
+def test_knuth_hash32_overflow_safe_and_engine_agreed(spark, duck):
+    """r15 advice fix: the portable Knuth draw must not depend on int64
+    wraparound — the naive (id*2654435761) product overflows for
+    id >= ~3.47e9 (Spark wraps silently, DuckDB raises). The modmul form
+    must equal exact big-integer math for ids across the full bigint
+    domain, on BOTH engines."""
+    from pyspark.sql import functions as F
+
+    from database_synchronize_tool_spark.operators.sampling import (
+        HASH_MOD,
+        KNUTH_MULT,
+        knuth_hash32,
+        knuth_hash32_sql,
+    )
+
+    ids = [
+        0, 1, 7, 65535, 65536, 123456789,
+        3_400_000_000, 3_474_000_000,  # naive form wraps past here
+        4_294_967_295, 4_294_967_296, 10**15, 2**62, -5, -4_294_967_297,
+    ]
+    want = {i: ((i % HASH_MOD) * KNUTH_MULT) % HASH_MOD for i in ids}
+    df = spark.createDataFrame([(i,) for i in ids], "id bigint")
+    got_spark = {
+        r["id"]: r["h"]
+        for r in df.select("id", knuth_hash32(F.col("id")).alias("h")).collect()
+    }
+    assert got_spark == want
+    for i in ids:
+        (h,) = duck.execute(
+            f"SELECT {knuth_hash32_sql(f'CAST({i} AS BIGINT)')}"
+        ).fetchone()
+        assert h == want[i], i
+
+
+def test_curated_write_shard_balanced_custom_id_col(spark, curated, tmp_path):
+    """r15 advice fix: shard_balanced works for a corpus keyed by any id
+    column, not just doc_id."""
+    from pyspark.sql import functions as F
+
+    from database_synchronize_tool_spark.sources.sinks import (
+        write_curated_corpus,
+    )
+
+    renamed = curated.sampled.withColumnRenamed("doc_id", "item_id")
+    out = str(tmp_path / "sharded_custom_id")
+    write_curated_corpus(
+        renamed,
+        out,
+        partition_by=("lang",),
+        sort_within=("item_id",),
+        shard_balanced=True,
+        shard_id_col="item_id",
+    )
+    back = spark.read.parquet(out)
+    assert "shard" in back.columns
+    n_shards = back.select("shard").distinct().count()
+    assert n_shards == 8
+    # same assignment rule as the doc_id-keyed write (hash of the id value)
+    from database_synchronize_tool_spark.operators.sampling import (
+        shard_manifest,
+    )
+
+    want = {
+        r["doc_id"]: r["shard"]
+        for r in shard_manifest(curated.sampled).collect()
+    }
+    got = {
+        r["item_id"]: r["shard"]
+        for r in back.select("item_id", "shard").collect()
+    }
+    assert got == want

@@ -90,18 +90,53 @@ def main() -> int:
             # interrupt it, report SLOW, and let the sweep runner re-check
             # the query at a smaller SF (documented by name in the log).
             timer = None
+            # Timer-race guard (r15): if the timer fires AFTER the query
+            # completes but BEFORE timer.cancel(), con.interrupt() sets
+            # the connection's interrupt flag with no query running and
+            # the NEXT query raises InterruptException immediately —
+            # misclassifying a healthy query as SLOW. The callback checks
+            # a "running" flag, records whether it actually fired, and a
+            # sacrificial SELECT drains a late interrupt; an interrupt
+            # exception with fired=False is re-run once without a timer.
+            timer_state = {"running": False, "fired": False}
             if oracle_timeout:
                 import threading
 
-                timer = threading.Timer(oracle_timeout, con.interrupt)
+                def _interrupt_cb(state=timer_state, con=con):
+                    if state["running"]:
+                        state["fired"] = True
+                        con.interrupt()
+
+                timer = threading.Timer(oracle_timeout, _interrupt_cb)
+                timer_state["running"] = True
                 timer.start()
             try:
+                try:
+                    cur = con.execute(q.oracle)
+                    d_cols_raw = [d[0] for d in cur.description]
+                    d_all = cur.fetchall()
+                finally:
+                    timer_state["running"] = False
+                    if timer is not None:
+                        timer.cancel()
+                if timer_state["fired"]:
+                    # Late fire after completion: drain the stale
+                    # interrupt flag so it cannot poison the next query.
+                    try:
+                        con.execute("SELECT 1").fetchall()
+                    except Exception:  # noqa: BLE001 - draining interrupt
+                        pass
+            except Exception as retry_exc:  # noqa: BLE001
+                is_interrupt = "INTERRUPT" in type(
+                    retry_exc
+                ).__name__.upper() or "interrupt" in str(retry_exc).lower()
+                if not (is_interrupt and not timer_state["fired"]):
+                    raise
+                # Interrupt we did not request (stale flag from a prior
+                # query's late timer): re-run once, untimed.
                 cur = con.execute(q.oracle)
                 d_cols_raw = [d[0] for d in cur.description]
                 d_all = cur.fetchall()
-            finally:
-                if timer is not None:
-                    timer.cancel()
             order = sorted(range(len(d_cols_raw)), key=lambda i: d_cols_raw[i])
             d_cols = sorted(d_cols_raw)
             d_rows = [tuple(canon(r[i]) for i in order) for r in d_all]
