@@ -28,6 +28,7 @@ from database_synchronize_tool_spark.operators import dedup as DD
 from database_synchronize_tool_spark.operators import similarity as SIM
 from database_synchronize_tool_spark.operators.sampling import (
     cap_per_group,
+    perplexity_buckets,
     temperature_sample,
 )
 
@@ -77,6 +78,7 @@ def curate_corpus(
     semantic_threshold: float = 0.9,
     semantic_cells: int = 8,
     source_cap: int | None = None,
+    perplexity_prune: str | None = None,
     docs: DataFrame | None = None,
     emb: DataFrame | None = None,
     held_out: DataFrame | None = None,
@@ -94,6 +96,12 @@ def curate_corpus(
     ``held_out`` is the decontamination benchmark set (doc_id, text);
     default is the demo convention (the corpus's own %7 slice) — real
     deployments pass their eval sets here.
+    ``perplexity_prune`` (r15, CCNet leg) optionally drops the worst
+    LM-score bucket(s) right after the quality cascade — pass ``"tail"``
+    (the standard CCNet prune) or ``"middle+tail"`` (head-only corpora);
+    buckets are the SAME per-language terciles the graded
+    ``curation_perplexity_buckets`` query emits. Default off so existing
+    survivor-count pins stay exact.
     """
     if docs is None:
         if sf_dir is None:
@@ -122,6 +130,24 @@ def curate_corpus(
         )
         == "keep"
     )
+
+    # 1b. optional CCNet perplexity prune (r15 verdict #5): LM buckets are
+    #     computed over the WHOLE corpus (the LM trains on the %7 target
+    #     slice; terciles are per-language over all docs, so the cut is
+    #     stable against what the quality cascade rejected), then the
+    #     named bucket(s) drop from the survivors. Broadcast-bounded: the
+    #     kept side anti-joins a (doc_id) set.
+    if perplexity_prune is not None:
+        drop_buckets = {b.strip() for b in perplexity_prune.split("+")}
+        bad = sorted(drop_buckets - {"head", "middle", "tail"})
+        if bad:
+            raise ValueError(f"unknown perplexity_prune bucket(s): {bad}")
+        pruned_ids = (
+            perplexity_buckets(docs)
+            .filter(F.col("ppl_bucket").isin(*drop_buckets))
+            .select("doc_id")
+        )
+        kept = kept.join(pruned_ids, "doc_id", "left_anti")
 
     # 2. exact dedup: keep the smallest doc_id per normalized fingerprint
     fp = kept.select("doc_id", TX.fingerprint(t).alias("fp"))

@@ -3724,6 +3724,85 @@ def corpus_bigram_avg_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declared(
+    "curation_perplexity_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ), v AS (
+      SELECT COUNT(DISTINCT term) AS vocab
+      FROM (SELECT unnest(t) AS term FROM toks WHERE doc_id % 7 = 0)
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS bg
+      FROM toks
+    ), tbgc AS (
+      SELECT bg, COUNT(*) AS c_bg FROM bg WHERE doc_id % 7 = 0 GROUP BY bg
+    ), tctx AS (
+      SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c_w1
+      FROM bg WHERE doc_id % 7 = 0 GROUP BY 1
+    ), scored AS (
+      SELECT bg.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CAST(
+               CAST(COALESCE(c_bg, 0) + 1 AS DOUBLE)
+               / CAST(COALESCE(c_w1, 0) + vocab AS DOUBLE)
+               AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS lm_score
+      FROM bg LEFT JOIN tbgc USING (bg)
+           LEFT JOIN tctx ON tctx.w1 = split_part(bg.bg, ' ', 1)
+           CROSS JOIN v
+      GROUP BY bg.doc_id
+    ), full_s AS (
+      SELECT d.doc_id, d.lang,
+             CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             COALESCE(s.lm_score, 0.0) AS lm_score
+      FROM documents d LEFT JOIN scored s USING (doc_id)
+    ), nl AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+      FROM full_s GROUP BY lang
+    ), ranked AS (
+      SELECT f.*, n_lang,
+             (CAST(ROW_NUMBER() OVER (
+                PARTITION BY f.lang ORDER BY lm_score DESC, doc_id
+              ) AS BIGINT) - 1) * 3 AS r3
+      FROM full_s f JOIN nl USING (lang)
+    )
+    SELECT doc_id, lang, n_bigrams, lm_score,
+           CASE WHEN r3 < n_lang THEN 'head'
+                WHEN r3 < 2 * n_lang THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM ranked
+    """,
+    doc="CCNet perplexity-filter leg (Wenzek et al. 2020, public "
+    "literature; r14 verdict #5): add-1 bigram LM trained on the TARGET "
+    "slice (the doc_id %% 7 held-out convention), every document scored "
+    "by its mean smoothed transition probability under that LM, then "
+    "head/middle/tail TERCILES per language — the standard CCNet "
+    "pre-filter shape where head is kept and tail pruned. Cross-engine-"
+    "exact departure from the paper, documented in operators/sampling.py: "
+    "ln is not bit-reproducible across engines, so the score is the "
+    "arithmetic (not geometric) mean of the smoothed transition "
+    "probabilities — exact-integer-ratio IEEE divides summed through "
+    "DECIMAL(28,12); buckets are pure integer comparisons on "
+    "(rank-1)*3 vs n_lang, no ntile dialect. Scale shape: one explode, "
+    "target LM tables (language-bounded) broadcast, corpus never "
+    "shuffles for scoring; the exact-tercile rank is ONE sort per "
+    "language partition — at 100 TB swap in score-histogram thresholds "
+    "(bounded agg + narrow filter), semantics survive.",
+)
+def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.operators.sampling import (
+        perplexity_buckets,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return perplexity_buckets(d)
+
+
 _Z_EPOCH = "1992-01-01"
 _Z_BITS = 16
 _Z_BUCKET_SHIFT = 2 * _Z_BITS - 6  # top 6 bits -> 64 layout buckets

@@ -203,6 +203,10 @@ def _load_all() -> None:
 # queue head — the r10/r11 discipline. The round ends with a full sweep
 # at the final registry; no additions after the sweep.
 _WINDOW: tuple[str, ...] = (
+    # --- changed/new in round 15: fresh driver evidence required ---
+    # NEW: CCNet perplexity-filter leg (target-trained bigram LM,
+    # per-language head/middle/tail terciles — verdict r14 #5)
+    "curation_perplexity_buckets",
     # --- changed/new in round 14: fresh driver evidence required ---
     # NEW: the NB quality classifier beside DSIR, distributed BPE
     # merge training, and the token-balanced shard manifest
@@ -273,10 +277,12 @@ _WINDOW: tuple[str, ...] = (
     "text_heavy_hitters",
     "corpus_bigram_avg_prob",
     "layout_zorder_stats",
-    "ann_hamming_binary_topk",
 )
 
 _QUEUE: tuple[str, ...] = (
+    # displaced from the r14 window tail by the r15 mid-round additions
+    # (window stays exactly 50; displaced names re-verify next rotation)
+    "ann_hamming_binary_topk",
     # head = next re-verify cohort for round 15 (the r8/r9 remainder
     # continues after whatever round-15 changes lead); the names the
     # r14 window consumed are gone, and the 45 names the r14 rotation

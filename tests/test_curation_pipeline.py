@@ -371,3 +371,34 @@ def test_curated_write_shard_balanced_custom_id_col(spark, curated, tmp_path):
         for r in back.select("item_id", "shard").collect()
     }
     assert got == want
+
+
+def test_perplexity_prune_stage(spark, sf_dir, curated):
+    """r15 (CCNet leg): perplexity_prune='tail' drops exactly the
+    tail-bucket survivors of the default run, deterministically."""
+    from database_synchronize_tool_spark.operators.sampling import (
+        perplexity_buckets,
+    )
+    from database_synchronize_tool_spark.pipeline import curate_corpus
+
+    pruned = curate_corpus(spark, sf_dir, perplexity_prune="tail")
+    base_kept = {r["doc_id"] for r in curated.kept.select("doc_id").collect()}
+    pruned_kept = {
+        r["doc_id"] for r in pruned.kept.select("doc_id").collect()
+    }
+    assert pruned_kept < base_kept  # strictly smaller, never larger
+    tail = {
+        r["doc_id"]
+        for r in perplexity_buckets(pruned.corpus)
+        .filter("ppl_bucket = 'tail'")
+        .collect()
+    }
+    assert base_kept - pruned_kept == base_kept & tail
+    assert not (pruned_kept & tail)
+    # rerun is identical (portable hash + deterministic terciles)
+    again = curate_corpus(spark, sf_dir, perplexity_prune="tail")
+    assert pruned_kept == {
+        r["doc_id"] for r in again.kept.select("doc_id").collect()
+    }
+    with pytest.raises(ValueError):
+        curate_corpus(spark, sf_dir, perplexity_prune="bogus")
