@@ -50,26 +50,40 @@ def _fold_str(s, a: str, b: str):
     """Column expression applying one merge (a, b) -> ab to a space-joined
     symbol string — the lookahead-free left fold documented in the module
     docstring."""
+    return _fold_multi(s, [(a, b)])
+
+
+def _fold_multi(s, pairs: list[tuple[str, str]]):
+    """One left fold applying a SYMBOL-DISJOINT merge set in a single
+    pass: step appends without the separator when (last_symbol, x)
+    matches ANY pair. Equivalent to folding the pairs sequentially —
+    disjointness means a merge can neither create nor destroy another
+    pair's occurrences (a new 'ab' symbol can't be a different pick's
+    left or right: both are guarded at selection), and two distinct
+    picks can't match the same (last, x) position (that would force
+    equal lefts AND rights). One pass also keeps the Catalyst expression
+    tree LINEAR in batch size — nesting K folds multiplies the tree ~3x
+    per level (the r15 hang: 7 rounds x 8 nested folds analyzed for
+    minutes)."""
     syms = F.split(s, " ")
+
+    def step(acc, x):
+        last = F.regexp_extract(acc, "([^ ]*)$", 1)
+        cond = F.lit(False)
+        for a, b in pairs:
+            cond = cond | ((last == F.lit(a)) & (x == F.lit(b)))
+        return F.when(cond, F.concat(acc, x)).otherwise(
+            F.concat(acc, F.lit(" "), x)
+        )
+
     return F.aggregate(
-        F.slice(syms, 2, F.size(syms) - 1),
-        F.element_at(syms, 1),
-        lambda acc, x: F.when(
-            (F.regexp_extract(acc, "([^ ]*)$", 1) == F.lit(a))
-            & (x == F.lit(b)),
-            F.concat(acc, x),
-        ).otherwise(F.concat(acc, F.lit(" "), x)),
+        F.slice(syms, 2, F.size(syms) - 1), F.element_at(syms, 1), step
     )
 
 
-def _train_vocab(
-    docs: DataFrame, n_merges: int, text_col: str
-) -> tuple[DataFrame, list[tuple]]:
-    """Shared training loop: returns the final (word, freq, seq) vocab
-    table (persisted) and the merge rows — train_bpe_merges emits the
-    rows, bpe-apply consumers join the vocab."""
-    from database_synchronize_tool_spark.caching import scoped_persist
-
+def _init_vocab(docs: DataFrame, text_col: str) -> tuple[DataFrame, None]:
+    """The ONE corpus scan both trainers share: (word, freq, seq) with
+    seq = char-split symbols + the ``</w>`` marker."""
     words = (
         docs.select(
             F.explode(
@@ -82,7 +96,7 @@ def _train_vocab(
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
-    cur = scoped_persist(
+    return (
         words.select(
             "word",
             "freq",
@@ -90,8 +104,21 @@ def _train_vocab(
             F.concat(
                 F.regexp_replace("word", "(.)", "$1 "), F.lit(BPE_EOW)
             ).alias("seq"),
-        )
+        ),
+        None,
     )
+
+
+def _train_vocab(
+    docs: DataFrame, n_merges: int, text_col: str
+) -> tuple[DataFrame, list[tuple]]:
+    """Shared training loop: returns the final (word, freq, seq) vocab
+    table (persisted) and the merge rows — train_bpe_merges emits the
+    rows, bpe-apply consumers join the vocab."""
+    from database_synchronize_tool_spark.caching import scoped_persist
+
+    cur, _ = _init_vocab(docs, text_col)
+    cur = scoped_persist(cur)
     rows = []
     for step in range(1, n_merges + 1):
         syms = F.split(F.col("seq"), " ")
@@ -145,6 +172,144 @@ def _train_vocab(
     return cur, rows
 
 
+BPE_BATCH_K = 8  # merges selected per round in the batched trainer
+BPE_CAND_M = 64  # bounded candidate list the greedy selection walks
+
+
+def _select_disjoint(cands: list, k: int) -> list:
+    """Greedy symbol-disjoint selection over an ordered candidate list
+    (cnt DESC, pair ASC): walk the list, pick a pair iff neither its
+    left, right, NOR merged symbol was used by an earlier pick (the
+    merged-symbol guard closes the case where 'a'+'b' = an existing
+    symbol 'ab', which would make fold order observable). Disjoint picks
+    have non-interacting occurrence sets — a merge can only create
+    adjacencies involving its NEW symbol and destroy adjacencies
+    involving its own operands — so applying them in any order within
+    the round yields the same vocabulary, and each pick's count is
+    exactly the round-start statistic. Returns [(pair, cnt, l, r)]."""
+    used: set[str] = set()
+    picked = []
+    for pair, cnt in cands:
+        left_sym, right_sym = pair.split(" ")
+        merged = left_sym + right_sym
+        if left_sym in used or right_sym in used or merged in used:
+            continue
+        picked.append((pair, int(cnt), left_sym, right_sym))
+        used.update((left_sym, right_sym, merged))
+        if len(picked) >= k:
+            break
+    return picked
+
+
+def _train_vocab_batched(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str,
+    batch_k: int = BPE_BATCH_K,
+    cand_m: int = BPE_CAND_M,
+) -> tuple[DataFrame, list[tuple]]:
+    """Batched training loop (r14 verdict #6 — the sequential loop's one
+    driver round-trip and one persisted vocab rewrite PER MERGE don't
+    scale to real 10^3-10^4-merge vocabularies): each ROUND counts pairs
+    once, collects the bounded top-``cand_m`` candidate list, greedily
+    selects up to ``batch_k`` symbol-disjoint merges driver-side
+    (:func:`_select_disjoint` — the standard multi-merge-per-scan
+    approximation fast trainers use; within a round later picks are
+    conditioned on round-START counts, the documented departure from
+    exact sequential BPE), applies them in ONE persisted rewrite, and
+    measures ``tokens_after`` once — so driver round-trips and vocab
+    rewrites are O(n/batch_k), sublinear in merges. Deterministic end to
+    end (integer counts, binary-collation tie-breaks, order-invariant
+    disjoint folds); the DuckDB oracle replays the SAME rounds — bounded
+    candidate CTE, nested first-admissible picks, LEFT-JOIN-guarded
+    folds — bit-identically."""
+    from database_synchronize_tool_spark.caching import scoped_persist
+
+    cur, _ = _init_vocab(docs, text_col)
+    cur = scoped_persist(cur)
+    rows = []
+    n_rounds = -(-n_merges // batch_k)
+    for rnd in range(n_rounds):
+        take = min(batch_k, n_merges - rnd * batch_k)
+        syms = F.split(F.col("seq"), " ")
+        pair_counts = (
+            cur.select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.slice(syms, 1, F.size(syms) - 1),
+                        lambda x, i: F.concat(
+                            x, F.lit(" "), F.element_at(syms, i + F.lit(2))
+                        ),
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        cands = [
+            (r["pair"], r["cnt"])
+            for r in pair_counts.orderBy(
+                F.col("cnt").desc(), F.col("pair")
+            )
+            .limit(cand_m)
+            .collect()
+        ]
+        picked = _select_disjoint(cands, take)
+        # Slot-based step numbering (step = round*batch_k + slot) keeps
+        # the emitted rows aligned with the fixed-structure oracle replay
+        # even when a round under-picks (no admissible candidates left):
+        # both sides then emit the same missing slots, and the remaining
+        # rounds see the same unchanged vocabulary.
+        if picked:
+            cur = scoped_persist(
+                cur.withColumn(
+                    "seq",
+                    _fold_multi(
+                        F.col("seq"), [(p[2], p[3]) for p in picked]
+                    ),
+                )
+            )
+        tokens_after = cur.agg(
+            F.sum(
+                F.size(F.split(F.col("seq"), " ")).cast("bigint")
+                * F.col("freq")
+            ).alias("t")
+        ).collect()[0]["t"]
+        for slot, (_, cnt, left_sym, right_sym) in enumerate(picked, 1):
+            rows.append(
+                (
+                    rnd * batch_k + slot,
+                    left_sym,
+                    right_sym,
+                    left_sym + right_sym,
+                    int(cnt),
+                    int(tokens_after),
+                )
+            )
+    return cur, rows
+
+
+def train_bpe_merges_batched(
+    docs: DataFrame,
+    n_merges: int = 50,
+    text_col: str = "text",
+    batch_k: int = BPE_BATCH_K,
+    cand_m: int = BPE_CAND_M,
+) -> DataFrame:
+    """Batched-round BPE merge training (see :func:`_train_vocab_batched`)
+    — same output schema as :func:`train_bpe_merges`; ``pair_count`` is
+    the pair's round-START count and ``tokens_after`` the corpus token
+    count after the step's ROUND (round granularity — the batch
+    approximation's documented accounting)."""
+    _, rows = _train_vocab_batched(docs, n_merges, text_col, batch_k, cand_m)
+    return docs.sparkSession.createDataFrame(
+        rows,
+        "step int, left_sym string, right_sym string, merged string, "
+        "pair_count bigint, tokens_after bigint",
+    )
+
+
 def train_bpe_merges(
     docs: DataFrame,
     n_merges: int = 10,
@@ -169,6 +334,7 @@ def bpe_learned_token_counts(
     n_merges: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    batch_k: int | None = None,
 ) -> DataFrame:
     """Per-document token counts under the LEARNED merges — the inference
     side of :func:`train_bpe_merges` consuming its vocab (the 'optionally
@@ -177,8 +343,14 @@ def bpe_learned_token_counts(
     per-word symbol count. One doc->word explode joined against the
     vocab's (word, n_syms) — the vocab is distinct-word-bounded (broadcast
     at moderate scale, an ordinary shuffle join past it), never a per-doc
-    re-segmentation."""
-    vocab, _ = _train_vocab(docs, n_merges, text_col)
+    re-segmentation. ``batch_k`` set -> the vocab comes from the batched
+    trainer (:func:`_train_vocab_batched`) at that round size."""
+    if batch_k is not None:
+        vocab, _ = _train_vocab_batched(
+            docs, n_merges, text_col, batch_k=batch_k
+        )
+    else:
+        vocab, _ = _train_vocab(docs, n_merges, text_col)
     per_word = vocab.select(
         "word", F.size(F.split("seq", " ")).cast("bigint").alias("n_syms")
     )

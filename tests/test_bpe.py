@@ -125,3 +125,85 @@ def test_learned_counts_match_canonical(spark):
         for r in bpe_learned_token_counts(docs, n_merges=6).collect()
     }
     assert got == want, (got, want)
+
+
+def _canonical_batched_bpe(
+    word_freqs: dict[str, int], n_merges: int, k: int, m: int
+):
+    """Reference BATCHED trainer: per round, count pairs, take the top-m
+    candidate list, greedily pick up to k symbol-disjoint pairs (left,
+    right, and merged symbol all unused), apply all picks, emit slot-
+    numbered rows with round-start counts and round-end token totals."""
+    seqs = {tuple(w) + (BPE_EOW,): f for w, f in word_freqs.items()}
+    out = []
+    n_rounds = -(-n_merges // k)
+    for rnd in range(n_rounds):
+        take = min(k, n_merges - rnd * k)
+        counts: Counter = Counter()
+        for syms, f in seqs.items():
+            for j in range(len(syms) - 1):
+                counts[(syms[j], syms[j + 1])] += f
+        cands = sorted(
+            counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )[:m]
+        used: set = set()
+        picked = []
+        for (a, b), cnt in cands:
+            if a in used or b in used or a + b in used:
+                continue
+            picked.append((a, b, cnt))
+            used.update((a, b, a + b))
+            if len(picked) >= take:
+                break
+        for a, b, _ in picked:
+            new_seqs: dict = {}
+            for syms, f in seqs.items():
+                merged = []
+                j = 0
+                while j < len(syms):
+                    if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                        merged.append(a + b)
+                        j += 2
+                    else:
+                        merged.append(syms[j])
+                        j += 1
+                new_seqs[tuple(merged)] = new_seqs.get(tuple(merged), 0) + f
+            seqs = new_seqs
+        tokens_after = sum(f * len(syms) for syms, f in seqs.items())
+        for slot, (a, b, cnt) in enumerate(picked, 1):
+            out.append((rnd * k + slot, a, b, a + b, cnt, tokens_after))
+    return out
+
+
+def test_batched_train_matches_canonical_reference(spark):
+    """r15 (verdict #6): the batched trainer's rounds — bounded candidate
+    list, greedy symbol-disjoint selection with the merged-symbol guard,
+    slot-numbered emission — match a canonical in-memory implementation,
+    including the run-heavy fold edge cases and the 'a'+'b'='ab'-exists
+    collision the disjointness guard covers."""
+    from database_synchronize_tool_spark.operators.bpe import (
+        train_bpe_merges_batched,
+    )
+
+    texts = [
+        "aaaa aaaa aa ab ab ab b",          # self-overlap runs + 'ab' word
+        "banana bandana banana",            # shared prefixes
+        "low lower lowest low low",         # classic Sennrich example
+        "xy xy xyz zyx yx",                 # adjacent-pair collisions
+    ] * 3
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    freqs: Counter = Counter()
+    for t in texts:
+        for w in t.split():
+            freqs[w] += 1
+    for n, k, m in ((7, 3, 16), (10, 4, 8), (5, 8, 64)):
+        want = _canonical_batched_bpe(dict(freqs), n, k, m)
+        got = [
+            tuple(r)
+            for r in train_bpe_merges_batched(
+                docs, n_merges=n, batch_k=k, cand_m=m
+            ).collect()
+        ]
+        assert got == want, (n, k, m)

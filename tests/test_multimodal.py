@@ -148,3 +148,66 @@ def test_payload_dedup_rate_consistent_with_distinct_hashes(spark, sf_dir):
         assert r["n_payloads"] == len(grp)
         assert r["n_distinct_hashes"] == len(grp[["w0", "w1"]].drop_duplicates())
         assert 0.0 <= r["dup_rate"] < 1.0
+
+
+def test_wav_codec_round_trips_exactly():
+    # the REAL audio codec (r15): encode->decode must reproduce every
+    # sample, including odd sample counts and the full int16 range
+    for mid, n in [(0, 64), (3, 65), (12345, 121), (65535, 319)]:
+        s = MM._rule_samples(mid, n)
+        dec = MM._decode_wav(MM._encode_wav(s))
+        assert dec is not None
+        got, rate = dec
+        assert rate == MM.AUD_RATE
+        assert np.array_equal(got, s), (mid, n)
+
+
+def test_wav_decode_rejects_malformed_payloads():
+    good = MM._encode_wav(MM._rule_samples(7, 100))
+    assert MM._decode_wav(b"not a wav") is None
+    assert MM._decode_wav(good[:20]) is None  # truncated header
+    assert MM._decode_wav(good[:60]) is None  # truncated data chunk
+    stereo = bytearray(good)
+    stereo[22] = 2  # channels = 2
+    assert MM._decode_wav(bytes(stereo)) is None
+    nonpcm = bytearray(good)
+    nonpcm[20] = 3  # format = IEEE float
+    assert MM._decode_wav(bytes(nonpcm)) is None
+    assert MM._decode_wav(good) is not None
+    # extra RIFF chunks before data must not break the walk
+    import struct
+
+    extra = (
+        good[:36]
+        + struct.pack("<4sI", b"LIST", 4)
+        + b"INFO"
+        + good[36:]
+    )
+    fixed = bytearray(extra)
+    struct.pack_into("<I", fixed, 4, len(extra) - 8)
+    dec = MM._decode_wav(bytes(fixed))
+    assert dec is not None and np.array_equal(
+        dec[0], MM._rule_samples(7, 100)
+    )
+
+
+def test_audio_features_null_rows_and_metadata_contract(spark):
+    good = bytearray(MM._encode_wav(MM._rule_samples(2, 160)))
+    media = spark.createDataFrame(
+        [
+            (1, "audio/wav", None, 0, 0, None),
+            (2, "audio/wav", good, 0, 0, 160 * 1000 // MM.AUD_RATE),
+            (3, "audio/wav", bytearray(b"not a wav"), 0, 0, 20),
+            (4, "audio/wav", good, 0, 0, 999),  # metadata/data mismatch
+        ],
+        "media_id long, mime string, payload binary, width int, height int,"
+        " duration_ms long",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in MM.extract_audio_features(media).collect()
+    }
+    assert rows[1]["rms"] is None and rows[3]["rms"] is None
+    assert rows[4]["rms"] is None  # duration_ms disagrees with data chunk
+    assert rows[2]["n_samples"] == 160 and rows[2]["rms"] is not None
+    assert rows[2]["zero_crossings"] is not None and rows[2]["peak"] >= 0
