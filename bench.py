@@ -198,6 +198,12 @@ HEADLINE = [
     # full-registry tier instead.
     "curation_nb_quality_topk",
     "curation_shard_manifest",
+    # round-15 additions, benched from the round they land.
+    # text_bpe_apply_learned stays excluded with text_bpe_train_merges
+    # (same plan-build-time training asymmetry); both get full-registry
+    # tier rows.
+    "curation_perplexity_buckets",
+    "audio_feature_extract",
 ]
 
 # Bench tiers (r12 verdict #1). The headline total/ratio measure the

@@ -205,91 +205,29 @@ def _load_all() -> None:
 _WINDOW: tuple[str, ...] = (
     # --- changed/new in round 15: fresh driver evidence required ---
     # NEW: CCNet perplexity-filter leg (target-trained bigram LM,
-    # per-language head/middle/tail terciles — verdict r14 #5)
+    # per-language terciles) and the real WAV/PCM codec audio
+    # features (verdict r14 #5/#7)
     "curation_perplexity_buckets",
-    # NEW: real WAV/PCM codec audio features (verdict r14 #7)
     "audio_feature_extract",
-    # --- changed/new in round 14: fresh driver evidence required ---
-    # NEW: the NB quality classifier beside DSIR, distributed BPE
-    # merge training, and the token-balanced shard manifest
-    "curation_nb_quality_topk",
+    # CHANGED: BPE training is BATCHED at n=50 (greedy symbol-
+    # disjoint top-8 per round, oracle replays the whole loop as
+    # MATERIALIZED CTEs — verdict r14 #6); the sampling/split/
+    # packing family moved to the overflow-safe modular Knuth hash
+    # (advice r14: naive product wraps in Spark / raises in DuckDB
+    # past id ~3.47e9; bit-identical below, re-proven at sf0.001 +
+    # sf0.01 at change time)
     "text_bpe_train_merges",
     "text_bpe_apply_learned",
-    "curation_shard_manifest",
-    # CHANGED: curation_dsir_topk rides the shared
-    # _bigram_bucket_counts/_ratio_terms helpers (results pinned
-    # identical, re-proof anyway); the OPQ trainer gained the
-    # Newton-Schulz terminal orthogonality check; t19's append path
-    # moved to the batch-keyed txn-log layout; the markup/token
-    # family's whitespace class is now spelled out (= RE2's \s,
-    # advice r13 #5) across tokens()/strip_markup/fingerprint
-    "curation_dsir_topk",
-    "ann_opq_trained_recall",
-    "t19_stream_ann_append",
-    "text_extract_markup",
-    "corpus_gopher_rules",
-    "corpus_quality_filter",
-    "text_repetition_signals",
-    # CHANGED (mid-r14, caught by the sf0.1 sweep): the embedding
-    # decimal-sum family moved to explicit IEEE quantization
-    # (floor(v*1e9+0.5)) — Spark rounds double->DECIMAL HALF_UP,
-    # DuckDB HALF_EVEN, and float32 values can be exact midpoints
-    "embedding_label_centroids",
-    "embedding_covariance_stats",
-    "embedding_zscore_whiten",
-    # CHANGED (mid-r14, same sweep finding class): the correlation-
-    # family decimal->double conversions now go VIA STRING (exact
-    # decimal->string + correctly-rounded string->double on both
-    # engines; the direct cast is 1 ulp off past 2^53 significands)
-    "stats_pearson_exact",
-    "stats_grouped_ols_trend",
-    "stats_spearman_rank",
-    # --- re-verify cohort: stale queue head (r6/r8 remainder,
-    # stalest first; 0-name overlap with the r13 window beyond the
-    # changed set) ---
-    "ann_lsh_bucket_topk",
-    "q12_priority_by_linestatus",
-    "agg_approx_count_distinct",
-    "array_agg_sorted_per_group",
-    "text_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_bpe_token_count",
-    "text_chunking",
-    "text_vocab_topk",
     "deterministic_sample",
     "train_val_test_split",
-    "dedup_normalized",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "ann_bruteforce_topk",
-    "embedding_norm_stats",
-    "ann_multiprobe_topk",
-    "ann_ivf_topk",
-    "grouped_normalize_applyinpandas",
-    "udtf_json_kv_expand",
-    "t5_tumbling_window",
-    "t5_sliding_window",
-    "t6_sessionization",
-    "t7_stream_tumbling",
-    "t8_stream_dedup",
-    "t9_stream_static_join",
-    "t10_stream_session_window",
-    "text_heavy_hitters",
-    "corpus_bigram_avg_prob",
-)
-
-_QUEUE: tuple[str, ...] = (
-    # displaced from the r14 window tail by the r15 mid-round additions
-    # (window stays exactly 50; displaced names re-verify next rotation)
+    "stratified_rebalance_sample",
+    "text_pack_streams",
+    "lang_temperature_sample",
+    "curation_shard_manifest",
+    # --- re-verify cohort: stale queue head (r8/r9 remainder and
+    # the two names the mid-round additions displaced) ---
     "layout_zorder_stats",
     "ann_hamming_binary_topk",
-    # head = next re-verify cohort for round 15 (the r8/r9 remainder
-    # continues after whatever round-15 changes lead); the names the
-    # r14 window consumed are gone, and the 45 names the r14 rotation
-    # displaced from the r13 window sit at the tail (freshest --
-    # driver-attested round 13).
     "j9_cdc_changelog_compaction",
     "ts_gap_fill_interpolate",
     "events_funnel_conversion",
@@ -312,7 +250,6 @@ _QUEUE: tuple[str, ...] = (
     "decontam_cross_source_dups",
     "decontam_ngram_overlap",
     "source_mix_report",
-    "lang_temperature_sample",
     "corpus_ngram_topk",
     "text_pii_redact",
     "ann_ivf_pq_refine_topk",
@@ -329,6 +266,12 @@ _QUEUE: tuple[str, ...] = (
     "agg_argmax_showcase",
     "sketch_hll_distinct_orders",
     "graph_triangle_parts",
+)
+
+_QUEUE: tuple[str, ...] = (
+    # head = next re-verify cohort for round 16 (stalest first); the
+    # 40 names the r15 rotation displaced from the r14 window sit at
+    # the tail (freshest — driver-attested round 14).
     "graph_pagerank_parts",
     "link_fuzzy_noisy_docs",
     "pareto_order_frontier",
@@ -493,12 +436,52 @@ _QUEUE: tuple[str, ...] = (
     "dedup_containment",
     "agg_incremental_maintenance",
     "text_tfidf_topk",
-    "stratified_rebalance_sample",
     "split_dedup_safe",
-    "text_pack_streams",
     "dedup_cluster_assign",
+    "curation_nb_quality_topk",
+    "curation_dsir_topk",
+    "ann_opq_trained_recall",
+    "t19_stream_ann_append",
+    "text_extract_markup",
+    "corpus_gopher_rules",
+    "corpus_quality_filter",
+    "text_repetition_signals",
+    "embedding_label_centroids",
+    "embedding_covariance_stats",
+    "embedding_zscore_whiten",
+    "stats_pearson_exact",
+    "stats_grouped_ols_trend",
+    "stats_spearman_rank",
+    "ann_lsh_bucket_topk",
+    "q12_priority_by_linestatus",
+    "agg_approx_count_distinct",
+    "array_agg_sorted_per_group",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_bpe_token_count",
+    "text_chunking",
+    "text_vocab_topk",
+    "dedup_normalized",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_bruteforce_topk",
+    "embedding_norm_stats",
+    "ann_multiprobe_topk",
+    "ann_ivf_topk",
+    "grouped_normalize_applyinpandas",
+    "udtf_json_kv_expand",
+    "t5_tumbling_window",
+    "t5_sliding_window",
+    "t6_sessionization",
+    "t7_stream_tumbling",
+    "t8_stream_dedup",
+    "t9_stream_static_join",
+    "t10_stream_session_window",
+    "text_heavy_hitters",
+    "corpus_bigram_avg_prob",
 )
-
 
 _PRIORITY: tuple[str, ...] = _WINDOW + _QUEUE
 
