@@ -1,21 +1,23 @@
-"""Full-registry hash sweep at sf0.1 (r13 verdict #1): every declared
-query differentially checked against its DuckDB oracle AT THE BENCH SF,
-closing the scale-correctness gap (correctness was previously attested
-only at sf0.001/sf0.01 while benches ran at sf0.1/sf1 — an overflow or
-accumulation bug appearing only at scale was invisible).
+"""Full-registry hash sweep at sf1 (r14 verdict #2): every declared query
+differentially checked against its DuckDB oracle at the .scaledata/sf1
+replica corpus — one order of magnitude above the r14 sf0.1 sweep, which
+immediately caught two real scale-only cross-engine divergences (decimal
+rounding mode, >2^53 conversions); the same classes get MORE reachable at
+10x rows (denser midpoint draws, HUGEINT intermediates).
 
-Tiering, documented by name in the log:
+Tiering, documented by name in the log (extends the sweep_sf01 protocol
+one level up):
 - the exact-semantics tier (bench.EXACT_SEMANTICS_TIER) is pinned at
   sf0.01 up front — its block-quadratic oracles are the bench artifact's
   declared tiering;
 - any OTHER query whose single-process DuckDB replay exceeds
-  SPARK_GRAFT_ORACLE_TIMEOUT (default 420 s) at sf0.1 is interrupted,
-  reported SLOW, and hash-checked at sf0.01 instead — the SPARK side
-  still ran at sf0.1; what moves down is only the oracle comparison
-  (measured: dedup_ngram_jaccard's pairwise-verify replay exceeds 40 min
-  at sf0.1 while Spark answers in seconds).
+  SPARK_GRAFT_ORACLE_TIMEOUT (default 420 s) at sf1 is interrupted,
+  reported SLOW, and re-checked at sf0.1 (where SWEEP_r14 already proved
+  the full registry); anything still SLOW there drops to sf0.01. The
+  SPARK side still ran at the bigger SF each time — only the oracle
+  comparison moves down.
 
-Usage: python tools/sweep_sf01.py [--resume done.log] [> SWEEP.log]
+Usage: python tools/sweep_sf1.py [--resume done.log] [> SWEEP.log]
 """
 
 from __future__ import annotations
@@ -31,6 +33,8 @@ sys.path.insert(0, "/root/repo")
 from bench import EXACT_SEMANTICS_TIER  # noqa: E402
 from database_synchronize_tool_spark.plans.registry import all_queries  # noqa: E402
 
+SF1_DIR = "/root/repo/.scaledata/sf1"
+
 
 def _run(sf_dir: str, batch: list[str], timeout_sec: str | None) -> str:
     env = dict(os.environ)
@@ -42,8 +46,7 @@ def _run(sf_dir: str, batch: list[str], timeout_sec: str | None) -> str:
         subprocess.run(
             [sys.executable, "tools/check_oracle.py", sf_dir, *batch],
             cwd="/root/repo",
-            env=env,  # r15: env was built but never passed — the oracle
-            # timeout only applied when the CALLER had it exported
+            env=env,
             stdout=tf,
             stderr=subprocess.DEVNULL,
         )
@@ -65,20 +68,30 @@ def main() -> int:
     exact = [n for n in names if n in EXACT_SEMANTICS_TIER]
     rest = [n for n in names if n not in EXACT_SEMANTICS_TIER]
 
-    print(f"=== {len(rest)} queries @ /root/testdata/sf0.1 "
+    print(f"=== {len(rest)} queries @ {SF1_DIR} "
           "(oracle timeout 420s) ===", flush=True)
-    out = _run("/root/testdata/sf0.1", rest, "420")
+    out = _run(SF1_DIR, rest, "420")
     slow = re.findall(r"^SLOW\s+(\S+):", out, re.M)
 
-    down = exact + slow
+    fail = bool(re.search(r"^FAIL", out, re.M))
+    if slow:
+        print(f"=== {len(slow)} slow-oracle-at-sf1 queries @ "
+              f"/root/testdata/sf0.1 (oracle timeout 420s): "
+              f"{sorted(slow)} ===", flush=True)
+        out2 = _run("/root/testdata/sf0.1", slow, "420")
+        fail = fail or bool(re.search(r"^FAIL", out2, re.M))
+        slow2 = re.findall(r"^SLOW\s+(\S+):", out2, re.M)
+    else:
+        slow2 = []
+
+    down = exact + slow2
     if down:
         print(f"=== {len(down)} queries @ /root/testdata/sf0.01 "
               f"(exact tier: {sorted(exact)}; slow-oracle at sf0.1: "
-              f"{sorted(slow)}) ===", flush=True)
-        out2 = _run("/root/testdata/sf0.01", down, None)
-        if re.search(r"^FAIL", out2, re.M):
-            return 1
-    return 1 if re.search(r"^FAIL", out, re.M) else 0
+              f"{sorted(slow2)}) ===", flush=True)
+        out3 = _run("/root/testdata/sf0.01", down, None)
+        fail = fail or bool(re.search(r"^FAIL", out3, re.M))
+    return 1 if fail else 0
 
 
 if __name__ == "__main__":
