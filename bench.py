@@ -422,10 +422,17 @@ def main() -> None:
     oracle_timings: dict[str, float] = {}
     oracle_failures: dict[str, str] = {}
     oracle_error = None
+    # SPARK_GRAFT_ORACLE_PASSES (default 3): wall-clock fallback for sf1
+    # runs where the full best-of-3 oracle phase alone is ~1.5 h. Best-of-1
+    # biases the ratio IN SPARK'S FAVOR (fewer chances for the oracle's
+    # best), so any artifact produced with passes<3 carries the
+    # methodology delta in its notes — comparable trend-wise, asterisked.
+    oracle_passes = int(os.environ.get("SPARK_GRAFT_ORACLE_PASSES", "3"))
     try:
         oracle_timings = run_oracle_bench(
             sf_dir,
             [n for n in headline if n not in ORACLE_SKIP],
+            passes=oracle_passes,
             echo=lambda s: print(s, file=sys.stderr),
             failures=oracle_failures,
         )
@@ -595,9 +602,16 @@ def main() -> None:
         "comparison is collect-vs-collect (r8+ artifacts share the full-"
         "materialization methodology), so flags are apples-to-apples",
         "methodology": "both sides: hot in-memory tables, plan/warm once, "
-        "best-of-3, FULL result materialization (collect/fetchall — from "
-        "round 7; earlier rounds timed Spark count(), which pruned narrow "
-        "projections), measured back-to-back in one process",
+        "Spark best-of-3, FULL result materialization (collect/fetchall — "
+        "from round 7; earlier rounds timed Spark count(), which pruned "
+        f"narrow projections), measured back-to-back in one process; "
+        f"oracle passes this run: {oracle_passes}"
+        + (
+            " (best-of-1 oracle — wall-clock fallback; biases the ratio "
+            "in Spark's favor, treat as asterisked)"
+            if oracle_passes < 3
+            else ""
+        ),
     }
     if oracle_uncapped:
         payload["oracle_uncapped_queries"] = oracle_uncapped
