@@ -24,8 +24,16 @@ DEC6 = "decimal(18,6)"
 
 
 def _dsum(expr: F.Column, alias: str, scale: str = DEC2) -> F.Column:
-    """Order-insensitive exact sum of a double expression via decimal."""
-    return F.sum(expr.cast(scale)).cast("double").alias(alias)
+    """Order-insensitive exact sum of a double expression via decimal.
+
+    The final decimal->double goes VIA STRING (r15, SWEEP_r15_sf1
+    finding on lineitem_revenue_waterfall): the direct cast is only
+    correctly rounded while the decimal's significand fits in 2^53, and
+    scale-6 revenue sums cross that between sf0.1 and sf1 (e.g. q1's
+    per-group sum_charge ≈ 1e11 -> significand ≈ 1e17). Via-string is
+    bit-identical below 2^53 and correctly rounded always, on both
+    engines — every oracle twin carries the same VARCHAR hop."""
+    return F.sum(expr.cast(scale)).cast("string").cast("double").alias(alias)
 
 
 def _revenue() -> F.Column:
@@ -41,8 +49,8 @@ def _revenue() -> F.Column:
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
            COUNT(*) AS count_order
@@ -75,7 +83,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT o.o_orderkey,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -113,7 +121,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_revenue_by_nation",
     oracle="""
     SELECT n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -144,7 +152,7 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     "q6_revenue_forecast",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -168,7 +176,7 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_revenue",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
            n.n_name
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -472,7 +480,8 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_acctbal FROM customer
     WHERE c_acctbal >
-      (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE)
+      (SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,10))) AS VARCHAR)
+                   AS DOUBLE)
               / COUNT(*) FROM customer)
     """,
     doc="Scalar subquery threshold (broadcast single-row join). The "
@@ -485,7 +494,12 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     avg = c.agg(
         (
-            F.sum(F.col("c_acctbal").cast("decimal(28,10)")).cast("double")
+            # via-string: the DECIMAL(28,10) sum's significand is ~7e17
+            # at sf1 — past 2^53, where the direct cast is not correctly
+            # rounded on both engines (SWEEP_r15_sf1 class)
+            F.sum(F.col("c_acctbal").cast("decimal(28,10)"))
+            .cast("string")
+            .cast("double")
             / F.count(F.lit(1))
         ).alias("__avg")
     )
@@ -696,10 +710,10 @@ def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     "q14_promo_revenue",
     oracle="""
-    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+    SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
                  THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
-                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-           / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
            AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-06-01'
@@ -722,8 +736,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.lit(100.0)
-                * F.sum(promo).cast("double")
-                / F.sum(rev).cast("double")
+                * F.sum(promo).cast("string").cast("double")
+                / F.sum(rev).cast("string").cast("double")
             ).alias("promo_revenue_pct")
         )
     )
@@ -1104,7 +1118,7 @@ def j6_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(date_part('year', l.l_shipdate) AS INT) AS l_year,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -1149,7 +1163,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue0 AS (
       SELECT l_suppkey AS supplier_no,
-             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+             CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         AND l_shipdate < TIMESTAMP '1997-04-01'
@@ -2044,11 +2058,12 @@ def orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag,
-           CAST(gross AS DOUBLE) AS gross,
-           CAST(discount_amt AS DOUBLE) AS discount_amt,
-           CAST(gross - discount_amt AS DOUBLE) AS net,
-           CAST(tax_amt AS DOUBLE) AS tax_amt,
-           CAST(gross - discount_amt + tax_amt AS DOUBLE) AS charged
+           CAST(CAST(gross AS VARCHAR) AS DOUBLE) AS gross,
+           CAST(CAST(discount_amt AS VARCHAR) AS DOUBLE) AS discount_amt,
+           CAST(CAST(gross - discount_amt AS VARCHAR) AS DOUBLE) AS net,
+           CAST(CAST(tax_amt AS VARCHAR) AS DOUBLE) AS tax_amt,
+           CAST(CAST(gross - discount_amt + tax_amt AS VARCHAR) AS DOUBLE)
+             AS charged
     FROM s
     """,
     doc="Revenue waterfall per return flag: gross -> minus discount -> "
@@ -2058,7 +2073,11 @@ def orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "no float ever enters before the final casts. This is the finance "
     "reconciliation read where approximate sums are unacceptable; one "
     "hash aggregate with map-side partials, mergeable across shards by "
-    "addition.",
+    "addition. The final decimal->double conversions go VIA STRING "
+    "(r15: the SWEEP_r15_sf1 sweep caught the charged column — scale-6 "
+    "decimal, significand ~1.05e17 at sf1 — 1 ulp apart across engines; "
+    "the direct cast is only correctly rounded below 2^53, the r14 "
+    "pearson rule).",
 )
 def lineitem_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -2070,13 +2089,18 @@ def lineitem_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(ep * dc).alias("discount_amt"),
         F.sum(ep * (F.lit(1) - dc) * tx).alias("tax_amt"),
     )
+    def via_str(c):
+        # via-string decimal->double: correctly rounded on both engines
+        # at ANY magnitude (direct cast diverges past 2^53 significands)
+        return c.cast("string").cast("double")
+
     return s.select(
         "l_returnflag",
-        F.col("gross").cast("double").alias("gross"),
-        F.col("discount_amt").cast("double").alias("discount_amt"),
-        (F.col("gross") - F.col("discount_amt")).cast("double").alias("net"),
-        F.col("tax_amt").cast("double").alias("tax_amt"),
-        (F.col("gross") - F.col("discount_amt") + F.col("tax_amt"))
-        .cast("double")
-        .alias("charged"),
+        via_str(F.col("gross")).alias("gross"),
+        via_str(F.col("discount_amt")).alias("discount_amt"),
+        via_str(F.col("gross") - F.col("discount_amt")).alias("net"),
+        via_str(F.col("tax_amt")).alias("tax_amt"),
+        via_str(
+            F.col("gross") - F.col("discount_amt") + F.col("tax_amt")
+        ).alias("charged"),
     )

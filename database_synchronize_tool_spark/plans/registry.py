@@ -204,18 +204,13 @@ def _load_all() -> None:
 # at the final registry; no additions after the sweep.
 _WINDOW: tuple[str, ...] = (
     # --- changed/new in round 15: fresh driver evidence required ---
-    # NEW: CCNet perplexity-filter leg (target-trained bigram LM,
-    # per-language terciles) and the real WAV/PCM codec audio
-    # features (verdict r14 #5/#7)
+    # NEW: CCNet perplexity-filter leg and the real WAV/PCM codec
+    # audio features (verdict r14 #5/#7)
     "curation_perplexity_buckets",
     "audio_feature_extract",
-    # CHANGED: BPE training is BATCHED at n=50 (greedy symbol-
-    # disjoint top-8 per round, oracle replays the whole loop as
-    # MATERIALIZED CTEs — verdict r14 #6); the sampling/split/
-    # packing family moved to the overflow-safe modular Knuth hash
-    # (advice r14: naive product wraps in Spark / raises in DuckDB
-    # past id ~3.47e9; bit-identical below, re-proven at sf0.001 +
-    # sf0.01 at change time)
+    # CHANGED: BPE training BATCHED at n=50 (verdict r14 #6); the
+    # sampling/split/packing family on the overflow-safe modular
+    # Knuth hash (advice r14; bit-identical below the wrap point)
     "text_bpe_train_merges",
     "text_bpe_apply_learned",
     "deterministic_sample",
@@ -224,8 +219,26 @@ _WINDOW: tuple[str, ...] = (
     "text_pack_streams",
     "lang_temperature_sample",
     "curation_shard_manifest",
+    # CHANGED mid-sweep: SWEEP_r15_sf1 caught lineitem_revenue_
+    # waterfall 1 ulp apart at sf1 (scale-6 DECIMAL sum significand
+    # ~1e17 > 2^53 — the r14 pearson conversion class). The final
+    # decimal->double casts of the money-aggregate family now go
+    # VIA STRING on both engines (_dsum + oracle twins + q14 +
+    # the DECIMAL(28,10) acctbal scalar subquery); re-proven at
+    # sf0.001 + sf0.01 (all 10) and at sf1 for the divergent query
+    # and the three largest-significand sites
+    "lineitem_revenue_waterfall",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q10_returned_revenue",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "scalar_subquery_above_avg",
     # --- re-verify cohort: stale queue head (r8/r9 remainder and
-    # the two names the mid-round additions displaced) ---
+    # the names the mid-round additions displaced) ---
     "layout_zorder_stats",
     "ann_hamming_binary_topk",
     "j9_cdc_changelog_compaction",
@@ -256,8 +269,13 @@ _WINDOW: tuple[str, ...] = (
     "t11_stream_stream_join",
     "dedup_substring_spans",
     "corpus_quality_report",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
+)
+
+_QUEUE: tuple[str, ...] = (
+    # head = names the mid-sweep promotion displaced, then the r16
+    # re-verify cohort (stalest first); the 40 names the r15
+    # rotation displaced from the r14 window sit at the tail
+    # (freshest — driver-attested round 14).
     "embedding_matryoshka_truncate",
     "dedup_minhash_lsh",
     "dedup_containment_banded",
@@ -266,12 +284,6 @@ _WINDOW: tuple[str, ...] = (
     "agg_argmax_showcase",
     "sketch_hll_distinct_orders",
     "graph_triangle_parts",
-)
-
-_QUEUE: tuple[str, ...] = (
-    # head = next re-verify cohort for round 16 (stalest first); the
-    # 40 names the r15 rotation displaced from the r14 window sit at
-    # the tail (freshest — driver-attested round 14).
     "graph_pagerank_parts",
     "link_fuzzy_noisy_docs",
     "pareto_order_frontier",
@@ -334,7 +346,6 @@ _QUEUE: tuple[str, ...] = (
     "events_behavior_diversity",
     "events_dau_wau_stickiness",
     "events_rate_spike_zscore",
-    "lineitem_revenue_waterfall",
     "multimodal_payload_dedup_rate",
     "orders_customer_adoption",
     "orders_dow_seasonality",
@@ -385,9 +396,6 @@ _QUEUE: tuple[str, ...] = (
     "q9_product_type_profit",
     "q16_supplier_part_counts",
     "q20_potential_part_promotion",
-    "q5_revenue_by_nation",
-    "q6_revenue_forecast",
-    "q10_returned_revenue",
     "agg_having",
     "agg_distinct_count",
     "agg_stats_moments",
@@ -405,13 +413,11 @@ _QUEUE: tuple[str, ...] = (
     "set_except_nations",
     "set_intersect_nations",
     "set_union_distinct",
-    "scalar_subquery_above_avg",
     "scalar_function_showcase",
     "case_when_bucketing",
     "skew_salted_twophase_agg",
     "correlated_exists_subquery",
     "q4_order_priority",
-    "q14_promo_revenue",
     "q19_disjunctive_predicates",
     "map_functions_showcase",
     "date_functions_showcase",
@@ -421,8 +427,6 @@ _QUEUE: tuple[str, ...] = (
     "join_strategy_hints",
     "set_intersect_all_statuses",
     "set_except_all_statuses",
-    "q7_volume_shipping",
-    "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q18_large_orders",
     "q22_global_sales_opportunity",
