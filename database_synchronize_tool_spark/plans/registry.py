@@ -237,6 +237,10 @@ _WINDOW: tuple[str, ...] = (
     "q14_promo_revenue",
     "q15_top_supplier",
     "scalar_subquery_above_avg",
+    # CHANGED mid-sweep: s7_file_listing now applies the Hadoop
+    # hidden-file convention (sf1 replica-dir marker files drifted the
+    # rowcount); re-proven at sf0.001/sf0.01/sf1
+    "s7_file_listing",
     # --- re-verify cohort: stale queue head (r8/r9 remainder and
     # the names the mid-round additions displaced) ---
     "layout_zorder_stats",
@@ -268,7 +272,6 @@ _WINDOW: tuple[str, ...] = (
     "ann_ivf_pq_refine_topk",
     "t11_stream_stream_join",
     "dedup_substring_spans",
-    "corpus_quality_report",
 )
 
 _QUEUE: tuple[str, ...] = (
@@ -276,6 +279,7 @@ _QUEUE: tuple[str, ...] = (
     # re-verify cohort (stalest first); the 40 names the r15
     # rotation displaced from the r14 window sit at the tail
     # (freshest — driver-attested round 14).
+    "corpus_quality_report",
     "embedding_matryoshka_truncate",
     "dedup_minhash_lsh",
     "dedup_containment_banded",
@@ -358,7 +362,6 @@ _QUEUE: tuple[str, ...] = (
     "s2_delta_scan_id",
     "s3_schema_discovery",
     "s4_primary_keys",
-    "s7_file_listing",
     "p2_ignore_columns",
     "p3_watermark_tie_parity",
     "multimodal_feature_extract",

@@ -656,12 +656,23 @@ def catalog_live_columns_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="S7 object-store listing source: the dataset directory as a listing "
     "DataFrame (name projection; size/mtime carried for the hash-compare "
-    "sync modes) — the file-sync anti-join's input (gcs_sync.py:24-26).",
+    "sync modes) — the file-sync anti-join's input (gcs_sync.py:24-26). "
+    "The declared query applies the Hadoop hidden-file convention "
+    "(names starting with '_' or '.' are metadata, not data — exactly "
+    "what Spark's own file sources and the binaryFile twin skip), so the "
+    "listing is the DATASET, not directory noise (r15: the sf1 replica "
+    "dir's _GENERATED markers showed up as a 12-vs-10 rowcount drift; "
+    "the list_local_files OPERATOR keeps full fidelity for the sync "
+    "engine).",
 )
 def s7_file_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_synchronize_tool_spark.sources.filesync import list_local_files
 
-    return list_local_files(spark, sf_dir).select("name")
+    return (
+        list_local_files(spark, sf_dir)
+        .filter(~F.col("name").rlike("^[_.]"))
+        .select("name")
+    )
 
 
 @declared(
