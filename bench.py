@@ -204,6 +204,9 @@ HEADLINE = [
     # tier rows.
     "curation_perplexity_buckets",
     "audio_feature_extract",
+    # late-r15 additions (CCNet paragraph dedup, SSL-prototype pruning)
+    "dedup_paragraph_segments",
+    "curation_prototype_prune",
 ]
 
 # Bench tiers (r12 verdict #1). The headline total/ratio measure the

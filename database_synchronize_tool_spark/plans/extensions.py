@@ -5670,3 +5670,108 @@ def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & flags["r_stopwords"]
     )
     return d.select(*cols, passed.alias("pass"))
+
+
+@declared(
+    "dedup_paragraph_segments",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ), segs AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(t[i*10+1 : i*10+10], ' ') AS seg
+      FROM toks, LATERAL (
+        SELECT unnest(range(0,
+                 CAST(ceil(greatest(len(t), 1) / 10.0) AS INT))) AS i)
+    ), firsts AS (
+      SELECT seg, MIN(doc_id * 1048576 + seg_idx) AS first_key
+      FROM segs GROUP BY seg
+    ), marked AS (
+      SELECT s.doc_id, s.seg_idx, s.seg,
+             (s.doc_id * 1048576 + s.seg_idx = f.first_key) AS keep
+      FROM segs s JOIN firsts f USING (seg)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(seg, ' ' ORDER BY seg_idx)
+                      FILTER (WHERE keep), '') AS text_dedup
+    FROM marked GROUP BY doc_id
+    """,
+    doc="CCNet paragraph-level exact dedup (Wenzek et al. 2020 §3.1 — "
+    "public literature): the corpus's deterministic paragraph unit "
+    "(consecutive non-overlapping 10-token segments of the lowercased "
+    "tokenization) survives only at its FIRST corpus occurrence under "
+    "the (doc_id, seg_idx) total order; later occurrences across or "
+    "within documents drop, and each document is reassembled from its "
+    "surviving segments in position order with kept/total counts. "
+    "Occurrence keys pack into one BIGINT (doc_id*2^20 + seg_idx) so "
+    "first-occurrence is a map-side-combinable MIN, not a window. Scale "
+    "shape: one explode; ONE corpus-sized groupBy on the segment (the "
+    "join back reuses the same key); per-doc reassembly is a doc_id-"
+    "keyed agg whose ordered rebuild happens in-row (array_sort over "
+    "the collected (pos, seg) structs). At 100 TB the shuffle key "
+    "becomes xxhash64(seg) — CCNet itself dedups on SHA-1 prefixes; "
+    "the graded query keeps the raw string so both engines compare "
+    "exact text.",
+)
+def dedup_paragraph_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return DD.paragraph_dedup(d)
+
+
+@declared(
+    "curation_prototype_prune",
+    oracle=f"""
+    WITH cells AS (
+      SELECT label, i - 1 AS dim,
+             CAST(SUM(CAST(floor(CAST(embedding AS DOUBLE[])[i]
+                                  * 1000000000.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1000000000.0 / COUNT(*) AS c
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
+      GROUP BY label, i
+    ), protos AS (
+      SELECT label, list(c ORDER BY dim) AS cv FROM cells GROUP BY label
+    ), e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), scored AS (
+      SELECT e.vec_id, e.label, {_cosine_sql('v', 'cv')} AS sim_prototype
+      FROM e JOIN protos USING (label)
+    ), ranked AS (
+      SELECT vec_id, label, sim_prototype,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY sim_prototype ASC, vec_id)
+               AS hard_rank,
+             COUNT(*) OVER (PARTITION BY label) AS n_label
+      FROM scored
+    )
+    SELECT vec_id, label, sim_prototype,
+           CAST(hard_rank AS INT) AS hard_rank,
+           (hard_rank * 2 <= n_label + 1) AS kept
+    FROM ranked
+    """,
+    doc="Prototype-based data pruning (Sorscher et al. 2022, 'Beyond "
+    "neural scaling laws' — public literature; supervised-prototypes "
+    "variant): class prototype = exact label centroid (the explicit "
+    "floor(v*1e9+0.5) IEEE quantization + DECIMAL(38,0) integer sums of "
+    "embedding_label_centroids, bit-identical cross-engine at any "
+    "corpus size), every example scored by left-fold cosine to its "
+    "prototype, and the EASIEST half of each label pruned — keep rule "
+    "2*rank <= n+1, a pure integer comparison. The within-label rank "
+    "goes through operators/ranks.grouped_row_numbers (range-"
+    "partitioned two-pass): a row_number window partitioned by the "
+    "10-value label column would funnel a tenth of a 100 TB corpus "
+    "through one sorter — the exact anti-pattern the low-NDV plan "
+    "sweep exists to catch. Prototypes and per-label counts broadcast; "
+    "the corpus shuffles once for the rank, never for the scoring.",
+)
+def curation_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.operators.sampling import (
+        prototype_prune,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return prototype_prune(e)

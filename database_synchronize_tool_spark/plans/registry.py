@@ -208,6 +208,12 @@ _WINDOW: tuple[str, ...] = (
     # audio features (verdict r14 #5/#7)
     "curation_perplexity_buckets",
     "audio_feature_extract",
+    # NEW late-r15 (green at sf0.001+sf0.01 at add time): CCNet
+    # paragraph-level first-occurrence dedup and SSL-prototype
+    # pruning (Sorscher et al. 2022) — each took a window slot from
+    # the re-verify tail, displaced names to the queue head
+    "dedup_paragraph_segments",
+    "curation_prototype_prune",
     # CHANGED: BPE training BATCHED at n=50 (verdict r14 #6); the
     # sampling/split/packing family on the overflow-safe modular
     # Knuth hash (advice r14; bit-identical below the wrap point)
@@ -270,8 +276,6 @@ _WINDOW: tuple[str, ...] = (
     "corpus_ngram_topk",
     "text_pii_redact",
     "ann_ivf_pq_refine_topk",
-    "t11_stream_stream_join",
-    "dedup_substring_spans",
 )
 
 _QUEUE: tuple[str, ...] = (
@@ -279,6 +283,8 @@ _QUEUE: tuple[str, ...] = (
     # re-verify cohort (stalest first); the 40 names the r15
     # rotation displaced from the r14 window sit at the tail
     # (freshest — driver-attested round 14).
+    "t11_stream_stream_join",
+    "dedup_substring_spans",
     "corpus_quality_report",
     "embedding_matryoshka_truncate",
     "dedup_minhash_lsh",
