@@ -836,3 +836,201 @@ def prototype_prune(e: DataFrame) -> DataFrame:
         F.col("hard_rank").cast("int").alias("hard_rank"),
         (F.col("hard_rank") * 2 <= F.col("n_label") + 1).alias("kept"),
     )
+
+
+DOREMI_STEPS = 8
+DOREMI_FP = 10**12  # fixed-point scale for losses and weights
+DOREMI_SMOOTH_C = DOREMI_FP // 100  # uniform-mixture smoothing c = 0.01
+
+
+def doremi_weights(
+    df: DataFrame,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    steps: int = DOREMI_STEPS,
+) -> DataFrame:
+    """DoReMi-style domain-mixture reweighting (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining" —
+    public literature): a multiplicative-weights (Group-DRO) loop over
+    the corpus's domains whose per-step minibatch losses upweight the
+    domains where the proxy model lags the reference model most, with
+    per-step renormalization, uniform-mixture smoothing, and the paper's
+    final output = the AVERAGE of the smoothed weights across steps.
+
+    Deterministic cross-engine re-expression (documented departures, the
+    ``perplexity_buckets`` discipline):
+
+    - The reference model is the corpus-trained add-1 bigram LM (trained
+      on the uniform mixture, exactly the paper's reference role); the
+      proxy stand-in is the smaller target-slice LM (the repo's
+      ``doc_id % 7`` convention). Per-document loss under an LM is
+      ``1 - mean smoothed transition probability``, so the per-document
+      EXCESS loss (proxy minus reference, clipped at 0 as in the paper)
+      reduces to ``max(0, s_ref - s_proxy) / n_bigrams`` where the
+      ``s_*`` are fixed-point probability sums.
+    - exp(eta*excess) is libm and not bit-reproducible; the update uses
+      the rational multiplicative-weights form ``w *= (1 + excess)``
+      (eta = 1; Arora-Hazan-Kale MW variant) in pure integer fixed
+      point: every probability is quantized ONCE by the engine-exact
+      ``floor(p * 1e12 + 0.5)``, and the loop is integer multiply /
+      floor-divide all the way down, so the whole trajectory replays
+      bit-identically as unrolled DuckDB HUGEINT CTEs.
+    - The stochastic minibatch at step t is the deterministic corpus
+      slice ``knuth_hash32(doc_id) % steps == t-1`` — every document
+      participates in exactly one step, so the per-step per-domain batch
+      excess is one bounded groupBy.
+
+    Scale shape: ONE corpus scan/explode builds the bigram stream; both
+    LM count tables (vocabulary-bounded, not corpus-bounded) broadcast
+    back onto it, so scoring never shuffles the corpus; the per-(step,
+    domain) aggregate is map-side combinable to steps x |domains| rows
+    per partition (bounded shuffle); the MW recursion runs driver-side
+    over those <= steps x |domains| collected rows — bounded index
+    metadata, the BPE-trainer precedent — and the corpus is never
+    rescanned. Excess sums go through DECIMAL(38,0) so even a
+    billions-of-docs cell cannot overflow an int64 partial sum.
+    """
+    from database_synchronize_tool_spark.functions import text as TX
+
+    FP = DOREMI_FP
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(domain_col).alias("domain"),
+        TX.tokens(F.lower(F.col(text_col))).alias("t"),
+    )
+    is_target = F.col("doc_id") % 7 == 0
+    vocab_c = toks.select(F.explode("t").alias("term")).agg(
+        F.countDistinct("term").alias("vocab_c")
+    )
+    vocab_t = (
+        toks.filter(is_target)
+        .select(F.explode("t").alias("term"))
+        .agg(F.countDistinct("term").alias("vocab_t"))
+    )
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("t"), i),
+                F.element_at(F.col("t"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = toks.select("doc_id", F.explode(bigrams).alias("bg"))
+    cbgc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg_c"))
+    cctx = (
+        bg.select(F.substring_index("bg", " ", 1).alias("w1c"))
+        .groupBy("w1c")
+        .agg(F.count(F.lit(1)).alias("c_w1_c"))
+    )
+    tbg = bg.filter(is_target)
+    tbgc = tbg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg_t"))
+    tctx = (
+        tbg.select(F.substring_index("bg", " ", 1).alias("w1t"))
+        .groupBy("w1t")
+        .agg(F.count(F.lit(1)).alias("c_w1_t"))
+    )
+    p_ref = (F.col("c_bg_c") + 1).cast("double") / (
+        F.col("c_w1_c") + F.col("vocab_c")
+    ).cast("double")
+    p_proxy = (F.coalesce(F.col("c_bg_t"), F.lit(0)) + 1).cast("double") / (
+        F.coalesce(F.col("c_w1_t"), F.lit(0)) + F.col("vocab_t")
+    ).cast("double")
+    q_ref = F.floor(p_ref * F.lit(float(FP)) + F.lit(0.5)).cast("bigint")
+    q_proxy = F.floor(p_proxy * F.lit(float(FP)) + F.lit(0.5)).cast("bigint")
+    perdoc = (
+        bg.join(F.broadcast(cbgc), "bg")
+        .join(
+            F.broadcast(cctx),
+            F.substring_index(F.col("bg"), " ", 1) == F.col("w1c"),
+        )
+        .join(F.broadcast(tbgc), "bg", "left")
+        .join(
+            F.broadcast(tctx),
+            F.substring_index(F.col("bg"), " ", 1) == F.col("w1t"),
+            "left",
+        )
+        .crossJoin(F.broadcast(vocab_c))
+        .crossJoin(F.broadcast(vocab_t))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nb"),
+            F.sum(q_ref).cast("bigint").alias("s_ref"),
+            F.sum(q_proxy).cast("bigint").alias("s_proxy"),
+        )
+    )
+    docx = (
+        df.select(
+            F.col(id_col).alias("doc_id"), F.col(domain_col).alias("domain")
+        )
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "domain",
+            (knuth_hash32(F.col("doc_id")) % steps + 1)
+            .cast("int")
+            .alias("step"),
+            F.expr(
+                "CASE WHEN coalesce(nb, 0) = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE CAST(greatest(CAST(0 AS BIGINT), s_ref - s_proxy) "
+                "div nb AS BIGINT) END"
+            ).alias("excess_fp"),
+        )
+    )
+    cells = (
+        docx.groupBy("step", "domain")
+        .agg(
+            F.sum(F.col("excess_fp").cast("decimal(38,0)")).alias("sx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    by_cell = {(r["step"], r["domain"]): (int(r["sx"]), int(r["n"])) for r in cells}
+    domains = sorted({r["domain"] for r in cells})
+    excess = {}
+    for t in range(1, steps + 1):
+        for d in domains:
+            sx, n = by_cell.get((t, d), (0, 0))
+            excess[(t, d)] = sx // n if n else 0
+    traj, final = mw_trajectory(excess, domains, steps)
+    return df.sparkSession.createDataFrame(
+        [(t, d, ex, ab, final[d]) for (t, d, ex, ab) in traj],
+        schema=(
+            "step int, domain string, batch_excess_fp bigint, "
+            "weight_fp bigint, final_weight_fp bigint"
+        ),
+    )
+
+
+def mw_trajectory(
+    excess: dict,
+    domains: list,
+    steps: int = DOREMI_STEPS,
+    fp: int = DOREMI_FP,
+    c: int = DOREMI_SMOOTH_C,
+):
+    """The pure integer multiplicative-weights recursion of
+    :func:`doremi_weights`, factored out so its invariants unit-test
+    without a corpus: ``excess[(t, d)]`` in fixed-point ``fp`` units,
+    rational update ``w *= (1 + excess)``, per-step normalize to ``fp``,
+    uniform smoothing ``c``, final weight = mean smoothed weight across
+    steps. Returns ``(trajectory_rows, final_by_domain)`` where rows are
+    ``(step, domain, excess, smoothed_weight)``. Exact Python-int
+    arithmetic, bit-identical to the unrolled HUGEINT oracle CTEs."""
+    k = len(domains)
+    w = {d: fp for d in domains}
+    abar_sum = {d: 0 for d in domains}
+    traj = []
+    for t in range(1, steps + 1):
+        for d in domains:
+            w[d] = w[d] * (fp + excess[(t, d)]) // fp
+        total = sum(w.values())
+        for d in domains:
+            a = w[d] * fp // total
+            abar = ((fp - c) * a + c * (fp // k)) // fp
+            abar_sum[d] += abar
+            traj.append((t, d, excess[(t, d)], abar))
+    final = {d: abar_sum[d] // steps for d in domains}
+    return traj, final

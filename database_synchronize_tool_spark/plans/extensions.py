@@ -5775,3 +5775,160 @@ def curation_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return prototype_prune(e)
+
+
+_DOREMI_STEPS = 8
+_DOREMI_FP = 10**12
+_DOREMI_C = _DOREMI_FP // 100  # uniform-mixture smoothing c = 0.01
+
+
+def _doremi_oracle_sql(steps: int) -> str:
+    """Unrolled-CTE DuckDB replay of operators/sampling.doremi_weights:
+    the per-(step, domain) batch excess losses from the two bigram LMs,
+    then the integer multiplicative-weights recursion one CTE per step —
+    HUGEINT all the way (w can reach 2^8 * 1e12 and the normalize
+    multiplies by 1e12 again, past int64)."""
+    from database_synchronize_tool_spark.operators.sampling import (
+        knuth_hash32_sql,
+    )
+
+    fp = _DOREMI_FP
+    c = _DOREMI_C
+    h = knuth_hash32_sql("d.doc_id")
+    parts = [
+        f"""
+    WITH toks AS (
+      SELECT doc_id, lang AS domain,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ), vc AS (
+      SELECT COUNT(DISTINCT term) AS vocab_c
+      FROM (SELECT unnest(t) AS term FROM toks)
+    ), vt AS (
+      SELECT COUNT(DISTINCT term) AS vocab_t
+      FROM (SELECT unnest(t) AS term FROM toks WHERE doc_id % 7 = 0)
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS bg
+      FROM toks
+    ), cbgc AS (
+      SELECT bg, COUNT(*) AS c_bg_c FROM bg GROUP BY bg
+    ), cctx AS (
+      SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c_w1_c
+      FROM bg GROUP BY 1
+    ), tbgc AS (
+      SELECT bg, COUNT(*) AS c_bg_t FROM bg WHERE doc_id % 7 = 0 GROUP BY bg
+    ), tctx AS (
+      SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c_w1_t
+      FROM bg WHERE doc_id % 7 = 0 GROUP BY 1
+    ), perdoc AS (
+      SELECT bg.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS nb,
+             SUM(CAST(floor(CAST(c_bg_c + 1 AS DOUBLE)
+                   / CAST(c_w1_c + vocab_c AS DOUBLE)
+                   * {fp}.0 + 0.5) AS BIGINT)) AS s_ref,
+             SUM(CAST(floor(CAST(COALESCE(c_bg_t, 0) + 1 AS DOUBLE)
+                   / CAST(COALESCE(c_w1_t, 0) + vocab_t AS DOUBLE)
+                   * {fp}.0 + 0.5) AS BIGINT)) AS s_proxy
+      FROM bg JOIN cbgc USING (bg)
+           JOIN cctx ON cctx.w1 = split_part(bg.bg, ' ', 1)
+           LEFT JOIN tbgc USING (bg)
+           LEFT JOIN tctx ON tctx.w1 = split_part(bg.bg, ' ', 1)
+           CROSS JOIN vc CROSS JOIN vt
+      GROUP BY bg.doc_id
+    ), docx AS (
+      SELECT d.lang AS domain,
+             CAST({h} % {steps} AS INT) + 1 AS step,
+             CASE WHEN COALESCE(nb, 0) = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(greatest(0, s_ref - s_proxy) // nb AS BIGINT)
+             END AS excess_fp
+      FROM documents d LEFT JOIN perdoc ON perdoc.doc_id = d.doc_id
+    ), doms AS (
+      SELECT DISTINCT lang AS domain FROM documents
+    ), nk AS (
+      SELECT COUNT(*) AS k FROM doms
+    ), grid AS (
+      SELECT CAST(s.s AS INT) AS step, domain
+      FROM (SELECT unnest(range(1, {steps} + 1)) AS s) s CROSS JOIN doms
+    ), e AS (
+      SELECT g.step, g.domain,
+             CASE WHEN COUNT(x.domain) = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(SUM(x.excess_fp) // COUNT(x.domain) AS BIGINT)
+             END AS ex
+      FROM grid g LEFT JOIN docx x
+        ON x.step = g.step AND x.domain = g.domain
+      GROUP BY g.step, g.domain
+    ), s0 AS (
+      SELECT domain, CAST({fp} AS HUGEINT) AS w FROM doms
+    )"""
+    ]
+    for t in range(1, steps + 1):
+        parts.append(
+            f""", u{t} AS (
+      SELECT p.domain,
+             (p.w * (CAST({fp} AS HUGEINT) + e.ex)) // {fp} AS w
+      FROM s{t - 1} p JOIN e ON e.domain = p.domain AND e.step = {t}
+    ), s{t} AS (
+      SELECT domain, w,
+             (CAST({fp - c} AS HUGEINT)
+                * ((w * CAST({fp} AS HUGEINT)) // SUM(w) OVER ())
+              + CAST({c} AS HUGEINT) * CAST({fp} // k AS HUGEINT))
+               // {fp} AS abar
+      FROM u{t} CROSS JOIN nk
+    )"""
+        )
+    traj = "\n      UNION ALL ".join(
+        f"SELECT {t} AS step, domain, abar FROM s{t}"
+        for t in range(1, steps + 1)
+    )
+    parts.append(
+        f""", traj AS (
+      {traj}
+    ), fin AS (
+      SELECT domain, CAST(SUM(abar) // {steps} AS BIGINT)
+               AS final_weight_fp
+      FROM traj GROUP BY domain
+    )
+    SELECT t.step, t.domain, e.ex AS batch_excess_fp,
+           CAST(t.abar AS BIGINT) AS weight_fp, fin.final_weight_fp
+    FROM traj t
+         JOIN e ON e.step = t.step AND e.domain = t.domain
+         JOIN fin ON fin.domain = t.domain"""
+    )
+    return "".join(parts)
+
+
+@declared(
+    "curation_doremi_weights",
+    oracle=_doremi_oracle_sql(_DOREMI_STEPS),
+    doc="DoReMi domain-mixture reweighting (Xie et al. 2023, public "
+    "literature): Group-DRO multiplicative weights over the corpus's "
+    "language domains — per-step minibatch excess losses (proxy minus "
+    "reference, clipped at 0), rational MW update w *= (1 + excess) "
+    "(exp is libm, not bit-reproducible; Arora-Hazan-Kale variant), "
+    "renormalize, 1% uniform smoothing, final mixture = mean smoothed "
+    "weight across steps, per the paper. Reference model = corpus-"
+    "trained add-1 bigram LM (the uniform-mixture reference role); "
+    "proxy stand-in = the doc_id%7 target-slice LM; loss = 1 - mean "
+    "smoothed transition probability, so per-doc excess reduces to an "
+    "integer: max(0, s_ref - s_proxy) div n_bigrams over floor(p*1e12"
+    "+0.5)-quantized probability sums. Minibatch t = the deterministic "
+    "slice knuth_hash32(doc_id) %% steps. The ENTIRE trajectory (8 "
+    "steps x |domains| rows) hash-grades against unrolled DuckDB "
+    "HUGEINT CTEs. Scale shape: one corpus scan/explode; vocabulary-"
+    "bounded LM tables broadcast back (corpus never shuffles to "
+    "score); the (step, domain) aggregate is map-side combinable to a "
+    "bounded cell grid; the MW recursion is driver-side over <= "
+    "steps x |domains| collected rows (bounded metadata, the BPE-"
+    "trainer precedent) with DECIMAL(38,0) cell sums so billion-doc "
+    "cells cannot overflow.",
+)
+def curation_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.operators.sampling import (
+        doremi_weights,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return doremi_weights(d, steps=_DOREMI_STEPS)

@@ -214,6 +214,11 @@ _WINDOW: tuple[str, ...] = (
     # the re-verify tail, displaced names to the queue head
     "dedup_paragraph_segments",
     "curation_prototype_prune",
+    # NEW late-r15 (green at sf0.001+sf0.01+sweep SFs at add time):
+    # DoReMi domain-mixture reweighting (Xie et al. 2023) — took a
+    # window slot from the re-verify tail, displaced name to the
+    # queue head
+    "curation_doremi_weights",
     # CHANGED: BPE training BATCHED at n=50 (verdict r14 #6); the
     # sampling/split/packing family on the overflow-safe modular
     # Knuth hash (advice r14; bit-identical below the wrap point)
@@ -275,14 +280,14 @@ _WINDOW: tuple[str, ...] = (
     "source_mix_report",
     "corpus_ngram_topk",
     "text_pii_redact",
-    "ann_ivf_pq_refine_topk",
 )
 
 _QUEUE: tuple[str, ...] = (
-    # head = names the mid-sweep promotion displaced, then the r16
-    # re-verify cohort (stalest first); the 40 names the r15
-    # rotation displaced from the r14 window sit at the tail
-    # (freshest — driver-attested round 14).
+    # head = names the mid-sweep promotion and late-r15 additions
+    # displaced, then the r16 re-verify cohort (stalest first); the
+    # 40 names the r15 rotation displaced from the r14 window sit at
+    # the tail (freshest — driver-attested round 14).
+    "ann_ivf_pq_refine_topk",
     "t11_stream_stream_join",
     "dedup_substring_spans",
     "corpus_quality_report",

@@ -402,3 +402,68 @@ def test_perplexity_prune_stage(spark, sf_dir, curated):
     }
     with pytest.raises(ValueError):
         curate_corpus(spark, sf_dir, perplexity_prune="bogus")
+
+
+def test_doremi_mw_trajectory_invariants():
+    """r15 (DoReMi leg, Xie et al. 2023): the pure integer MW recursion —
+    higher per-step excess must win, per-step smoothed weights stay a
+    (floor-slack) partition of unity, the uniform-smoothing floor holds,
+    and the recursion is deterministic."""
+    import collections
+
+    from database_synchronize_tool_spark.operators.sampling import (
+        DOREMI_FP,
+        DOREMI_SMOOTH_C,
+        mw_trajectory,
+    )
+
+    doms = ["a", "b", "c"]
+    ex = {}
+    for t in range(1, 9):
+        ex[(t, "a")] = DOREMI_FP // 100
+        ex[(t, "b")] = DOREMI_FP // 10
+        ex[(t, "c")] = 0
+    traj, fin = mw_trajectory(ex, doms)
+    assert fin["b"] > fin["a"] > fin["c"]
+    per_step = collections.defaultdict(int)
+    for t, _d, _e, ab in traj:
+        per_step[t] += ab
+    assert set(per_step) == set(range(1, 9))
+    for s in per_step.values():
+        assert DOREMI_FP - 3 * len(doms) <= s <= DOREMI_FP
+    floor = DOREMI_SMOOTH_C * (DOREMI_FP // len(doms)) // DOREMI_FP
+    assert all(ab >= floor for _t, _d, _e, ab in traj)
+    assert mw_trajectory(ex, doms) == (traj, fin)
+    # zero excess everywhere -> exactly uniform at every step
+    traj0, fin0 = mw_trajectory(
+        {(t, d): 0 for t in range(1, 9) for d in doms}, doms
+    )
+    assert all(ab == fin0[d] for _t, d, _e, ab in traj0)
+    assert len(set(fin0.values())) == 1
+
+
+def test_doremi_weights_operator(spark, sf_dir):
+    """The corpus-level operator: full steps x domains trajectory, final
+    weight = mean smoothed weight per domain, deterministic rerun."""
+    import os
+
+    from database_synchronize_tool_spark.operators.sampling import (
+        DOREMI_STEPS,
+        doremi_weights,
+    )
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    rows = doremi_weights(d).collect()
+    domains = {r["domain"] for r in rows}
+    assert len(rows) == DOREMI_STEPS * len(domains)
+    by_dom = {}
+    for r in rows:
+        by_dom.setdefault(r["domain"], []).append(r)
+    for dom, rs in by_dom.items():
+        assert len(rs) == DOREMI_STEPS
+        finals = {r["final_weight_fp"] for r in rs}
+        assert len(finals) == 1
+        assert finals == {sum(r["weight_fp"] for r in rs) // DOREMI_STEPS}
+        assert all(r["batch_excess_fp"] >= 0 for r in rs)
+    again = doremi_weights(d).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
