@@ -1034,3 +1034,61 @@ def mw_trajectory(
             traj.append((t, d, excess[(t, d)], abar))
     final = {d: abar_sum[d] // steps for d in domains}
     return traj, final
+
+
+def doremi_resample(
+    df: DataFrame,
+    weights_from: DataFrame | None = None,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    steps: int = DOREMI_STEPS,
+) -> DataFrame:
+    """Apply a DoReMi-trained domain mixture as a deterministic resample:
+    target share of domain d is proportional to its final averaged
+    weight, so the per-row keep rate is ``min(1, N*w_d/Z/n_d)`` — the
+    ``temperature_sample`` rule with the learned mixture in place of the
+    sqrt-share weights — drawn with the portable Knuth hash so the
+    survivor set is engine-independent and re-runnable.
+
+    ``weights_from`` lets the mixture train on the FULL corpus while the
+    resample applies to a downstream survivor frame (the pipeline's
+    stage composition — weights stay stable against what earlier stages
+    rejected); default is ``df`` itself. Exactness: the final weights
+    and their sum are exact integers < 2^53, so every int->double
+    conversion is correctly rounded, and the rate chain
+    ``N * w / Z / n_d`` is evaluated left-to-right as three IEEE ops —
+    engine-agreed bit-for-bit. Scale shape: two tiny broadcast
+    aggregates + the bounded DoReMi cell grid + one narrow filter — no
+    window, no per-domain sort, corpus shuffles only inside the (step,
+    domain) bounded aggregate of the training pass."""
+    wts = (
+        doremi_weights(
+            weights_from if weights_from is not None else df,
+            domain_col=domain_col,
+            id_col=id_col,
+            steps=steps,
+        )
+        .select("domain", "final_weight_fp")
+        .distinct()
+    )
+    z = wts.agg(F.sum("final_weight_fp").alias("z_fp"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    ns = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_s")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.col("n_docs").cast("double")
+        * F.col("final_weight_fp").cast("double")
+        / F.col("z_fp").cast("double")
+        / F.col("n_s").cast("double"),
+    )
+    draw = knuth_hash32(F.col(id_col)).cast("double") / F.lit(float(HASH_MOD))
+    return (
+        df.join(F.broadcast(wts), df[domain_col] == wts["domain"])
+        .join(F.broadcast(ns), "domain")
+        .crossJoin(F.broadcast(z))
+        .crossJoin(F.broadcast(n))
+        .filter(draw < rate)
+        .select(*df.columns)
+    )

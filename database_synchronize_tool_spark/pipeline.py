@@ -28,6 +28,7 @@ from database_synchronize_tool_spark.operators import dedup as DD
 from database_synchronize_tool_spark.operators import similarity as SIM
 from database_synchronize_tool_spark.operators.sampling import (
     cap_per_group,
+    doremi_resample,
     perplexity_buckets,
     temperature_sample,
 )
@@ -79,6 +80,7 @@ def curate_corpus(
     semantic_cells: int = 8,
     source_cap: int | None = None,
     perplexity_prune: str | None = None,
+    domain_mix: str | None = None,
     docs: DataFrame | None = None,
     emb: DataFrame | None = None,
     held_out: DataFrame | None = None,
@@ -102,6 +104,13 @@ def curate_corpus(
     buckets are the SAME per-language terciles the graded
     ``curation_perplexity_buckets`` query emits. Default off so existing
     survivor-count pins stay exact.
+    ``domain_mix`` (r15, DoReMi leg) selects the final re-sample rule:
+    ``None`` keeps the default temperature sample; ``"doremi"`` trains
+    the DoReMi mixture on the FULL corpus (stable against upstream
+    rejections, like the perplexity buckets) and resamples the
+    survivors to it — the SAME operators the graded
+    ``curation_doremi_weights`` / ``curation_doremi_resample`` queries
+    grade.
     """
     if docs is None:
         if sf_dir is None:
@@ -191,11 +200,19 @@ def curate_corpus(
     else:
         sem_clean = clean
 
-    # 5. temperature re-sample by language — the SAME operator
-    #    lang_temperature_sample grades, applied to the survivors
-    sampled = temperature_sample(
-        sem_clean, strata_col="lang", id_col="doc_id"
-    ).select("doc_id", "lang", "source", "text")
+    # 5. final re-sample by language: the default temperature sample, or
+    #    the DoReMi-trained mixture (r15) — both the SAME operators the
+    #    declared queries grade, applied to the survivors
+    if domain_mix is None:
+        sampled = temperature_sample(
+            sem_clean, strata_col="lang", id_col="doc_id"
+        ).select("doc_id", "lang", "source", "text")
+    elif domain_mix == "doremi":
+        sampled = doremi_resample(
+            sem_clean, weights_from=docs, domain_col="lang", id_col="doc_id"
+        ).select("doc_id", "lang", "source", "text")
+    else:
+        raise ValueError(f"unknown domain_mix: {domain_mix!r}")
     return CurationResult(
         corpus=docs,
         kept=kept,

@@ -5782,12 +5782,14 @@ _DOREMI_FP = 10**12
 _DOREMI_C = _DOREMI_FP // 100  # uniform-mixture smoothing c = 0.01
 
 
-def _doremi_oracle_sql(steps: int) -> str:
+def _doremi_oracle_sql(steps: int, final_select: str | None = None) -> str:
     """Unrolled-CTE DuckDB replay of operators/sampling.doremi_weights:
     the per-(step, domain) batch excess losses from the two bigram LMs,
     then the integer multiplicative-weights recursion one CTE per step —
     HUGEINT all the way (w can reach 2^8 * 1e12 and the normalize
-    multiplies by 1e12 again, past int64)."""
+    multiplies by 1e12 again, past int64). ``final_select`` overrides
+    the trajectory SELECT (it can reference the ``fin`` CTE) — the
+    resample query reuses the whole training chain this way."""
     from database_synchronize_tool_spark.operators.sampling import (
         knuth_hash32_sql,
     )
@@ -5891,6 +5893,11 @@ def _doremi_oracle_sql(steps: int) -> str:
                AS final_weight_fp
       FROM traj GROUP BY domain
     )
+    """
+    )
+    parts.append(
+        final_select
+        or """
     SELECT t.step, t.domain, e.ex AS batch_excess_fp,
            CAST(t.abar AS BIGINT) AS weight_fp, fin.final_weight_fp
     FROM traj t
@@ -5932,3 +5939,55 @@ def curation_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return doremi_weights(d, steps=_DOREMI_STEPS)
+
+
+def _doremi_resample_select() -> str:
+    from database_synchronize_tool_spark.operators.sampling import (
+        knuth_hash32_sql,
+    )
+
+    h = knuth_hash32_sql("d.doc_id")
+    return f"""
+    , z AS (
+      SELECT SUM(final_weight_fp) AS z_fp FROM fin
+    ), nn AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), ns AS (
+      SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d
+         JOIN fin ON fin.domain = d.lang
+         JOIN ns ON ns.lang = d.lang
+         CROSS JOIN z CROSS JOIN nn
+    WHERE CAST({h} AS DOUBLE) / 4294967296.0
+          < least(1.0, CAST(n_docs AS DOUBLE)
+                       * CAST(final_weight_fp AS DOUBLE)
+                       / CAST(z_fp AS DOUBLE)
+                       / CAST(n_s AS DOUBLE))"""
+
+
+@declared(
+    "curation_doremi_resample",
+    oracle=_doremi_oracle_sql(_DOREMI_STEPS, _doremi_resample_select()),
+    doc="The apply side of curation_doremi_weights: resample the corpus "
+    "to the DoReMi-trained domain mixture — target share of domain d "
+    "proportional to its final averaged weight, per-row keep rate "
+    "min(1, N*w_d/Z/n_d) (the temperature_sample rule with the learned "
+    "mixture in place of sqrt shares), drawn with the portable Knuth "
+    "hash. The oracle re-runs the ENTIRE unrolled MW training chain and "
+    "filters on its fin weights — training and inference replay "
+    "bit-identically (the BPE apply-query pattern). Exactness: weights "
+    "and their sum are exact integers < 2^53 so int->double is "
+    "correctly rounded, and the rate chain N*w/Z/n_d evaluates "
+    "left-to-right as three IEEE ops on both engines. Scale shape: the "
+    "training pass's bounded cell grid + two tiny broadcast aggregates "
+    "+ one narrow filter — no window, no per-domain sort.",
+)
+def curation_doremi_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.operators.sampling import (
+        doremi_resample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return doremi_resample(d, steps=_DOREMI_STEPS).select("doc_id", "lang")

@@ -215,10 +215,11 @@ _WINDOW: tuple[str, ...] = (
     "dedup_paragraph_segments",
     "curation_prototype_prune",
     # NEW late-r15 (green at sf0.001+sf0.01+sweep SFs at add time):
-    # DoReMi domain-mixture reweighting (Xie et al. 2023) — took a
-    # window slot from the re-verify tail, displaced name to the
-    # queue head
+    # DoReMi domain-mixture reweighting (Xie et al. 2023) + its
+    # apply/resample twin — each took a window slot from the
+    # re-verify tail, displaced names to the queue head
     "curation_doremi_weights",
+    "curation_doremi_resample",
     # CHANGED: BPE training BATCHED at n=50 (verdict r14 #6); the
     # sampling/split/packing family on the overflow-safe modular
     # Knuth hash (advice r14; bit-identical below the wrap point)
@@ -279,7 +280,6 @@ _WINDOW: tuple[str, ...] = (
     "decontam_ngram_overlap",
     "source_mix_report",
     "corpus_ngram_topk",
-    "text_pii_redact",
 )
 
 _QUEUE: tuple[str, ...] = (
@@ -287,6 +287,7 @@ _QUEUE: tuple[str, ...] = (
     # displaced, then the r16 re-verify cohort (stalest first); the
     # 40 names the r15 rotation displaced from the r14 window sit at
     # the tail (freshest — driver-attested round 14).
+    "text_pii_redact",
     "ann_ivf_pq_refine_topk",
     "t11_stream_stream_join",
     "dedup_substring_spans",

@@ -467,3 +467,21 @@ def test_doremi_weights_operator(spark, sf_dir):
         assert all(r["batch_excess_fp"] >= 0 for r in rs)
     again = doremi_weights(d).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_doremi_domain_mix_stage(spark, sf_dir, curated):
+    """r15 (DoReMi leg): domain_mix='doremi' resamples the survivors to
+    the corpus-trained mixture — a subset of the semantic-dedup stage,
+    deterministic across reruns, and rejects unknown mixes."""
+    from database_synchronize_tool_spark.pipeline import curate_corpus
+
+    mixed = curate_corpus(spark, sf_dir, domain_mix="doremi")
+    base = {r["doc_id"] for r in mixed.sem_clean.select("doc_id").collect()}
+    got = {r["doc_id"] for r in mixed.sampled.select("doc_id").collect()}
+    assert got and got <= base
+    again = curate_corpus(spark, sf_dir, domain_mix="doremi")
+    assert got == {
+        r["doc_id"] for r in again.sampled.select("doc_id").collect()
+    }
+    with pytest.raises(ValueError):
+        curate_corpus(spark, sf_dir, domain_mix="bogus")
