@@ -395,3 +395,138 @@ def bpe_segment(text, merges: list[tuple[str, str]]):
         seqs = F.transform(seqs, lambda s: _fold_str(s, a, b))
     return seqs
 
+
+
+# ---------------------------------------------------------------------------
+# WordPiece greedy longest-match tokenization (Wu et al. 2016, "Google's
+# Neural Machine Translation System"; Devlin et al. 2019, BERT — public
+# literature). Deterministic engine re-expression: the piece vocabulary is
+# DERIVED from the corpus (all single characters + the top-K substrings of
+# length 2..WP_MAX_PIECE by frequency-weighted occurrence count, ties by
+# piece string), so both engines rebuild the identical vocab from the same
+# parquet; segmentation is the canonical greedy longest-match-first walk,
+# continuation pieces rendered with the standard "##" prefix. Documented
+# departure: the vocabulary is position-blind (one piece set for word-start
+# and continuation) — the greedy algorithm itself is unchanged.
+# ---------------------------------------------------------------------------
+
+WP_MAX_PIECE = 6  # longest candidate piece
+WP_TOP_PIECES = 200  # multi-char vocabulary size
+WP_TOP_WORDS = 500  # words the graded query segments (freq DESC, word ASC)
+WP_MAX_WORD_LEN = 24  # bound on segmented word length (and recursion depth)
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The shared (word, freq) table — same split as the BPE trainers."""
+    return (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), BPE_WORD_SPLIT),
+                    lambda t: t != "",
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+
+
+def wordpiece_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Derive the WordPiece vocabulary: every single character occurring
+    in any corpus word (so no word is ever unsegmentable — the [UNK]
+    path cannot trigger on the corpus that built the vocab) plus the
+    top-``WP_TOP_PIECES`` substrings of length 2..``WP_MAX_PIECE`` by
+    ``sum(word_freq * occurrences_in_word)``, ties broken by piece
+    string ascending. Scale shape: the position explode runs over the
+    DISTINCT-word table (vocabulary-bounded, not corpus-bounded), one
+    groupBy on the piece, one TakeOrdered top-K — the BPE-trainer cost
+    model."""
+    words = word_freqs(docs, text_col)
+    pieces = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.transform(
+                F.sequence(F.lit(2), F.lit(WP_MAX_PIECE)),
+                lambda n: F.when(
+                    i + n - F.lit(1) <= F.length("word"),
+                    F.substring(F.col("word"), i, n),
+                ),
+            ),
+        )
+    )
+    cand = (
+        words.select("freq", F.explode(pieces).alias("piece"))
+        .filter(F.col("piece").isNotNull())
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("weight"))
+    )
+    top = (
+        cand.orderBy(F.col("weight").desc(), "piece")
+        .limit(WP_TOP_PIECES)
+        .select("piece")
+    )
+    chars = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.substring(F.col("word"), i, 1),
+            )
+        ).alias("piece")
+    ).distinct()
+    return chars.union(top).distinct()
+
+
+def wordpiece_segment_topwords(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Segment the corpus's top-``WP_TOP_WORDS`` words (freq DESC, word
+    ASC; length <= ``WP_MAX_WORD_LEN``) with greedy longest-match-first
+    against the derived vocabulary. Returns (word, freq, n_pieces,
+    wordpieces) with continuation pieces '##'-prefixed.
+
+    Scale shape: the vocabulary is bounded (|alphabet| + WP_TOP_PIECES
+    rows) so it collects and broadcasts; segmentation runs as ONE
+    Arrow-batched mapInPandas pass over the words frame — word-bounded
+    work, never corpus-bounded, and trivially parallel (each word
+    segments independently; at 100 TB the same pass runs over the full
+    distinct-word table instead of the graded top-500). The greedy walk
+    advances at least one character per step (every single character is
+    in the vocab by construction), so per-word cost is O(len *
+    WP_MAX_PIECE)."""
+    import pandas as pd
+
+    words = word_freqs(docs, text_col)
+    vocab = frozenset(
+        r["piece"] for r in wordpiece_vocab(docs, text_col).collect()
+    )
+    bv = docs.sparkSession.sparkContext.broadcast(vocab)
+    topw = (
+        words.filter(F.length("word") <= WP_MAX_WORD_LEN)
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(WP_TOP_WORDS)
+    )
+
+    def seg(batches):
+        vs = bv.value
+        for pdf in batches:
+            out = []
+            for w, fq in zip(pdf["word"], pdf["freq"]):
+                pieces = []
+                pos = 0
+                n = len(w)
+                while pos < n:
+                    for ln in range(min(WP_MAX_PIECE, n - pos), 0, -1):
+                        c = w[pos : pos + ln]
+                        if c in vs:
+                            break
+                    pieces.append("##" + c if pos else c)
+                    pos += ln
+                out.append((w, fq, len(pieces), " ".join(pieces)))
+            yield pd.DataFrame(
+                out, columns=["word", "freq", "n_pieces", "wordpieces"]
+            )
+
+    return topw.mapInPandas(
+        seg, "word string, freq bigint, n_pieces int, wordpieces string"
+    )

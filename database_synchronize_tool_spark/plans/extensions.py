@@ -5991,3 +5991,102 @@ def curation_doremi_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return doremi_resample(d, steps=_DOREMI_STEPS).select("doc_id", "lang")
+
+
+def _wordpiece_oracle_sql() -> str:
+    """DuckDB replay of operators/bpe.wordpiece_segment_topwords: derive
+    the identical vocabulary, precompute the longest-match piece per
+    (word, position) NON-recursively (window argmax — allowed outside
+    the recursive term), then the greedy walk is a recursive lookup
+    join that advances by the matched piece's length."""
+    from database_synchronize_tool_spark.operators.bpe import (
+        WP_MAX_PIECE,
+        WP_MAX_WORD_LEN,
+        WP_TOP_PIECES,
+        WP_TOP_WORDS,
+    )
+
+    return f"""
+    WITH RECURSIVE w0 AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(list_filter(
+                 string_split_regex(lower(text), '[^a-z0-9]+'),
+                 x -> x <> '')) AS word
+        FROM documents
+      ) GROUP BY word
+    ), cand AS (
+      SELECT substr(word, CAST(i AS INT), CAST(n AS INT)) AS piece,
+             SUM(freq) AS weight
+      FROM w0,
+           LATERAL (SELECT unnest(range(1, length(word) + 1)) AS i),
+           LATERAL (SELECT unnest(range(2, {WP_MAX_PIECE} + 1)) AS n)
+      WHERE i + n - 1 <= length(word)
+      GROUP BY 1
+    ), top_p AS (
+      SELECT piece FROM cand ORDER BY weight DESC, piece
+      LIMIT {WP_TOP_PIECES}
+    ), chars AS (
+      SELECT DISTINCT substr(word, CAST(i AS INT), 1) AS piece
+      FROM w0, LATERAL (SELECT unnest(range(1, length(word) + 1)) AS i)
+    ), vocab AS MATERIALIZED (
+      SELECT DISTINCT piece FROM (
+        SELECT piece FROM chars UNION ALL SELECT piece FROM top_p)
+    ), topw AS MATERIALIZED (
+      SELECT word, freq FROM w0 WHERE length(word) <= {WP_MAX_WORD_LEN}
+      ORDER BY freq DESC, word LIMIT {WP_TOP_WORDS}
+    ), best AS MATERIALIZED (
+      SELECT word, pos, piece FROM (
+        SELECT w.word, CAST(i AS BIGINT) AS pos, v.piece,
+               ROW_NUMBER() OVER (
+                 PARTITION BY w.word, i
+                 ORDER BY length(v.piece) DESC, v.piece) AS rn
+        FROM topw w,
+             LATERAL (SELECT unnest(range(1, length(word) + 1)) AS i)
+             JOIN vocab v
+               ON substr(w.word, CAST(i AS INT), length(v.piece)) = v.piece
+      ) WHERE rn = 1
+    ), seg AS (
+      SELECT word, freq, CAST(1 AS BIGINT) AS pos,
+             CAST('' AS VARCHAR) AS segd, 0 AS np
+      FROM topw
+      UNION ALL
+      SELECT r.word, r.freq, r.pos + length(b.piece),
+             CASE WHEN r.segd = '' THEN b.piece
+                  ELSE r.segd || ' ##' || b.piece END,
+             r.np + 1
+      FROM seg r JOIN best b ON b.word = r.word AND b.pos = r.pos
+      WHERE r.pos <= length(r.word)
+    )
+    SELECT word, freq, CAST(np AS INT) AS n_pieces, segd AS wordpieces
+    FROM seg WHERE pos > length(word)
+    """
+
+
+@declared(
+    "text_wordpiece_tokenize",
+    oracle=_wordpiece_oracle_sql(),
+    doc="WordPiece greedy longest-match tokenization (Wu et al. 2016; "
+    "Devlin et al. 2019 BERT — public literature): the piece vocabulary "
+    "is DERIVED from the corpus (every single character + the top-200 "
+    "substrings of length 2..6 by freq-weighted occurrence count, ties "
+    "by piece string), then the corpus's top-500 words segment by the "
+    "canonical longest-match-first walk with '##' continuation marks. "
+    "Position-blind vocab is the one documented departure; single-char "
+    "coverage makes [UNK] unreachable on the deriving corpus. Spark "
+    "runs the walk as ONE Arrow-batched mapInPandas over the bounded "
+    "word frame with the collected vocab broadcast (word-bounded, "
+    "never corpus-bounded); the oracle precomputes the longest match "
+    "per (word, position) with a window argmax and replays the walk as "
+    "a recursive lookup join — both sides advance >= 1 char per step, "
+    "so they terminate and agree exactly. Scale shape: vocabulary "
+    "derivation explodes the DISTINCT-word table only (the BPE-trainer "
+    "cost model); one TakeOrdered top-K; segmentation parallel per "
+    "word.",
+)
+def text_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.operators.bpe import (
+        wordpiece_segment_topwords,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return wordpiece_segment_topwords(d)

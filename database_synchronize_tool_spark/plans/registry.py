@@ -220,6 +220,10 @@ _WINDOW: tuple[str, ...] = (
     # re-verify tail, displaced names to the queue head
     "curation_doremi_weights",
     "curation_doremi_resample",
+    # NEW late-r15: WordPiece greedy longest-match tokenization with a
+    # corpus-derived piece vocabulary (Wu et al. 2016 / BERT) — same
+    # slot discipline
+    "text_wordpiece_tokenize",
     # CHANGED: BPE training BATCHED at n=50 (verdict r14 #6); the
     # sampling/split/packing family on the overflow-safe modular
     # Knuth hash (advice r14; bit-identical below the wrap point)
@@ -279,7 +283,6 @@ _WINDOW: tuple[str, ...] = (
     "decontam_cross_source_dups",
     "decontam_ngram_overlap",
     "source_mix_report",
-    "corpus_ngram_topk",
 )
 
 _QUEUE: tuple[str, ...] = (
@@ -287,6 +290,7 @@ _QUEUE: tuple[str, ...] = (
     # displaced, then the r16 re-verify cohort (stalest first); the
     # 40 names the r15 rotation displaced from the r14 window sit at
     # the tail (freshest — driver-attested round 14).
+    "corpus_ngram_topk",
     "text_pii_redact",
     "ann_ivf_pq_refine_topk",
     "t11_stream_stream_join",

@@ -207,3 +207,50 @@ def test_batched_train_matches_canonical_reference(spark):
             ).collect()
         ]
         assert got == want, (n, k, m)
+
+
+def _canonical_wordpiece(word: str, vocab: set[str], max_piece: int):
+    """Reference greedy longest-match-first WordPiece walk."""
+    pieces = []
+    pos = 0
+    while pos < len(word):
+        for ln in range(min(max_piece, len(word) - pos), 0, -1):
+            c = word[pos : pos + ln]
+            if c in vocab:
+                break
+        pieces.append("##" + c if pos else c)
+        pos += ln
+    return pieces
+
+
+def test_wordpiece_segmentation_matches_canonical(spark):
+    """r15: the mapInPandas walk == the canonical greedy reference on a
+    corpus where the derived vocab is hand-checkable, and the roundtrip
+    invariant holds (pieces reassemble the word; every piece in vocab)."""
+    from database_synchronize_tool_spark.operators.bpe import (
+        WP_MAX_PIECE,
+        wordpiece_segment_topwords,
+        wordpiece_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the theme thesis there unthinkable " * 3) for i in range(4)]
+        + [(99, "zz")],
+        "doc_id bigint, text string",
+    )
+    vocab = {r["piece"] for r in wordpiece_vocab(docs).collect()}
+    # every character of every corpus word is in the vocab
+    for w in ("the", "theme", "thesis", "there", "unthinkable", "zz"):
+        assert set(w) <= vocab
+    rows = {r["word"]: r for r in wordpiece_segment_topwords(docs).collect()}
+    assert set(rows) == {"the", "theme", "thesis", "there", "unthinkable", "zz"}
+    for w, r in rows.items():
+        expect = _canonical_wordpiece(w, vocab, WP_MAX_PIECE)
+        got = r["wordpieces"].split(" ")
+        assert got == expect, (w, got, expect)
+        assert r["n_pieces"] == len(expect)
+        # roundtrip: strip '##' marks and the word reassembles
+        assert "".join(p.removeprefix("##") for p in got) == w
+        assert all(p.removeprefix("##") in vocab for p in got)
+    # 'the' is the dominant 3-gram: it must be a single piece
+    assert rows["the"]["n_pieces"] == 1
