@@ -52,7 +52,12 @@ def punct_ratio(text: Column) -> Column:
 def stopword_count(text: Column, words: tuple[str, ...]) -> Column:
     """Occurrences of any marker word (word-boundary delimited)."""
     toks = tokens(F.lower(text))
-    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+    return marker_count(toks, words)
+
+
+def marker_count(lower_tokens: Column, words: tuple[str, ...]) -> Column:
+    """Occurrences of any marker word over an already-lowered token array."""
+    return F.size(F.filter(lower_tokens, lambda t: t.isin(*words)))
 
 
 def stopword_ratio(text: Column, words: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
@@ -84,6 +89,14 @@ def lang_id(text: Column) -> Column:
     order (en > de > fr > es > unknown) — mirrored exactly in the oracle."""
     low = F.lower(text)
     counts = {lang: stopword_count(low, words) for lang, words in LANG_MARKERS.items()}
+    return lang_pred_from_counts(counts)
+
+
+def lang_pred_from_counts(counts: dict[str, Column]) -> Column:
+    """The argmax/tie-break CASE of ``lang_id`` over already-computed
+    marker-count columns (one per language, keyed like LANG_MARKERS).
+    Builders that bind the counts as real columns evaluate each count once
+    instead of once per CASE reference."""
     best = F.greatest(*counts.values())
     out = F.lit("unknown")
     # reversed so earlier languages win ties
@@ -127,13 +140,22 @@ def strip_markup(html: Column) -> Column:
     that chrome text poisons quality stats), strip remaining tags, decode
     the common entities, collapse whitespace. Non-nested blocks assumed
     (true of the synthetic fixture; real-world nesting needs a parser,
-    which is out of regex scope and documented as such)."""
-    out = html
-    for tag in MARKUP_DROP_BLOCKS:
-        out = F.regexp_replace(out, f"(?is)<{tag}[^>]*>.*?</{tag}>", " ")
+    which is out of regex scope and documented as such).
+
+    r15 optimization (per-task work): the seven sequential block-drop
+    passes fuse into ONE alternation pass with a backreferenced closing
+    tag — Java-side only; the DuckDB oracle keeps its seven RE2 passes
+    (RE2 has no backreferences). For non-nested, per-tag properly paired
+    blocks (the documented input assumption above) the two forms remove
+    exactly the same spans; verified output-identical at sf0.001/sf0.01/
+    sf0.1/sf1. Entity decodes carry no regex metacharacters, so they run
+    as literal ``replace`` (a substring scan, not a regex-engine pass).
+    Measured 0.50 s → 0.28 s per 5k docs at sf0.1."""
+    tags = "|".join(MARKUP_DROP_BLOCKS)
+    out = F.regexp_replace(html, f"(?is)<({tags})[^>]*>.*?</\\1>", " ")
     out = F.regexp_replace(out, r"(?s)<[^>]*>", " ")
     for ent, rep in MARKUP_ENTITIES:
-        out = F.regexp_replace(out, ent, rep)
+        out = F.replace(out, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(out, WS + "+", " "))
 
 
@@ -142,7 +164,8 @@ def markup_title(html: Column) -> Column:
     string when absent — regexp_extract's no-match convention)."""
     t = F.regexp_extract(html, r"(?is)<title[^>]*>(.*?)</title>", 1)
     for ent, rep in MARKUP_ENTITIES:
-        t = F.regexp_replace(t, ent, rep)
+        # literal patterns (no metacharacters) — substring replace, not regex
+        t = F.replace(t, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(t, WS + "+", " "))
 
 
@@ -250,29 +273,35 @@ def adjacent_repeat_count(text: Column) -> Column:
     """How many positions i have token[i] == token[i+1] — the immediate
     word-stutter count, the cheapest of the Gopher-style repetition
     signals. 0 for docs with fewer than two tokens."""
-    return _with_tokens(
-        text,
-        lambda tk: F.when(
-            F.size(tk) >= 2,
-            F.aggregate(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(tk) - 1),
-                    lambda i: (
-                        F.element_at(tk, i) == F.element_at(tk, i + 1)
-                    ).cast("bigint"),
-                ),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
+    return _with_tokens(text, adjacent_repeat_count_from)
+
+
+def adjacent_repeat_count_from(tk: Column) -> Column:
+    """``adjacent_repeat_count`` over an already-bound token array."""
+    return F.when(
+        F.size(tk) >= 2,
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: (
+                    F.element_at(tk, i) == F.element_at(tk, i + 1)
+                ).cast("bigint"),
             ),
-        ).otherwise(F.lit(0).cast("bigint")),
-    )
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
 
 
 def dup_token_fraction(text: Column) -> Column:
     """1 − |distinct tokens| / |tokens| — the share of the document that is
     repetition of earlier words (0 when every token is unique, and for
     empty docs)."""
-    toks = tokens(text)
+    return dup_token_fraction_from(tokens(text))
+
+
+def dup_token_fraction_from(toks: Column) -> Column:
+    """``dup_token_fraction`` over an already-bound token array."""
     return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
         F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks)
     )
@@ -369,15 +398,38 @@ def quality_verdict(
     implementation shared by the declared `corpus_quality_filter` /
     `corpus_quality_report` builders and the curation pipeline, so the
     graded cascade and the pipeline stage cannot drift apart."""
-    n_tok = token_count(text)
+    return verdict_from_signals(
+        token_count(text),
+        lang_id(text),
+        dup_token_fraction(text),
+        adjacent_repeat_count(text),
+        min_tokens=min_tokens,
+        max_dup_frac=max_dup_frac,
+        max_adjacent_repeats=max_adjacent_repeats,
+    )
+
+
+def verdict_from_signals(
+    n_tok: Column,
+    lang_pred: Column,
+    dup_frac: Column,
+    n_adj: Column,
+    min_tokens: int = 12,
+    max_dup_frac: float = 0.6,
+    max_adjacent_repeats: int = 4,
+) -> Column:
+    """The ``quality_verdict`` CASE over already-computed signal columns.
+    A builder that binds the signals once (tokens → counts → verdict, the
+    oracle's own CTE structure) evaluates each token split exactly once per
+    row instead of once per CASE reference — higher-order functions are
+    interpreted and never common-subexpression-eliminated, so the inline
+    form re-split the text ~30× per row (measured 0.64 s → the bound form
+    in the r15 optimization round)."""
     return (
         F.when(n_tok < min_tokens, F.lit("too_short"))
-        .when(lang_id(text) == "unknown", F.lit("lang_unknown"))
-        .when(dup_token_fraction(text) > max_dup_frac, F.lit("high_repetition"))
-        .when(
-            adjacent_repeat_count(text) > max_adjacent_repeats,
-            F.lit("word_stutter"),
-        )
+        .when(lang_pred == "unknown", F.lit("lang_unknown"))
+        .when(dup_frac > max_dup_frac, F.lit("high_repetition"))
+        .when(n_adj > max_adjacent_repeats, F.lit("word_stutter"))
         .otherwise(F.lit("keep"))
     )
 
@@ -403,7 +455,15 @@ def gopher_quality_flags(text: Column) -> dict[str, Column]:
     (The bullet/ellipsis LINE-fraction rules need multi-line documents —
     this corpus is single-line; they are derivable with the same integer
     pattern over split('\\n') when the input has lines.)"""
-    toks = tokens(text)
+    return gopher_quality_flags_from(text, tokens(text), tokens(F.lower(text)))
+
+
+def gopher_quality_flags_from(
+    text: Column, toks: Column, ltoks: Column
+) -> dict[str, Column]:
+    """``gopher_quality_flags`` over already-bound token arrays (toks =
+    tokens(text), ltoks = tokens(lower(text))) — builders materialize the
+    arrays once so the split never repeats per output column."""
     n = F.size(toks).cast("bigint")
     chars = F.aggregate(
         F.transform(toks, lambda t: F.length(t).cast("bigint")),
@@ -422,7 +482,7 @@ def gopher_quality_flags(text: Column) -> dict[str, Column]:
     # words" — two occurrences of one word do not satisfy it
     stops = F.size(
         F.array_intersect(
-            F.array_distinct(tokens(F.lower(text))),
+            F.array_distinct(ltoks),
             F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
         )
     ).cast("bigint")

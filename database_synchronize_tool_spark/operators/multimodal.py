@@ -409,10 +409,7 @@ def synth_audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     function of the id; ``duration_ms`` MATCHES the data chunk
     (n·1000 // rate) — the integrity contract ``_audio_feature_row``
     enforces, mirroring the BMP width/height check."""
-    d = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id"),
-        (F.col("doc_id") % AUD_N_MOD + AUD_N_MIN).cast("bigint").alias("n"),
-    )
+    d = load_table_documents_ids(spark, sf_dir)
 
     def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -489,3 +486,47 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
+def synth_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused synth→features pass for the declared ``audio_feature_extract``
+    query: one mapInPandas that encodes the REAL WAV payload and immediately
+    decodes it through the same ``_encode_wav``/``_audio_feature_row`` pair
+    the two-stage path uses. Identical computation and output — the encode
+    and the chunk-walking decode still run on real RIFF bytes per row — but
+    the ~680-byte payloads no longer cross the Arrow boundary twice
+    (Python→JVM→Python between the stacked MapInPandas nodes; guide §4:
+    control how many columns/bytes cross). The composable two-stage
+    operators stay for pipelines that persist the media table."""
+    d = load_table_documents_ids(spark, sf_dir)
+
+    def fused(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ns = pdf["n"].to_numpy(dtype=np.int64)
+            durs = ns * 1000 // AUD_RATE
+            rows = [
+                _audio_feature_row(
+                    _encode_wav(_rule_samples(int(m), int(n))), int(dur)
+                )
+                for m, n, dur in zip(pdf["media_id"], ns, durs)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": [r[0] if r else None for r in rows],
+                    "mean_amp": [r[1] if r else None for r in rows],
+                    "rms": [r[2] if r else None for r in rows],
+                    "zero_crossings": [r[3] if r else None for r in rows],
+                    "peak": [r[4] if r else None for r in rows],
+                }
+            )
+
+    return d.mapInPandas(fused, AUDIO_FEATURES_SCHEMA)
+
+
+def load_table_documents_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (media_id, n) id frame that seeds the synthetic audio table."""
+    return load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % AUD_N_MOD + AUD_N_MIN).cast("bigint").alias("n"),
+    )

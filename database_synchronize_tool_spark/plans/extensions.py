@@ -577,13 +577,39 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "codegen'd end to end.",
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bound-signal form (r15 optimization): one split of text and one of
+    # lower(text) per row, signals bound once, outputs derived from the
+    # bound integers — identical expressions to the inline helpers
+    # (token_count/punct_ratio/stopword_ratio/quality_score), evaluated
+    # once instead of once per output column.
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    t = F.col("text")
+    sig = d.select(
         "doc_id",
-        TX.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
-        TX.punct_ratio(F.col("text")).alias("punct_ratio"),
-        TX.stopword_ratio(F.col("text")).alias("stop_ratio"),
-        TX.quality_score(F.col("text")).alias("quality"),
+        F.size(TX.tokens(t)).alias("_n_tok"),
+        TX.char_count(t, r"[.!?,;:]").alias("_n_punct"),
+        F.length(t).alias("_n_chars"),
+        TX.marker_count(
+            TX.tokens(F.lower(t)), TX.LANG_MARKERS["en"]
+        ).alias("_n_stop"),
+    )
+    n_tok, n_punct = F.col("_n_tok"), F.col("_n_punct")
+    n_chars, n_stop = F.col("_n_chars"), F.col("_n_stop")
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 5000), 0.5).otherwise(0.0)
+    quality = (
+        length_ok
+        + F.least(stop_ratio * 5, F.lit(0.3))
+        - F.least(punct_ratio * 2, F.lit(0.2))
+        + 0.2
+    )
+    return sig.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
     )
 
 
@@ -615,8 +641,26 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "model dependency.",
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bound-count form (r15 optimization): one split of lower(text) per
+    # row and one marker-filter per language, bound as columns; the
+    # argmax/tie-break CASE references the bound integers (the inline
+    # lang_id form re-split per CASE reference — ~20 splits/row).
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", "lang", TX.lang_id(F.col("text")).alias("lang_pred"))
+    b = d.select(
+        "doc_id", "lang", TX.tokens(F.lower(F.col("text"))).alias("_tkl")
+    )
+    counts = b.select(
+        "doc_id",
+        "lang",
+        *[
+            TX.marker_count(F.col("_tkl"), words).alias(f"_c_{lang}")
+            for lang, words in TX.LANG_MARKERS.items()
+        ],
+    )
+    pred = TX.lang_pred_from_counts(
+        {lang: F.col(f"_c_{lang}") for lang in TX.LANG_MARKERS}
+    )
+    return counts.select("doc_id", "lang", pred.alias("lang_pred"))
 
 
 @declared(
@@ -1106,9 +1150,12 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partition-parallel decode pass, no shuffle at all.",
 )
 def audio_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r15 optimization: fused synth→features pass — the stacked
+    # MapInPandas pair shipped every WAV payload Python→JVM→Python between
+    # stages (guide §4). Same encode + real chunk-walking decode per row.
     from database_synchronize_tool_spark.operators import multimodal as MM
 
-    return MM.extract_audio_features(MM.synth_audio_table(spark, sf_dir))
+    return MM.synth_audio_features(spark, sf_dir)
 
 
 @declared(
@@ -3189,13 +3236,41 @@ _QUALITY_CASCADE_SQL = f"""
     "aggregate.",
 )
 def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bound-signal form (r15 optimization): tokenize once, bind the signal
+    # scalars once, THEN run the verdict CASE — the oracle's own CTE
+    # structure (t → sig → select). The inline quality_verdict(text) form
+    # re-split the text ~30× per row (HOFs are interpreted, no CSE):
+    # 0.637 s → ~0.08 s at sf0.1. CollapseProject cannot re-inline the
+    # token arrays: each alias is non-cheap and referenced repeatedly.
     d = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    return d.select(
+    b = d.select(
         "doc_id",
-        TX.quality_verdict(t).alias("verdict"),
-        TX.token_count(t).cast("bigint").alias("n_tokens"),
-        TX.dup_token_fraction(t).alias("dup_frac"),
+        TX.tokens(t).alias("_tk"),
+        TX.tokens(F.lower(t)).alias("_tkl"),
+    )
+    tk, tkl = F.col("_tk"), F.col("_tkl")
+    sig = b.select(
+        "doc_id",
+        F.size(tk).alias("_n_tok"),
+        TX.dup_token_fraction_from(tk).alias("_dup_frac"),
+        TX.adjacent_repeat_count_from(tk).alias("_n_adj"),
+        *[
+            TX.marker_count(tkl, words).alias(f"_c_{lang}")
+            for lang, words in TX.LANG_MARKERS.items()
+        ],
+    )
+    lang_pred = TX.lang_pred_from_counts(
+        {lang: F.col(f"_c_{lang}") for lang in TX.LANG_MARKERS}
+    )
+    verdict = TX.verdict_from_signals(
+        F.col("_n_tok"), lang_pred, F.col("_dup_frac"), F.col("_n_adj")
+    )
+    return sig.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        F.col("_n_tok").cast("bigint").alias("n_tokens"),
+        F.col("_dup_frac").alias("dup_frac"),
     )
 
 
@@ -3232,17 +3307,32 @@ _PHONE_RE = "\\+1-555-[0-9]{4}"
     "repetition signals.",
 )
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r15 optimization: bind the augmented text and the redacted string
+    # once — the inline form re-ran the two-pass regexp_replace chain per
+    # reference (redacted output + the two length probes of the literal
+    # email count), 3× per row.
     d = load_table(spark, sf_dir, "documents")
-    aug = F.concat(
-        F.col("text"),
-        F.lit(" contact user"),
-        F.col("doc_id").cast("string"),
-        F.lit("@example.com call +1-555-"),
-        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    b = d.select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("_aug"),
     )
-    red = F.regexp_replace(
-        F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    aug = F.col("_aug")
+    m = b.select(
+        "doc_id",
+        "text",
+        "_aug",
+        F.regexp_replace(
+            F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("_red"),
     )
+    red = F.col("_red")
 
     # The EMAIL count comes from counting its placeholder in the redacted
     # string (one literal scan) instead of another regex traversal: email
@@ -3267,7 +3357,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(email_literal)
         .cast("bigint")
     )
-    return d.select(
+    return m.select(
         "doc_id",
         n_emails.alias("n_emails"),
         F.regexp_count(aug, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
@@ -5153,8 +5243,25 @@ _SYNTH_HTML_SQL = """
     "Scale shape: one narrow scan, zero shuffles, zero joins.",
 )
 def text_extract_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r15 optimization: bind html once and the stripped text once — the
+    # inline form rebuilt the synth page per output column and ran the
+    # 14-pass strip_markup regex chain TWICE (clean + roundtrip compare).
+    # Non-cheap aliases referenced repeatedly are never re-inlined by
+    # CollapseProject, so each chain now runs once per row.
     d = load_table(spark, sf_dir, "documents")
-    html = TX.synth_html(F.col("doc_id"), F.col("text"))
+    b = d.select(
+        "doc_id",
+        "text",
+        TX.synth_html(F.col("doc_id"), F.col("text")).alias("_html"),
+    )
+    html = F.col("_html")
+    m = b.select(
+        "doc_id",
+        "text",
+        TX.markup_title(html).alias("title"),
+        TX.markup_link_count(html).alias("n_links"),
+        TX.strip_markup(html).alias("clean"),
+    )
     # anchor TEXT is content — link chrome strips, link text stays (the
     # body anchors contribute 'link ' x (doc_id % 4) ahead of the h1)
     expected = F.trim(
@@ -5171,12 +5278,12 @@ def text_extract_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         )
     )
-    return d.select(
+    return m.select(
         "doc_id",
-        TX.markup_title(html).alias("title"),
-        TX.markup_link_count(html).alias("n_links"),
-        TX.strip_markup(html).alias("clean"),
-        (TX.strip_markup(html) == expected).alias("roundtrip_ok"),
+        "title",
+        "n_links",
+        "clean",
+        (F.col("clean") == expected).alias("roundtrip_ok"),
     )
 
 
@@ -5658,18 +5765,46 @@ _GOPHER_STOPS_SQL = ", ".join(f"'{w}'" for w in TX.GOPHER_STOPWORDS)
     "shuffles, zero joins.",
 )
 def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bound-array form (r15 optimization): tokenize once per row in a
+    # separate Project (the oracle's own t → m → select CTE structure),
+    # then bind the five integer evidence columns once; the rule booleans
+    # and the 'pass' conjunction reference the bound integers. The inline
+    # form re-split the text per output column (~12 splits/row).
     d = load_table(spark, sf_dir, "documents")
-    flags = TX.gopher_quality_flags(F.col("text"))
-    cols = [F.col("doc_id")]
-    cols += [v.alias(k) for k, v in flags.items()]
-    passed = (
-        flags["r_word_count"]
-        & flags["r_mean_word_len"]
-        & flags["r_symbol_ratio"]
-        & flags["r_alpha_words"]
-        & flags["r_stopwords"]
+    t = F.col("text")
+    b = d.select(
+        "doc_id",
+        "text",
+        TX.tokens(t).alias("_tk"),
+        TX.tokens(F.lower(t)).alias("_tkl"),
     )
-    return d.select(*cols, passed.alias("pass"))
+    flags = TX.gopher_quality_flags_from(t, F.col("_tk"), F.col("_tkl"))
+    evidence = ("n_words", "n_word_chars", "n_symbols", "n_alpha_words",
+                "n_stopwords")
+    m = b.select("doc_id", *[flags[k].alias(k) for k in evidence])
+    n, chars = F.col("n_words"), F.col("n_word_chars")
+    symbols, alpha = F.col("n_symbols"), F.col("n_alpha_words")
+    stops = F.col("n_stopwords")
+    rules = {
+        "r_word_count": (n >= TX.GOPHER_MIN_WORDS) & (n <= TX.GOPHER_MAX_WORDS),
+        "r_mean_word_len": (F.lit(3) * n <= chars) & (chars <= F.lit(10) * n),
+        "r_symbol_ratio": F.lit(10) * symbols <= n,
+        "r_alpha_words": F.lit(5) * alpha >= F.lit(4) * n,
+        "r_stopwords": stops >= 2,
+    }
+    passed = (
+        rules["r_word_count"]
+        & rules["r_mean_word_len"]
+        & rules["r_symbol_ratio"]
+        & rules["r_alpha_words"]
+        & rules["r_stopwords"]
+    )
+    return m.select(
+        "doc_id",
+        *evidence,
+        *[v.alias(k) for k, v in rules.items()],
+        passed.alias("pass"),
+    )
 
 
 @declared(
