@@ -380,3 +380,122 @@ def test_behavior_diversity_bounds_and_extremes(spark, sf_dir):
         if r["n_types"] == 1:
             assert abs(r["simpson_diversity"]) < 1e-12
         assert r["n_events"] >= r["n_types"]
+
+
+def test_gap_fill_gap_form_matches_spine_join_with_nulls(spark):
+    """The r15 gap-generation rewrite of ts_gap_fill_interpolate must match
+    the original spine-join form on inputs the fixture cannot produce:
+    NULL-valued observations (leading, interior, trailing) — a NULL-valued
+    day is a spine member (it extends the per-user range) but NOT an
+    interpolation anchor."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = dt.date
+    rows = [
+        # user 1: leading NULL obs day, interior gap, interior NULL obs day
+        (1, d(2024, 1, 1), None),
+        (1, d(2024, 1, 3), 10.0),
+        (1, d(2024, 1, 5), None),
+        (1, d(2024, 1, 8), 40.0),
+        # user 2: trailing NULL obs day
+        (2, d(2024, 2, 1), 5.0),
+        (2, d(2024, 2, 4), None),
+        # user 3: single observed day
+        (3, d(2024, 3, 1), 7.0),
+    ]
+    obs = spark.createDataFrame(rows, "user_id int, day date, value double")
+
+    def spine_join_reference(obs):
+        spine = (
+            obs.groupBy("user_id")
+            .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+            .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+        )
+        j = spine.join(obs, ["user_id", "day"], "left")
+        w_fwd = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        w_bwd = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+            Window.currentRow, Window.unboundedFollowing
+        )
+        obs_day = F.when(F.col("value").isNotNull(), F.col("day"))
+        f = j.select(
+            "user_id",
+            "day",
+            "value",
+            F.last("value", ignorenulls=True).over(w_fwd).alias("pv"),
+            F.last(obs_day, ignorenulls=True).over(w_fwd).alias("pd"),
+            F.first("value", ignorenulls=True).over(w_bwd).alias("nv"),
+            F.first(obs_day, ignorenulls=True).over(w_bwd).alias("nd"),
+        )
+        frac = F.datediff(F.col("day"), F.col("pd")).cast(
+            "double"
+        ) / F.datediff(F.col("nd"), F.col("pd")).cast("double")
+        return f.select(
+            "user_id",
+            "day",
+            F.when(F.col("value").isNotNull(), F.col("value"))
+            .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+            .alias("value_filled"),
+            F.col("value").isNotNull().alias("observed"),
+        )
+
+    def gap_form(obs):
+        w = Window.partitionBy("user_id").orderBy("day")
+        w_fwd = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        w_nxt = w.rowsBetween(1, Window.unboundedFollowing)
+        obs_day = F.when(F.col("value").isNotNull(), F.col("day"))
+        anchored = obs.select(
+            "user_id",
+            "day",
+            "value",
+            F.lead("day").over(w).alias("nxt_day"),
+            F.last("value", ignorenulls=True).over(w_fwd).alias("pv"),
+            F.last(obs_day, ignorenulls=True).over(w_fwd).alias("pd"),
+            F.first("value", ignorenulls=True).over(w_nxt).alias("nv"),
+            F.first(obs_day, ignorenulls=True).over(w_nxt).alias("nd"),
+        )
+        g = anchored.select(
+            "user_id",
+            "day",
+            "value",
+            "pv",
+            "pd",
+            "nv",
+            "nd",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.coalesce(F.date_sub(F.col("nxt_day"), 1), F.col("day")),
+                )
+            ).alias("g"),
+        )
+        observed = (F.col("g") == F.col("day")) & F.col("value").isNotNull()
+        frac = F.datediff(F.col("g"), F.col("pd")).cast(
+            "double"
+        ) / F.datediff(F.col("nd"), F.col("pd")).cast("double")
+        return g.select(
+            "user_id",
+            F.col("g").alias("day"),
+            F.when(observed, F.col("value"))
+            .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+            .alias("value_filled"),
+            observed.alias("observed"),
+        )
+
+    key = lambda r: (r["user_id"], r["day"])  # noqa: E731
+    ref = sorted(spine_join_reference(obs).collect(), key=key)
+    got = sorted(gap_form(obs).collect(), key=key)
+    assert [tuple(r) for r in got] == [tuple(r) for r in ref]
+    # the NULL-valued days are spine members but never observed
+    by_key = {key(r): r for r in got}
+    assert by_key[(1, d(2024, 1, 1))]["value_filled"] is None  # no prev anchor
+    assert by_key[(1, d(2024, 1, 5))]["observed"] is False  # NULL obs day
+    assert (
+        abs(by_key[(1, d(2024, 1, 5))]["value_filled"] - (10 + 30 * 2 / 5))
+        < 1e-12
+    )  # interpolates ACROSS the NULL obs day (anchors 1/3 and 1/8)
+    assert by_key[(2, d(2024, 2, 4))]["value_filled"] is None  # no next anchor
