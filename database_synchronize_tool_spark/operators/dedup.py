@@ -274,24 +274,36 @@ def minhash_lsh_pairs(
 
     def sig_agreement(sa: Column, sb: Column) -> Column:
         # Signature agreement computed in-row from the carried arrays —
-        # candidate pairs never join back for the prefilter.
-        return F.aggregate(
-            F.zip_with(sa, sb, lambda x, y: F.when(x == y, 1).otherwise(0)),
-            F.lit(0),
-            lambda acc, v: acc + v,
+        # candidate pairs never join back for the prefilter. Unrolled over
+        # the K fixed slots (r15 optimization): the zip_with + aggregate
+        # form ran its lambdas in the expression interpreter per element
+        # per pair; an unrolled sum of element_at comparisons is plain
+        # codegen (same integer comparisons, same value).
+        return sum(
+            (
+                F.when(
+                    F.element_at(sa, i + 1) == F.element_at(sb, i + 1), 1
+                ).otherwise(0)
+                for i in range(MINHASH_K)
+            ),
+            start=F.lit(0),
         )
 
     def bbit_agreement(sa: Column, sb: Column) -> Column:
         # 1-bit agreement: slots whose LOWEST bit matches — what survives
         # when the sketch stores 1 bit per slot instead of the full value
         # (signature values are nonnegative, so % 2 IS the low bit in both
-        # engines). Computed in the same in-row pass as sig_agreement.
-        return F.aggregate(
-            F.zip_with(
-                sa, sb, lambda x, y: F.when((x % 2) == (y % 2), 1).otherwise(0)
+        # engines). Unrolled like sig_agreement (same values, codegen).
+        return sum(
+            (
+                F.when(
+                    (F.element_at(sa, i + 1) % 2)
+                    == (F.element_at(sb, i + 1) % 2),
+                    1,
+                ).otherwise(0)
+                for i in range(MINHASH_K)
             ),
-            F.lit(0),
-            lambda acc, v: acc + v,
+            start=F.lit(0),
         )
 
     star = None
