@@ -176,6 +176,8 @@ _HQ_QS = (25, 50, 75, 90, 99)
     "integer; the only float op is the final err subtraction.",
 )
 def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.caching import scoped_persist
+
     li = load_table(spark, sf_dir, "lineitem")
     rows = li.select(
         F.expr(f"CAST(floor(l_extendedprice) AS BIGINT) div {_HQ_BIN}").alias(
@@ -189,13 +191,22 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = rows.groupBy("l_returnflag", "bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    merged = parts.groupBy("bin").agg(
-        F.sum("cnt").cast("bigint").alias("cnt")
+    # The ~205-row bin summaries are each consumed by several branches
+    # (cumulative window, rank-target derivation, the merge_exact compare);
+    # without a persist every consumer re-runs its FULL-TABLE aggregate
+    # subtree — 6 scans of lineitem in the unpersisted plan. Persisting the
+    # summaries caps the full-table passes at the 3 the semantics require
+    # (per-flag histogram, direct histogram, target-bin rank probe).
+    merged = scoped_persist(
+        parts.groupBy("bin").agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )
-    direct = rows.groupBy("bin").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    direct = scoped_persist(
+        rows.groupBy("bin").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    n = rows.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # COUNT(*) == the histogram's own mass (every row lands in exactly one
+    # (returnflag, bin) cell, NULLs included as group keys), so derive n
+    # from the ~205-row merged table instead of a fourth full-table pass.
+    n = merged.agg(F.sum("cnt").cast("bigint").alias("n"))
     targets = n.select(
         "n", F.explode(F.array(*[F.lit(q) for q in _HQ_QS])).alias("q")
     ).withColumn("rank_target", F.expr("(n * q + 99) div 100"))
@@ -217,17 +228,30 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q")
         .agg(F.min("bin").alias("dbin"))
     )
-    off = em.join(mc, em.mbin == mc.bin).select(
-        "q",
-        "n",
-        "rank_target",
-        "mbin",
-        (F.col("rank_target") - (F.col("cum") - F.col("cnt"))).alias("off"),
+    off = scoped_persist(
+        em.join(mc, em.mbin == mc.bin).select(
+            "q",
+            "n",
+            "rank_target",
+            "mbin",
+            (F.col("rank_target") - (F.col("cum") - F.col("cnt"))).alias(
+                "off"
+            ),
+        )
     )
     wb = Window.partitionBy("bin").orderBy(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
-    rn = rows.withColumn("rn", F.row_number().over(wb))
+    # Histogram-guided rank lookup: only the <=|qs| target bins are ever
+    # probed for their in-bin rank, so drop every other bin BEFORE the
+    # row_number sort (broadcast semi-join on the bounded mbin list).
+    # row_number depends only on its own partition's rows, so rn within a
+    # surviving bin is unchanged — the full-table window sorted ~205 bin
+    # partitions of the whole table to read at most |qs| rows of it.
+    target_bins = off.select(F.col("mbin").alias("bin")).distinct()
+    rn = rows.join(F.broadcast(target_bins), "bin").withColumn(
+        "rn", F.row_number().over(wb)
+    )
     ex = rn.join(
         F.broadcast(off),
         (F.col("bin") == F.col("mbin")) & (F.col("rn") == F.col("off")),

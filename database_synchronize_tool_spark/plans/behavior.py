@@ -371,29 +371,42 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     doc="Market-basket co-occurrence: the top part pairs that appear in the "
-    "same order (distinct per order first, then the ordered a<b self-join "
-    "on the order key, then a pair count + top-k). The self-join is an "
-    "equi-join on l_orderkey — both sides co-partition on the same key, "
-    "so at 100 TB it's one shuffle each side (or zero if the table is "
-    "bucketed by order key) and the per-order pair fan-out is bounded by "
-    "basket size, never N². Top-k is TakeOrdered with the (part_a, "
-    "part_b) tiebreak making it deterministic.",
+    "same order. One shuffle of (order, part) keyed by order builds each "
+    "basket's distinct sorted part set (collect_set does the per-order "
+    "dedup in the same aggregate), the ordered a<b pairs generate IN-ROW "
+    "from the sorted array, and a pair count + top-k finish. The r15 "
+    "self-join form computed the distinct table twice (two full-width "
+    "shuffles) and broadcast one copy — at 100 TB that broadcast falls "
+    "back to a sort-merge join, i.e. a THIRD full shuffle; this form "
+    "moves the base data exactly once and the per-order pair fan-out "
+    "stays bounded by basket size, never N². Top-k is TakeOrdered with "
+    "the (part_a, part_b) tiebreak making it deterministic.",
 )
 def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
+    # All a<b pairs of the sorted distinct set, generated in-row: element i
+    # pairs with every later element (1-based slice start i+2; slice clamps
+    # the length at the array end).
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda x, i: F.transform(
+                        F.slice("parts", i + F.lit(2), F.size("parts")),
+                        lambda y: F.struct(
+                            x.alias("part_a"), y.alias("part_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count("*").cast("long").alias("n_orders"))
