@@ -263,7 +263,13 @@ def _cell_assign_udf(cent_np: np.ndarray, top_cells: int, cell_ids=None):
             order = cell_ids[order]
         return pd.Series([o.tolist() for o in order.astype(np.int64)])
 
-    return assign_udf
+    # The function is pure, but mark it non-deterministic so the optimizer
+    # may not duplicate it (guide §4.4): the posexplode over its result
+    # array pushes a size(cells)>0 filter BELOW the projection, and the
+    # pushed copy re-evaluated the UDF — every vector paid the JVM->Python
+    # round trip and the numpy argmax twice (two ArrowEvalPython nodes in
+    # the r15 before-plan of dedup_semantic_pairs).
+    return assign_udf.asNondeterministic()
 
 
 def ivf_assign_cells(

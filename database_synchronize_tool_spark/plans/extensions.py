@@ -1528,10 +1528,21 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     d = load_table(spark, sf_dir, "documents")
-    tf = d.select(
-        "doc_id",
-        F.explode(term_counts(tokens(F.lower(F.col("text"))))).alias("tc"),
-    ).select("doc_id", F.col("tc.term").alias("term"), F.col("tc.tf").alias("tf"))
+    from database_synchronize_tool_spark.caching import scoped_persist
+
+    # Both legs (per-doc TF and corpus DF) consume the exploded term table;
+    # without a persist each leg re-runs the tokenize + Python term_counts
+    # pass over the whole corpus (two ArrowEvalPython nodes in the r15
+    # before-plan). Persist the narrow (doc_id, term, tf) table so the
+    # corpus crosses the Python boundary once.
+    tf = scoped_persist(
+        d.select(
+            "doc_id",
+            F.explode(term_counts(tokens(F.lower(F.col("text"))))).alias("tc"),
+        ).select(
+            "doc_id", F.col("tc.term").alias("term"), F.col("tc.tf").alias("tf")
+        )
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
