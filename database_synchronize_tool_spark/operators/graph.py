@@ -58,12 +58,22 @@ def triangle_counts(edges_directed: DataFrame) -> DataFrame:
     edge join are both equi-joins (shuffle on vertex / edge keys), never
     a cartesian.
     """
-    deg = edges_directed.groupBy(F.col("src").alias("v")).agg(
-        F.count(F.lit(1)).alias("deg")
+    from database_synchronize_tool_spark.caching import scoped_persist
+
+    # edges is consumed by the degree pass AND both orientation joins, the
+    # oriented edge set by three downstream branches (two wedge legs + the
+    # closing-edge probe) — unpersisted, each branch re-derives the whole
+    # upstream aggregation (the r15 before-plans re-scanned the base table
+    # per branch). Persist the two reused tables; deg is O(V).
+    edges_directed = scoped_persist(edges_directed)
+    deg = scoped_persist(
+        edges_directed.groupBy(F.col("src").alias("v")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
     )
     # Orient u -> v iff (deg(u), u) < (deg(v), v): total order, so exactly
     # one direction survives per undirected edge.
-    e = (
+    e = scoped_persist(
         edges_directed.join(
             deg.select(F.col("v").alias("src"), F.col("deg").alias("dsrc")), "src"
         )
@@ -107,8 +117,19 @@ def pagerank_scaled(
     cut per iteration via localCheckpoint only when the loop is long
     (<= 4 iterations keeps the plan tree shallow enough to skip it).
     """
-    deg = edges_directed.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
+    from database_synchronize_tool_spark.caching import scoped_persist
+
+    # The edge table is consumed once per iteration (plus the degree pass)
+    # and is usually itself derived from an upstream aggregation — without
+    # a persist every iteration re-runs that whole derivation (the r15
+    # before-plan re-scanned the base table 28 times for 3 iterations).
+    # deg is O(V) and read by every iteration's rank rebuild, so it
+    # persists too; its count() below materializes both.
+    edges_directed = scoped_persist(edges_directed)
+    deg = scoped_persist(
+        edges_directed.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
     )
     n_nodes = deg.count()  # bounded metadata: one scalar to the driver
     if n_nodes == 0:
