@@ -70,6 +70,15 @@ def scd2_merge(
         if collapse
         else source
     )
+    if broadcast_source:
+        # The broadcast path consumes src three times (outer-join build,
+        # matched semi-probe, inserts anti-join); src is small by the
+        # broadcast contract, and without a persist each consumer re-runs
+        # its whole derivation (j8's 3-branch union re-scanned the base
+        # table per consumer — 19 scan subtrees in the r15 before-plan).
+        from database_synchronize_tool_spark.caching import scoped_persist
+
+        src = scoped_persist(src)
     valid_to_type = dict(target.dtypes)["valid_to"]
 
     # coalesce(is_current, false): a NULL flag (a nullable boolean an

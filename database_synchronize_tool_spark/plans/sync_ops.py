@@ -1335,9 +1335,14 @@ def _fk_pair_sql(ct: str, cc: str, pt: str, pc: str) -> str:
     "one frame.",
 )
 def catalog_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.caching import scoped_persist
+
     out = None
     for ct, cc, pt, pc in _FK_PAIRS:
-        child = (
+        # child-distinct feeds BOTH the inclusion probe and the distinct
+        # count; unpersisted, each pair ran its child scan + distinct
+        # shuffle twice (21 scan subtrees in the r15 before-plan).
+        child = scoped_persist(
             load_table(spark, sf_dir, ct)
             .select(F.col(cc).alias("v"))
             .filter(F.col("v").isNotNull())
