@@ -150,7 +150,13 @@ def perplexity_buckets(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bg = toks.select("doc_id", F.explode(bigrams).alias("bg"))
+    from database_synchronize_tool_spark.caching import scoped_persist
+
+    # bg feeds the target bigram counts, the target context counts, and
+    # the scoring join — persist so the corpus tokenizes + explodes once.
+    bg = scoped_persist(
+        toks.select("doc_id", F.explode(bigrams).alias("bg"))
+    )
     tbg = bg.filter(is_target)
     tbgc = tbg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
     tctx = (
@@ -178,7 +184,9 @@ def perplexity_buckets(
             ).alias("lm_score"),
         )
     )
-    full = (
+    # full is read by the per-language counts AND the tercile rank join;
+    # persist the narrow per-doc row (saves re-running the scoring join).
+    full = scoped_persist(
         df.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang"))
         .join(scored, "doc_id", "left")
         .select(

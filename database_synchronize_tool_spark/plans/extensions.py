@@ -3751,8 +3751,12 @@ def _bm25_ranked(d: DataFrame, k: int) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("term")
     )
-    dl = d.select(
-        "doc_id", TX.token_count(F.lower(F.col("text"))).alias("dl")
+    from database_synchronize_tool_spark.caching import scoped_persist
+
+    # dl feeds the corpus stats AND the per-doc score join; persist the
+    # narrow (doc_id, dl) row so the corpus is tokenized for lengths once.
+    dl = scoped_persist(
+        d.select("doc_id", TX.token_count(F.lower(F.col("text"))).alias("dl"))
     )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -3854,7 +3858,14 @@ def corpus_bigram_avg_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bg = toks.select("doc_id", F.explode(bigrams).alias("bg"))
+    from database_synchronize_tool_spark.caching import scoped_persist
+
+    # The exploded bigram stream feeds three consumers (bigram counts,
+    # context counts, the scoring join); persist it so the corpus is
+    # tokenized + bigram-expanded once.
+    bg = scoped_persist(
+        toks.select("doc_id", F.explode(bigrams).alias("bg"))
+    )
     bgc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
     ctx = (
         bg.select(F.substring_index("bg", " ", 1).alias("w1"))
@@ -4442,9 +4453,19 @@ _INV_DF_LO_FRAC, _INV_DF_HI_FRAC = 0.01, 0.08
     "is hash-comparable across engines.",
 )
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.caching import scoped_persist
+
     d = load_table(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id", F.explode(TX.word_ngrams(F.col("text"), 2)).alias("token")
+    # Both the band-stats aggregate and the survivor postings consume the
+    # exploded (doc_id, token) table; persist it so the corpus is
+    # tokenized/exploded once (MEMORY_AND_DISK, spills at scale). The
+    # two-pass band->postings shape itself stays: collecting postings for
+    # every token before the df-band filter would build the full unfiltered
+    # index in aggregate state.
+    t = scoped_persist(
+        d.select(
+            "doc_id", F.explode(TX.word_ngrams(F.col("text"), 2)).alias("token")
+        )
     )
     nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     band = t.groupBy("token").agg(
