@@ -1244,13 +1244,22 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("ts").cast("date"), F.lit("1990-01-01")) / 7
         ).cast("bigint")
     ).alias("m")
-    um = ev.select("user_id", m).distinct()
+    from database_synchronize_tool_spark.caching import scoped_persist
+
+    # The distinct user-week table feeds the lag window, the max-week
+    # aggregate and the churn anti-join; its window output feeds both the
+    # classification and the churn probe. Unpersisted, each consumer
+    # re-ran the full events scan + distinct shuffle (3 scan subtrees in
+    # the r15 before-plan) — persist the two narrow per-user-week tables.
+    um = scoped_persist(ev.select("user_id", m).distinct())
     wu = Window.partitionBy("user_id")
-    lagged = um.select(
-        "user_id",
-        "m",
-        F.lag("m").over(wu.orderBy("m")).alias("prev_m"),
-        F.min("m").over(wu).alias("first_m"),
+    lagged = scoped_persist(
+        um.select(
+            "user_id",
+            "m",
+            F.lag("m").over(wu.orderBy("m")).alias("prev_m"),
+            F.min("m").over(wu).alias("first_m"),
+        )
     )
     classified = lagged.select(
         "m",

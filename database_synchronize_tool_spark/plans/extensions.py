@@ -1587,8 +1587,14 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "single-partition each stratum.",
 )
 def stratified_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from database_synchronize_tool_spark.caching import scoped_persist
+
     d = load_table(spark, sf_dir, "documents")
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    # counts feeds the min aggregate AND the keep-rate join; persist the
+    # |langs|-row table so the corpus is counted once, not twice.
+    counts = scoped_persist(
+        d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    )
     m = counts.agg(F.min("n_lang").alias("min_n"))
     bucket = knuth_hash32(F.col("doc_id")).cast("decimal(38,0)")
     keep = bucket * F.col("n_lang") < F.col("min_n").cast("decimal(38,0)") * F.lit(
