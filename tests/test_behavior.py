@@ -499,3 +499,61 @@ def test_gap_fill_gap_form_matches_spine_join_with_nulls(spark):
         < 1e-12
     )  # interpolates ACROSS the NULL obs day (anchors 1/3 and 1/8)
     assert by_key[(2, d(2024, 2, 4))]["value_filled"] is None  # no next anchor
+
+
+def test_market_basket_inrow_pairs_match_self_join(spark):
+    # r15: market_basket_pairs switched from the distinct self-join to
+    # in-row pair generation over sort_array(collect_set(...)). Pin value
+    # parity on edges the fixture may not produce: duplicate parts within
+    # an order (distinct must collapse), single-part orders (no pairs),
+    # and a part that co-occurs across several orders (count > 1).
+    rows = [
+        (1, 10), (1, 20), (1, 20), (1, 30),   # dup part 20 in order 1
+        (2, 10),                              # single-part order
+        (3, 10), (3, 20),                     # repeat pair (10, 20)? no — (10,20) in 1 and 3
+        (4, 30), (4, 10),                     # unsorted arrival order
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    distinct = li.distinct()
+    a, b = distinct.alias("a"), distinct.alias("b")
+    join_form = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    inrow_form = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "parts",
+                        lambda x, i: F.transform(
+                            F.slice("parts", i + F.lit(2), F.size("parts")),
+                            lambda y: F.struct(
+                                x.alias("part_a"), y.alias("part_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy("p.part_a", "p.part_b")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+    got = {(r.part_a, r.part_b): r.n_orders for r in inrow_form.collect()}
+    want = {(r.part_a, r.part_b): r.n_orders for r in join_form.collect()}
+    assert got == want
+    assert got[(10, 20)] == 2 and got[(10, 30)] == 2 and got[(20, 30)] == 1

@@ -684,3 +684,40 @@ def test_nb_quality_topk_is_take_ordered_with_broadcast_overlap(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_semantic_pairs_single_python_crossing(spark, sf_dir):
+    # r15: the posexplode over the cell-assignment UDF used to push its
+    # size>0 predicate below the projection, duplicating the UDF — every
+    # vector crossed the Python boundary twice. The UDF is marked
+    # non-deterministic (guide §4.4) precisely so the optimizer may not
+    # copy it: exactly ONE Python eval node in the whole plan.
+    import re
+
+    plan = plan_of(spark, sf_dir, "dedup_semantic_pairs")
+    evals = re.findall(r"\(\d+\) (?:Arrow|Batch)EvalPython", plan)
+    assert len(evals) == 1, plan[:1200]
+
+
+def test_histogram_quantile_rank_probe_is_bin_pruned(spark, sf_dir):
+    # r15: the exact-rank window must sort only the <=|qs| target bins
+    # (broadcast semi-join below the Window), not every bin of the full
+    # table; and the full-table passes are capped at the semantic minimum
+    # of 3 (per-flag histogram, direct histogram, pruned rank probe).
+    import re
+
+    plan = plan_of(spark, sf_dir, "sketch_histogram_quantiles")
+    tree = plan.split("\n\n")[0]
+    assert re.search(r"BroadcastHashJoin", plan)
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) <= 3, f"{len(scans)} full-table scans"
+
+
+def test_market_basket_single_shuffle_of_base_data(spark, sf_dir):
+    # r15: basket building is ONE ObjectHashAggregate shuffle keyed by
+    # order (collect_set), pairs generate in-row — no self-join, no
+    # second full-width exchange, no broadcast of a corpus-sized side.
+    plan = plan_of(spark, sf_dir, "market_basket_pairs")
+    assert "Join" not in plan, plan[:800]
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 2, tree
