@@ -302,9 +302,14 @@ def priority_sample(
         .orderBy(F.col("priority").desc(), F.col(id_col))
         .limit(k + 1)
     )
+    from database_synchronize_tool_spark.caching import scoped_persist
+
     w = Window.orderBy(F.col("priority").desc(), F.col(id_col))
-    ranked = topk1.withColumn(
-        "smp_rank", F.row_number().over(w).cast("int")
+    # ranked is read twice (tau aggregate + the sample filter); it is k+1
+    # rows, but each unpersisted consumer re-ran the full-table TakeOrdered
+    # — persist the bounded survivors so the table is scanned once.
+    ranked = scoped_persist(
+        topk1.withColumn("smp_rank", F.row_number().over(w).cast("int"))
     )
     # tau = the (k+1)-th priority; 0.0 when the input has <= k rows (then
     # every row is sampled and HT contribution degenerates to the weight).
@@ -356,7 +361,11 @@ def priority_sample_stratified(
 
     h = seeded_hash60(F.col(id_col), seed)
     pri = F.col(weight_col).cast("double") / (h + F.lit(1)).cast("double")
-    ranked = (
+    from database_synchronize_tool_spark.caching import scoped_persist
+
+    # k+1 survivors per stratum, read by the tau aggregate AND the sample
+    # filter — persist so the range-shuffle rank pass runs once.
+    ranked = scoped_persist(
         grouped_row_numbers(
             df.withColumn("priority", pri),
             stratum_col,
