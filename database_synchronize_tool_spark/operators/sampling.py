@@ -158,11 +158,15 @@ def perplexity_buckets(
         toks.select("doc_id", F.explode(bigrams).alias("bg"))
     )
     tbg = bg.filter(is_target)
-    tbgc = tbg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    tbgc = scoped_persist(
+        tbg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    )
+    # context counts roll up exactly from the bigram counts — aggregate
+    # the vocab²-bounded summary, not the target stream again.
     tctx = (
-        tbg.select(F.substring_index("bg", " ", 1).alias("w1"))
+        tbgc.select(F.substring_index("bg", " ", 1).alias("w1"), "c_bg")
         .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("c_w1"))
+        .agg(F.sum("c_bg").alias("c_w1"))
     )
     p = (F.coalesce(F.col("c_bg"), F.lit(0)) + 1).cast("double") / (
         F.coalesce(F.col("c_w1"), F.lit(0)) + F.col("vocab")

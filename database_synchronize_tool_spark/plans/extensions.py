@@ -3872,11 +3872,18 @@ def corpus_bigram_avg_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = scoped_persist(
         toks.select("doc_id", F.explode(bigrams).alias("bg"))
     )
-    bgc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    bgc = scoped_persist(
+        bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    )
+    # context counts are an exact roll-up of the bigram counts
+    # (c_w1 = sum over bigrams starting with w1) — aggregate the
+    # vocab²-bounded summary, not the corpus-sized stream again.
     ctx = (
-        bg.select(F.substring_index("bg", " ", 1).alias("w1"))
+        bgc.select(
+            F.substring_index("bg", " ", 1).alias("w1"), "c_bg"
+        )
         .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("c_w1"))
+        .agg(F.sum("c_bg").alias("c_w1"))
     )
     p = (F.col("c_bg") + 1).cast("double") / (
         F.col("c_w1") + F.col("vocab")
@@ -4751,18 +4758,31 @@ _LIFT_MIN_SUPPORT = 30  # bigram must occur this often for a stable lift
 )
 def corpus_bigram_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    from database_synchronize_tool_spark.caching import scoped_persist
+
     bg = d.select(
         F.explode(TX.word_ngrams(F.col("text"), 2)).alias("b")
     ).select(
         F.split(F.col("b"), " ").getItem(0).alias("w1"),
         F.split(F.col("b"), " ").getItem(1).alias("w2"),
     )
-    n = bg.agg(F.count(F.lit(1)).cast("bigint").alias("n_bg"))
-    pair = bg.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_xy")
+    # ONE corpus-scale aggregate (the pair counts); the total and both
+    # marginals are exact integer roll-ups of it (c_x = sum_y c_xy etc.),
+    # so they re-aggregate the |distinct-bigram|-row summary instead of
+    # re-tokenizing the corpus (the r15 before-plan ran four full
+    # tokenize + explode passes).
+    pair = scoped_persist(
+        bg.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c_xy")
+        )
     )
-    left = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("c_x"))
-    right = bg.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("c_y"))
+    n = pair.agg(F.sum("c_xy").cast("bigint").alias("n_bg"))
+    left = pair.groupBy("w1").agg(
+        F.sum("c_xy").cast("bigint").alias("c_x")
+    )
+    right = pair.groupBy("w2").agg(
+        F.sum("c_xy").cast("bigint").alias("c_y")
+    )
     scored = (
         pair.filter(F.col("c_xy") >= _LIFT_MIN_SUPPORT)
         .join(F.broadcast(left), "w1")
