@@ -74,14 +74,37 @@ def avg_token_len(text: Column) -> Column:
     return total / F.greatest(F.size(toks), F.lit(1))
 
 
+def quality_score_from_signals(
+    n_tok: Column, n_punct: Column, n_chars: Column, n_stop: Column
+) -> dict[str, Column]:
+    """The ``quality_score`` arithmetic over already-bound integer evidence
+    columns — THE single home of the score's literals (length band
+    [10, 5000], 0.5/0.3/0.2 weights, ×5/×2 ratio scalings), shared by the
+    inline helper and the bound-signal ``text_quality_score`` builder so
+    the two cannot drift (r15 advice #3). Returns the derived ratio and
+    score columns keyed punct_ratio / stop_ratio / quality."""
+    pr = n_punct / F.greatest(n_chars, F.lit(1))
+    sr = n_stop / F.greatest(n_tok, F.lit(1))
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 5000), 0.5).otherwise(0.0)
+    return {
+        "punct_ratio": pr,
+        "stop_ratio": sr,
+        "quality": length_ok
+        + F.least(sr * 5, F.lit(0.3))
+        - F.least(pr * 2, F.lit(0.2))
+        + 0.2,
+    }
+
+
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality heuristic: length band + stopword presence −
     punctuation excess. Integer/ratio arithmetic only (portable)."""
-    n_tok = token_count(text)
-    length_ok = F.when((n_tok >= 10) & (n_tok <= 5000), 0.5).otherwise(0.0)
-    stop = F.least(stopword_ratio(text) * 5, F.lit(0.3))
-    punct_penalty = F.least(punct_ratio(text) * 2, F.lit(0.2))
-    return length_ok + stop - punct_penalty + 0.2
+    return quality_score_from_signals(
+        token_count(text),
+        char_count(text, r"[.!?,;:]"),
+        F.length(text),
+        stopword_count(text, LANG_MARKERS["en"]),
+    )["quality"]
 
 
 def lang_id(text: Column) -> Column:
@@ -108,11 +131,16 @@ def lang_pred_from_counts(counts: dict[str, Column]) -> Column:
 # --- markup / boilerplate extraction (r12 verdict #4) -------------------
 # The first stage of a real web-corpus pipeline: raw HTML in, clean text
 # out, BEFORE quality scoring / lang-id ever run. Pure Column regex
-# chains (JVM-side, whole-stage codegen) with an exact DuckDB twin —
-# patterns stay inside the Java-regex ∩ RE2 common subset: inline (?is)
-# flags, non-greedy spans, character classes; NO backreferences or
-# lookarounds (RE2 has neither), so <script>/<style> strip as separate
-# passes instead of <(script|style)>.*?</\1>.
+# chains (JVM-side, whole-stage codegen) with a DuckDB twin. Engine split
+# (r15 advice #1): the Java-regex side fuses the block drops into ONE
+# alternation pass with a backreferenced closing tag
+# (<(script|style|...)>.*?</\1>); the RE2/DuckDB oracle has no
+# backreferences, so it keeps seven sequential per-tag passes. The two
+# forms are equivalent ONLY under the documented non-nested,
+# properly-paired-blocks input assumption (interleaved tags diverge —
+# pinned by test_strip_markup_fused_vs_sequential_divergence); every
+# other pattern stays inside the Java ∩ RE2 common subset (inline (?is)
+# flags, non-greedy spans, character classes; no lookarounds).
 
 # Order constraint: "header" MUST precede "head" — the regex `<head[^>]*>`
 # also matches an opening `<header>` (RE2 has no lookahead to anchor the
@@ -492,6 +520,20 @@ def gopher_quality_flags_from(
         "n_symbols": symbols,
         "n_alpha_words": alpha_words,
         "n_stopwords": stops,
+        **gopher_rules_from_evidence(n, chars, symbols, alpha_words, stops),
+    }
+
+
+def gopher_rules_from_evidence(
+    n: Column, chars: Column, symbols: Column, alpha_words: Column,
+    stops: Column,
+) -> dict[str, Column]:
+    """The five Gopher rule booleans over already-bound integer evidence
+    columns — THE single home of the thresholds and the integer
+    cross-multiplication forms (3n <= chars <= 10n etc.), shared by
+    :func:`gopher_quality_flags_from` and the bound-evidence
+    ``corpus_gopher_rules`` builder so they cannot drift (r15 advice #3)."""
+    return {
         "r_word_count": (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
         "r_mean_word_len": (F.lit(3) * n <= chars) & (chars <= F.lit(10) * n),
         "r_symbol_ratio": F.lit(10) * symbols <= n,

@@ -268,7 +268,14 @@ def _cell_assign_udf(cent_np: np.ndarray, top_cells: int, cell_ids=None):
     # array pushes a size(cells)>0 filter BELOW the projection, and the
     # pushed copy re-evaluated the UDF — every vector paid the JVM->Python
     # round trip and the numpy argmax twice (two ArrowEvalPython nodes in
-    # the r15 before-plan of dedup_semantic_pairs).
+    # the r15 before-plan of dedup_semantic_pairs). CAVEAT (r15 advice):
+    # the single-eval guarantee rests on optimizer internals — revisit this
+    # flag if a Spark upgrade adds Python-UDF common-subexpression
+    # elimination or changes the filter placement; the executed-plan pin
+    # test_semantic_pairs_single_python_crossing is the guard that would
+    # catch either change. The flag also blocks pushing OTHER predicates
+    # through this projection — acceptable here because the projection is
+    # terminal over a full-scan input.
     return assign_udf.asNondeterministic()
 
 
@@ -874,6 +881,88 @@ def train_pq_codebooks(
 PQ_TRAIN_SCALE = 10**6  # integer grid: xq[d] = floor(x[d] * SCALE)
 PQ_TRAIN_ITERS = 3  # fixed Lloyd iterations (unrolled in the SQL oracle)
 
+# Row ceiling for DRIVER-LOCAL exact training (r15 verdict item #1): under
+# it the corpus is bounded index-scale data and every Lloyd/Procrustes step
+# runs as one numpy pass over ONE collected copy — the distributed exact
+# trainer launched 2 Spark jobs PER Lloyd round (broadcast-join argmin +
+# integer-sum collect), 11-23 jobs and 6-13 s per trained query at bench
+# SFs, all job-launch overhead over a few thousand rows (guide §1.2/§5:
+# bounded data, wrong engine). Past the ceiling the FULLY DISTRIBUTED
+# integer trainer below takes over unchanged — integer sums are order-
+# independent, so both paths are bit-identical by construction (pinned by
+# test_local_trainer_matches_distributed*). 100k rows × 64 dims ≈ 50 MB
+# collected — comfortably driver-bounded.
+TRAIN_LOCAL_MAX_ROWS = 100_000
+
+
+def _collect_bounded_rows(base: DataFrame, cap: int = TRAIN_LOCAL_MAX_ROWS):
+    """Collect a (sid, v) table when it holds <= cap rows, else None.
+    ONE job either way: limit(cap+1) bounds the fetch, and overflow is
+    detected from the row count (the partial rows are discarded)."""
+    rows = base.limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    return rows
+
+
+def _quantize_local(rows) -> tuple[list, "np.ndarray"]:
+    """Collected (sid, v) rows -> (sorted sids, (N, d) int64 matrix) on the
+    PQ_TRAIN_SCALE grid. np.floor(x * 1e6) is the same IEEE-754 multiply +
+    floor as the distributed F.floor(x * lit(SCALE)) — bit-identical."""
+    rows = sorted(rows, key=lambda r: r["sid"])
+    sids = [r["sid"] for r in rows]
+    if not rows:
+        return sids, np.zeros((0, 1), dtype=np.int64)
+    v = np.array([r["v"] for r in rows], dtype=np.float64)
+    return sids, np.floor(v * float(PQ_TRAIN_SCALE)).astype(np.int64)
+
+
+def _seed_cents_int_local(xq: "np.ndarray", ksub: int, m: int) -> dict:
+    """Local twin of :func:`_seed_cents_int`: the quantized subvectors of
+    the ksub smallest-sid rows (xq arrives sid-sorted from
+    :func:`_quantize_local`) seed the codebook."""
+    dsub = xq.shape[1] // m
+    cents: dict[tuple[int, int], list[int]] = {}
+    for code in range(min(ksub, xq.shape[0])):
+        for s in range(m):
+            cents[(s, code)] = [
+                int(x) for x in xq[code, s * dsub : (s + 1) * dsub]
+            ]
+    return cents
+
+
+def _lloyd_int_local(
+    xq: "np.ndarray", m: int, cents: dict, iters: int
+) -> dict:
+    """Driver-local twin of :func:`_lloyd_int` — identical integer
+    arithmetic (argmin of int64 squared L2 with ties to the smallest code,
+    floor-div centroid updates, empty clusters keep their centers), so the
+    result is bit-identical to the distributed loop on the same rows.
+    int64 bounds: |xq| <= SCALE, so d2 <= dsub·(2·SCALE)² ≈ 6.4e13 and
+    member sums <= SCALE·TRAIN_LOCAL_MAX_ROWS = 1e11 — far inside int64."""
+    dsub = xq.shape[1] // m
+    for _ in range(iters):
+        new = dict(cents)
+        for s in range(m):
+            codes = sorted(c for (ss, c) in cents if ss == s)
+            if not codes:
+                continue
+            cmat = np.array([cents[(s, c)] for c in codes], dtype=np.int64)
+            x = xq[:, s * dsub : (s + 1) * dsub]
+            diff = x[:, None, :] - cmat[None, :, :]
+            d2 = np.einsum("ncd,ncd->nc", diff, diff)
+            # ties -> first minimum = smallest code (codes ascend)
+            best = np.argmin(d2, axis=1)
+            for ci, code in enumerate(codes):
+                members = x[best == ci]
+                if len(members):
+                    sx = members.sum(axis=0)
+                    new[(s, code)] = [
+                        int(v) // len(members) for v in sx
+                    ]
+        cents = new
+    return cents
+
 
 def train_pq_codebooks_exact(
     candidates: DataFrame,
@@ -917,11 +1006,24 @@ def train_pq_codebooks_exact(
     shuffle-light passes over the corpus; the quantization error of the
     1e-6 grid is ~1e-13 per squared component — irrelevant next to PQ's own
     distortion. Per-dim sums stay < 2^63 up to ~3.6e13 corpus rows.
+
+    r16 optimization (guide §1.2/§5): under TRAIN_LOCAL_MAX_ROWS the corpus
+    is collected ONCE (one bounded job) and the identical integer Lloyd
+    runs driver-local in numpy — every arithmetic step is the same, so the
+    codebooks are bit-identical (parity-pinned); the 2-jobs-per-round
+    distributed loop remains the >cap path.
     """
     spark = candidates.sparkSession
     base = candidates.select(
         F.col(id_col).alias("sid"), as_double(F.col(vec_col)).alias("v")
     )
+    rows = _collect_bounded_rows(base)
+    if rows is not None:
+        _, xq = _quantize_local(rows)
+        cents = _lloyd_int_local(
+            xq, m, _seed_cents_int_local(xq, ksub, m), iters
+        )
+        return _cents_to_codebooks(spark, cents)
     subq = base.select(
         "sid",
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
@@ -1136,6 +1238,71 @@ def train_opq_pq_exact(
     base = candidates.select(
         F.col(id_col).alias("sid"), as_double(F.col(vec_col)).alias("v")
     )
+    rows = _collect_bounded_rows(base)
+    if rows:
+        # r16 driver-local branch (guide §1.2/§5, r15 verdict #1): the whole
+        # OPQ alternation — plain Lloyd, codeword reconstruction B, the
+        # ridge Procrustes aggregates X'B / X'X, Newton-Schulz (already
+        # local), integer rotate, warm-started retrain — runs over ONE
+        # collected copy in numpy int64 (|x·b| <= 1e12 · 1e5 rows = 1e17
+        # < 2^63; M assembles in Python ints). Identical arithmetic to the
+        # distributed form at every step, so R and both codebooks are
+        # bit-identical (parity-pinned). Only the returned `rotated` corpus
+        # stays a distributed plan (broadcast-R vectorized UDF, persisted
+        # for its multiple consumers) — no data-plane collect leaves this
+        # bounded branch.
+        _, xq = _quantize_local(rows)
+        d = xq.shape[1]
+        dsub = d // m
+        cents_plain = _lloyd_int_local(
+            xq, m, _seed_cents_int_local(xq, ksub, m), iters
+        )
+        breco = np.empty_like(xq)
+        for s in range(m):
+            codes = sorted(c for (ss, c) in cents_plain if ss == s)
+            cmat = np.array(
+                [cents_plain[(s, c)] for c in codes], dtype=np.int64
+            )
+            x = xq[:, s * dsub : (s + 1) * dsub]
+            diff = x[:, None, :] - cmat[None, :, :]
+            best = np.argmin(np.einsum("ncd,ncd->nc", diff, diff), axis=1)
+            breco[:, s * dsub : (s + 1) * dsub] = cmat[best]
+        xb = xq.T @ breco
+        xx = xq.T @ xq
+        M = [
+            [
+                OPQ_GAMMA_DEN * int(xb[i, j]) + int(xx[i, j])
+                for j in range(d)
+            ]
+            for i in range(d)
+        ]
+        R = _ns_polar_int(M, d)
+        rot_b = spark.sparkContext.broadcast(R)
+        rotate_udf = _make_rotate_udf(rot_b)
+        xq_plan = base.select(
+            "sid",
+            F.transform(
+                "v", lambda x: F.floor(x * F.lit(float(PQ_TRAIN_SCALE)))
+            ).alias("xq0"),
+        )
+        vrot_q = scoped_persist(
+            xq_plan.select("sid", rotate_udf(F.col("xq0")).alias("vq"))
+        )
+        inv = 1.0 / PQ_TRAIN_SCALE
+        rotated = vrot_q.select(
+            F.col("sid").alias(id_col),
+            F.transform(
+                "vq", lambda x: x.cast("double") * F.lit(inv)
+            ).alias(vec_col),
+        )
+        vq_local = np.floor_divide(xq @ R, OPQ_RS)
+        cents_opq = _lloyd_int_local(vq_local, m, dict(cents_plain), iters)
+        out = (
+            rotated,
+            _cents_to_codebooks(spark, cents_opq),
+            _cents_to_codebooks(spark, cents_plain),
+        )
+        return (*out, R) if with_rotation else out
     d = len(base.select("v").first()["v"])
     dsub = d // m
     xq_full = base.select(

@@ -373,9 +373,11 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Market-basket co-occurrence: the top part pairs that appear in the "
     "same order. One shuffle of (order, part) keyed by order builds each "
     "basket's distinct sorted part set (collect_set does the per-order "
-    "dedup in the same aggregate), the ordered a<b pairs generate IN-ROW "
-    "from the sorted array, and a pair count + top-k finish. The r15 "
-    "self-join form computed the distinct table twice (two full-width "
+    "dedup in the same aggregate), the ordered a<b pairs stream out of "
+    "TWO chained explodes in the same stage (posexplode each element, "
+    "explode its tail slice — per-row memory O(basket), r15 verdict #8's "
+    "mega-basket row-buffer guard), and a pair count + top-k finish. The "
+    "r15 self-join form computed the distinct table twice (two full-width "
     "shuffles) and broadcast one copy — at 100 TB that broadcast falls "
     "back to a sort-merge join, i.e. a THIRD full shuffle; this form "
     "moves the base data exactly once and the per-order pair fan-out "
@@ -389,24 +391,26 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
-    # All a<b pairs of the sorted distinct set, generated in-row: element i
-    # pairs with every later element (1-based slice start i+2; slice clamps
-    # the length at the array end).
-    pairs = baskets.select(
+    # All a<b pairs of the sorted distinct set, generated as TWO chained
+    # explodes in the same post-aggregation stage (no exchange between
+    # them): posexplode streams one (i, part_a, parts) row per element,
+    # and each row explodes only the tail slice after position i (1-based
+    # slice start i+2; slice clamps at the array end). Same pair multiset
+    # as the r15 single flatten-of-transforms explode, but per-ROW memory
+    # is O(basket) instead of O(basket²) — the r15 form materialized the
+    # full pair array of a basket inside one row, so one pathological
+    # mega-basket at 100 TB became a row-buffer hazard (r15 verdict #8);
+    # here the largest value any row holds is the parts array itself.
+    # Total pair rows are unchanged (that is the declared output).
+    lefts = baskets.select(
+        F.posexplode("parts").alias("i", "part_a"), F.col("parts")
+    )
+    pairs = lefts.select(
+        "part_a",
         F.explode(
-            F.flatten(
-                F.transform(
-                    "parts",
-                    lambda x, i: F.transform(
-                        F.slice("parts", i + F.lit(2), F.size("parts")),
-                        lambda y: F.struct(
-                            x.alias("part_a"), y.alias("part_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.part_a", "p.part_b")
+            F.slice("parts", F.col("i") + F.lit(2), F.size("parts"))
+        ).alias("part_b"),
+    )
     return (
         pairs.groupBy("part_a", "part_b")
         .agg(F.count("*").cast("long").alias("n_orders"))

@@ -593,23 +593,17 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             TX.tokens(F.lower(t)), TX.LANG_MARKERS["en"]
         ).alias("_n_stop"),
     )
-    n_tok, n_punct = F.col("_n_tok"), F.col("_n_punct")
-    n_chars, n_stop = F.col("_n_chars"), F.col("_n_stop")
-    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
-    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
-    length_ok = F.when((n_tok >= 10) & (n_tok <= 5000), 0.5).otherwise(0.0)
-    quality = (
-        length_ok
-        + F.least(stop_ratio * 5, F.lit(0.3))
-        - F.least(punct_ratio * 2, F.lit(0.2))
-        + 0.2
+    # derived ratios/score come from the ONE shared helper — the builder
+    # restated quality_score's literals before r16 (r15 advice #3)
+    derived = TX.quality_score_from_signals(
+        F.col("_n_tok"), F.col("_n_punct"), F.col("_n_chars"), F.col("_n_stop")
     )
     return sig.select(
         "doc_id",
-        n_tok.cast("bigint").alias("n_tokens"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stop_ratio"),
-        quality.alias("quality"),
+        F.col("_n_tok").cast("bigint").alias("n_tokens"),
+        derived["punct_ratio"].alias("punct_ratio"),
+        derived["stop_ratio"].alias("stop_ratio"),
+        derived["quality"].alias("quality"),
     )
 
 
@@ -5840,16 +5834,12 @@ def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     evidence = ("n_words", "n_word_chars", "n_symbols", "n_alpha_words",
                 "n_stopwords")
     m = b.select("doc_id", *[flags[k].alias(k) for k in evidence])
-    n, chars = F.col("n_words"), F.col("n_word_chars")
-    symbols, alpha = F.col("n_symbols"), F.col("n_alpha_words")
-    stops = F.col("n_stopwords")
-    rules = {
-        "r_word_count": (n >= TX.GOPHER_MIN_WORDS) & (n <= TX.GOPHER_MAX_WORDS),
-        "r_mean_word_len": (F.lit(3) * n <= chars) & (chars <= F.lit(10) * n),
-        "r_symbol_ratio": F.lit(10) * symbols <= n,
-        "r_alpha_words": F.lit(5) * alpha >= F.lit(4) * n,
-        "r_stopwords": stops >= 2,
-    }
+    # rules over the bound evidence come from the ONE shared helper —
+    # the builder restated these expressions before r16 (r15 advice #3)
+    rules = TX.gopher_rules_from_evidence(
+        F.col("n_words"), F.col("n_word_chars"), F.col("n_symbols"),
+        F.col("n_alpha_words"), F.col("n_stopwords"),
+    )
     passed = (
         rules["r_word_count"]
         & rules["r_mean_word_len"]

@@ -460,6 +460,57 @@ def test_strip_markup_hazards(spark):
     assert got[5] == ("one two", "", 2)  # case-insensitive anchor count
 
 
+def test_strip_markup_fused_vs_sequential_divergence(spark):
+    """r15 advice #2: the Java-side fused backreferenced block drop
+    (<(script|style|...)>.*?</\\1>) equals the oracle's seven sequential
+    RE2 passes ONLY for non-nested, properly paired blocks — the
+    documented input assumption, which synth_html satisfies. This pin
+    (a) proves agreement on the fixture class and (b) RECORDS the known
+    divergence on interleaved tags, so a fixture/input change that
+    introduces interleaving cannot silently break engine/oracle parity."""
+    from database_synchronize_tool_spark.functions.text import (
+        MARKUP_DROP_BLOCKS,
+        MARKUP_ENTITIES,
+        WS,
+        strip_markup,
+        synth_html,
+    )
+
+    def sequential(html):
+        # the oracle's form: one RE2-compatible pass per tag, in tuple order
+        out = html
+        for tag in MARKUP_DROP_BLOCKS:
+            out = F.regexp_replace(out, f"(?is)<{tag}[^>]*>.*?</{tag}>", " ")
+        out = F.regexp_replace(out, r"(?s)<[^>]*>", " ")
+        for ent, rep in MARKUP_ENTITIES:
+            out = F.replace(out, F.lit(ent), F.lit(rep))
+        return F.trim(F.regexp_replace(out, WS + "+", " "))
+
+    paired = spark.range(1, 5).select(
+        synth_html(
+            F.col("id"),
+            F.concat(F.lit("body text "), F.col("id").cast("string")),
+        ).alias("html")
+    )
+    rows = paired.select(
+        strip_markup(F.col("html")).alias("a"),
+        sequential(F.col("html")).alias("b"),
+    ).collect()
+    assert all(r["a"] == r["b"] for r in rows)
+
+    # interleaved (improperly nested) tags: the two engines remove
+    # DIFFERENT spans — fused drops <nav>...</nav> first ('C D' survives),
+    # sequential drops <script>...</script> first ('A D' survives)
+    bad = spark.createDataFrame(
+        [("<nav>A<script>B</nav>C</script>D",)], "html string"
+    )
+    r = bad.select(
+        strip_markup(F.col("html")).alias("a"),
+        sequential(F.col("html")).alias("b"),
+    ).collect()[0]
+    assert r["a"] == "C D" and r["b"] == "A D"  # divergence, documented
+
+
 def test_gopher_rules_each_violation_trips_its_own_rule(spark):
     from database_synchronize_tool_spark.functions.text import (
         gopher_quality_flags,

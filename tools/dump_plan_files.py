@@ -1,7 +1,8 @@
-"""Dump .explain("formatted") for named queries to plans/r15/<q>_<tag>.txt.
+"""Dump .explain("formatted") for named queries to plans/<round>/<q>_<tag>.txt.
 
 Usage: python tools/dump_plan_files.py <tag> <query_name ...>
-(tag is "before" or "after"; optimization-round evidence files.)
+(tag is "before" or "after"; optimization-round evidence files. Round dir
+defaults to r16; override with SPARK_GRAFT_PLAN_ROUND.)
 """
 
 from __future__ import annotations
@@ -19,7 +20,9 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join("/root/repo", "plans", "r15")
+    out_dir = os.path.join(
+        "/root/repo", "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r16")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dump_plan_files")
     qs = all_queries()
