@@ -29,6 +29,12 @@ Methodology — steady-state execution of a resident pipeline:
   tools/bench_oracle.py), and the one JSON line carries both totals plus the
   ratio. No more cross-session number pairing (round-2 verdict item 9 /
   advice on methodology asymmetry).
+- **First-pass tier alongside (r16, r15 verdict #4).** One additional timed
+  execution per headline query from a fresh cache scope — plan build,
+  codegen, and scoped-persist materialization inside the timed region — so
+  the artifact also carries a number with NO persist/warmup asymmetry vs
+  the per-pass-recomputing oracle. Additive only: the `queries` tier and
+  its methodology are unchanged.
 """
 
 from __future__ import annotations
@@ -411,6 +417,47 @@ def main() -> None:
                     file=sys.stderr,
                 )
 
+    # First-pass tier (r16, r15 verdict #4 — a measurement ADDITION, no
+    # existing number changes): the hot/plan-once headline methodology
+    # materializes operator-internal scoped_persist intermediates during
+    # the warmup collect, so the timed best-of-3 passes read
+    # InMemoryTableScan while the DuckDB oracle recomputes everything per
+    # pass — an asymmetry in Spark's favor that widens with every persist.
+    # This tier re-times each headline query ONCE inside its own fresh
+    # cache scope at the headline SF: base tables stay hot and the query
+    # SHAPE is already codegen-warm (the verdict's "post-clearCache, plan
+    # built" definition), but every scoped persist is materialized INSIDE
+    # the timed region. It runs AFTER the full-registry tier on purpose:
+    # the tripwire's session position (tables cached -> headline warm+3
+    # passes -> registry sweep) must stay identical to earlier rounds or
+    # its round-over-round rows are not comparable — an r16 run with this
+    # tier placed before the sweep inflated the whole tripwire ~40-100%.
+    # Reported as queries_first_pass / first_pass_total_sec ALONGSIDE
+    # (never replacing) the best-of-3 `queries` entries; first-pass
+    # regression flags compare against the previous artifact's first-pass
+    # tier once one exists.
+    first_pass: dict[str, float] = {}
+    with cache_scope():
+        for t in TABLES:
+            load_table(spark, sf_dir, t).cache().count()
+        for name in headline:
+            t0 = time.perf_counter()
+            try:
+                with cache_scope():
+                    n = len(qs[name].builder(spark, sf_dir).collect())
+            except Exception as exc:  # noqa: BLE001 - tier row, not the run
+                print(
+                    f"# first-pass {name} FAILED: "
+                    f"{type(exc).__name__}: {exc}",
+                    file=sys.stderr,
+                )
+                continue
+            first_pass[name] = round(time.perf_counter() - t0, 3)
+            print(
+                f"# first-pass {name}: {first_pass[name]:.3f}s ({n} rows)",
+                file=sys.stderr,
+            )
+
     # Oracle side, back-to-back on the now-idle machine (JVM stopped), same
     # warm+best-of-3 methodology — both totals land in one artifact.
     spark.stop()
@@ -565,11 +612,37 @@ def main() -> None:
         and t > prev_timings[name] * (1 + REGRESSION_PCT / 100)
     }
 
+    first_pass_total = round(
+        sum(v for k, v in first_pass.items() if k in timings), 3
+    )
+    prev_first_pass = (
+        prev_artifact.get("queries_first_pass", {})
+        if prev_artifact.get("sf") == sf_val
+        else {}
+    )
+    fp_regressions = {
+        name: {"prev": prev_first_pass[name], "now": t}
+        for name, t in first_pass.items()
+        if name in prev_first_pass
+        and prev_first_pass[name] > 0
+        and t > prev_first_pass[name] * (1 + REGRESSION_PCT / 100)
+        and t >= 0.1  # sub-100ms rows flap on plan/codegen jitter alone
+    }
+
     payload = {
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_first_pass": first_pass,
+        "first_pass_total_sec": first_pass_total,
+        "first_pass_note": "ONE execution per headline query from a fresh "
+        "cache scope (hot base tables; plan build + codegen + persist "
+        "materialization inside the timed region) — the asymmetry-free "
+        "companion to the best-of-3 `queries` tier, whose warmup "
+        "materializes scoped persists outside the timed region (r15 "
+        "verdict #4). first_pass_total_sec sums the paired set only.",
+        "first_pass_regressions": fp_regressions,
         "sf": sf_val,
         "oracle_queries": oracle_timings,
         "oracle_total_sec": oracle_total,
@@ -690,6 +763,7 @@ def main() -> None:
         "sf": sf_val,
         "oracle_total_sec": oracle_total,
         "ratio_vs_oracle": payload["ratio_vs_oracle"],
+        "first_pass_total_sec": first_pass_total,
         "n_regressions": len(regressions),
         "full_registry_n": len(full_registry),
         "full_registry_regressions": len(

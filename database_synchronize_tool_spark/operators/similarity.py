@@ -237,6 +237,20 @@ def _centroid_cell_ids(centroids: DataFrame) -> np.ndarray:
     return np.array(sorted(r["cell"] for r in rows), dtype=np.int64)
 
 
+def _centroids_and_ids(centroids: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """:func:`_centroids_np` and :func:`_centroid_cell_ids` from ONE
+    collect (r16: callers that need both — ivf_assign_cells — previously
+    launched two Spark jobs over the same bounded table; same cell-sorted
+    layout, so both results are identical to the two-collect form)."""
+    rows = sorted(
+        centroids.select("cell", "centroid").collect(),
+        key=lambda r: r["cell"],
+    )
+    cent_np = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    cell_ids = np.array([r["cell"] for r in rows], dtype=np.int64)
+    return cent_np, cell_ids
+
+
 def _cell_assign_udf(cent_np: np.ndarray, top_cells: int, cell_ids=None):
     """Vectorized coarse-quantizer closure over a collected ``(n_cells,
     dim)`` centroid matrix: maps a vector column to its ``top_cells``
@@ -297,12 +311,12 @@ def ivf_assign_cells(
     former plan). Ties break on centroid id for determinism, bit-identical
     to the former window ranking. Returns (vid, v, cell, cell_rank).
     """
-    cent_np = _centroids_np(centroids)
     # this operator EXPOSES cell ids (callers join them back against the
     # centroids table, e.g. ivf_residuals), so positions must map to the
     # table's real ids — a sparse/non-contiguous trained table would
-    # otherwise silently join wrong (round-7 review finding)
-    cell_ids = _centroid_cell_ids(centroids)
+    # otherwise silently join wrong (round-7 review finding). One collect
+    # serves both the matrix and the id map (r16).
+    cent_np, cell_ids = _centroids_and_ids(centroids)
     v = vectors.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     )
